@@ -1,0 +1,271 @@
+package graft
+
+/** DuckDB twins of SparkEntry.queries — executed by the driver
+  * against the same parquet tables, results hash-compared.
+  *
+  * Mirroring rules (see SparkEntry scaladoc): money math in scaled
+  * integers, doubles produced by one identical expression chain on
+  * both sides, deterministic ORDER BY everywhere. DuckDB-isms to
+  * keep in sync with the Spark side:
+  *  - regexp_replace needs the 'g' flag (Spark is global by default);
+  *  - integer sums are CAST(... AS BIGINT) (DuckDB widens to HUGEINT);
+  *  - list_reduce(list_prepend(0, ...)) mirrors Spark's aggregate()
+  *    left fold with a zero initial accumulator.
+  */
+object OracleSql {
+
+  /** Left-fold dot product of two 64-dim float lists, mirroring
+    * VectorFunctions.dotFold bit-for-bit.
+    */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  private def cosineCte(pairsFrom: String): String =
+    s"""s AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM $pairsFrom),
+       |c AS (SELECT * EXCLUDE (dp, na, nb), CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM s)""".stripMargin
+
+  /** Shared menu-line synthesis (mirror of SparkEntry.menuLines). */
+  private val menuCte =
+    """m AS (SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS c, p_partkey % 3 AS md FROM part),
+      |v AS (SELECT p_partkey, p_name, md, c, CAST(floor(c/2) AS BIGINT) AS ch, CAST(floor(c*8/10) AS BIGINT) AS cs, CAST(floor(c*12/10) AS BIGINT) AS cl FROM m),
+      |l AS (SELECT p_partkey AS doc_id,
+      |  CASE WHEN md = 0 THEN p_name || ' .... Half: $' || printf('%d.%02d', CAST(floor(ch/100) AS BIGINT), ch % 100) || ' Full: $' || printf('%d.%02d', CAST(floor(c/100) AS BIGINT), c % 100)
+      |       WHEN md = 1 THEN p_name || ' .... $' || printf('%d.%02d', CAST(floor(c/100) AS BIGINT), c % 100)
+      |       ELSE p_name || ' .... Small: $' || printf('%d.%02d', CAST(floor(cs/100) AS BIGINT), cs % 100) || ' Medium: $' || printf('%d.%02d', CAST(floor(c/100) AS BIGINT), c % 100) || ' Large: $' || printf('%d.%02d', CAST(floor(cl/100) AS BIGINT), cl % 100)
+      |  END AS line FROM v)""".stripMargin
+
+  /** Shared parse of menu lines (mirror of MenuParser.parse on the
+    * synthesized single-line docs: no headers, category omitted).
+    */
+  private val parseCte =
+    """parsed AS (SELECT doc_id,
+      |  regexp_replace(trim(regexp_extract(line, '^(.+?)\s*\.{2,}', 1)), '\s+', ' ', 'g') AS item_name,
+      |  CASE WHEN NOT regexp_matches(line, '(?i)(half|full|small|medium|large)\s*:') AND regexp_extract(line, '[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) <> '' THEN CAST(regexp_extract(line, '[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS price,
+      |  CASE WHEN regexp_extract(line, '(?i)half:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) <> '' THEN CAST(regexp_extract(line, '(?i)half:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS half_plate_price,
+      |  CASE WHEN regexp_extract(line, '(?i)full:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) <> '' THEN CAST(regexp_extract(line, '(?i)full:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS full_plate_price,
+      |  CASE WHEN regexp_extract(line, '(?i)small:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) <> '' THEN CAST(regexp_extract(line, '(?i)small:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS small_price,
+      |  CASE WHEN regexp_extract(line, '(?i)medium:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) <> '' THEN CAST(regexp_extract(line, '(?i)medium:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS medium_price,
+      |  CASE WHEN regexp_extract(line, '(?i)large:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) <> '' THEN CAST(regexp_extract(line, '(?i)large:\s*[\$₹€£¥]([0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS large_price,
+      |  CASE WHEN regexp_extract(line, '([\$₹€£¥])', 1) <> '' THEN regexp_extract(line, '([\$₹€£¥])', 1) END AS currency
+      |FROM l)""".stripMargin
+
+  val all: Map[String, String] = Map(
+
+    "q01_extract_meta" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN n_chars < 60 THEN 'ocr' ELSE 'text' END AS method,
+        |  CAST(length(text) AS BIGINT) AS char_count,
+        |  length(text) > 0 AS success
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q02_clean_text" ->
+      """WITH raw AS (SELECT doc_id, '--- Page 1 ---' || chr(10) || text || chr(10) || 'x' || chr(10) || '!!!' || chr(10) || 'end of menu....ok' || chr(10) || chr(10) || chr(10) || 'A  B' AS r FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(r, '(?i)-{2,}\s*Page\s*\d+\s*-{2,}', chr(10), 'g') AS t FROM raw),
+        |s2 AS (SELECT doc_id, array_to_string(list_transform(list_filter(list_transform(string_split(t, chr(10)), l -> regexp_replace(trim(l), '\.{2,}', ' ', 'g')), l -> length(trim(l)) > 1 AND NOT regexp_full_match(trim(l), '[\W_]+')), l -> trim(l)), chr(10)) AS t FROM s1),
+        |s3 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(t, '\n{2,}', chr(10) || chr(10), 'g'), '[ \t]{2,}', ' ', 'g')) AS clean FROM s2)
+        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_chars FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "q03_chunk_text" ->
+      """SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx*150+1 AS BIGINT), 150) AS chunk
+        |FROM (SELECT doc_id, text, unnest(range(0, greatest(CAST(ceil(length(text)/150.0) AS BIGINT), 1))) AS chunk_idx FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q04_parse_menu" ->
+      s"""WITH $menuCte,
+         |$parseCte
+         |SELECT doc_id, item_name, price, half_plate_price, full_plate_price, small_price, medium_price, large_price, currency
+         |FROM parsed ORDER BY doc_id""".stripMargin,
+
+    "q05_validate" ->
+      """WITH it AS (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 13 = 0 THEN 'X' ELSE '  ' || p_name || '  ' END AS item_name0,
+        |  CASE WHEN p_partkey % 11 = 0 THEN CAST(CAST(round(p_retailprice*100) AS BIGINT) * 10000 AS DOUBLE) / 100.0 ELSE CAST(CAST(round(p_retailprice*100) AS BIGINT) AS DOUBLE) / 100.0 END AS price,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'DOLLARS' WHEN p_partkey % 5 = 1 THEN 'USD' ELSE '$' END AS currency0
+        | FROM part),
+        |v AS (SELECT p_partkey, regexp_replace(trim(item_name0), '\s+', ' ', 'g') AS item_name, price, currency0 FROM it),
+        |r AS (SELECT p_partkey, item_name, price,
+        |  CASE WHEN currency0 IS NULL THEN NULL WHEN currency0 IN ('$', '₹', '€', '£', '¥', 'AUD', 'USD', 'INR', 'EUR', 'GBP') OR length(currency0) <= 3 THEN currency0 ELSE NULL END AS currency,
+        |  CASE WHEN NOT (item_name IS NOT NULL AND length(item_name) >= 2) THEN 'invalid_name'
+        |       WHEN NOT (price IS NULL OR (price >= 0 AND price <= 100000)) THEN 'price_out_of_range'
+        |       WHEN price IS NULL THEN 'no_price'
+        |  END AS rr
+        | FROM v)
+        |SELECT p_partkey, item_name, currency, rr IS NULL AS is_valid, coalesce(rr, 'ok') AS reject_reason
+        |FROM r ORDER BY p_partkey""".stripMargin,
+
+    "q06_price_display" ->
+      s"""WITH $menuCte,
+         |$parseCte
+         |SELECT doc_id, item_name,
+         |  CASE WHEN price IS NOT NULL THEN coalesce(currency, '$$') || printf('%.2f', price)
+         |       ELSE CASE WHEN concat_ws(' | ',
+         |    CASE WHEN half_plate_price IS NOT NULL THEN 'Half: ' || coalesce(currency, '$$') || printf('%.2f', half_plate_price) END,
+         |    CASE WHEN full_plate_price IS NOT NULL THEN 'Full: ' || coalesce(currency, '$$') || printf('%.2f', full_plate_price) END,
+         |    CASE WHEN small_price IS NOT NULL THEN 'Small: ' || coalesce(currency, '$$') || printf('%.2f', small_price) END,
+         |    CASE WHEN medium_price IS NOT NULL THEN 'Medium: ' || coalesce(currency, '$$') || printf('%.2f', medium_price) END,
+         |    CASE WHEN large_price IS NOT NULL THEN 'Large: ' || coalesce(currency, '$$') || printf('%.2f', large_price) END) = '' THEN 'No price'
+         |       ELSE concat_ws(' | ',
+         |    CASE WHEN half_plate_price IS NOT NULL THEN 'Half: ' || coalesce(currency, '$$') || printf('%.2f', half_plate_price) END,
+         |    CASE WHEN full_plate_price IS NOT NULL THEN 'Full: ' || coalesce(currency, '$$') || printf('%.2f', full_plate_price) END,
+         |    CASE WHEN small_price IS NOT NULL THEN 'Small: ' || coalesce(currency, '$$') || printf('%.2f', small_price) END,
+         |    CASE WHEN medium_price IS NOT NULL THEN 'Medium: ' || coalesce(currency, '$$') || printf('%.2f', medium_price) END,
+         |    CASE WHEN large_price IS NOT NULL THEN 'Large: ' || coalesce(currency, '$$') || printf('%.2f', large_price) END) END END AS price_display,
+         |  coalesce(nullif(price, 0.0), nullif(full_plate_price, 0.0), nullif(half_plate_price, 0.0), nullif(large_price, 0.0), nullif(medium_price, 0.0), nullif(small_price, 0.0)) AS primary_price
+         |FROM parsed ORDER BY doc_id""".stripMargin,
+
+    "q07_summary" ->
+      s"""WITH $menuCte,
+         |$parseCte,
+         |j AS (SELECT parsed.*, part.p_brand,
+         |   CAST(round(coalesce(nullif(price, 0.0), nullif(full_plate_price, 0.0), nullif(half_plate_price, 0.0), nullif(large_price, 0.0), nullif(medium_price, 0.0), nullif(small_price, 0.0)) * 100) AS BIGINT) AS pc,
+         |   (price IS NOT NULL OR half_plate_price IS NOT NULL OR full_plate_price IS NOT NULL OR small_price IS NOT NULL OR medium_price IS NOT NULL OR large_price IS NOT NULL) AS has_price
+         | FROM parsed JOIN part ON parsed.doc_id = part.p_partkey)
+         |SELECT p_brand AS category, count(*) AS total_items,
+         |  CAST(sum(CASE WHEN has_price THEN 1 ELSE 0 END) AS BIGINT) AS items_with_prices,
+         |  CAST(min(pc) AS DOUBLE) / 100.0 AS min_price,
+         |  CAST(max(pc) AS DOUBLE) / 100.0 AS max_price,
+         |  CAST(sum(pc) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_price
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_batch_manifest" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_agg" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(round(l_quantity*100) AS BIGINT) AS qc,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |  CAST(round(l_discount*100) AS BIGINT) AS db,
+        |  CAST(round(l_tax*100) AS BIGINT) AS tb
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qc) AS DOUBLE)/100.0 AS sum_qty,
+        |  CAST(sum(pc) AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(sum(pc*(100-db)) AS DOUBLE)/10000.0 AS sum_disc_price,
+        |  CAST(sum(pc*(100-db)*(100+tb)) AS DOUBLE)/1000000.0 AS sum_charge,
+        |  CAST(sum(qc) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(pc) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_price,
+        |  CAST(sum(db) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_filter_project" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q12_broadcast_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_multi_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q14_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q15_semi_anti" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+
+    "q17_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE)/CAST(count(k) AS DOUBLE) AS avg_k
+        |FROM (SELECT event_type, CAST(nullif(regexp_extract(props, '"k":\s*([0-9]+)', 1), '') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_dedup_exact" ->
+      """SELECT fingerprint, keeper_id, copies
+        |FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keeper_id, count(*) AS copies FROM documents GROUP BY 1)
+        |ORDER BY keeper_id""".stripMargin,
+
+    "q20_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_re
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS ltoks,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS toks
+        | FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(ltoks) END AS stop_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_tok,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio
+        | FROM t)
+        |SELECT doc_id, stop_ratio, mean_tok, punct_ratio,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+        |    + (1.0 - abs(stop_ratio - 0.1)) * 0.3
+        |    + (CASE WHEN mean_tok BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q22_fingerprint" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  CASE WHEN length(norm) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) END AS fp_roll
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> substring(t, CAST(i AS BIGINT), 3))) AS sh FROM n),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)
+        |SELECT id_a, id_b, CAST(len(sa) AS BIGINT) AS n_a, CAST(len(sb) AS BIGINT) AS n_b,
+        |  CASE WHEN len(sa) + len(sb) - len(list_intersect(sa, sb)) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) END AS jaccard
+        |FROM p ORDER BY id_a""".stripMargin,
+
+    "q27_embed_neardup" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |${cosineCte("p")}
+         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_ann_topk" ->
+      s"""WITH p AS (SELECT q.vec_id AS query_id, e.vec_id, q.embedding AS ea, e.embedding AS eb
+         |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 8),
+         |${cosineCte("p")},
+         |r AS (SELECT query_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM c)
+         |SELECT query_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+}

@@ -1,13 +1,462 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl.{MenuParser, MenuShaper, MenuValidator, TextNormalizer}
+import graft.dedup.{ExactDedup, MinHashLsh, SimHashDedup}
+import graft.functions.{LangId, TextFunctions, VectorFunctions}
+import graft.similarity.{CosineTopK, IvfIndex}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Oracle-compat discipline (every query here is hash-compared against
+  * DuckDB running the SQL twin):
+  *  - money/valued aggregates run in scaled-integer (cents) space —
+  *    Long sums are exact and order-independent, so Spark's partial
+  *    aggregation and DuckDB's single-threaded sum agree bit-for-bit;
+  *    the final double is produced by one identical division;
+  *  - doubles that reach the output are either raw column values,
+  *    min/max (order-independent), or mirrored left-fold expressions —
+  *    never engine-rounded aggregates;
+  *  - every query ends in a deterministic ORDER BY with a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared helpers ---------------------------------------------------
+
+  /** Exact cents representation of a 2-dp money double. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** cents → dollars as one exact division (identical in DuckDB). */
+  private def dollars(c: Column): Column = c.cast("double") / 100.0
+
+  private def D(dir: String)(implicit s: SparkSession) = Tables.documents(s, dir)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q10Agg(spark, "/root/testdata/sf0.001")
+
+  // ---- A. reference ETL surface ----------------------------------------
+
+  /** A1 — extraction record (universal_extractor.py routing metadata). */
+  private def q01ExtractMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      when(col("n_chars") < 60, "ocr").otherwise("text").as("method"),
+      length(col("text")).cast("long").as("char_count"),
+      (length(col("text")) > 0).as("success"))
+      .orderBy("doc_id")
+
+  /** A2 — normalize_extracted_text over a synthetically dirtied raw
+    * page (page markers + junk lines + dot runs + multi-space).
+    */
+  private def q02CleanText(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("--- Page 1 ---\n"), col("text"),
+      lit("\nx\n!!!\nend of menu....ok\n\n\nA  B"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextNormalizer.normalize(raw).as("clean"))
+      .withColumn("clean_chars", length(col("clean")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** A3 — fixed-size character chunking (llm_parser._chunk_text). */
+  private def q03ChunkText(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(TextNormalizer.chunks(col("text"), 150)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Menu-line corpus synthesized from `part` (cents-exact formatting
+    * so the DuckDB twin builds byte-identical lines).
+    */
+  private def menuLines(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    def fmt(c: Column): Column =
+      format_string("%d.%02d", floor(c / 100).cast("long"), pmod(c, lit(100)))
+    val c = cents(col("p_retailprice"))
+    val ch = floor(c / 2).cast("long")
+    val cs = floor(c * 8 / 10).cast("long")
+    val cl = floor(c * 12 / 10).cast("long")
+    val m = pmod(col("p_partkey"), lit(3))
+    p.select(
+      col("p_partkey").as("doc_id"),
+      lit(0L).as("line_no"),
+      when(m === 0, concat(col("p_name"), lit(" .... Half: $"), fmt(ch), lit(" Full: $"), fmt(c)))
+        .when(m === 1, concat(col("p_name"), lit(" .... $"), fmt(c)))
+        .otherwise(concat(col("p_name"), lit(" .... Small: $"), fmt(cs),
+          lit(" Medium: $"), fmt(c), lit(" Large: $"), fmt(cl))).as("line"))
+  }
+
+  /** A4 — structured parse of menu lines into the MenuItem schema. */
+  private def q04ParseMenu(s: SparkSession, dir: String): DataFrame =
+    MenuParser.parse(menuLines(s, dir))
+      .select(col("doc_id"), col("item_name"), col("price"),
+        col("half_plate_price"), col("full_plate_price"), col("small_price"),
+        col("medium_price"), col("large_price"), col("currency"))
+      .orderBy("doc_id")
+
+  /** A5 — pydantic-equivalent validation with reject reasons, over
+    * items with injected corruption (bad names / prices / currencies).
+    */
+  private def q05Validate(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val pk = col("p_partkey")
+    val items = p.select(
+      pk,
+      when(pmod(pk, lit(13)) === 0, lit("X"))
+        .otherwise(concat(lit("  "), col("p_name"), lit("  "))).as("item_name"),
+      when(pmod(pk, lit(11)) === 0, dollars(cents(col("p_retailprice")) * 10000))
+        .otherwise(dollars(cents(col("p_retailprice")))).as("price"),
+      lit(null).cast("double").as("half_plate_price"),
+      lit(null).cast("double").as("full_plate_price"),
+      lit(null).cast("double").as("small_price"),
+      lit(null).cast("double").as("medium_price"),
+      lit(null).cast("double").as("large_price"),
+      when(pmod(pk, lit(5)) === 0, lit("DOLLARS"))
+        .when(pmod(pk, lit(5)) === 1, lit("USD"))
+        .otherwise(lit("$")).as("currency"))
+    MenuValidator.validate(items)
+      .select(pk, col("item_name"), col("currency"), col("is_valid"),
+        coalesce(col("reject_reason"), lit("ok")).as("reject_reason"))
+      .orderBy(pk)
+  }
+
+  /** A6 — get_price_display + get_primary_price shaping. */
+  private def q06PriceDisplay(s: SparkSession, dir: String): DataFrame = {
+    val parsed = MenuParser.parse(menuLines(s, dir))
+    val shaped = parsed
+      .withColumn("price_display", MenuShaper.priceDisplay(parsed))
+      .withColumn("primary_price", MenuShaper.primaryPrice)
+    shaped.select(col("doc_id"), col("item_name"), col("price_display"), col("primary_price"))
+      .orderBy("doc_id")
+  }
+
+  /** A7 — get_summary as per-category aggregate (cents-exact avg). */
+  private def q07Summary(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val parsed = MenuParser.parse(menuLines(s, dir))
+      .join(p.select(col("p_partkey").as("doc_id"), col("p_brand")), Seq("doc_id"))
+    val primaryCents = cents(MenuShaper.primaryPrice)
+    parsed
+      .withColumn("_pc", primaryCents)
+      .groupBy(col("p_brand").as("category"))
+      .agg(
+        count(lit(1)).as("total_items"),
+        sum(when(MenuValidator.hasAnyPrice(parsed), 1L).otherwise(0L)).as("items_with_prices"),
+        dollars(min(col("_pc"))).as("min_price"),
+        dollars(max(col("_pc"))).as("max_price"),
+        (sum(col("_pc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_price"))
+      .orderBy("category")
+  }
+
+  /** A8 — Dagster batch-manifest loop as one grouped aggregate. */
+  private def q08BatchManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(length(col("text")) > 0, 1L).otherwise(0L)).as("n_success"),
+        (sum(length(col("text")).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_chars"))
+      .orderBy("source")
+
+  // ---- B. relational core -----------------------------------------------
+
+  /** B1 — TPC-H Q1 shape, cents-exact (flagship). */
+  private def q10Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qc = cents(col("l_quantity"))
+    val pc = cents(col("l_extendedprice"))
+    val db = cents(col("l_discount")) // basis points /100 (discount is 0.00-0.10)
+    val tb = cents(col("l_tax"))
+    li.filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .withColumn("_qc", qc).withColumn("_pc", pc)
+      .withColumn("_disc", pc * (lit(100L) - db))
+      .withColumn("_charge", pc * (lit(100L) - db) * (lit(100L) + tb))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dollars(sum(col("_qc"))).as("sum_qty"),
+        dollars(sum(col("_pc"))).as("sum_base_price"),
+        (sum(col("_disc")).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(col("_charge")).cast("double") / 1000000.0).as("sum_charge"),
+        (sum(col("_qc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(col("_pc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_price"),
+        (sum(db).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** B2 — Q6 shape: tight filter + 2-column projection; both the
+    * predicate and ReadSchema must reach the parquet scan.
+    */
+  private def q11FilterProject(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(
+      col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select((cents(col("l_extendedprice")) * cents(col("l_discount"))).as("_rc"))
+      .agg(
+        (sum(col("_rc")).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** B3 — broadcast hash join: dim customer → fact orders, fact never
+    * shuffles for the join.
+    */
+  private def q12BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** B4 — TPC-H Q5 shape: 6-table star join, dims broadcast, AQE
+    * picks the fact-side strategy.
+    */
+  private def q13MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    val na = broadcast(Tables.nation(s, dir))
+    val re = broadcast(Tables.region(s, dir))
+    cu.join(o, cu("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+        cu("c_nationkey") === su("s_nationkey"))
+      .join(na, su("s_nationkey") === na("n_nationkey"))
+      .join(re, na("n_regionkey") === re("r_regionkey"))
+      .filter(re("r_name") === "ASIA" &&
+        o("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        o("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .select(col("n_name"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("_rc"))
+      .groupBy("n_name")
+      .agg((sum(col("_rc")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** B5 — per-key top-k with deterministic tiebreak. */
+  private def q14WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** B6 — left-semi / left-anti per segment. */
+  private def q15SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val oKeys = Tables.orders(s, dir).select(col("o_custkey"))
+    val withO = c.join(oKeys, c("c_custkey") === oKeys("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = c.join(oKeys, c("c_custkey") === oKeys("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** B7 — ROLLUP multi-level aggregate. */
+  private def q16Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("_qc", cents(col("l_quantity")))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dollars(sum(col("_qc"))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** B8 — event-time tumbling window (batch twin of the streaming op). */
+  private def q17TimeWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("_vc", cents(col("value")))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dollars(sum(col("_vc"))).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** B9 — JSON prop extraction (regex — no engine json extension). */
+  private def q18JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1)
+    Tables.events(s, dir)
+      .withColumn("_k", when(k === "", lit(null)).otherwise(k).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("_k")).as("sum_k"),
+        (sum(col("_k")).cast("double") / count(col("_k")).cast("double")).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
+  private def q19DedupExact(s: SparkSession, dir: String): DataFrame =
+    ExactDedup.groups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("keeper_id")
+
+  // ---- C. training-data operators ---------------------------------------
+
+  /** C1 — token counting (whitespace + BPE-ish regex). */
+  private def q20TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+      TextFunctions.regexTokenCount(col("text")).cast("long").as("n_re"))
+      .orderBy("doc_id")
+
+  /** C2 — quality scoring (mirrored-expression doubles, no rounding). */
+  private def q21Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_tok"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.qualityScoreRaw(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** C3 — document fingerprints (md5 + modular rolling hash). */
+  private def q22Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
+      TextFunctions.fingerprintRolling(col("text")).as("fp_roll"))
+      .orderBy("doc_id")
+
+  /** C4 — language-ID heuristic (rows-only: profile scoring is not
+    * portably SQL-expressible).
+    */
+  private def q23LangId(s: SparkSession, dir: String): DataFrame = {
+    val det = LangId.detect(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("declared_lang"),
+      det.getField("lang").as("predicted_lang"),
+      det.getField("score").cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** C5 — n-gram Jaccard on deterministic candidate pairs. */
+  private def q24NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = d.select(col("doc_id").as("id_a"),
+      TextFunctions.charShingles(col("text"), 3).as("sh_a"))
+      .filter(pmod(col("id_a"), lit(2)) === 0)
+    val b = d.select(col("doc_id").as("id_b"),
+      TextFunctions.charShingles(col("text"), 3).as("sh_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  /** C6 — MinHash LSH near-dup candidates, verified (rows-only). */
+  private def q25MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** C7 — SimHash fingerprints + Hamming to successor (rows-only). */
+  private def q26Simhash(s: SparkSession, dir: String): DataFrame = {
+    val fp = SimHashDedup.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+    val nxt = fp.select(col("doc_id").as("_nid"), col("simhash").as("_nsim"))
+    fp.join(nxt, col("_nid") === col("doc_id") + 1, "left")
+      .select(col("doc_id"), col("simhash"),
+        graft.functions.SimHash.hammingDistance(col("simhash"),
+          coalesce(col("_nsim"), col("simhash"))).cast("long").as("hamming_next"))
+      .orderBy("doc_id")
+  }
+
+  /** C8 — embedding-cosine near-dup within coarse buckets. */
+  private def q27EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    CosineTopK.bucketedNearDup(Tables.embeddings(s, dir), dim = 64, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** C9 — brute-force cosine top-k (exact ANN baseline). */
+  private def q28AnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
+      .withColumn("rk", col("rank").cast("long")).drop("rank")
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** C10 — IVF ANN: train coarse centroids, probe nprobe buckets
+    * (rows-only; recall vs brute force asserted in the spec).
+    */
+  private def q29AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = IvfIndex.trainCentroids(e, dim = 64, nCentroids = 8, refinements = 1)
+    val assigned = IvfIndex.assign(e, model)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    IvfIndex.search(assigned, model, q, k = 5, nprobe = 3)
+      .withColumn("rk", col("rank").cast("long")).drop("rank")
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** C11 — multimodal plumbing: binary payload + batched stub decode
+    * (rows-only; the decode kernel is a documented stub).
+    */
+  private def q30Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.multimodal.Multimodal.asBinaryPayload(Tables.documents(s, dir), "text")
+    graft.multimodal.Multimodal.decodeMeta(d).toDF()
+      .select(col("doc_id"), col("byte_size"), col("content_sha"),
+        col("format"), col("width"), col("height"), col("success"))
+      .orderBy("doc_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_extract_meta" -> (q01ExtractMeta _),
+    "q02_clean_text" -> (q02CleanText _),
+    "q03_chunk_text" -> (q03ChunkText _),
+    "q04_parse_menu" -> (q04ParseMenu _),
+    "q05_validate" -> (q05Validate _),
+    "q06_price_display" -> (q06PriceDisplay _),
+    "q07_summary" -> (q07Summary _),
+    "q08_batch_manifest" -> (q08BatchManifest _),
+    "q10_agg" -> (q10Agg _),
+    "q11_filter_project" -> (q11FilterProject _),
+    "q12_broadcast_join" -> (q12BroadcastJoin _),
+    "q13_multi_join" -> (q13MultiJoin _),
+    "q14_window_topk" -> (q14WindowTopk _),
+    "q15_semi_anti" -> (q15SemiAnti _),
+    "q16_rollup" -> (q16Rollup _),
+    "q17_time_window" -> (q17TimeWindow _),
+    "q18_json_extract" -> (q18JsonExtract _),
+    "q19_dedup_exact" -> (q19DedupExact _),
+    "q20_token_count" -> (q20TokenCount _),
+    "q21_quality" -> (q21Quality _),
+    "q22_fingerprint" -> (q22Fingerprint _),
+    "q23_langid" -> (q23LangId _),
+    "q24_ngram_jaccard" -> (q24NgramJaccard _),
+    "q25_minhash_lsh" -> (q25MinhashLsh _),
+    "q26_simhash" -> (q26Simhash _),
+    "q27_embed_neardup" -> (q27EmbedNeardup _),
+    "q28_ann_topk" -> (q28AnnTopk _),
+    "q29_ann_ivf" -> (q29AnnIvf _),
+    "q30_multimodal" -> (q30Multimodal _))
+
+  /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
+    * (q23, q25, q26, q29, q30) are intentionally absent.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

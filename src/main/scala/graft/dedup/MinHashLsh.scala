@@ -1,0 +1,120 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection:
+  * shingle → k minhashes → band hashes → bucket join → candidate
+  * pairs → verified Jaccard.
+  *
+  * Scale shape (the reason this works at 100 TB):
+  *  - signatures are computed map-side in one codegen'd pass over the
+  *    text (no shuffle);
+  *  - the only corpus-wide shuffle carries (band_hash, id, sig) —
+  *    fixed ~300 bytes/doc regardless of document size;
+  *  - document text is re-fetched ONLY for candidate pairs (two
+  *    id-keyed joins), which LSH keeps to a small fraction of n²;
+  *  - a bucket-size cap bounds the quadratic blowup of degenerate
+  *    buckets (boilerplate-heavy corpora), the classic skew guard.
+  */
+object MinHashLsh {
+
+  /** numHashes = bands * rowsPerBand. Defaults tuned for jaccard
+    * thresholds around 0.5-0.8: P(candidate) = 1-(1-j^r)^b.
+    */
+  case class Config(
+      numHashes: Int = 32,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      wordShingles: Boolean = false,
+      seed: Long = 42L,
+      maxBucketSize: Int = 200) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  private val P = 1000000007L
+
+  /** Deterministic (a, b) coefficients via splitmix64 on the seed. */
+  private def coefficients(k: Int, seed: Long): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      z
+    }
+    (0 until k).map { _ =>
+      val a = java.lang.Math.floorMod(next(), P - 1) + 1 // [1, P)
+      val b = java.lang.Math.floorMod(next(), P)         // [0, P)
+      (a, b)
+    }
+  }
+
+  def shingles(text: Column, cfg: Config): Column =
+    if (cfg.wordShingles) TextFunctions.wordShingles(text, cfg.shingleSize)
+    else TextFunctions.charShingles(text, cfg.shingleSize)
+
+  /** k-wide minhash signature (array<bigint>) of a shingle array.
+    * h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P, min over
+    * shingles. Modular form keeps every product < 2^63 (ANSI-safe)
+    * and makes the signature engine-reproducible.
+    */
+  def signature(shingleCol: Column, cfg: Config): Column = {
+    val cs = coefficients(cfg.numHashes, cfg.seed)
+    val bases = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    array(cs.map { case (a, b) =>
+      coalesce(array_min(transform(bases, x => pmod(lit(a) * x + lit(b), lit(P)))), lit(P))
+    }: _*)
+  }
+
+  /** (id, sig, band_idx, band_hash) — one row per band per doc. */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val withSig = docs
+      .select(col(idCol), shingles(col(textCol), cfg).as("_sh"))
+      .withColumn("sig", signature(col("_sh"), cfg))
+      .select(col(idCol), col("sig"))
+    val r = cfg.rowsPerBand
+    val bandHashes = array((0 until cfg.bands).map { j =>
+      hash(slice(col("sig"), j * r + 1, r), lit(j))
+    }: _*)
+    withSig
+      .select(col(idCol), col("sig"), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one band bucket.
+    * Buckets larger than maxBucketSize are dropped (skew guard): a
+    * bucket of size m yields m(m-1)/2 pairs, and degenerate buckets
+    * (empty docs, boilerplate) would otherwise dominate the join.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, cfg)
+    val sized = banded.withColumn("_bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("_bucket_n") <= cfg.maxBucketSize)
+    val a = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Candidates verified with true Jaccard over shingle sets; only
+    * candidate ids re-join the corpus for text.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, cfg: Config = Config()): DataFrame = {
+    val pairs = candidatePairs(docs, idCol, textCol, cfg)
+    val sh = docs.select(col(idCol), shingles(col(textCol), cfg).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

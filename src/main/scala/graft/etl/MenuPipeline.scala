@@ -1,0 +1,68 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** End-to-end distributed re-expression of the reference pipeline
+  * (process_menu.py / dagster_project/assets/menu_assets.py):
+  * extract → clean → split lines → parse → validate → shape → sink,
+  * plus the batch manifest the reference prints at the end.
+  *
+  * The reference loops files one at a time in Python; here the whole
+  * corpus is one declarative plan. Sinks are partitioned by source
+  * (per-file CSVs do not survive 100 TB; partitioned parquet/csv
+  * lands the same grouping as directories).
+  */
+object MenuPipeline {
+
+  case class Result(items: DataFrame, rejects: DataFrame,
+                    summary: DataFrame, manifest: DataFrame)
+
+  /** docs: (doc_id, source, text) raw extracted text per document. */
+  def run(docs: DataFrame): Result = {
+    val cleaned = docs.select(
+      col("doc_id"), col("source"),
+      TextNormalizer.normalize(col("text")).as("clean"))
+
+    val lines = cleaned
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("clean"), "\n")).as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+
+    val parsed = MenuParser.parse(lines)
+    val validated = MenuValidator.validate(parsed)
+
+    val items = MenuShaper.shape(
+      validated.filter(col("is_valid"))
+        .drop("is_valid", "reject_reason", "line", "line_no"))
+    val rejects = validated.filter(!col("is_valid"))
+      .select(col("doc_id"), col("source"), col("line_no"), col("line"),
+        col("reject_reason"))
+
+    val summary = MenuShaper.summary(validated.filter(col("is_valid")))
+
+    val manifest = validated
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_items"),
+        sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+        round(sum(when(col("is_valid"), 1L).otherwise(0L)) /
+          greatest(count(lit(1)), lit(1L)).cast("double"), 4)
+          .as("extraction_confidence"))
+
+    Result(items, rejects, summary, manifest)
+  }
+
+  /** Partitioned sinks (parquet for downstream, csv to mirror the
+    * reference's deliverable).
+    */
+  def write(result: Result, outDir: String): Unit = {
+    result.items.write.mode(SaveMode.Overwrite).parquet(s"$outDir/items_parquet")
+    result.items.write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$outDir/items_csv")
+    result.rejects.write.mode(SaveMode.Overwrite).parquet(s"$outDir/rejects")
+    result.summary.write.mode(SaveMode.Overwrite).parquet(s"$outDir/summary")
+    result.manifest.write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline.
+  * Everything here is built from `org.apache.spark.sql.functions`
+  * (codegen'd / JVM higher-order functions) — no UDFs, so the hot
+  * path stays inside whole-stage codegen and a 100 TB corpus pass is
+  * scan + map only.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Empty/blank text → empty array (split of ""
+    * yields [""], which we filter).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-regex token count: letter runs, digit runs, and
+    * single non-alnum marks — the classic pre-tokenizer split.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Stopword ratio over whitespace tokens (0.0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = size(filter(toks, t => t.isin(StopWords: _*)))
+    when(size(toks) === 0, 0.0).otherwise(stops.cast("double") / size(toks))
+  }
+
+  /** Mean token length (0.0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    val total = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    when(size(toks) === 0, 0.0).otherwise(total.cast("double") / size(toks))
+  }
+
+  /** Punctuation character ratio (punct chars / all chars). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val p = n - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(n === 0, 0.0).otherwise(p.cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, low
+    * stopword skew, word-like mean token length, low punctuation —
+    * the usual cheap pre-filter for LLM training corpora.
+    */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** Unrounded variant — used where results are compared bit-exact
+    * against a mirrored SQL expression (engine round() differs in the
+    * last ULP; the mirrored arithmetic itself does not).
+    */
+  def qualityScoreRaw(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = lit(1.0) - abs(stopwordRatio(text) - 0.1)
+    val wordScore = when(meanTokenLen(text).between(3.0, 8.0), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    lenScore * 0.3 + stopScore * 0.3 + wordScore * 0.2 + punctScore * 0.2
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Stable across runs/engines — the exact-dedup key.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling (polynomial) hash of the normalized text mod 1e9+7,
+    * computed with a higher-order aggregate over characters — a cheap
+    * LSH-able signature. Modular so it never overflows Long (Spark 4
+    * runs ANSI mode, where overflow throws) and so an exact SQL twin
+    * exists: h = (h*31 + code(char)) % 1_000_000_007.
+    */
+  def fingerprintRolling(text: Column): Column = {
+    val P = 1000000007L
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val h = aggregate(split(norm, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(P)))
+    when(length(norm) === 0, 0L).otherwise(h)
+  }
+
+  private def safeSeq(cnt: Column): Column =
+    when(cnt < 1, array().cast("array<int>")).otherwise(sequence(lit(1), cnt))
+
+  /** Character n-grams of the normalized text (shingles for MinHash /
+    * Jaccard). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val cnt = length(norm) - (n - 1)
+    array_distinct(transform(safeSeq(cnt), i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-grams (token shingles). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val cnt = size(toks) - (n - 1)
+    array_distinct(transform(safeSeq(cnt),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
+  }
+}

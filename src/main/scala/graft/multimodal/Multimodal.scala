@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) travels as
+  * an opaque `binary` column plus a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample run per-partition in
+  * batches.
+  *
+  * The reference reaches this surface through PaddleOCR + pdfplumber
+  * + PIL (restaurant_etl/extractors/pdf_extractor.py,
+  * image_extractor.py) — native decode libraries that do not exist in
+  * this container. The DECODE KERNELS HERE ARE DETERMINISTIC STUBS
+  * (=== STUB: derive fake dims/features from the bytes ===); the
+  * Spark-side contract — schema, binary transport, partition-batched
+  * execution, output shape — is real, tested, and is exactly where a
+  * JNI/ONNX/PIL-equivalent kernel would plug in.
+  *
+  * Scale notes: decode is the canonical map-heavy stage — no shuffle,
+  * CPU-bound, so throughput scales linearly with executors;
+  * `mapPartitions` amortizes any per-batch model/codec init (the same
+  * reason the reference caches its PaddleOCR singleton).
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      doc_id: Long,
+      byte_size: Long,
+      content_sha: String,
+      format: String,
+      width: Int,
+      height: Int,
+      ocr_text: String,
+      success: Boolean)
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_sha: String)
+
+  /** Wrap a text/bytes column as the opaque media payload column.
+    * (With real files use `spark.read.format("binaryFile")`, which
+    * yields the same (path, length, content) shape.)
+    */
+  def asBinaryPayload(df: DataFrame, col0: String): DataFrame =
+    df.withColumn("payload", col(col0).cast("binary"))
+
+  /** File-extension routing, mirroring the reference's
+    * UniversalExtractor.extractor_map. */
+  def routeByExtension(pathCol: String): org.apache.spark.sql.Column = {
+    val ext = lower(regexp_extract(col(pathCol), "\\.([A-Za-z0-9]+)$", 1))
+    when(ext === "pdf", "pdf_extractor")
+      .when(ext.isin("jpg", "jpeg", "png", "bmp", "tiff", "tif"), "image_extractor")
+      .otherwise("unsupported")
+  }
+
+  /** Batched "decode": one pass per partition, init-once-per-batch
+    * shape. Output is a typed Dataset with the metadata schema.
+    */
+  def decodeMeta(df: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // === STUB: a real decoder (PIL/ffmpeg/ONNX) initializes here,
+        // once per partition, and below decodes actual media. ===
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val data = if (bytes == null) Array.emptyByteArray else bytes
+          val sha = digest.digest(data).map("%02x".format(_)).mkString
+          // STUB decode: deterministic fake dimensions from content.
+          val h = java.util.Arrays.hashCode(data)
+          MediaMeta(
+            doc_id = id,
+            byte_size = data.length.toLong,
+            content_sha = sha,
+            format = if (data.length % 2 == 0) "png" else "jpeg",
+            width = 64 + math.floorMod(h, 1024),
+            height = 64 + math.floorMod(h >> 10, 1024),
+            ocr_text = new String(data.take(64), java.nio.charset.StandardCharsets.UTF_8),
+            success = data.nonEmpty)
+        }
+      }
+  }
+
+  /** Frame sampling stub: every media doc yields ceil(bytes/step)
+    * frame fingerprints — the Spark shape of video frame extraction
+    * (explode-per-item, bounded by content size).
+    */
+  def sampleFrames(df: DataFrame, step: Int = 64, idCol: String = "doc_id",
+                   payloadCol: String = "payload"): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val data = if (bytes == null) Array.emptyByteArray else bytes
+        val n = math.max(1, (data.length + step - 1) / step)
+        // === STUB: real frame decode happens here. ===
+        (0 until n).map { i =>
+          val slice = data.slice(i * step, math.min((i + 1) * step, data.length))
+          Frame(id, i, f"${java.util.Arrays.hashCode(slice)}%08x")
+        }
+      }
+  }
+}

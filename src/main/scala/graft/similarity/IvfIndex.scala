@@ -1,0 +1,97 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: a coarse quantizer assigns every
+  * vector to its nearest centroid bucket; a query probes only the
+  * nprobe nearest buckets instead of scanning the corpus.
+  *
+  * Scale shape: the centroid set is the MODEL — K×dim doubles, a few
+  * hundred KB — so it is materialized once and inlined as a literal
+  * array into the assignment expression. Bucket assignment is then a
+  * pure map over the corpus (no crossJoin, no shuffle, no window);
+  * the only shuffle in search routes each query to its nprobe bucket
+  * keys. Persist `assign(...)` partitioned/bucketed by `cid` and the
+  * probe join becomes a pruned scan at 1000 executors.
+  */
+object IvfIndex {
+
+  /** Collected coarse quantizer. */
+  case class Model(dim: Int, centroids: Array[(Int, Array[Double])]) {
+
+    private def centArray: Column = array(centroids.map { case (cid, v) =>
+      struct(typedLit(v.toSeq).as("v"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+
+    private def distTo(vec: Column)(c: Column): Column =
+      struct(VectorFunctions.sqDist(vec, c.getField("v"), dim).as("d"),
+        c.getField("cid").as("cid"))
+
+    /** Nearest-centroid id for a vector column (map-only). */
+    def assignExpr(vec: Column): Column =
+      array_min(transform(centArray, c => distTo(vec)(c))).getField("cid")
+
+    /** nprobe nearest centroid ids, ascending by distance (map-only). */
+    def probeExpr(vec: Column, nprobe: Int): Column =
+      transform(slice(array_sort(transform(centArray, c => distTo(vec)(c))), 1, nprobe),
+        s => s.getField("cid"))
+  }
+
+  /** One distributed averaging pass over hash-partitioned groups
+    * seeds the centroids; `refine` is the Lloyd iteration (reassign +
+    * re-average) — run it 0..n times, each one broadcast-free
+    * map pass + one narrow groupBy(cid) shuffle of partial sums.
+    */
+  def trainCentroids(vectors: DataFrame, dim: Int, nCentroids: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     refinements: Int = 1): Model = {
+    val comp = (1 to dim).map(i => avg(element_at(col(vecCol), i).cast("double")).as(s"_c$i"))
+    val seeds = vectors
+      .withColumn("cid", pmod(col(idCol), lit(nCentroids.toLong)).cast("int"))
+      .groupBy("cid")
+      .agg(comp.head, comp.tail: _*)
+    var model = collectModel(seeds, dim)
+    (0 until refinements).foreach { _ =>
+      val reassigned = vectors
+        .withColumn("cid", model.assignExpr(col(vecCol)))
+        .groupBy("cid")
+        .agg(comp.head, comp.tail: _*)
+      model = collectModel(reassigned, dim)
+    }
+    model
+  }
+
+  private def collectModel(agg: DataFrame, dim: Int): Model = {
+    val rows = agg.collect().map { r =>
+      (r.getInt(0), (1 to dim).map(i => r.getDouble(i)).toArray)
+    }
+    Model(dim, rows.sortBy(_._1))
+  }
+
+  /** Corpus with a `cid` bucket column (map-only pass). */
+  def assign(vectors: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame =
+    vectors.withColumn("cid", model.assignExpr(col(vecCol)))
+
+  /** Probe search: explode each query to its nprobe bucket ids, join
+    * the bucketed corpus on cid, exact-rank inside the probed buckets.
+    */
+  def search(assignments: DataFrame, model: Model, queries: DataFrame,
+             k: Int, nprobe: Int,
+             qidCol: String = "query_id", idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val probes = queries
+      .select(col(qidCol), col(vecCol).as("_qvec"))
+      .withColumn("cid", explode(model.probeExpr(col("_qvec"), nprobe)))
+
+    val rankW = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    probes
+      .join(assignments.select(col("cid"), col(idCol), col(vecCol)), Seq("cid"))
+      .withColumn("cosine", VectorFunctions.cosine(col("_qvec"), col(vecCol), model.dim))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
+  }
+}

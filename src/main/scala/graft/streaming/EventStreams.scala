@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Batch DataFrames share the same transformations (the q17 batch
+  * twin in SparkEntry runs the same tumbling-window agg), which is
+  * the point: one declarative plan, micro-batch or batch execution.
+  *
+  * Scale: windowed aggs shuffle on (window, key) with partial
+  * aggregation; watermarks bound state. Sessionization state is
+  * per-user and GC'd by the processing-time timeout.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts with a watermark bounding
+    * late data and state size.
+    */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup on event_id within the watermark. */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes after `gapMs` of user inactivity (reference has no
+    * streaming surface; this is the canonical custom-state op the
+    * mandate asks for).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastSeen <= gapMs =>
+            cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            out ::= Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach { s =>
+          out ::= Session(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+        }
+        state.remove()
+      } else {
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutDuration(gapMs)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(fn)
+  }
+}
