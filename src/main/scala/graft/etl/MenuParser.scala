@@ -53,8 +53,14 @@ object MenuParser {
     val hasPrice = line.rlike("[\\$₹€£¥][0-9]")
     val isHeader = !hasPrice && line.rlike("^[A-Z0-9 &'\\-]{3,}$")
 
-    val rawName = regexp_extract(line, "^(.+?)\\s*\\.{2,}", 1)
-    val itemName = regexp_replace(trim(when(rawName === "", split(line, "[\\$₹€£¥]").getItem(0)).otherwise(rawName)), "\\s+", " ")
+    // Name ends at the dot leader, a portion/size label, or the price
+    // itself — dot leaders may already have been collapsed away by
+    // TextNormalizer (the reference normalizes before parsing too).
+    val rawName = regexp_extract(line,
+      "^(.+?)\\s*(?:\\.{2,}|(?i:half|full|small|medium|large)\\s*:|[\\$₹€£¥][0-9])", 1)
+    val itemName = regexp_replace(
+      trim(when(rawName === "", split(line, "[\\$₹€£¥]").getItem(0)).otherwise(rawName)),
+      "\\s+", " ")
 
     val withFields = lines
       .withColumn("is_header", isHeader)

@@ -40,11 +40,15 @@ object EventStreams {
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session
-    * closes after `gapMs` of user inactivity (reference has no
-    * streaming surface; this is the canonical custom-state op the
-    * mandate asks for).
+    * closes after `gapMs` of user inactivity — either when the user's
+    * next event arrives past the gap, or when the event-time watermark
+    * passes lastSeen+gap (idle flush). Event-time timeouts keep the
+    * operator deterministic and replayable (a processing-time timeout
+    * would tie results to wall-clock and forces continuous empty
+    * micro-batches).
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -75,14 +79,16 @@ object EventStreams {
       } else {
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutDuration(gapMs)
+          state.setTimeoutTimestamp(
+            math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
         }
       }
       out.reverseIterator
     }
 
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 }

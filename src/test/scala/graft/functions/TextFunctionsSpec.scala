@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("token counts: whitespace vs regex") {
+    assert(one[Int](TextFunctions.tokenCount(col("t")), "a  b\tc") == 3)
+    assert(one[Int](TextFunctions.tokenCount(col("t")), "") == 0)
+    // "don't stop" → [don][']​[t][stop] = 4 regex tokens
+    assert(one[Int](TextFunctions.regexTokenCount(col("t")), "don't stop") == 4)
+  }
+
+  test("ratios and quality bounds") {
+    assert(one[Double](TextFunctions.stopwordRatio(col("t")), "the cat and a dog") == 0.6)
+    assert(one[Double](TextFunctions.meanTokenLen(col("t")), "ab cdef") == 3.0)
+    assert(one[Double](TextFunctions.punctRatio(col("t")), "a,b!") == 0.5)
+    val q = one[Double](TextFunctions.qualityScoreRaw(col("t")),
+      "the quick brown fox jumps over a lazy dog near the riverbank today")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("fingerprints stable under whitespace/case noise") {
+    val a = one[String](TextFunctions.fingerprintMd5(col("t")), "Hello   World")
+    val b = one[String](TextFunctions.fingerprintMd5(col("t")), "  hello world ")
+    assert(a == b)
+    val ra = one[Long](TextFunctions.fingerprintRolling(col("t")), "Hello   World")
+    val rb = one[Long](TextFunctions.fingerprintRolling(col("t")), "  hello world ")
+    assert(ra == rb && ra > 0)
+  }
+
+  test("shingles and jaccard") {
+    assert(one[scala.collection.Seq[String]](TextFunctions.charShingles(col("t"), 3), "abcd").toSeq == Seq("abc", "bcd"))
+    assert(one[scala.collection.Seq[String]](TextFunctions.charShingles(col("t"), 3), "ab").toSeq == Seq())
+    assert(one[scala.collection.Seq[String]](TextFunctions.wordShingles(col("t"), 2), "a b c").toSeq == Seq("a b", "b c"))
+    val j = Seq(("abcd", "abce")).toDF("x", "y")
+      .select(TextFunctions.jaccard(
+        TextFunctions.charShingles(col("x"), 3),
+        TextFunctions.charShingles(col("y"), 3)).as("j"))
+      .as[Double].head()
+    assert(j == 1.0 / 3.0) // {abc,bcd} vs {abc,bce}: 1 shared of 3
+  }
+
+  test("langid picks the right profile on real text") {
+    val det = Seq(
+      ("en", "the cat sat on the mat with that friend of mine"),
+      ("es", "el perro de la casa que corre por los campos con una bola"),
+      ("de", "der hund und die katze sind nicht mit einem ball"),
+      ("fr", "le chien est dans les jardins pour une promenade des amis"),
+      ("zh", "我 是 一个 人 他 不 是 在 的 了")
+    ).toDF("expected", "t")
+      .select(col("expected"), LangId.detect(col("t")).getField("lang").as("got"))
+      .as[(String, String)].collect()
+    det.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "some pretend image bytes"),
+    (2L, ""),
+    (3L, "a" * 200)
+  ).toDF("doc_id", "text")
+
+  test("binary payload + stub decode produces typed, deterministic metadata") {
+    val d = Multimodal.asBinaryPayload(docs, "text")
+    val meta1 = Multimodal.decodeMeta(d).collect().sortBy(_.doc_id)
+    val meta2 = Multimodal.decodeMeta(d).collect().sortBy(_.doc_id)
+    assert(meta1.toSeq == meta2.toSeq) // deterministic stub
+    val m1 = meta1.find(_.doc_id == 1L).get
+    assert(m1.byte_size == 24L && m1.success && m1.content_sha.length == 64)
+    assert(m1.width >= 64 && m1.height >= 64)
+    val m2 = meta1.find(_.doc_id == 2L).get
+    assert(m2.byte_size == 0L && !m2.success)
+  }
+
+  test("extension routing mirrors the reference extractor map") {
+    val r = Seq("a.pdf", "b.JPG", "c.png", "d.txt").toDF("path")
+      .select(col("path"), Multimodal.routeByExtension("path").as("route"))
+      .as[(String, String)].collect().toMap
+    assert(r("a.pdf") == "pdf_extractor")
+    assert(r("b.JPG") == "image_extractor")
+    assert(r("c.png") == "image_extractor")
+    assert(r("d.txt") == "unsupported")
+  }
+
+  test("frame sampling yields ceil(bytes/step) frames per doc") {
+    val d = Multimodal.asBinaryPayload(docs, "text")
+    val frames = Multimodal.sampleFrames(d, step = 64).collect()
+    assert(frames.count(_.doc_id == 3L) == 4) // 200 bytes / 64 → 4 frames
+    assert(frames.count(_.doc_id == 2L) == 1) // empty doc still yields 1 stub frame
+    assert(frames.filter(_.doc_id == 3L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+}

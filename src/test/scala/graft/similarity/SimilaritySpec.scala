@@ -1,0 +1,47 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf())
+
+  test("brute topk: self is rank 1 with cosine ~1") {
+    val q = e.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    val top = CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
+    val r1 = top.filter($"rank" === 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    r1.foreach { case (qid, vid, cos) =>
+      assert(qid == vid, s"rank-1 for $qid was $vid")
+      assert(math.abs(cos - 1.0) < 1e-9)
+    }
+    assert(top.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 5))
+  }
+
+  test("bucketed near-dup emits ordered pairs above threshold only") {
+    val pairs = CosineTopK.bucketedNearDup(e, dim = 64, threshold = 0.3)
+    val rows = pairs.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c) => assert(a < b && c >= 0.3) }
+  }
+
+  test("ivf: recall@5 vs brute force is reasonable with nprobe=3/8") {
+    val model = IvfIndex.trainCentroids(e, dim = 64, nCentroids = 8, refinements = 1)
+    assert(model.centroids.length == 8)
+    val assigned = IvfIndex.assign(e, model)
+    assert(assigned.select(countDistinct("cid")).as[Long].head() <= 8)
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val brute = CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.search(assigned, model, q, k = 5, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    // ivf must actually probe fewer vectors than the corpus
+    assert(ivf.size == brute.size)
+  }
+}
