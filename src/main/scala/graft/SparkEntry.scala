@@ -318,44 +318,55 @@ object SparkEntry {
       TextFunctions.regexTokenCount(col("text")).cast("long").as("n_re"))
       .orderBy("doc_id")
 
-  /** C2 — quality scoring (mirrored-expression doubles, no rounding). */
+  /** C2 — quality scoring (mirrored-expression doubles, no rounding).
+    * Ratios are materialized once and the composite is derived from
+    * them — same structure as the oracle's CTE chain, and no repeated
+    * tokenization inside the composite.
+    */
   private def q21Quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
-      TextFunctions.meanTokenLen(col("text")).as("mean_tok"),
-      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-      TextFunctions.qualityScoreRaw(col("text")).as("quality"))
+    Tables.documents(s, dir)
+      .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))
+      .withColumn("mean_tok", TextFunctions.meanTokenLen(col("text")))
+      .withColumn("punct_ratio", TextFunctions.punctRatio(col("text")))
+      .withColumn("quality", {
+        val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+        val stopScore = lit(1.0) - abs(col("stop_ratio") - 0.1)
+        val wordScore = when(col("mean_tok").between(3.0, 8.0), 1.0).otherwise(0.5)
+        val punctScore = lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))
+        lenScore * 0.3 + stopScore * 0.3 + wordScore * 0.2 + punctScore * 0.2
+      })
+      .select(col("doc_id"), col("stop_ratio"), col("mean_tok"),
+        col("punct_ratio"), col("quality"))
       .orderBy("doc_id")
 
   /** C3 — document fingerprints (md5 + modular rolling hash). */
   private def q22Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
-      TextFunctions.fingerprintRolling(col("text")).as("fp_roll"))
+    Tables.documents(s, dir)
+      .withColumn("_norm", TextFunctions.normalized(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("_norm")).as("fp_md5"),
+        TextFunctions.fingerprintRollingOfNorm(col("_norm")).as("fp_roll"))
       .orderBy("doc_id")
 
   /** C4 — language-ID heuristic (rows-only: profile scoring is not
     * portably SQL-expressible).
     */
-  private def q23LangId(s: SparkSession, dir: String): DataFrame = {
-    val det = LangId.detect(col("text"))
-    Tables.documents(s, dir).select(
+  private def q23LangId(s: SparkSession, dir: String): DataFrame =
+    LangId.detected(Tables.documents(s, dir), "text").select(
       col("doc_id"), col("lang").as("declared_lang"),
-      det.getField("lang").as("predicted_lang"),
-      det.getField("score").cast("long").as("score"))
+      col("lang_detect.lang").as("predicted_lang"),
+      col("lang_detect.score").cast("long").as("score"))
       .orderBy("doc_id")
-  }
 
   /** C5 — n-gram Jaccard on deterministic candidate pairs. */
   private def q24NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val a = d.select(col("doc_id").as("id_a"),
-      TextFunctions.charShingles(col("text"), 3).as("sh_a"))
+      .withColumn("_norm", TextFunctions.normalized(col("text")))
+      .withColumn("_sh", TextFunctions.charShinglesOfNorm(col("_norm"), 3))
+    val a = d.select(col("doc_id").as("id_a"), col("_sh").as("sh_a"))
       .filter(pmod(col("id_a"), lit(2)) === 0)
-    val b = d.select(col("doc_id").as("id_b"),
-      TextFunctions.charShingles(col("text"), 3).as("sh_b"))
+    val b = d.select(col("doc_id").as("id_b"), col("_sh").as("sh_b"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
         size(col("sh_a")).cast("long").as("n_a"),
@@ -364,11 +375,13 @@ object SparkEntry {
       .orderBy("id_a")
   }
 
-  /** C6 — MinHash LSH near-dup candidates, verified (rows-only). */
+  /** C6 — MinHash LSH near-dup candidates, verified. Rows-only check,
+    * so no ORDER BY: a global sort's range-sampling pass would execute
+    * the whole candidate+verify DAG twice.
+    */
   private def q25MinhashLsh(s: SparkSession, dir: String): DataFrame =
     MinHashLsh.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
       threshold = 0.5)
-      .orderBy("id_a", "id_b")
 
   /** C7 — SimHash fingerprints + Hamming to successor (rows-only). */
   private def q26Simhash(s: SparkSession, dir: String): DataFrame = {

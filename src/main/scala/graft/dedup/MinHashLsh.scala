@@ -54,35 +54,62 @@ object MinHashLsh {
     }
   }
 
+  /** Shingle set of a doc — materialize the norm first (see
+    * TextFunctions perf note); this method is handed a raw text
+    * column only at API convenience level.
+    */
   def shingles(text: Column, cfg: Config): Column =
     if (cfg.wordShingles) TextFunctions.wordShingles(text, cfg.shingleSize)
     else TextFunctions.charShingles(text, cfg.shingleSize)
 
-  /** k-wide minhash signature (array<bigint>) of a shingle array.
-    * h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P, min over
-    * shingles. Modular form keeps every product < 2^63 (ANSI-safe)
-    * and makes the signature engine-reproducible.
+  /** (id, shingle-set) with the normalization materialized once. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+    if (cfg.wordShingles)
+      docs.select(col(idCol), TextFunctions.wordShingles(col(textCol), cfg.shingleSize).as("_sh"))
+    else
+      docs.select(col(idCol), TextFunctions.normalized(col(textCol)).as("_norm"))
+        .select(col(idCol), TextFunctions.charShinglesOfNorm(col("_norm"), cfg.shingleSize).as("_sh"))
+
+  /** k-wide minhash signature (array<bigint>) over pre-materialized
+    * shingle hashes. h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P,
+    * min over shingles. Modular form keeps every product < 2^63
+    * (ANSI-safe) and makes the signature engine-reproducible.
     */
-  def signature(shingleCol: Column, cfg: Config): Column = {
+  def signatureOfBases(basesCol: Column, cfg: Config): Column = {
     val cs = coefficients(cfg.numHashes, cfg.seed)
-    val bases = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
     array(cs.map { case (a, b) =>
-      coalesce(array_min(transform(bases, x => pmod(lit(a) * x + lit(b), lit(P)))), lit(P))
+      coalesce(array_min(transform(basesCol, x => pmod(lit(a) * x + lit(b), lit(P)))), lit(P))
     }: _*)
   }
 
-  /** (id, sig, band_idx, band_hash) — one row per band per doc. */
-  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    val withSig = docs
-      .select(col(idCol), shingles(col(textCol), cfg).as("_sh"))
-      .withColumn("sig", signature(col("_sh"), cfg))
-      .select(col(idCol), col("sig"))
+  /** (id, hashed shingle set, signature) — one scan, one codegen'd
+    * pass. This is the table a production deployment would persist
+    * (signatures are ~300B/doc regardless of document size); callers
+    * below cache it so banding / pairing / verification reuse one
+    * computation instead of re-scanning the corpus per branch.
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+    shingled(docs, idCol, textCol, cfg)
+      .withColumn("_bases", array_distinct(transform(col("_sh"), s => pmod(xxhash64(s), lit(P)))))
+      .select(col(idCol), col("_bases"))
+      .withColumn("sig", signatureOfBases(col("_bases"), cfg))
+
+  private def banded(sigs: DataFrame, idCol: String, cfg: Config): DataFrame = {
     val r = cfg.rowsPerBand
     val bandHashes = array((0 until cfg.bands).map { j =>
       hash(slice(col("sig"), j * r + 1, r), lit(j))
     }: _*)
-    withSig
-      .select(col(idCol), col("sig"), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+    sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** (id, sig, band_idx, band_hash) — one row per band per doc. */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, cfg)
+    val r = cfg.rowsPerBand
+    val bandHashes = array((0 until cfg.bands).map { j =>
+      hash(slice(col("sig"), j * r + 1, r), lit(j))
+    }: _*)
+    sigs.select(col(idCol), col("sig"), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
   }
 
   /** Candidate pairs (id_a < id_b) sharing at least one band bucket.
@@ -90,9 +117,8 @@ object MinHashLsh {
     * bucket of size m yields m(m-1)/2 pairs, and degenerate buckets
     * (empty docs, boilerplate) would otherwise dominate the join.
     */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    val banded = bandedSignatures(docs, idCol, textCol, cfg)
-    val sized = banded.withColumn("_bucket_n",
+  private def pairsFromBanded(bandedDf: DataFrame, idCol: String, cfg: Config): DataFrame = {
+    val sized = bandedDf.withColumn("_bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
       .filter(col("_bucket_n") <= cfg.maxBucketSize)
     val a = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
@@ -103,16 +129,27 @@ object MinHashLsh {
       .distinct()
   }
 
-  /** Candidates verified with true Jaccard over shingle sets; only
-    * candidate ids re-join the corpus for text.
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+    pairsFromBanded(banded(signatures(docs, idCol, textCol, cfg), idCol, cfg), idCol, cfg)
+
+  /** Candidates verified with true Jaccard over the (hashed) shingle
+    * sets. The signature table is computed ONCE and cached — banding,
+    * the bucket self-join, and both verification joins all branch from
+    * it; without that, each branch re-scans the corpus and re-shingles
+    * (at 100 TB: persist `signatures()` to a table instead of caching).
+    * Verification compares xxhash64'd shingles (8B longs), not shingle
+    * strings — same Jaccard, a fraction of the shuffle width.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, cfg: Config = Config()): DataFrame = {
-    val pairs = candidatePairs(docs, idCol, textCol, cfg)
-    val sh = docs.select(col(idCol), shingles(col(textCol), cfg).as("sh"))
+    val sigs = signatures(docs, idCol, textCol, cfg).persist()
+    sigs.count() // materialize before the branches race: banding, the
+                 // bucket join, and both verify joins all read this
+    val pairs = pairsFromBanded(banded(sigs, idCol, cfg), idCol, cfg)
+    val sh = sigs.select(col(idCol), col("_bases"))
     pairs
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
       .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

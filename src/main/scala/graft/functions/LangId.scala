@@ -28,22 +28,38 @@ object LangId {
     ("zh", Seq("的", "是", "不", "了", "在", "人", "有", "我"),
       Seq("的", "是", "不", "了", "在")))
 
-  private def score(text: Column, words: Seq[String], grams: Seq[String]): Column = {
-    val toks = TextFunctions.tokens(lower(text))
+  private def score(toks: Column, bigrams: Column, words: Seq[String], grams: Seq[String]): Column = {
     val wordHits = size(filter(toks, t => t.isin(words: _*)))
-    val bigrams = TextFunctions.charShingles(text, 2)
     val gramHits = size(array_intersect(bigrams, array(grams.map(lit): _*)))
     wordHits * 3 + gramHits
   }
 
-  /** Struct column (lang, score): argmax over language profiles. */
-  def detect(text: Column): Column = {
+  private def best(toks: Column, bigrams: Column): Column = {
     val scored = Profiles.map { case (lang, words, grams) =>
-      struct(score(text, words, grams).as("score"), lit(lang).as("lang"))
+      struct(score(toks, bigrams, words, grams).as("score"), lit(lang).as("lang"))
     }
     // array_max on struct: lexicographic (score, lang) — deterministic
     // tiebreak by language code.
-    val best = array_max(array(scored: _*))
-    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+    val b = array_max(array(scored: _*))
+    struct(b.getField("lang").as("lang"), b.getField("score").as("score"))
   }
+
+  /** Struct column (lang, score): argmax over language profiles.
+    * Convenience form — for corpus passes use `detected(df, textCol)`,
+    * which materializes the token/bigram arrays once instead of
+    * re-deriving them inside every profile's lambda.
+    */
+  def detect(text: Column): Column =
+    best(TextFunctions.tokens(lower(text)), TextFunctions.charShingles(text, 2))
+
+  /** df plus a `lang_detect` struct column (lang, score), computed
+    * from materialized intermediates (one tokenize + one shingle pass
+    * per row regardless of profile count).
+    */
+  def detected(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("_ltoks", TextFunctions.tokens(lower(col(textCol))))
+      .withColumn("_norm2", TextFunctions.normalized(col(textCol)))
+      .withColumn("_bigrams", TextFunctions.charShinglesOfNorm(col("_norm2"), 2))
+      .withColumn("lang_detect", best(col("_ltoks"), col("_bigrams")))
+      .drop("_ltoks", "_norm2", "_bigrams")
 }

@@ -79,9 +79,12 @@ object TextFunctions {
     * runs ANSI mode, where overflow throws) and so an exact SQL twin
     * exists: h = (h*31 + code(char)) % 1_000_000_007.
     */
-  def fingerprintRolling(text: Column): Column = {
+  def fingerprintRolling(text: Column): Column =
+    fingerprintRollingOfNorm(normalized(text))
+
+  /** Rolling hash over a pre-normalized (materialized) column. */
+  def fingerprintRollingOfNorm(norm: Column): Column = {
     val P = 1000000007L
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     val h = aggregate(split(norm, ""), lit(0L),
       (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(P)))
     when(length(norm) === 0, 0L).otherwise(h)
@@ -90,10 +93,23 @@ object TextFunctions {
   private def safeSeq(cnt: Column): Column =
     when(cnt < 1, array().cast("array<int>")).otherwise(sequence(lit(1), cnt))
 
+  /** Lowercased whitespace-collapsed text (the shingle base). */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
   /** Character n-grams of the normalized text (shingles for MinHash /
-    * Jaccard). */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    * Jaccard).
+    *
+    * PERF: any expression inside a higher-order lambda is re-evaluated
+    * per element, so pass an already-materialized (withColumn) norm
+    * via `charShinglesOfNorm` in hot paths — handing raw text here
+    * re-runs the normalization regex once per shingle position.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOfNorm(normalized(text), n)
+
+  /** Shingles of a pre-normalized (ideally materialized) column. */
+  def charShinglesOfNorm(norm: Column, n: Int): Column = {
     val cnt = length(norm) - (n - 1)
     array_distinct(transform(safeSeq(cnt), i => norm.substr(i, lit(n))))
   }

@@ -29,12 +29,20 @@ object VectorFunctions {
 
   def norm(a: Column, dim: Int): Column = sqrt(dotFold(a, a, dim))
 
-  /** Cosine similarity, 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column, dim: Int): Column = {
-    val na = norm(a, dim)
-    val nb = norm(b, dim)
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotFold(a, b, dim) / (na * nb))
-  }
+  /** Cosine similarity, 0.0 when either vector has zero norm.
+    * PERF: in pairwise operators compute each side's norm ONCE per
+    * vector (materialized column) and combine with `cosineFromNorms` —
+    * this form re-derives both norms per pair.
+    */
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    cosineFromNorms(dotFold(a, b, dim), norm(a, dim), norm(b, dim))
+
+  /** dot/(na*nb) with the zero-norm guard; value-identical to
+    * `cosine` (the guard/divide structure is what the SQL oracles
+    * mirror), but lets callers reuse precomputed norms.
+    */
+  def cosineFromNorms(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
 
   /** Squared euclidean distance (for IVF coarse assignment). */
   def sqDist(a: Column, b: Column, dim: Int): Column =

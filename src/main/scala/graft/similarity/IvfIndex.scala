@@ -88,8 +88,11 @@ object IvfIndex {
 
     val rankW = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     probes
-      .join(assignments.select(col("cid"), col(idCol), col(vecCol)), Seq("cid"))
-      .withColumn("cosine", VectorFunctions.cosine(col("_qvec"), col(vecCol), model.dim))
+      .withColumn("_qn", VectorFunctions.norm(col("_qvec"), model.dim))
+      .join(assignments.select(col("cid"), col(idCol), col(vecCol))
+        .withColumn("_cn", VectorFunctions.norm(col(vecCol), model.dim)), Seq("cid"))
+      .withColumn("cosine", VectorFunctions.cosineFromNorms(
+        VectorFunctions.dotFold(col("_qvec"), col(vecCol), model.dim), col("_qn"), col("_cn")))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
