@@ -87,12 +87,25 @@ object MinHashLsh {
     * (signatures are ~300B/doc regardless of document size); callers
     * below cache it so banding / pairing / verification reuse one
     * computation instead of re-scanning the corpus per branch.
+    *
+    * Char-shingle mode uses the native expressions (ShingleImpl:
+    * one primitive loop per row, no per-shingle allocation); word
+    * shingles fall back to the HOF composition.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
-    shingled(docs, idCol, textCol, cfg)
-      .withColumn("_bases", array_distinct(transform(col("_sh"), s => pmod(xxhash64(s), lit(P)))))
-      .select(col(idCol), col("_bases"))
-      .withColumn("sig", signatureOfBases(col("_bases"), cfg))
+    if (cfg.wordShingles)
+      shingled(docs, idCol, textCol, cfg)
+        .withColumn("_bases", array_sort(array_distinct(transform(col("_sh"), s => pmod(xxhash64(s), lit(P))))))
+        .select(col(idCol), col("_bases"))
+        .withColumn("sig", signatureOfBases(col("_bases"), cfg))
+    else {
+      graft.functions.ShingleFunctions.register(docs.sparkSession)
+      docs.select(col(idCol), graft.functions.TextFunctions.normalized(col(textCol)).as("_norm"))
+        .select(col(idCol),
+          graft.functions.ShingleFunctions.hashedShingles(col("_norm"), cfg.shingleSize).as("_bases"),
+          graft.functions.ShingleFunctions.minhashSig(
+            col("_norm"), cfg.shingleSize, cfg.numHashes, cfg.seed).as("sig"))
+    }
 
   private def banded(sigs: DataFrame, idCol: String, cfg: Config): DataFrame = {
     val r = cfg.rowsPerBand
@@ -142,6 +155,7 @@ object MinHashLsh {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, cfg: Config = Config()): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
     val sigs = signatures(docs, idCol, textCol, cfg).persist()
     sigs.count() // materialize before the branches race: banding, the
                  // bucket join, and both verify joins all read this
@@ -150,7 +164,8 @@ object MinHashLsh {
     pairs
       .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(
+        graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

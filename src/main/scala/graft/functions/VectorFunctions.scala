@@ -29,6 +29,14 @@ object VectorFunctions {
 
   def norm(a: Column, dim: Int): Column = sqrt(dotFold(a, a, dim))
 
+  /** Native-expression twins for `array<float>` columns — bit-identical
+    * values (same left fold), one primitive loop instead of HOF
+    * allocation+boxing. Require VectorExpressions.register (callers in
+    * graft.similarity do this).
+    */
+  def dotNative(a: Column, b: Column): Column = VectorExpressions.floatDot(a, b)
+  def normNative(a: Column): Column = sqrt(VectorExpressions.floatDot(a, a))
+
   /** Cosine similarity, 0.0 when either vector has zero norm.
     * PERF: in pairwise operators compute each side's norm ONCE per
     * vector (materialized column) and combine with `cosineFromNorms` —

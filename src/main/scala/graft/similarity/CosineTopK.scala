@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.functions.VectorFunctions
+import graft.functions.{VectorExpressions, VectorFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,13 +23,14 @@ object CosineTopK {
   def bruteTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
                 qidCol: String = "query_id", idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    VectorExpressions.register(queries.sparkSession)
     val q = broadcast(queries.select(col(qidCol), col(vecCol).as("_qvec"))
-      .withColumn("_qn", VectorFunctions.norm(col("_qvec"), dim)))
+      .withColumn("_qn", VectorFunctions.normNative(col("_qvec"))))
     val scored = corpus.select(col(idCol), col(vecCol))
-      .withColumn("_cn", VectorFunctions.norm(col(vecCol), dim)) // once per corpus row
+      .withColumn("_cn", VectorFunctions.normNative(col(vecCol))) // once per corpus row
       .crossJoin(q) // broadcast hint → BroadcastNestedLoopJoin, corpus streams once
       .withColumn("cosine", VectorFunctions.cosineFromNorms(
-        VectorFunctions.dotFold(col("_qvec"), col(vecCol), dim), col("_qn"), col("_cn")))
+        VectorFunctions.dotNative(col("_qvec"), col(vecCol)), col("_qn"), col("_cn")))
       .withColumn("_part", spark_partition_id())
     val local = Window.partitionBy(col(qidCol), col("_part"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -49,14 +50,15 @@ object CosineTopK {
   def bucketedNearDup(vectors: DataFrame, dim: Int, threshold: Double,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       bucketCol: String = "label"): DataFrame = {
+    VectorExpressions.register(vectors.sparkSession)
     val withNorm = vectors.select(col(bucketCol).as("_b"), col(idCol), col(vecCol))
-      .withColumn("_n", VectorFunctions.norm(col(vecCol), dim)) // once per vector, not per pair
+      .withColumn("_n", VectorFunctions.normNative(col(vecCol))) // once per vector, not per pair
     val a = withNorm.select(col("_b"), col(idCol).as("id_a"), col(vecCol).as("_va"), col("_n").as("_na"))
     val b = withNorm.select(col("_b"), col(idCol).as("id_b"), col(vecCol).as("_vb"), col("_n").as("_nb"))
     a.join(b, Seq("_b"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.cosineFromNorms(
-        VectorFunctions.dotFold(col("_va"), col("_vb"), dim), col("_na"), col("_nb")))
+        VectorFunctions.dotNative(col("_va"), col("_vb")), col("_na"), col("_nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -86,13 +86,14 @@ object IvfIndex {
       .select(col(qidCol), col(vecCol).as("_qvec"))
       .withColumn("cid", explode(model.probeExpr(col("_qvec"), nprobe)))
 
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val rankW = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     probes
-      .withColumn("_qn", VectorFunctions.norm(col("_qvec"), model.dim))
+      .withColumn("_qn", VectorFunctions.normNative(col("_qvec")))
       .join(assignments.select(col("cid"), col(idCol), col(vecCol))
-        .withColumn("_cn", VectorFunctions.norm(col(vecCol), model.dim)), Seq("cid"))
+        .withColumn("_cn", VectorFunctions.normNative(col(vecCol))), Seq("cid"))
       .withColumn("cosine", VectorFunctions.cosineFromNorms(
-        VectorFunctions.dotFold(col("_qvec"), col(vecCol), model.dim), col("_qn"), col("_cn")))
+        VectorFunctions.dotNative(col("_qvec"), col(vecCol)), col("_qn"), col("_cn")))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
