@@ -216,6 +216,13 @@ object OracleSql {
         |  min(doc_id) AS keeper_id, count(*) AS copies FROM documents GROUP BY 1)
         |ORDER BY keeper_id""".stripMargin,
 
+    "q31_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, value AS purchase_value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, epoch_us(p.pts) AS matched_us, p.purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+        |ORDER BY event_id""".stripMargin,
+
     "q20_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_ws,

@@ -303,6 +303,25 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** B11 — backward as-of join (point-in-time): each click picks up
+    * the user's most recent prior purchase. Composed union+window
+    * operator (graft.operators.AsOfJoin); DuckDB's native ASOF LEFT
+    * JOIN is the oracle.
+    */
+  private def q31Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    graft.operators.AsOfJoin.backward(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("matched_ts")).as("matched_us"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
   private def q19DedupExact(s: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.documents(s, dir), "doc_id", "text")
@@ -456,6 +475,7 @@ object SparkEntry {
     "q17_time_window" -> (q17TimeWindow _),
     "q18_json_extract" -> (q18JsonExtract _),
     "q19_dedup_exact" -> (q19DedupExact _),
+    "q31_asof_join" -> (q31Asof _),
     "q20_token_count" -> (q20TokenCount _),
     "q21_quality" -> (q21Quality _),
     "q22_fingerprint" -> (q22Fingerprint _),

@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SparkSessionExtensions entry point — the supported way to make
+  * graft's native expressions available to pure-SQL users cluster-wide:
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * After which `SELECT simhash64(text), minhash_sig(text, 3, 32, 42)
+  * FROM docs` works with no Scala imports. The Column API
+  * (graft.functions.*) self-registers lazily, so library users need
+  * neither the config nor explicit register calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // injectFunction needs (identifier, info, builder); reuse the same
+    // builders the runtime registration uses.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("hashed_shingles"),
+      info("hashed_shingles", "hashed_shingles(text, n) - sorted distinct hashes of char n-grams"),
+      (es: Seq[Expression]) => HashedShingleSet(es.head, es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text, n, k, seed) - k-wide MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int], es(3).eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+        })))
+    ext.injectFunction((FunctionIdentifier("sorted_jaccard"),
+      info("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard of two sorted bigint arrays"),
+      (es: Seq[Expression]) => SortedLongJaccard(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("float_dot"),
+      info("float_dot", "float_dot(a, b) - left-fold dot product of float arrays"),
+      (es: Seq[Expression]) => FloatDotFold(es.head, es(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for sessions created without the config. */
+  def registerAll(spark: SparkSession): Unit = {
+    SimHash.register(spark)
+    ShingleFunctions.register(spark)
+    VectorExpressions.register(spark)
+  }
+}
