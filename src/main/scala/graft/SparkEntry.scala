@@ -256,6 +256,24 @@ object SparkEntry {
       .orderBy("o_custkey", "rk")
   }
 
+  /** B12 — same result as q14 through the custom heap-based
+    * TopKPerKey operator (graft.plans: LogicalPlan + Strategy +
+    * SparkPlan). The trailing window only re-ranks the already-reduced
+    * <= 3·customers rows to add `rk`; the corpus-wide work is the heap
+    * pass. Shares q14's oracle SQL.
+    */
+  private def q32TopkNative(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val top = graft.plans.TopK.perKey(o, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    top.withColumn("rk", row_number().over(w))
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
   /** B6 — left-semi / left-anti per segment. */
   private def q15SemiAnti(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -476,6 +494,7 @@ object SparkEntry {
     "q18_json_extract" -> (q18JsonExtract _),
     "q19_dedup_exact" -> (q19DedupExact _),
     "q31_asof_join" -> (q31Asof _),
+    "q32_topk_native" -> (q32TopkNative _),
     "q20_token_count" -> (q20TokenCount _),
     "q21_quality" -> (q21Quality _),
     "q22_fingerprint" -> (q22Fingerprint _),

@@ -15,6 +15,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     // injectFunction needs (identifier, info, builder); reuse the same
     // builders the runtime registration uses.
     import org.apache.spark.sql.catalyst.FunctionIdentifier
