@@ -473,6 +473,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C12 — random-hyperplane LSH near-dup over embeddings (rows-only;
+    * the hash-bucketed cosine scale path next to IVF).
+    */
+  private def q33EmbedLsh(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.RandomProjectionLsh.nearDuplicates(
+      Tables.embeddings(s, dir), dim = 64, threshold = 0.4, nBits = 8)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -505,7 +512,8 @@ object SparkEntry {
     "q27_embed_neardup" -> (q27EmbedNeardup _),
     "q28_ann_topk" -> (q28AnnTopk _),
     "q29_ann_ivf" -> (q29AnnIvf _),
-    "q30_multimodal" -> (q30Multimodal _))
+    "q30_multimodal" -> (q30Multimodal _),
+    "q33_embed_lsh" -> (q33EmbedLsh _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q26, q29, q30) are intentionally absent.

@@ -42,6 +42,47 @@ object MenuParser {
     when(labelled || m === "", lit(null).cast("double")).otherwise(m.cast("double"))
   }
 
+  private[etl] def hasPriceLine(line: Column): Column = line.rlike("[\\$₹€£¥][0-9]")
+  private[etl] def isHeaderLine(line: Column): Column =
+    !hasPriceLine(line) && line.rlike("^[A-Z0-9 &'\\-]{3,}$")
+
+  /** (doc_id, <other cols>, line_no, line, category) from a whole-doc
+    * text column: normalize-split the doc and propagate section
+    * headers to following lines WITHIN the array, before exploding.
+    * Window-free, so it works identically on streaming DataFrames
+    * (where the batch path's running-last window is unsupported) —
+    * and it is the cheaper plan when each document is one row anyway.
+    */
+  def sectionedLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withArr = docs.withColumn("_arr",
+      filter(split(graft.etl.TextNormalizer.normalize(col(textCol)), "\n"),
+        l => length(trim(l)) > 0))
+    val arr = col("_arr")
+    val idx = when(size(arr) > 0, sequence(lit(0), size(arr) - 1))
+      .otherwise(array().cast("array<int>"))
+    def lineAt(i: Column) = element_at(arr, i + 1)
+    val itemIdx = filter(idx, i => !isHeaderLine(lineAt(i)))
+    val lastHdr = (i: Column) =>
+      try_element_at(filter(idx, h => h < i && isHeaderLine(lineAt(h))), lit(-1))
+    withArr
+      .withColumn("_zip", arrays_zip(
+        itemIdx.as("line_no"),
+        transform(itemIdx, i => lineAt(i)).as("line"),
+        transform(itemIdx, i =>
+          when(lastHdr(i).isNotNull, initcap(trim(lineAt(lastHdr(i)))))).as("category")))
+      .withColumn("_e", explode(col("_zip")))
+      .withColumn("line_no", col("_e.line_no").cast("long"))
+      .withColumn("line", col("_e.line"))
+      .withColumn("category", col("_e.category"))
+      .drop("_arr", "_zip", "_e", textCol)
+  }
+
+  /** Field extraction only — no header handling; expects a `category`
+    * column to already exist (e.g. from sectionedLines) or none.
+    */
+  def parseFields(lines: DataFrame, lineCol: String = "line"): DataFrame =
+    extractFields(lines, col(lineCol), dropHeaders = false)
+
   /** Parse menu-item lines into the MenuItem schema. Section-header
     * lines (no price, ALL CAPS) become the `category` of the item
     * lines that follow them within the same document, mirroring how
@@ -49,9 +90,18 @@ object MenuParser {
     */
   def parse(lines: DataFrame, docCol: String = "doc_id", lineNoCol: String = "line_no",
             lineCol: String = "line"): DataFrame = {
-    val line = col(lineCol)
-    val hasPrice = line.rlike("[\\$₹€£¥][0-9]")
-    val isHeader = !hasPrice && line.rlike("^[A-Z0-9 &'\\-]{3,}$")
+    val withFields = extractFields(lines, col(lineCol), dropHeaders = true)
+    // Propagate the most recent section header down to item lines.
+    val w = Window.partitionBy(col(docCol)).orderBy(col(lineNoCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withFields
+      .withColumn("category", last(col("header"), ignoreNulls = true).over(w))
+      .filter(!col("is_header"))
+      .drop("is_header", "header")
+  }
+
+  private def extractFields(lines: DataFrame, line: Column, dropHeaders: Boolean): DataFrame = {
+    val isHeader = isHeaderLine(line)
 
     // Name ends at the dot leader, a portion/size label, or the price
     // itself — dot leaders may already have been collapsed away by
@@ -62,9 +112,12 @@ object MenuParser {
       trim(when(rawName === "", split(line, "[\\$₹€£¥]").getItem(0)).otherwise(rawName)),
       "\\s+", " ")
 
-    val withFields = lines
-      .withColumn("is_header", isHeader)
-      .withColumn("header", when(isHeader, initcap(trim(line))))
+    val base =
+      if (dropHeaders)
+        lines.withColumn("is_header", isHeader)
+          .withColumn("header", when(isHeader, initcap(trim(line))))
+      else lines
+    base
       .withColumn("item_name", when(isHeader, lit(null)).otherwise(itemName))
       .withColumn("description", {
         val d = regexp_extract(line, "-\\s+([^\\[\\(]+?)\\s*$", 1)
@@ -86,13 +139,5 @@ object MenuParser {
       })
       .withColumn("dietary_tags",
         regexp_extract_all(line, lit("\\[(Vegan|Vegetarian|Gluten-Free|Halal|Jain)\\]"), lit(1)))
-
-    // Propagate the most recent section header down to item lines.
-    val w = Window.partitionBy(col(docCol)).orderBy(col(lineNoCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withFields
-      .withColumn("category", last(col("header"), ignoreNulls = true).over(w))
-      .filter(!col("is_header"))
-      .drop("is_header", "header")
   }
 }

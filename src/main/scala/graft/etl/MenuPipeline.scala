@@ -18,18 +18,14 @@ object MenuPipeline {
   case class Result(items: DataFrame, rejects: DataFrame,
                     summary: DataFrame, manifest: DataFrame)
 
-  /** docs: (doc_id, source, text) raw extracted text per document. */
+  /** docs: (doc_id, source, text) raw extracted text per document.
+    * Sections are propagated inside the per-document line array
+    * (MenuParser.sectionedLines): map-only, no window shuffle, and
+    * byte-identical to the window formulation.
+    */
   def run(docs: DataFrame): Result = {
-    val cleaned = docs.select(
-      col("doc_id"), col("source"),
-      TextNormalizer.normalize(col("text")).as("clean"))
-
-    val lines = cleaned
-      .select(col("doc_id"), col("source"),
-        posexplode(split(col("clean"), "\n")).as(Seq("line_no", "line")))
-      .filter(length(trim(col("line"))) > 0)
-
-    val parsed = MenuParser.parse(lines)
+    val lines = MenuParser.sectionedLines(docs)
+    val parsed = MenuParser.parseFields(lines)
     val validated = MenuValidator.validate(parsed)
 
     val items = MenuShaper.shape(
