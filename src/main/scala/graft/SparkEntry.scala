@@ -480,6 +480,23 @@ object SparkEntry {
     graft.similarity.RandomProjectionLsh.nearDuplicates(
       Tables.embeddings(s, dir), dim = 64, threshold = 0.4, nBits = 8)
 
+  /** C14 — Misra-Gries heavy-hitter tokens per language (rows-only;
+    * sketch output is order/merge-path-dependent by design). The
+    * sketch buffer is O(k) per group — the 100 TB-safe alternative to
+    * a full token-frequency shuffle.
+    */
+  private def q34HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HeavyHitters.register(s)
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang")
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("tok"), 8).as("hh"))
+      .select(col("lang"), posexplode(col("hh")))
+      .select(col("lang"), col("pos").cast("long").as("rk"),
+        col("col.item").as("item"), col("col.min_count").as("min_count"))
+      .orderBy("lang", "rk")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -513,7 +530,8 @@ object SparkEntry {
     "q28_ann_topk" -> (q28AnnTopk _),
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q30_multimodal" -> (q30Multimodal _),
-    "q33_embed_lsh" -> (q33EmbedLsh _))
+    "q33_embed_lsh" -> (q33EmbedLsh _),
+    "q34_heavy_hitters" -> (q34HeavyHitters _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q26, q29, q30) are intentionally absent.
