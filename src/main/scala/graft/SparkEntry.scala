@@ -31,6 +31,16 @@ object SparkEntry {
   /** cents → dollars as one exact division (identical in DuckDB). */
   private def dollars(c: Column): Column = c.cast("double") / 100.0
 
+  /** Deterministic total order without a global sort: query outputs
+    * here are small (<10k rows), but `orderBy`'s range-partitioner
+    * SAMPLING job re-executes everything after the last shuffle — for
+    * map-only queries that is the whole computation, twice. A single
+    * post-shuffle partition sorted in place costs one tiny shuffle
+    * and runs the plan once.
+    */
+  private def sorted1(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   private def D(dir: String)(implicit s: SparkSession) = Tables.documents(s, dir)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -46,7 +56,7 @@ object SparkEntry {
       when(col("n_chars") < 60, "ocr").otherwise("text").as("method"),
       length(col("text")).cast("long").as("char_count"),
       (length(col("text")) > 0).as("success"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
 
   /** A2 — normalize_extracted_text over a synthetically dirtied raw
     * page (page markers + junk lines + dot runs + multi-space).
@@ -58,7 +68,7 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextNormalizer.normalize(raw).as("clean"))
       .withColumn("clean_chars", length(col("clean")).cast("long"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
   }
 
   /** A3 — fixed-size character chunking (llm_parser._chunk_text). */
@@ -66,7 +76,7 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(TextNormalizer.chunks(col("text"), 150)))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
-      .orderBy("doc_id", "chunk_idx")
+      .transform(sorted1(_, col("doc_id"), col("chunk_idx")))
 
   /** Menu-line corpus synthesized from `part` (cents-exact formatting
     * so the DuckDB twin builds byte-identical lines).
@@ -95,7 +105,7 @@ object SparkEntry {
       .select(col("doc_id"), col("item_name"), col("price"),
         col("half_plate_price"), col("full_plate_price"), col("small_price"),
         col("medium_price"), col("large_price"), col("currency"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
 
   /** A5 — pydantic-equivalent validation with reject reasons, over
     * items with injected corruption (bad names / prices / currencies).
@@ -120,7 +130,7 @@ object SparkEntry {
     MenuValidator.validate(items)
       .select(pk, col("item_name"), col("currency"), col("is_valid"),
         coalesce(col("reject_reason"), lit("ok")).as("reject_reason"))
-      .orderBy(pk)
+      .transform(sorted1(_, pk))
   }
 
   /** A6 — get_price_display + get_primary_price shaping. */
@@ -130,7 +140,7 @@ object SparkEntry {
       .withColumn("price_display", MenuShaper.priceDisplay(parsed))
       .withColumn("primary_price", MenuShaper.primaryPrice)
     shaped.select(col("doc_id"), col("item_name"), col("price_display"), col("primary_price"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
   }
 
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
@@ -337,7 +347,7 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"),
         unix_micros(col("matched_ts")).as("matched_us"),
         col("purchase_value"))
-      .orderBy("event_id")
+      .transform(sorted1(_, col("event_id")))
   }
 
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
@@ -353,7 +363,7 @@ object SparkEntry {
       col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
       TextFunctions.regexTokenCount(col("text")).cast("long").as("n_re"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
 
   /** C2 — quality scoring (mirrored-expression doubles, no rounding).
     * Ratios are materialized once and the composite is derived from
@@ -374,7 +384,7 @@ object SparkEntry {
       })
       .select(col("doc_id"), col("stop_ratio"), col("mean_tok"),
         col("punct_ratio"), col("quality"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
 
   /** C3 — document fingerprints (md5 + modular rolling hash). */
   private def q22Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -384,7 +394,7 @@ object SparkEntry {
         col("doc_id"),
         md5(col("_norm")).as("fp_md5"),
         TextFunctions.fingerprintRollingOfNorm(col("_norm")).as("fp_roll"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
 
   /** C4 — language-ID heuristic (rows-only: profile scoring is not
     * portably SQL-expressible).
@@ -394,7 +404,7 @@ object SparkEntry {
       col("doc_id"), col("lang").as("declared_lang"),
       col("lang_detect.lang").as("predicted_lang"),
       col("lang_detect.score").cast("long").as("score"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
 
   /** C5 — n-gram Jaccard on deterministic candidate pairs. */
   private def q24NgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -409,7 +419,7 @@ object SparkEntry {
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"),
         TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .orderBy("id_a")
+      .transform(sorted1(_, col("id_a")))
   }
 
   /** C6 — MinHash LSH near-dup candidates, verified. Rows-only check,
@@ -428,13 +438,13 @@ object SparkEntry {
       .select(col("doc_id"), col("simhash"),
         graft.functions.SimHash.hammingDistance(col("simhash"),
           coalesce(col("_nsim"), col("simhash"))).cast("long").as("hamming_next"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
   }
 
   /** C8 — embedding-cosine near-dup within coarse buckets. */
   private def q27EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     CosineTopK.bucketedNearDup(Tables.embeddings(s, dir), dim = 64, threshold = 0.4)
-      .orderBy("id_a", "id_b")
+      .transform(sorted1(_, col("id_a"), col("id_b")))
 
   /** C9 — brute-force cosine top-k (exact ANN baseline). */
   private def q28AnnTopk(s: SparkSession, dir: String): DataFrame = {
@@ -444,7 +454,7 @@ object SparkEntry {
     CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
       .withColumn("rk", col("rank").cast("long")).drop("rank")
       .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
-      .orderBy("query_id", "rk")
+      .transform(sorted1(_, col("query_id"), col("rk")))
   }
 
   /** C10 — IVF ANN: train coarse centroids, probe nprobe buckets
@@ -470,7 +480,7 @@ object SparkEntry {
     graft.multimodal.Multimodal.decodeMeta(d).toDF()
       .select(col("doc_id"), col("byte_size"), col("content_sha"),
         col("format"), col("width"), col("height"), col("success"))
-      .orderBy("doc_id")
+      .transform(sorted1(_, col("doc_id")))
   }
 
   /** C12 — random-hyperplane LSH near-dup over embeddings (rows-only;
