@@ -5,14 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, distributed re-expression of the reference's menu
-  * parse (reference: restaurant_etl/parsers/llm_parser.py — an Azure
+  * parse (reference: restaurant_etl/parsers/llm_parser.py:84 parse_menu — an Azure
   * OpenAI structured-JSON call; the LLM is an external service the
   * engine cannot depend on, so the same output schema is produced by
   * a regexp field extractor that runs inside whole-stage codegen).
   *
   * Input: one row per menu LINE (doc_id, line_no, line). Output: the
-  * reference's MenuItem schema (llm_parser.py:MENU_JSON_SCHEMA /
-  * models/menu_models.py:MenuItem).
+  * reference's MenuItem schema (llm_parser.py:26 MENU_JSON_SCHEMA /
+  * models/menu_models.py:6 MenuItem).
   *
   * Line grammar (what a text-extracted menu looks like):
   *   "Butter Chicken .... $12.50"

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** End-to-end distributed re-expression of the reference pipeline
-  * (process_menu.py / dagster_project/assets/menu_assets.py):
+  * (process_menu.py:34 process_single_menu, :120 process_folder /
+  * dagster_project/assets/menu_assets.py:12 menu_etl_asset):
   * extract → clean → split lines → parse → validate → shape → sink,
   * plus the batch manifest the reference prints at the end.
   *

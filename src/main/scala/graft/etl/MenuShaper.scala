@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Output shaping + summary analytics, re-expressing the reference's
-  * MenuData.to_dataframe / get_price_display / get_primary_price /
-  * get_summary (restaurant_etl/models/menu_models.py).
+  * MenuData.to_dataframe (:177) / get_price_display (:103) /
+  * get_primary_price (:125) / get_summary (:223), all in
+  * restaurant_etl/models/menu_models.py.
   *
   * All formatting is format_string/concat_ws (codegen'd); the summary
   * is a single partial-aggregated groupBy — at 100 TB it shuffles one
@@ -13,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object MenuShaper {
 
-  /** Reference column order (menu_models.py:to_dataframe). */
+  /** Reference column order (menu_models.py:191-204 to_dataframe). */
   val ColumnOrder: Seq[String] = Seq(
     "item_name", "category", "description", "price_display",
     "price", "half_plate_price", "full_plate_price",

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's pydantic validators as vectorized predicates
-  * (reference: restaurant_etl/models/menu_models.py — field_validator
-  * clean_name / validate_currency / validate_price, and the
-  * has_any_price() admission filter in llm_parser.py:parse_menu).
+  * (reference: restaurant_etl/models/menu_models.py:66 clean_name,
+  * :72 validate_currency, :84 validate_price, and the :92
+  * has_any_price() admission filter used in llm_parser.py:104).
   *
   * Python validates one object at a time and silently drops failures;
   * here validation is a pair of narrow column expressions over the

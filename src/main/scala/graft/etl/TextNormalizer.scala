@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Spark-native re-expression of the reference's text normalization
-  * (reference: restaurant_etl/utils/clean_text.py:normalize_extracted_text).
+  * (reference: restaurant_etl/utils/clean_text.py:3 normalize_extracted_text).
   *
   * The reference walks lines in Python one string at a time; here the
   * whole thing is a single column expression pipeline (regexp_replace +
@@ -37,7 +37,7 @@ object TextNormalizer {
   }
 
   /** Chunking for downstream (LLM-ish) consumers — reference
-    * restaurant_etl/parsers/llm_parser.py:_chunk_text splits into
+    * restaurant_etl/parsers/llm_parser.py:169 _chunk_text splits into
     * fixed-size character windows. Returns an array column of chunks;
     * pair with `posexplode` for (chunk_idx, chunk) rows.
     */

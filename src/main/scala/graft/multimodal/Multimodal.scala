@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The reference reaches this surface through PaddleOCR + pdfplumber
-  * + PIL (restaurant_etl/extractors/pdf_extractor.py,
-  * image_extractor.py) — native decode libraries that do not exist in
+  * + PIL (restaurant_etl/extractors/pdf_extractor.py:28 extract_text,
+  * :68 _ocr_pdf; image_extractor.py:16 extract_text) — native decode libraries that do not exist in
   * this container. The DECODE KERNELS HERE ARE DETERMINISTIC STUBS
   * (=== STUB: derive fake dims/features from the bytes ===); the
   * Spark-side contract — schema, binary transport, partition-batched
@@ -44,7 +44,7 @@ object Multimodal {
     df.withColumn("payload", col(col0).cast("binary"))
 
   /** File-extension routing, mirroring the reference's
-    * UniversalExtractor.extractor_map. */
+    * UniversalExtractor.extractor_map (universal_extractor.py:16). */
   def routeByExtension(pathCol: String): org.apache.spark.sql.Column = {
     val ext = lower(regexp_extract(col(pathCol), "\\.([A-Za-z0-9]+)$", 1))
     when(ext === "pdf", "pdf_extractor")

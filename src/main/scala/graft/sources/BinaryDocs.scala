@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-corpus ingestion — the distributed twin of the reference's
-  * input-folder walk (process_menu.py / menu_assets.py iterate a
+  * input-folder walk (process_menu.py:120 / menu_assets.py:32 iterate a
   * directory one file at a time; here `binaryFile` lists and reads
   * the tree in parallel across executors).
   *
