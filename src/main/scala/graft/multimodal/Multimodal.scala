@@ -82,6 +82,54 @@ object Multimodal {
       }
   }
 
+  case class Resized(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize stub: deterministic downsample of the payload to a target
+    * "resolution" (byte stride). Real impl: PIL/libvips thumbnail —
+    * same per-partition batch shape, same output schema.
+    */
+  def resize(df: DataFrame, targetW: Int = 64, targetH: Int = 64,
+             idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[Resized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // === STUB: a real resampler initializes here. ===
+        it.map { case (id, bytes) =>
+          val data = if (bytes == null) Array.emptyByteArray else bytes
+          val n = targetW * targetH / 64
+          val stride = math.max(1, data.length / math.max(1, n))
+          Resized(id, targetW, targetH, data.grouped(stride).map(_.head).take(n).toArray)
+        }
+      }
+  }
+
+  /** Feature-extraction stub: a deterministic pseudo-embedding
+    * (dim floats) from the payload bytes — the plumbing under
+    * "embed images, then near-dup/ANN them with graft.similarity".
+    * Real impl: an ONNX/JNI vision encoder in the same mapPartitions
+    * batch loop.
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 64,
+                      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // === STUB: encoder init per partition; fake features below. ===
+        it.map { case (id, bytes) =>
+          val data = if (bytes == null) Array.emptyByteArray else bytes
+          val vec = Array.tabulate(dim) { i =>
+            var h = 0xcbf29ce484222325L ^ i.toLong
+            var j = i
+            while (j < data.length) { h ^= data(j); h *= 0x100000001b3L; j += dim }
+            (h.toDouble / Long.MaxValue.toDouble).toFloat
+          }
+          (id, vec)
+        }
+      }.toDF(idCol, "embedding")
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
     * (explode-per-item, bounded by content size).

@@ -34,6 +34,24 @@ class MultimodalSpec extends SparkSpec {
     assert(r("d.txt") == "unsupported")
   }
 
+  test("resize + feature extraction stubs: typed, deterministic, ANN-ready") {
+    val d = Multimodal.asBinaryPayload(docs, "text")
+    val rs = Multimodal.resize(d, 32, 32).collect()
+    assert(rs.forall(r => r.width == 32 && r.height == 32))
+    val feats = Multimodal.extractFeatures(d, dim = 16)
+    assert(feats.columns.toSeq == Seq("doc_id", "embedding"))
+    val v1 = feats.filter($"doc_id" === 1L).select("embedding")
+      .as[Array[Float]].head()
+    val v2 = Multimodal.extractFeatures(d, dim = 16)
+      .filter($"doc_id" === 1L).select("embedding").as[Array[Float]].head()
+    assert(v1.length == 16 && v1.toSeq == v2.toSeq)
+    // plugs straight into the similarity operators
+    val top = graft.similarity.CosineTopK.bruteTopK(
+      feats.filter($"doc_id" === 1L).withColumnRenamed("doc_id", "query_id"),
+      feats.withColumnRenamed("doc_id", "vec_id"), dim = 16, k = 2)
+    assert(top.filter($"rank" === 1).select("vec_id").as[Long].head() == 1L)
+  }
+
   test("frame sampling yields ceil(bytes/step) frames per doc") {
     val d = Multimodal.asBinaryPayload(docs, "text")
     val frames = Multimodal.sampleFrames(d, step = 64).collect()
