@@ -229,6 +229,25 @@ object OracleSql {
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
         |ORDER BY event_id""".stripMargin,
 
+    "q35_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS newf FROM l),
+        |g AS (SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  count(*) AS n_events, CAST(sum(vc) AS DOUBLE)/100.0 AS total_value
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q20_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_ws,

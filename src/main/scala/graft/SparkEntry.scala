@@ -350,6 +350,45 @@ object SparkEntry {
       .transform(sorted1(_, col("event_id")))
   }
 
+  /** B13 — batch sessionization (gaps-and-islands): the oracle-checked
+    * twin of the streaming flatMapGroupsWithState sessionizer — a
+    * 30-minute inactivity gap starts a new session. lag + running sum
+    * over (user, ts); cents/micros integer math end-to-end.
+    */
+  private def q35Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("_vc"))
+      .withColumn("_prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull || col("ts_us") - col("_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        dollars(sum(col("_vc"))).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** B14 — pivot: order counts per (segment x priority). Spark
+    * `.pivot`; the oracle is conditional aggregation.
+    */
+  private def q36Pivot(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")))
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot(col("o_orderpriority"), prios)
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment") +: prios.zipWithIndex.map { case (p, i) =>
+        coalesce(col(p), lit(0L)).as(s"p${i + 1}") }: _*)
+      .orderBy("c_mktsegment")
+  }
+
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
   private def q19DedupExact(s: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.documents(s, dir), "doc_id", "text")
@@ -529,6 +568,8 @@ object SparkEntry {
     "q19_dedup_exact" -> (q19DedupExact _),
     "q31_asof_join" -> (q31Asof _),
     "q32_topk_native" -> (q32TopkNative _),
+    "q35_sessionize" -> (q35Sessionize _),
+    "q36_pivot" -> (q36Pivot _),
     "q20_token_count" -> (q20TokenCount _),
     "q21_quality" -> (q21Quality _),
     "q22_fingerprint" -> (q22Fingerprint _),
