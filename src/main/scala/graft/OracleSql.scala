@@ -277,6 +277,17 @@ object OracleSql {
         |  CASE WHEN length(norm) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) END AS fp_roll
         |FROM n ORDER BY doc_id""".stripMargin,
 
+    "q37_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS n_term FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(n_term) AS BIGINT) AS n_doc_tokens FROM tc GROUP BY 1),
+        |df AS (SELECT token, count(*) AS df FROM tc GROUP BY 1)
+        |SELECT tc.doc_id, tc.token, tc.n_term, df.df,
+        |  CAST(tc.n_term AS DOUBLE) / CAST(dl.n_doc_tokens AS DOUBLE) AS tf
+        |FROM tc JOIN dl USING (doc_id) JOIN df USING (token)
+        |WHERE tc.doc_id < 25
+        |ORDER BY tc.doc_id, tc.token""".stripMargin,
+
     "q24_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> substring(t, CAST(i AS BIGINT), 3))) AS sh FROM n),

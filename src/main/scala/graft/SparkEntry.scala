@@ -522,6 +522,19 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C15 — TF-IDF term weighting over the document corpus (output
+    * restricted to doc_id < 25 for oracle size; aggregates run
+    * corpus-wide). The oracle compares the exact components
+    * (n_term, df, tf — integer-derived); the ln-based weight itself
+    * is excluded because libm ln differs in the last ulp across
+    * engines (measured: ~6% of rows) — it is spec-asserted instead.
+    */
+  private def q37Tfidf(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TfIdf.compute(Tables.documents(s, dir))
+      .filter(col("doc_id") < 25)
+      .select(col("doc_id"), col("token"), col("n_term"), col("df"), col("tf"))
+      .transform(sorted1(_, col("doc_id"), col("token")))
+
   /** C12 — random-hyperplane LSH near-dup over embeddings (rows-only;
     * the hash-bucketed cosine scale path next to IVF).
     */
@@ -582,7 +595,8 @@ object SparkEntry {
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q30_multimodal" -> (q30Multimodal _),
     "q33_embed_lsh" -> (q33EmbedLsh _),
-    "q34_heavy_hitters" -> (q34HeavyHitters _))
+    "q34_heavy_hitters" -> (q34HeavyHitters _),
+    "q37_tfidf" -> (q37Tfidf _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q26, q29, q30) are intentionally absent.
