@@ -55,4 +55,45 @@ class ReferenceFidelitySpec extends SparkSpec {
     }
     assert(items.size == reference.length)
   }
+
+  test("multi-price portions (PNF menu) reproduce the reference display") {
+    val pnfCsv = "/root/reference/output/PNF-Food-Drinks.csv"
+    assume(new java.io.File(pnfCsv).exists())
+    val ref = spark.read
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(pnfCsv)
+      .filter(col("category").isNotNull && col("price").isNull &&
+        (col("half_plate_price").isNotNull || col("small_price").isNotNull))
+      .select("item_name", "category", "price_display",
+        "half_plate_price", "full_plate_price", "small_price", "medium_price", "large_price")
+      .collect()
+    assume(ref.nonEmpty)
+
+    def part(label: String, v: String) =
+      Option(v).map(p => s"$label: $$${"%.2f".format(p.toDouble)}")
+    val text = ref.groupBy(_.getAs[String]("category")).toSeq.sortBy(_._1).map {
+      case (cat, rows) =>
+        cat.toUpperCase + "\n" + rows.map { r =>
+          val parts = Seq(
+            part("Half", r.getAs[String]("half_plate_price")),
+            part("Full", r.getAs[String]("full_plate_price")),
+            part("Small", r.getAs[String]("small_price")),
+            part("Medium", r.getAs[String]("medium_price")),
+            part("Large", r.getAs[String]("large_price"))).flatten
+          s"${r.getAs[String]("item_name")} .... ${parts.mkString(" ")}"
+        }.mkString("\n")
+    }.mkString("\n")
+
+    val docs = Seq((1L, "pnf", text)).toDF("doc_id", "source", "text")
+    val items = MenuPipeline.run(docs).items.collect()
+      .map(r => r.getAs[String]("item_name") -> r).toMap
+    ref.foreach { r =>
+      val name = r.getAs[String]("item_name")
+      val got = items.get(name)
+      assert(got.isDefined, s"'$name' not re-extracted")
+      assert(got.get.getAs[String]("price_display") == r.getAs[String]("price_display"),
+        s"display mismatch for $name: ${got.get.getAs[String]("price_display")}")
+      assert(got.get.getAs[String]("category").equalsIgnoreCase(r.getAs[String]("category")))
+    }
+  }
 }
