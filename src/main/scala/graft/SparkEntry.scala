@@ -41,8 +41,6 @@ object SparkEntry {
   private def sorted1(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 
-  private def D(dir: String)(implicit s: SparkSession) = Tables.documents(s, dir)
-
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q10Agg(spark, "/root/testdata/sf0.001")

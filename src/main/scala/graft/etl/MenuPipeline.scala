@@ -52,13 +52,20 @@ object MenuPipeline {
   }
 
   /** Partitioned sinks (parquet for downstream, csv to mirror the
-    * reference's deliverable).
+    * reference's deliverable). Items partition by menu category,
+    * rejects by source — the directory-per-group layout that replaces
+    * the reference's file-per-menu CSVs at scale (and enables
+    * partition pruning for consumers).
     */
   def write(result: Result, outDir: String): Unit = {
-    result.items.write.mode(SaveMode.Overwrite).parquet(s"$outDir/items_parquet")
+    result.items
+      .withColumn("category_part", coalesce(col("category"), lit("uncategorized")))
+      .write.mode(SaveMode.Overwrite).partitionBy("category_part")
+      .parquet(s"$outDir/items_parquet")
     result.items.write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$outDir/items_csv")
-    result.rejects.write.mode(SaveMode.Overwrite).parquet(s"$outDir/rejects")
+    result.rejects.write.mode(SaveMode.Overwrite).partitionBy("source")
+      .parquet(s"$outDir/rejects")
     result.summary.write.mode(SaveMode.Overwrite).parquet(s"$outDir/summary")
     result.manifest.write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest")
   }

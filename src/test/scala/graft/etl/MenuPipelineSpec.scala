@@ -53,11 +53,16 @@ class MenuPipelineSpec extends SparkSpec {
     assert(src1.getAs[Long]("n_valid") == 1L)
   }
 
-  test("sinks write parquet + csv") {
+  test("sinks write parquet + csv; items land category-partitioned") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     MenuPipeline.write(result, dir)
     assert(spark.read.parquet(s"$dir/items_parquet").count() == 4)
     assert(spark.read.option("header", "true").csv(s"$dir/items_csv").count() == 4)
     assert(spark.read.parquet(s"$dir/manifest").count() == 2)
+    val parts = new java.io.File(s"$dir/items_parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts.exists(_.startsWith("category_part=")), s"no partition dirs: $parts")
+    assert(new java.io.File(s"$dir/rejects").listFiles()
+      .exists(_.getName.startsWith("source=")))
   }
 }
