@@ -557,6 +557,21 @@ object SparkEntry {
       .orderBy("lang", "rk")
   }
 
+  /** C16 — cardinality sketch: HLL++ (approx_count_distinct) next to
+    * the exact count per language (rows-only: register-merge results
+    * are engine-specific; the spec bounds the relative error). At
+    * 100 TB the exact distinct needs a token-wide shuffle; the sketch
+    * is a fixed-size buffer per group.
+    */
+  private def q38ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
+      .orderBy("lang")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -594,7 +609,8 @@ object SparkEntry {
     "q30_multimodal" -> (q30Multimodal _),
     "q33_embed_lsh" -> (q33EmbedLsh _),
     "q34_heavy_hitters" -> (q34HeavyHitters _),
-    "q37_tfidf" -> (q37Tfidf _))
+    "q37_tfidf" -> (q37Tfidf _),
+    "q38_approx_distinct" -> (q38ApproxDistinct _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q26, q29, q30) are intentionally absent.
