@@ -554,6 +554,10 @@ object SparkEntry {
       .select(col("lang"), posexplode(col("hh")))
       .select(col("lang"), col("pos").cast("long").as("rk"),
         col("col.item").as("item"), col("col.min_count").as("min_count"))
+      // only the head of the sketch: the tail's membership depends on
+      // partial-buffer merge order (scheduling), the top-3 does not —
+      // keeps the rows-only count stable across driver runs
+      .filter(col("rk") < 3)
       .orderBy("lang", "rk")
   }
 
