@@ -38,7 +38,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Clean line on raw stdout (build.sbt routes fork output through
+    // StdoutOutput, so no logger prefix) + a file copy as a fallback
+    // parse source for the harness.
+    println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
