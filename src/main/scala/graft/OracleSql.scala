@@ -21,6 +21,30 @@ object OracleSql {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
 
+  /** FNV-1a (64-bit, mod-2^64 wraparound) over the chars of string
+    * expression `t`, as unsigned HUGEINT — mirrors
+    * graft.functions.SimHashImpl.fnv1a64 / ShingleImpl.shingleHash
+    * bit-for-bit on ASCII text (chars == UTF-8 bytes == code points;
+    * TESTDATA documents are ASCII, asserted by the q22 ascii()-based
+    * rolling hash passing). The xor trick: only the low 8 bits of the
+    * accumulator can differ under xor with a byte, so split acc into
+    * (acc div 256)*256 + xor(acc mod 256, byte) — BIGINT-safe.
+    */
+  private def fnv(t: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(string_split($t, ''), c -> CAST(ascii(c) AS HUGEINT))), " +
+      s"(acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) " +
+      s"* 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
+
+  /** Unsigned 2^64-domain HUGEINT → signed BIGINT (two's complement). */
+  private def signed(u: String): String =
+    s"CAST(CASE WHEN $u >= CAST(1 AS HUGEINT) << 63 " +
+      s"THEN $u - CAST(18446744073709551616 AS HUGEINT) ELSE $u END AS BIGINT)"
+
+  /** ShingleImpl.shingleHash: java.lang.Math.floorMod(signed fnv, 1e9+7). */
+  private def shingleHash(t: String): String =
+    s"CAST(((${signed(fnv(t))} % 1000000007) + 1000000007) % 1000000007 AS BIGINT)"
+
   private def cosineCte(pairsFrom: String): String =
     s"""s AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM $pairsFrom),
        |c AS (SELECT * EXCLUDE (dp, na, nb), CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM s)""".stripMargin
@@ -310,5 +334,65 @@ object OracleSql {
          |${cosineCte("p")},
          |r AS (SELECT query_id, vec_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM c)
-         |SELECT query_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+         |SELECT query_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // SimHashImpl.simhash64 mirrored exactly: FNV-1a per whitespace
+    // token of the lowercased text, per-bit votes, sign bits -> signed
+    // 64-bit fingerprint; Hamming to the successor doc via
+    // bit_count(xor).
+    "q26_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS tk FROM documents),
+         |hs AS (SELECT doc_id, list_transform(tk, t -> ${fnv("t")}) AS hl FROM toks),
+         |bits AS (SELECT doc_id, hl, unnest(range(0, 64)) AS b FROM hs),
+         |votes AS (SELECT doc_id, b, 2 * len(list_filter(hl, h -> (h // (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))) % 2 = 1)) - len(hl) AS v FROM bits),
+         |acc AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER) ELSE CAST(0 AS HUGEINT) END) AS u FROM votes GROUP BY 1),
+         |sim AS (SELECT doc_id, ${signed("u")} AS simhash FROM acc)
+         |SELECT a.doc_id, a.simhash,
+         |  CAST(bit_count(xor(a.simhash, coalesce(b.simhash, a.simhash))) AS BIGINT) AS hamming_next
+         |FROM sim a LEFT JOIN sim b ON b.doc_id = a.doc_id + 1
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // The deterministic subset of the multimodal decode record: byte
+    // size, content SHA-256, parity-based format routing, success.
+    // (width/height/ocr_text are stub-derived via Arrays.hashCode —
+    // spec-checked in MultimodalSpec, not portable SQL.)
+    "q30_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+        |  sha256(text) AS content_sha,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  octet_length(encode(text)) > 0 AS success
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Two-phase exact heavy hitters: the oracle is simply the true
+    // top-3 tokens per lang — the Spark side must produce the same
+    // despite routing through the Misra-Gries candidate sketch.
+    "q34_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, cnt, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rk FROM c)
+        |SELECT lang, rk, tok AS item, cnt FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+
+    // Exact distinct oracle-checked directly; the sketch side as the
+    // 10%-bound assertion (each engine runs its own HLL; both must
+    // land inside the bound for the booleans to hash-match).
+    "q38_approx_distinct" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS tok FROM documents)
+        |SELECT lang, count(DISTINCT tok) AS exact_distinct,
+        |  CAST(abs(approx_count_distinct(tok) - count(DISTINCT tok)) AS DOUBLE) <= CAST(count(DISTINCT tok) AS DOUBLE) * 0.1 AS approx_ok
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MinHash verification tier on the fixed successor-pair candidate
+    // set: jaccard over hashed shingle sets, shingle hashing mirrored
+    // bit-for-bit (FNV-1a over chars, floorMod 1e9+7, distinct).
+    "q39_minhash_verify" ->
+      s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> ${shingleHash("substring(t, CAST(i AS BIGINT), 3)")})) AS sh FROM n),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0),
+         |j AS (SELECT id_a, id_b,
+         |  CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 0.0
+         |       ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) END AS jaccard
+         |FROM p)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= CAST(0.1 AS DOUBLE) ORDER BY id_a""".stripMargin)
 }

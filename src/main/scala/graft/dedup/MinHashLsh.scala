@@ -145,12 +145,31 @@ object MinHashLsh {
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
     pairsFromBanded(banded(signatures(docs, idCol, textCol, cfg), idCol, cfg), idCol, cfg)
 
+  /** Verification tier: exact Jaccard over hashed shingle sets for a
+    * given (id_a, id_b) candidate-pair set. Two id-keyed joins fetch
+    * the 8-byte-long shingle hashes (never the text), then the native
+    * merge-join expression (SortedLongJaccard) scores each pair.
+    * Public so callers with their own candidate source — blocking
+    * rules, a prior run's pairs, a fixed audit set — reuse the same
+    * machinery that `nearDuplicates` uses after LSH pairing.
+    */
+  def verifyPairs(pairs: DataFrame, bases: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    graft.functions.ShingleFunctions.register(pairs.sparkSession)
+    val sh = bases.select(col(idCol), col("_bases"))
+    pairs.select("id_a", "id_b")
+      .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Candidates verified with true Jaccard over the (hashed) shingle
     * sets. The signature table is computed ONCE and cached — banding,
     * the bucket self-join, and both verification joins all branch from
     * it; without that, each branch re-scans the corpus and re-shingles
     * (at 100 TB: persist `signatures()` to a table instead of caching).
-    * Verification compares xxhash64'd shingles (8B longs), not shingle
+    * Verification compares hashed shingles (8B longs), not shingle
     * strings — same Jaccard, a fraction of the shuffle width.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
@@ -160,12 +179,8 @@ object MinHashLsh {
     sigs.count() // materialize before the branches race: banding, the
                  // bucket join, and both verify joins all read this
     val pairs = pairsFromBanded(banded(sigs, idCol, cfg), idCol, cfg)
-    val sh = sigs.select(col(idCol), col("_bases"))
-    pairs
-      .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
-      .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", round(
-        graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
+    verifyPairs(pairs, sigs.select(col(idCol), col("_bases")), idCol)
+      .withColumn("jaccard", round(col("jaccard"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
