@@ -6,11 +6,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Results are fully
   * materialized through the noop sink (count() would let Catalyst
   * prune aggregates/projections and understate the work).
+  *
+  * Timing protocol (round-3 fix for the unfalsifiable single-shot
+  * numbers the round-2 verdict flagged): one full-suite warm-up pass
+  * at the target SF first (JIT + codegen caches + file-listing caches
+  * warm for every query, not just the first), then N timed iterations
+  * per query (default 3, SPARK_GRAFT_BENCH_ITERS to override). The
+  * headline per-query number and the total are MEDIANS; min/max are
+  * published alongside so the spread is visible in the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,23 +31,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest sf so steady-state numbers
-    // aren't dominated by first-query JIT.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // Warm-up: flagship entry on sf0.001, then ONE full pass of every
+    // query at the target SF so steady-state numbers aren't dominated
+    // by first-touch JIT/codegen/IO for any query.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    queries.foreach { case (name, fn) => runOnce(name, fn) }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to iters).map(_ => runOnce(name, fn))
+      (name, median(times), times.min, times.max)
+    }
+
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
     // Clean line on raw stdout (build.sbt routes fork output through
     // StdoutOutput, so no logger prefix) + a file copy as a fallback
     // parse source for the harness.

@@ -138,6 +138,30 @@ object OracleSql {
          |  coalesce(nullif(price, 0.0), nullif(full_plate_price, 0.0), nullif(half_plate_price, 0.0), nullif(large_price, 0.0), nullif(medium_price, 0.0), nullif(small_price, 0.0)) AS primary_price
          |FROM parsed ORDER BY doc_id""".stripMargin,
 
+    // Expected pipeline output reconstructed DIRECTLY from the
+    // deterministic doc construction (two lines per part: a
+    // symbol-carrying price line and a symbol-less portion line) —
+    // checks parse + detected_currency fallback + restaurant_name +
+    // display end-to-end without mirroring the parser.
+    "q41_detected_currency" ->
+      """WITH m AS (SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS c,
+        |  CASE WHEN p_partkey % 3 = 0 THEN '$' WHEN p_partkey % 3 = 1 THEN '₹' ELSE '€' END AS sym
+        | FROM part),
+        |v AS (SELECT *, CAST(floor(c/2) AS BIGINT) AS ch FROM m),
+        |expected AS (
+        |  SELECT p_partkey AS doc_id, p_name AS item_name, sym AS currency,
+        |    sym || printf('%.2f', CAST(c AS DOUBLE)/100.0) AS price_display,
+        |    'Menu ' || p_partkey AS restaurant_name
+        |  FROM v
+        |  UNION ALL
+        |  SELECT p_partkey, p_name || ' II', sym,
+        |    'Half: ' || sym || printf('%.2f', CAST(ch AS DOUBLE)/100.0) ||
+        |      ' | Full: ' || sym || printf('%.2f', CAST(c AS DOUBLE)/100.0),
+        |    'Menu ' || p_partkey
+        |  FROM v)
+        |SELECT doc_id, item_name, currency, price_display, restaurant_name
+        |FROM expected ORDER BY doc_id, item_name""".stripMargin,
+
     "q07_summary" ->
       s"""WITH $menuCte,
          |$parseCte,

@@ -141,6 +141,37 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** A6b — document-level detected_currency + restaurant_name through
+    * the FULL pipeline (MenuPipeline.run): two-line docs synthesized
+    * from `part` where line 1 carries a per-doc currency symbol
+    * ($/₹/€ by partkey mod 3) and line 2 is a SYMBOL-LESS portion
+    * line — its items must recover the document's modal currency via
+    * the detected_currency fallback (menu_models.py:167,194), and the
+    * restaurant name must title-case the source stem
+    * (process_menu.py:43). The oracle reconstructs the expected output
+    * directly from the deterministic construction, so this checks
+    * parse + detect + fallback + display end-to-end.
+    */
+  private def q41DetectedCurrency(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    def fmt(c: Column): Column =
+      format_string("%d.%02d", floor(c / 100).cast("long"), pmod(c, lit(100)))
+    val c = cents(col("p_retailprice"))
+    val ch = floor(c / 2).cast("long")
+    val m = pmod(col("p_partkey"), lit(3))
+    val sym = when(m === 0, "$").when(m === 1, "₹").otherwise("€")
+    val docs = p.select(
+      col("p_partkey").as("doc_id"),
+      concat(lit("menu_"), col("p_partkey")).as("source"),
+      concat(
+        col("p_name"), lit(" .... "), sym, fmt(c), lit("\n"),
+        col("p_name"), lit(" II .... Half: "), fmt(ch), lit(" Full: "), fmt(c)).as("text"))
+    graft.etl.MenuPipeline.run(docs).items
+      .select(col("doc_id"), col("item_name"), col("currency"),
+        col("price_display"), col("restaurant_name"))
+      .transform(sorted1(_, col("doc_id"), col("item_name")))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -630,6 +661,7 @@ object SparkEntry {
     "q04_parse_menu" -> (q04ParseMenu _),
     "q05_validate" -> (q05Validate _),
     "q06_price_display" -> (q06PriceDisplay _),
+    "q41_detected_currency" -> (q41DetectedCurrency _),
     "q07_summary" -> (q07Summary _),
     "q08_batch_manifest" -> (q08BatchManifest _),
     "q10_agg" -> (q10Agg _),

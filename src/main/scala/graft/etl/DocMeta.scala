@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Document-level metadata the reference derives outside the per-item
+  * parse: the restaurant name from the source file stem
+  * (reference: process_menu.py:43 `file_path.stem.replace("_", " ")
+  * .title()`) and the document's primary currency
+  * (reference: restaurant_etl/models/menu_models.py:167
+  * `detected_currency`, consumed as the per-item fallback at :194
+  * `item.currency or self.detected_currency`).
+  *
+  * Both are pure column expressions (regexp + higher-order array
+  * functions) — map-only, codegen'd, no shuffle: at 100 TB these ride
+  * along with the document scan for free.
+  */
+object DocMeta {
+
+  /** Symbols the parser recognizes, in fixed tie-break priority. */
+  val CurrencySymbols: Seq[String] = Seq("$", "₹", "€", "£", "¥")
+
+  /** Source path → display name: basename, strip last extension,
+    * underscores → spaces, title-case. Mirrors Python `.title()` for
+    * space- and hyphen-separated words ("great_india" → "Great India",
+    * "PNF-Food-Drinks.pdf" → "Pnf-Food-Drinks"); Python additionally
+    * re-capitalizes after apostrophes/digits, which no menu filename
+    * in the reference corpus exercises.
+    */
+  def restaurantName(source: Column): Column = {
+    val base = regexp_extract(source, "([^/]*)$", 1)
+    val stem = regexp_replace(base, "\\.[^.]*$", "")
+    val spaced = regexp_replace(stem, "_", " ")
+    array_join(transform(split(spaced, "-"), seg => initcap(seg)), "-")
+  }
+
+  /** Modal currency symbol of the raw document text (argmax of symbol
+    * occurrence counts; ties break toward the front of
+    * [[CurrencySymbols]]; null when no symbol occurs). This is the
+    * engine's realization of the reference's LLM-reported
+    * `detected_currency`: deterministic, and computed per document
+    * BEFORE line explode so it is one map-side expression.
+    */
+  def detectedCurrency(text: Column): Column = {
+    val counts = CurrencySymbols.map { s =>
+      (s, size(split(text, java.util.regex.Pattern.quote(s), -1)) - lit(1))
+    }
+    val (bestSym, _) = counts.tail.foldLeft((lit(counts.head._1), counts.head._2)) {
+      case ((bs, bc), (s, c)) =>
+        (when(c > bc, lit(s)).otherwise(bs), when(c > bc, c).otherwise(bc))
+    }
+    val total = counts.map(_._2).reduce(_ + _)
+    when(total > 0, bestSym)
+  }
+}

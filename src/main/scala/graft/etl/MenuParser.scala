@@ -30,8 +30,14 @@ object MenuParser {
 
   private val priceRe = "([0-9]+(?:\\.[0-9]+)?)"
 
+  /** Labelled portion price; the currency symbol is optional — the
+    * reference's LLM extracts symbol-less "Half: 5.00" lines too, and
+    * their items then rely on the document-level detected_currency
+    * fallback (menu_models.py:194). The label anchors the match, so a
+    * bare number elsewhere in the line never becomes a price.
+    */
   private def money(line: Column, label: String): Column = {
-    val m = regexp_extract(line, s"$label\\s*[\\$$₹€£¥]$priceRe", 1)
+    val m = regexp_extract(line, s"$label\\s*[\\$$₹€£¥]?$priceRe", 1)
     when(m === "", lit(null).cast("double")).otherwise(m.cast("double"))
   }
 

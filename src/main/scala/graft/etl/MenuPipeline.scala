@@ -25,13 +25,21 @@ object MenuPipeline {
     * byte-identical to the window formulation.
     */
   def run(docs: DataFrame): Result = {
-    val lines = MenuParser.sectionedLines(docs)
+    // Document-level metadata BEFORE the line explode: one map-side
+    // expression per doc (process_menu.py:43 restaurant name;
+    // menu_models.py:167/:194 detected_currency → per-item fallback).
+    val withMeta = docs
+      .withColumn("restaurant_name", DocMeta.restaurantName(col("source")))
+      .withColumn("detected_currency", DocMeta.detectedCurrency(col("text")))
+    val lines = MenuParser.sectionedLines(withMeta)
     val parsed = MenuParser.parseFields(lines)
     val validated = MenuValidator.validate(parsed)
 
     val items = MenuShaper.shape(
       validated.filter(col("is_valid"))
-        .drop("is_valid", "reject_reason", "line", "line_no"))
+        .drop("is_valid", "reject_reason", "line", "line_no"),
+      detectedCurrency = col("detected_currency"),
+      extra = Seq("doc_id", "source", "restaurant_name"))
     val rejects = validated.filter(!col("is_valid"))
       .select(col("doc_id"), col("source"), col("line_no"), col("line"),
         col("reject_reason"))

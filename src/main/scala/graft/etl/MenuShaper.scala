@@ -52,15 +52,19 @@ object MenuShaper {
   }
 
   /** to_dataframe: add price_display, comma-join dietary tags,
-    * document-level currency fallback, fixed column order.
+    * document-level currency fallback (menu_models.py:194
+    * `item.currency or self.detected_currency`), fixed column order.
+    * `extra` keeps document-level columns (doc_id, restaurant_name, …)
+    * appended after the reference's order.
     */
-  def shape(items: DataFrame, detectedCurrency: Column = lit(null)): DataFrame = {
+  def shape(items: DataFrame, detectedCurrency: Column = lit(null),
+            extra: Seq[String] = Nil): DataFrame = {
     val withCur = items.withColumn("currency", coalesce(col("currency"), detectedCurrency))
     withCur
       .withColumn("price_display", priceDisplay(withCur))
       .withColumn("dietary_tags",
         when(size(col("dietary_tags")) > 0, array_join(col("dietary_tags"), ", ")))
-      .select(ColumnOrder.map(col): _*)
+      .select((ColumnOrder ++ extra).map(col): _*)
   }
 
   /** get_summary, as a per-category aggregate (the reference returns a

@@ -39,8 +39,43 @@ class MenuPipelineSpec extends SparkSpec {
     assert(rejects.head.getAs[String]("reject_reason") == "price_out_of_range")
   }
 
-  test("items carry the reference's exact column order") {
-    assert(result.items.columns.toSeq == MenuShaper.ColumnOrder)
+  test("items carry the reference's exact column order, then doc metadata") {
+    assert(result.items.columns.toSeq ==
+      MenuShaper.ColumnOrder ++ Seq("doc_id", "source", "restaurant_name"))
+  }
+
+  test("restaurant_name title-cases the source stem (process_menu.py:43)") {
+    val names = result.items.select("source", "restaurant_name").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(names("src0") == "Src0")
+    assert(names("src1") == "Src1")
+  }
+
+  test("symbol-less portion lines on a ₹ document render ₹ displays (menu_models.py:194)") {
+    val docs = Seq((10L, "great_india_express.pdf",
+      """DAAL SPECIALS
+        |Daal Makhani .... ₹180.00
+        |Daal Tadka .... Half: 90.00 Full: 160.00
+        |Plain Rice .... Half: 60.00""".stripMargin))
+      .toDF("doc_id", "source", "text")
+    val items = MenuPipeline.run(docs).items.collect()
+      .map(r => r.getAs[String]("item_name") -> r).toMap
+    assert(items("Daal Makhani").getAs[String]("price_display") == "₹180.00")
+    // item-level currency was absent; the document's modal ₹ must be
+    // recovered through the detected_currency fallback
+    assert(items("Daal Tadka").getAs[String]("currency") == "₹")
+    assert(items("Daal Tadka").getAs[String]("price_display") == "Half: ₹90.00 | Full: ₹160.00")
+    assert(items("Plain Rice").getAs[String]("price_display") == "Half: ₹60.00")
+    assert(items("Daal Tadka").getAs[String]("restaurant_name") == "Great India Express")
+  }
+
+  test("documents with no currency symbol keep the reference's '$' display default") {
+    val docs = Seq((11L, "plain", "Dry Toast .... Half: 2.00"))
+      .toDF("doc_id", "source", "text")
+    val items = MenuPipeline.run(docs).items.collect()
+    assert(items.length == 1)
+    assert(items.head.getAs[String]("currency") == null)
+    assert(items.head.getAs[String]("price_display") == "Half: $2.00")
   }
 
   test("manifest aggregates per source with confidence") {

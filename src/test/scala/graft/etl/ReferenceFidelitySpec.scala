@@ -35,9 +35,12 @@ class ReferenceFidelitySpec extends SparkSpec {
       }.mkString("\n")
     }.mkString("\n")
 
-    val docs = Seq((1L, "great_india", text)).toDF("doc_id", "source", "text")
-    val items = MenuPipeline.run(docs).items.collect()
-      .map(r => r.getAs[String]("item_name") -> r).toMap
+    val docs = Seq((1L, "great_india.pdf", text)).toDF("doc_id", "source", "text")
+    val rows = MenuPipeline.run(docs).items.collect()
+    val items = rows.map(r => r.getAs[String]("item_name") -> r).toMap
+
+    // process_menu.py:43 — restaurant name from the file stem
+    assert(rows.forall(_.getAs[String]("restaurant_name") == "Great India"))
 
     reference.foreach { ref =>
       val name = ref.getAs[String]("item_name")
@@ -84,9 +87,11 @@ class ReferenceFidelitySpec extends SparkSpec {
         }.mkString("\n")
     }.mkString("\n")
 
-    val docs = Seq((1L, "pnf", text)).toDF("doc_id", "source", "text")
-    val items = MenuPipeline.run(docs).items.collect()
-      .map(r => r.getAs[String]("item_name") -> r).toMap
+    val docs = Seq((1L, "PNF-Food-Drinks.pdf", text)).toDF("doc_id", "source", "text")
+    val rows = MenuPipeline.run(docs).items.collect()
+    val items = rows.map(r => r.getAs[String]("item_name") -> r).toMap
+    // .title() on the stem: "PNF-Food-Drinks" → "Pnf-Food-Drinks"
+    assert(rows.forall(_.getAs[String]("restaurant_name") == "Pnf-Food-Drinks"))
     ref.foreach { r =>
       val name = r.getAs[String]("item_name")
       val got = items.get(name)
