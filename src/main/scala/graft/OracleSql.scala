@@ -360,6 +360,19 @@ object OracleSql {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM c)
          |SELECT query_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    // The IVF scoring tier on deterministic probe routing (bucket =
+    // vec_id % 8, probes = qid..qid+2 mod 8): bucket join + cosine
+    // ranking mirrored with the same left-fold dot product as q28.
+    "q40_ivf_scoring" ->
+      s"""WITH a AS (SELECT vec_id, embedding, vec_id % 8 AS cid FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |pr AS (SELECT query_id, qe, (query_id + t.i) % 8 AS cid FROM q CROSS JOIN range(0, 3) t(i)),
+         |p AS (SELECT pr.query_id, a.vec_id, pr.qe AS ea, a.embedding AS eb FROM pr JOIN a USING (cid)),
+         |${cosineCte("p")},
+         |r AS (SELECT query_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM c)
+         |SELECT query_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
     // SimHashImpl.simhash64 mirrored exactly: FNV-1a per whitespace
     // token of the lowercased text, per-bit votes, sign bits -> signed
     // 64-bit fingerprint; Hamming to the successor doc via

@@ -27,10 +27,14 @@ object SimHashImpl {
     h
   }
 
-  /** Static entry point referenced from generated code. */
+  /** Static entry point referenced from generated code. Locale.ROOT
+    * lowercasing: the default-locale variant would fingerprint "TITLE"
+    * differently under e.g. a Turkish JVM locale (dotless-ı), breaking
+    * cross-engine and cross-executor determinism.
+    */
   def simhash64(s: UTF8String): Long = {
     val votes = new Array[Int](64)
-    val text = s.toString.toLowerCase
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
     var start = 0
     val n = text.length
     while (start < n) {

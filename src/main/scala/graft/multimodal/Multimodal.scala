@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * The reference reaches this surface through PaddleOCR + pdfplumber
   * + PIL (restaurant_etl/extractors/pdf_extractor.py:28 extract_text,
-  * :68 _ocr_pdf; image_extractor.py:16 extract_text) — native decode libraries that do not exist in
-  * this container. The DECODE KERNELS HERE ARE DETERMINISTIC STUBS
-  * (=== STUB: derive fake dims/features from the bytes ===); the
-  * Spark-side contract — schema, binary transport, partition-batched
-  * execution, output shape — is real, tested, and is exactly where a
-  * JNI/ONNX/PIL-equivalent kernel would plug in.
+  * :68 _ocr_pdf; image_extractor.py:16 extract_text) — native decode
+  * libraries that mostly do not exist in this container. Decode status:
+  *  - IMAGE DIMENSIONS ARE REAL for JDK-supported formats (PNG/JPEG/
+  *    GIF/BMP): magic-byte sniff + `javax.imageio` header-only read
+  *    (no full pixel decode, so it stays cheap at scale).
+  *  - OCR, resize, feature-extract and video-frame kernels remain
+  *    DETERMINISTIC STUBS (=== STUB ... ===); the Spark-side contract
+  *    — schema, binary transport, partition-batched execution, output
+  *    shape — is real, tested, and is exactly where a JNI/ONNX/PIL
+  *    equivalent kernel would plug in.
   *
   * Scale notes: decode is the canonical map-heavy stage — no shuffle,
   * CPU-bound, so throughput scales linearly with executors;
@@ -52,8 +56,37 @@ object Multimodal {
       .otherwise("unsupported")
   }
 
-  /** Batched "decode": one pass per partition, init-once-per-batch
+  /** Magic-byte format sniff for the image formats the JDK decodes. */
+  private[multimodal] def sniffImageFormat(d: Array[Byte]): Option[String] =
+    if (d.length >= 8 && d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' && d(3) == 'G') Some("png")
+    else if (d.length >= 3 && d(0) == 0xFF.toByte && d(1) == 0xD8.toByte) Some("jpeg")
+    else if (d.length >= 6 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F') Some("gif")
+    else if (d.length >= 2 && d(0) == 'B' && d(1) == 'M') Some("bmp")
+    else None
+
+  /** Header-only dimension read via `javax.imageio` — the reader
+    * parses only the image header (`getWidth(0)` on an un-decoded
+    * input), never the pixel data, so this costs O(header) per file
+    * regardless of image size.
+    */
+  private[multimodal] def readImageDims(data: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      } else None
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Batched decode: one pass per partition, init-once-per-batch
     * shape. Output is a typed Dataset with the metadata schema.
+    * Real images (PNG/JPEG/GIF/BMP magic) get their actual format and
+    * header-decoded width/height; other payloads keep the
+    * deterministic stub derivation so the record shape is total.
     */
   def decodeMeta(df: DataFrame, idCol: String = "doc_id",
                  payloadCol: String = "payload"): Dataset[MediaMeta] = {
@@ -61,22 +94,27 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // === STUB: a real decoder (PIL/ffmpeg/ONNX) initializes here,
-        // once per partition, and below decodes actual media. ===
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, bytes) =>
           val data = if (bytes == null) Array.emptyByteArray else bytes
           val sha = digest.digest(data).map("%02x".format(_)).mkString
-          // STUB decode: deterministic fake dimensions from content.
+          val magic = sniffImageFormat(data)
+          val dims = magic.flatMap(_ => readImageDims(data))
+          // Non-image payloads (and formats the JDK lacks — TIFF,
+          // video): STUB decode, deterministic fake dims from content.
           val h = java.util.Arrays.hashCode(data)
           MediaMeta(
             doc_id = id,
             byte_size = data.length.toLong,
             content_sha = sha,
-            format = if (data.length % 2 == 0) "png" else "jpeg",
-            width = 64 + math.floorMod(h, 1024),
-            height = 64 + math.floorMod(h >> 10, 1024),
-            ocr_text = new String(data.take(64), java.nio.charset.StandardCharsets.UTF_8),
+            format = magic.getOrElse(if (data.length % 2 == 0) "png" else "jpeg"),
+            width = dims.fold(64 + math.floorMod(h, 1024))(_._1),
+            height = dims.fold(64 + math.floorMod(h >> 10, 1024))(_._2),
+            // === STUB: real OCR (PaddleOCR equivalent) plugs in here;
+            // images yield empty text, other payloads a byte-prefix. ===
+            ocr_text =
+              if (magic.isDefined) ""
+              else new String(data.take(64), java.nio.charset.StandardCharsets.UTF_8),
             success = data.nonEmpty)
         }
       }

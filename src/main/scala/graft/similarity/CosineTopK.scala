@@ -19,10 +19,22 @@ object CosineTopK {
 
   /** Exact top-k by cosine. queries: (qidCol, vecCol); corpus:
     * (idCol, vecCol). Deterministic tiebreak on corpus id.
+    *
+    * The query set is BROADCAST and every corpus row is scored against
+    * every query, so cost is |corpus|×|queries|: this is the exact
+    * baseline for small query sets, not a bulk-ANN path. `maxQueries`
+    * fails fast instead of silently degrading — route larger query
+    * sets through [[IvfIndex]] or [[RandomProjectionLsh]].
     */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
                 qidCol: String = "query_id", idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding", maxQueries: Int = 1024): DataFrame = {
+    val nQueries = queries.count()
+    require(nQueries <= maxQueries,
+      s"bruteTopK broadcasts the query set and scores |corpus|x|queries| pairs; " +
+        s"got $nQueries queries > maxQueries=$maxQueries. " +
+        s"Use IvfIndex.search or RandomProjectionLsh for large query sets, " +
+        s"or raise maxQueries explicitly.")
     VectorExpressions.register(queries.sparkSession)
     val q = broadcast(queries.select(col(qidCol), col(vecCol).as("_qvec"))
       .withColumn("_qn", VectorFunctions.normNative(col("_qvec"))))

@@ -85,8 +85,21 @@ object IvfIndex {
     val probes = queries
       .select(col(qidCol), col(vecCol).as("_qvec"))
       .withColumn("cid", explode(model.probeExpr(col("_qvec"), nprobe)))
+    searchProbed(assignments, probes, k, qidCol, idCol, vecCol)
+  }
 
-    graft.functions.VectorExpressions.register(queries.sparkSession)
+  /** The SCORING tier alone: given an already-routed probe set
+    * (qidCol, `_qvec`, cid) — from [[Model.probeExpr]] or any other
+    * router — join the bucketed corpus on cid and exact-rank by
+    * cosine inside the probed buckets. Factored out so the
+    * model-independent tier can be verified against a SQL oracle on a
+    * deterministic probe set (the model's float-avg centroids are not
+    * portably reproducible across engines; this tier is).
+    */
+  def searchProbed(assignments: DataFrame, probes: DataFrame, k: Int,
+                   qidCol: String = "query_id", idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(assignments.sparkSession)
     val rankW = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     probes
       .withColumn("_qn", VectorFunctions.normNative(col("_qvec")))

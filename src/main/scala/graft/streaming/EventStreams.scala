@@ -39,32 +39,48 @@ object EventStreams {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  /** Timestamp ↔ epoch-microseconds, exact: `Timestamp.getTime` alone
+    * is millisecond-truncated, which would make streaming session
+    * boundaries diverge from the µs-exact batch twin (q35) on any
+    * event with a sub-millisecond component — caught by
+    * StreamBatchEquivalenceSpec.
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes after `gapMs` of user inactivity — either when the user's
     * next event arrives past the gap, or when the event-time watermark
     * passes lastSeen+gap (idle flush). Event-time timeouts keep the
     * operator deterministic and replayable (a processing-time timeout
     * would tie results to wall-clock and forces continuous empty
-    * micro-batches).
+    * micro-batches). State tracks event time in MICROSECONDS so the
+    * emitted boundaries equal the batch sessionizer's bit-for-bit.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
 
     def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      val sorted = it.toSeq.sortBy(e => tsMicros(e.ts))
       var out = List.empty[Session]
       var cur = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = tsMicros(e.ts)
         cur match {
-          case Some(s) if t - s.lastSeen <= gapMs =>
+          case Some(s) if t - s.lastSeen <= gapUs =>
             cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
               totalValue = s.totalValue + e.value))
           case Some(s) =>
-            out ::= Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+            out ::= Session(userId, microsTs(s.start),
+              microsTs(s.lastSeen), s.nEvents, s.totalValue)
             cur = Some(SessionState(t, t, 1, e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
@@ -72,15 +88,18 @@ object EventStreams {
       }
       if (state.hasTimedOut) {
         cur.foreach { s =>
-          out ::= Session(userId, new java.sql.Timestamp(s.start),
-            new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+          out ::= Session(userId, microsTs(s.start),
+            microsTs(s.lastSeen), s.nEvents, s.totalValue)
         }
         state.remove()
       } else {
         cur.foreach { s =>
           state.update(s)
+          // timeout API is millisecond-based; round the µs deadline UP
+          // so a timeout never fires before the gap has truly elapsed
           state.setTimeoutTimestamp(
-            math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
+            math.max(Math.floorDiv(s.lastSeen + gapUs + 999L, 1000L),
+              state.getCurrentWatermarkMs() + 1))
         }
       }
       out.reverseIterator

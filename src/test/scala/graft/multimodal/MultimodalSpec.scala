@@ -24,6 +24,27 @@ class MultimodalSpec extends SparkSpec {
     assert(m2.byte_size == 0L && !m2.success)
   }
 
+  test("real PNG/JPEG payloads decode actual dimensions via javax.imageio") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos))
+      baos.toByteArray
+    }
+    val png = imageBytes(37, 21, "png")
+    val jpg = imageBytes(48, 64, "jpg")
+    val d = Seq((10L, png), (11L, jpg), (12L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(d).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(10L).format == "png" && meta(10L).width == 37 && meta(10L).height == 21)
+    assert(meta(11L).format == "jpeg" && meta(11L).width == 48 && meta(11L).height == 64)
+    assert(meta(10L).ocr_text == "" && meta(10L).success)
+    // non-image payloads keep the deterministic stub derivation
+    assert(meta(12L).width >= 64 && meta(12L).ocr_text == "not an image")
+  }
+
   test("extension routing mirrors the reference extractor map") {
     val r = Seq("a.pdf", "b.JPG", "c.png", "d.txt").toDF("path")
       .select(col("path"), Multimodal.routeByExtension("path").as("route"))

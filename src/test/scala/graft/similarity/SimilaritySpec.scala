@@ -22,6 +22,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 5))
   }
 
+  test("brute topk refuses a query set larger than maxQueries") {
+    val q = e.select($"vec_id".as("query_id"), $"embedding") // whole corpus as queries
+    val ex = intercept[IllegalArgumentException] {
+      CosineTopK.bruteTopK(q, e, dim = 64, k = 5, maxQueries = 10)
+    }
+    assert(ex.getMessage.contains("IvfIndex"))
+    // raising the cap explicitly is the documented escape hatch
+    val small = e.filter($"vec_id" < 12).select($"vec_id".as("query_id"), $"embedding")
+    assert(CosineTopK.bruteTopK(small, e, dim = 64, k = 1, maxQueries = 12).count() == 12)
+  }
+
+  test("searchProbed on deterministic probes matches brute force within probed buckets") {
+    val assigned = e.withColumn("cid", pmod($"vec_id", lit(8)).cast("int"))
+    val probes = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("_qvec"))
+      .withColumn("cid", explode(array((0 until 8).map(i => lit(i)): _*))) // probe ALL buckets
+    val probedAll = IvfIndex.searchProbed(assigned, probes, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val q = e.filter($"vec_id" < 4).select($"vec_id".as("query_id"), $"embedding")
+    val brute = CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(probedAll == brute) // probing every bucket == exact search
+  }
+
   test("bucketed near-dup emits ordered pairs above threshold only") {
     val pairs = CosineTopK.bucketedNearDup(e, dim = 64, threshold = 0.3)
     val rows = pairs.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()

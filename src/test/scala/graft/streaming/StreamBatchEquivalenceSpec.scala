@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming ↔ batch equivalence: the streaming operators must
+  * produce EXACTLY the sessions/windows of their oracle-checked batch
+  * twins (q17_time_window / q35_sessionize — both hash-verified
+  * against DuckDB by the driver) when run over the same events.
+  * This is the Structured Streaming promise — one declarative
+  * semantics, two execution modes — asserted rather than assumed.
+  *
+  * total_value is compared with a 1e-6 tolerance: the batch twins sum
+  * in exact cents space while the streaming operators sum raw doubles
+  * in arrival order, so the boundary/count equality is exact and only
+  * the float accumulation differs in the last ulps.
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  test("hourlyTypeCounts via Trigger.AvailableNow == oracle-checked q17 batch twin") {
+    val ev = Tables.events(spark, sf())
+    val dir = Files.createTempDirectory("graft_stream_eq").toString
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+
+    val src = spark.readStream.schema(ev.schema).parquet(s"$dir/in")
+    val q = EventStreams.hourlyTypeCounts(src)
+      .writeStream.format("memory").queryName("eq_win")
+      .outputMode("complete") // all windows, including the unfinalized last one
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("eq_win")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect()
+      .map { case (w, t, n, v) => (w, t) -> ((n, v)) }.toMap
+
+    val batch = SparkEntry.queries("q17_time_window")(spark, sf())
+      .as[(String, String, Long, Double)].collect()
+
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (w, t, n, v) =>
+      val (sn, sv) = streamed((w, t))
+      assert(sn == n, s"count mismatch in window ($w, $t): streaming $sn vs batch $n")
+      assert(math.abs(sv - v) < 1e-6, s"value mismatch in window ($w, $t): $sv vs $v")
+    }
+  }
+
+  test("flatMapGroupsWithState sessionizer == oracle-checked q35 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf())
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event].collect()
+    val maxTs = events.map(_.ts.getTime).max
+
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS()) // 30 min gap, 1 h watermark
+      .writeStream.format("memory").queryName("eq_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // Event-time timeouts fire in a batch AFTER the watermark passes
+      // lastSeen+gap: sentinel batch 1 advances the watermark, sentinel
+      // batch 2 executes with it — flushing every real user's open
+      // session. (This is why the sessionizer leg drives explicit
+      // micro-batches instead of one AvailableNow pass: an append-mode
+      // stateful operator emits nothing for state the watermark never
+      // overtakes.)
+      mem.addData(EventStreams.Event(-1L, new Timestamp(maxTs + 3L * 3600 * 1000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(-2L, new Timestamp(maxTs + 6L * 3600 * 1000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("eq_sessions").as[EventStreams.Session].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, micros(s.session_start), micros(s.session_end)) ->
+          ((s.n_events, s.total_value))).toMap
+
+      val batch = SparkEntry.queries("q35_sessionize")(spark, sf())
+        .select($"user_id", $"session_start_us", $"session_end_us", $"n_events", $"total_value")
+        .as[(Long, Long, Long, Long, Double)].collect()
+
+      assert(batch.nonEmpty && streamed.size == batch.length,
+        s"session count: streaming ${streamed.size} vs batch ${batch.length}")
+      batch.foreach { case (u, s0, s1, n, v) =>
+        val key = (u, s0, s1)
+        assert(streamed.contains(key), s"batch session $key missing from streaming output")
+        val (sn, sv) = streamed(key)
+        assert(sn == n, s"event count mismatch for session $key: $sn vs $n")
+        assert(math.abs(sv - v) < 1e-6, s"value mismatch for session $key: $sv vs $v")
+      }
+    } finally q.stop()
+  }
+}
