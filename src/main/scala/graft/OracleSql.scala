@@ -162,6 +162,27 @@ object OracleSql {
         |SELECT doc_id, item_name, currency, price_display, restaurant_name
         |FROM expected ORDER BY doc_id, item_name""".stripMargin,
 
+    // Expected variant-parse explosion reconstructed directly from the
+    // deterministic construction (partkey mod 5 picks the rule branch).
+    "q42_variant_parse" ->
+      """WITH m AS (SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS c, p_partkey % 5 AS md FROM part),
+        |v AS (SELECT *, CAST(floor(c/2) AS BIGINT) AS ch, CAST(floor(c*8/10) AS BIGINT) AS cs, CAST(floor(c*12/10) AS BIGINT) AS cl FROM m),
+        |expected AS (
+        |  SELECT p_partkey AS doc_id, p_name || ' A' AS item_name, CAST(ch AS DOUBLE)/100.0 AS price,
+        |    CAST(NULL AS DOUBLE) AS half_plate_price, CAST(NULL AS DOUBLE) AS full_plate_price,
+        |    CAST(NULL AS DOUBLE) AS small_price, CAST(NULL AS DOUBLE) AS medium_price, CAST(NULL AS DOUBLE) AS large_price,
+        |    CAST(NULL AS VARCHAR) AS price_display_hint FROM v WHERE md = 0
+        |  UNION ALL SELECT p_partkey, p_name || ' B', CAST(c AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 0
+        |  UNION ALL SELECT p_partkey, p_name || ' C', CAST(cl AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 0
+        |  UNION ALL SELECT p_partkey, p_name, NULL, NULL, NULL,
+        |    CAST(cs AS DOUBLE)/100.0, CAST(c AS DOUBLE)/100.0, CAST(cl AS DOUBLE)/100.0, NULL FROM v WHERE md = 1
+        |  UNION ALL SELECT p_partkey, p_name, NULL,
+        |    CAST(ch AS DOUBLE)/100.0, CAST(c AS DOUBLE)/100.0, NULL, NULL, NULL, NULL FROM v WHERE md = 2
+        |  UNION ALL SELECT p_partkey, p_name, NULL, NULL, NULL, NULL, NULL, NULL, 'MP' FROM v WHERE md = 3
+        |  UNION ALL SELECT p_partkey, p_name, CAST(ch AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 4)
+        |SELECT doc_id, item_name, price, half_plate_price, full_plate_price, small_price, medium_price, large_price, price_display_hint
+        |FROM expected ORDER BY doc_id, item_name""".stripMargin,
+
     "q07_summary" ->
       s"""WITH $menuCte,
          |$parseCte,

@@ -172,6 +172,36 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id"), col("item_name")))
   }
 
+  /** A6c — the "BetterVersion" variant/price parse rules
+    * (BetterVersion/prompt_template.py DECISION RULES) as a
+    * deterministic exploding parser: slash-separated name/price lists
+    * map index-to-index, one name + 3 prices → S/M/L, + 2 prices →
+    * half/full, "Market Price" → MP hint, ranges take the lower
+    * bound. Synthesized from `part` (partkey mod 5 picks the rule);
+    * the oracle reconstructs the expected explosion directly from the
+    * construction.
+    */
+  private def q42VariantParse(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    def fmt(c: Column): Column =
+      format_string("%d.%02d", floor(c / 100).cast("long"), pmod(c, lit(100)))
+    val c = cents(col("p_retailprice"))
+    val ch = floor(c / 2).cast("long")
+    val cs = floor(c * 8 / 10).cast("long")
+    val cl = floor(c * 12 / 10).cast("long")
+    val m = pmod(col("p_partkey"), lit(5))
+    val line =
+      when(m === 0, concat(col("p_name"), lit(" A / "), col("p_name"), lit(" B / "),
+        col("p_name"), lit(" C .... "), fmt(ch), lit("/"), fmt(c), lit("/"), fmt(cl)))
+      .when(m === 1, concat(col("p_name"), lit(" .... "), fmt(cs), lit("/"), fmt(c), lit("/"), fmt(cl)))
+      .when(m === 2, concat(col("p_name"), lit(" .... "), fmt(ch), lit("/"), fmt(c)))
+      .when(m === 3, concat(col("p_name"), lit(" .... Market Price")))
+      .otherwise(concat(col("p_name"), lit(" .... "), fmt(ch), lit("-"), fmt(c)))
+    graft.etl.VariantParser.parseVariants(
+      p.select(col("p_partkey").as("doc_id"), line.as("line")))
+      .transform(sorted1(_, col("doc_id"), col("item_name")))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -724,6 +754,7 @@ object SparkEntry {
     "q05_validate" -> (q05Validate _),
     "q06_price_display" -> (q06PriceDisplay _),
     "q41_detected_currency" -> (q41DetectedCurrency _),
+    "q42_variant_parse" -> (q42VariantParse _),
     "q07_summary" -> (q07Summary _),
     "q08_batch_manifest" -> (q08BatchManifest _),
     "q10_agg" -> (q10Agg _),

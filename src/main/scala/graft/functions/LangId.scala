@@ -34,15 +34,19 @@ object LangId {
     wordHits * 3 + gramHits
   }
 
-  private def best(toks: Column, bigrams: Column): Column = {
-    val scored = Profiles.map { case (lang, words, grams) =>
-      struct(score(toks, bigrams, words, grams).as("score"), lit(lang).as("lang"))
-    }
-    // array_max on struct: lexicographic (score, lang) — deterministic
-    // tiebreak by language code.
-    val b = array_max(array(scored: _*))
-    struct(b.getField("lang").as("lang"), b.getField("score").as("score"))
-  }
+  private def best(toks: Column, bigrams: Column): Column =
+    // bind (toks, bigrams) once so even raw-expression callers pay one
+    // tokenize/shingle pass, not one per language profile
+    element_at(transform(array(struct(toks.as("t"), bigrams.as("b"))), tb => {
+      val scored = Profiles.map { case (lang, words, grams) =>
+        struct(score(tb.getField("t"), tb.getField("b"), words, grams).as("score"),
+          lit(lang).as("lang"))
+      }
+      // array_max on struct: lexicographic (score, lang) — deterministic
+      // tiebreak by language code.
+      val b = array_max(array(scored: _*))
+      struct(b.getField("lang").as("lang"), b.getField("score").as("score"))
+    }), 1)
 
   /** Struct column (lang, score): argmax over language profiles.
     * Convenience form — for corpus passes use `detected(df, textCol)`,

@@ -108,19 +108,34 @@ object TextFunctions {
   def charShingles(text: Column, n: Int): Column =
     charShinglesOfNorm(normalized(text), n)
 
-  /** Shingles of a pre-normalized (ideally materialized) column. */
-  def charShinglesOfNorm(norm: Column, n: Int): Column = {
-    val cnt = length(norm) - (n - 1)
-    array_distinct(transform(safeSeq(cnt), i => norm.substr(i, lit(n))))
-  }
+  /** Bind an expression ONCE as a lambda variable before referencing
+    * it inside nested higher-order lambdas: a plain expression used
+    * inside a lambda body is re-evaluated per element (subexpression
+    * elimination does not reach into higher-order functions), which
+    * turns an O(len) pass into O(len²) when the bound value is itself
+    * O(len) to compute.
+    */
+  private def bound(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
+  /** Shingles of a pre-normalized column. The norm is bound once, so
+    * this is safe to call with a raw expression too (it still costs
+    * one extra normalization vs a materialized column — prefer
+    * materializing in corpus passes).
+    */
+  def charShinglesOfNorm(norm: Column, n: Int): Column =
+    bound(norm) { nm =>
+      val cnt = length(nm) - (n - 1)
+      array_distinct(transform(safeSeq(cnt), i => nm.substr(i, lit(n))))
+    }
 
   /** Word n-grams (token shingles). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    val cnt = size(toks) - (n - 1)
-    array_distinct(transform(safeSeq(cnt),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    bound(tokens(lower(text))) { toks =>
+      val cnt = size(toks) - (n - 1)
+      array_distinct(transform(safeSeq(cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
 
   /** Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {

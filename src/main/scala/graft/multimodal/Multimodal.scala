@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media (image/audio/video) travels as
@@ -54,6 +54,25 @@ object Multimodal {
     when(ext === "pdf", "pdf_extractor")
       .when(ext.isin("jpg", "jpeg", "png", "bmp", "tiff", "tif"), "image_extractor")
       .otherwise("unsupported")
+  }
+
+  /** Three-tier extraction-METHOD routing, the "BetterVersion" shape
+    * (reference: BetterVersion/pdf_extractor.py:50 — rich text stays
+    * "text", low-text documents fall back to the Azure
+    * document-intelligence service, i.e. a VISION OCR tier
+    * (BetterVersion/azure_ocr_extractor.py); mainline's plain "ocr"
+    * remains for low-text non-image payloads). Pure column logic: the
+    * magic-byte sniff runs on the binary payload prefix, so routing is
+    * map-side and never decodes anything.
+    */
+  def routeExtractionMethod(nChars: Column, payload: Column,
+                            lowTextThreshold: Int = 100): Column = {
+    val magic = upper(hex(substring(payload, 1, 4)))
+    val isImage = magic.startsWith("89504E47") || magic.startsWith("FFD8") ||
+      magic.startsWith("474946") || magic.startsWith("424D")
+    when(nChars >= lowTextThreshold, "text")
+      .when(isImage, "vision")
+      .otherwise("ocr")
   }
 
   /** Magic-byte format sniff for the image formats the JDK decodes. */

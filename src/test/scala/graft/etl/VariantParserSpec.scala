@@ -1,0 +1,59 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** The prompt_template.py DECISION RULES examples, verified verbatim
+  * against the deterministic re-expression.
+  */
+class VariantParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val out = VariantParser.parseVariants(Seq(
+    (1L, "Tamatar / Palak / Murgh Yakhni    385/385/465"),
+    (2L, "Margherita Pizza 250/350/450"),
+    (3L, "Soup 19/35"),
+    (4L, "Paneer Tikka .... Market Price"),
+    (5L, "Biryani 100-150"),
+    (6L, "Plain Dosa .... 75.50")
+  ).toDF("doc_id", "line")).collect()
+
+  private def rows(doc: Long) = out.filter(_.getAs[Long]("doc_id") == doc)
+
+  test("slash-separated names map index-to-index onto slash-separated prices") {
+    val r = rows(1L).map(r => r.getAs[String]("item_name") -> r.getAs[Double]("price")).toMap
+    assert(r == Map("Tamatar" -> 385.0, "Palak" -> 385.0, "Murgh Yakhni" -> 465.0))
+  }
+
+  test("one name + three prices become Small/Medium/Large variants") {
+    val r = rows(2L)
+    assert(r.length == 1 && r.head.getAs[String]("item_name") == "Margherita Pizza")
+    assert(r.head.getAs[Double]("small_price") == 250.0)
+    assert(r.head.getAs[Double]("medium_price") == 350.0)
+    assert(r.head.getAs[Double]("large_price") == 450.0)
+    assert(r.head.isNullAt(r.head.fieldIndex("price")))
+  }
+
+  test("one name + two prices become Half/Full plate prices") {
+    val r = rows(3L).head
+    assert(r.getAs[String]("item_name") == "Soup")
+    assert(r.getAs[Double]("half_plate_price") == 19.0)
+    assert(r.getAs[Double]("full_plate_price") == 35.0)
+  }
+
+  test("Market Price yields a null price with the MP display hint") {
+    val r = rows(4L).head
+    assert(r.getAs[String]("item_name") == "Paneer Tikka")
+    assert(r.isNullAt(r.fieldIndex("price")))
+    assert(r.getAs[String]("price_display_hint") == "MP")
+  }
+
+  test("a price range takes the lower bound") {
+    val r = rows(5L).head
+    assert(r.getAs[String]("item_name") == "Biryani" && r.getAs[Double]("price") == 100.0)
+  }
+
+  test("plain single price still parses") {
+    val r = rows(6L).head
+    assert(r.getAs[String]("item_name") == "Plain Dosa" && r.getAs[Double]("price") == 75.5)
+  }
+}

@@ -45,6 +45,25 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(12L).width >= 64 && meta(12L).ocr_text == "not an image")
   }
 
+  test("three-tier method routing: text / vision (image payload) / ocr") {
+    val png = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val d = Seq(
+      (1L, 500L, "long rich text".getBytes("UTF-8")),   // rich text → text
+      (2L, 20L, png),                                   // low text + image → vision
+      (3L, 20L, "short".getBytes("UTF-8"))              // low text, no image → ocr
+    ).toDF("doc_id", "n_chars", "payload")
+    val routed = d.select(col("doc_id"),
+      Multimodal.routeExtractionMethod(col("n_chars"), col("payload")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(routed(1L) == "text" && routed(2L) == "vision" && routed(3L) == "ocr")
+  }
+
   test("extension routing mirrors the reference extractor map") {
     val r = Seq("a.pdf", "b.JPG", "c.png", "d.txt").toDF("path")
       .select(col("path"), Multimodal.routeByExtension("path").as("route"))
