@@ -381,6 +381,26 @@ object OracleSql {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM c)
          |SELECT query_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    // Near-dup groups over the q39 edge set: on (even, even+1) edges a
+    // component is a singleton or a pair, so group_id = the edge's
+    // id_a for matched odd docs, else the doc itself. The Spark side
+    // runs the general connected-components fixpoint; the shingle-hash
+    // Jaccard edges are mirrored bit-for-bit as in q39.
+    "q43_dedup_groups" ->
+      s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> ${shingleHash("substring(t, CAST(i AS BIGINT), 3)")})) AS sh FROM n),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0),
+         |j AS (SELECT id_a, id_b,
+         |  CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 0.0
+         |       ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) END AS jaccard
+         |FROM p),
+         |e AS (SELECT id_a, id_b FROM j WHERE jaccard >= CAST(0.1 AS DOUBLE))
+         |SELECT d.doc_id, coalesce(e.id_a, d.doc_id) AS group_id,
+         |  d.doc_id = coalesce(e.id_a, d.doc_id) AS is_keeper
+         |FROM documents d LEFT JOIN e ON d.doc_id = e.id_b
+         |ORDER BY d.doc_id""".stripMargin,
+
     // The IVF scoring tier on deterministic probe routing (bucket =
     // vec_id % 8, probes = qid..qid+2 mod 8): bucket join + cosine
     // ranking mirrored with the same left-fold dot product as q28.

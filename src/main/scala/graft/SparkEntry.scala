@@ -551,6 +551,30 @@ object SparkEntry {
       .transform(sorted1(_, col("id_a")))
   }
 
+  /** C6c — near-dup GROUPING: the general connected-components
+    * operator (graft.dedup.ConnectedComponents — iterative min-label
+    * propagation) over a deterministic edge set (the q39 successor
+    * pairs at jaccard ≥ 0.1), so pair emitters become dedup groups
+    * with one keeper per component. The oracle reconstructs the same
+    * components in DuckDB from the bit-for-bit shingle-hash Jaccard
+    * mirror (on this edge shape a component is a doc or an
+    * (even, even+1) pair, so the SQL twin needs no recursion — the
+    * Spark side still runs the general fixpoint loop).
+    */
+  private def q43DedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bases = MinHashLsh.signatures(d, "doc_id", "text", MinHashLsh.Config())
+      .select(col("doc_id"), col("_bases"))
+    val pairs = d.select(col("doc_id").as("id_a"))
+      .filter(pmod(col("id_a"), lit(2)) === 0)
+      .join(d.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+    val edges = MinHashLsh.verifyPairs(pairs, bases)
+      .filter(col("jaccard") >= 0.1)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.ConnectedComponents.groups(d, edges)
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C7 — SimHash fingerprints + Hamming to successor. Oracle-checked:
     * the fingerprint is deterministic integer math (FNV-1a per token,
     * bit votes, sign bits), which the DuckDB twin reproduces exactly
@@ -778,6 +802,7 @@ object SparkEntry {
     "q24_ngram_jaccard" -> (q24NgramJaccard _),
     "q25_minhash_lsh" -> (q25MinhashLsh _),
     "q39_minhash_verify" -> (q39MinhashVerify _),
+    "q43_dedup_groups" -> (q43DedupGroups _),
     "q26_simhash" -> (q26Simhash _),
     "q27_embed_neardup" -> (q27EmbedNeardup _),
     "q28_ann_topk" -> (q28AnnTopk _),

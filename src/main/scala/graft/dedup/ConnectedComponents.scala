@@ -1,0 +1,75 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the missing
+  * half of near-duplicate detection: pair emitters (MinHash LSH,
+  * SimHash, embedding cosine) produce EDGES, but dedup needs GROUPS
+  * (one keeper per component of the similarity graph).
+  *
+  * Algorithm: iterative minimum-label propagation. Every node starts
+  * labeled with its own id; each round every node takes the min of its
+  * label and its neighbors' labels; fixpoint after O(diameter) rounds.
+  * Each round is one shuffle (edge→label join + groupBy min) — the
+  * round count is data-diameter-bounded, not data-size-bounded, and
+  * near-dup similarity graphs are overwhelmingly tiny star/clique
+  * components (diameter ≤ ~3), so 100 TB corpora converge in a
+  * handful of rounds. For adversarial long-chain graphs the classic
+  * fix is the large-star/small-star contraction (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond") which squares the
+  * convergence rate; the propagation loop here keeps the same join
+  * shape, so swapping the step is local.
+  *
+  * Driver involvement is one `count()` per round (convergence test) —
+  * O(rounds) actions, never a data collect. Lineage is truncated with
+  * `localCheckpoint` so round N's plan does not replay rounds 1..N-1.
+  */
+object ConnectedComponents {
+
+  /** (id, comp) for every node appearing in `edges`; comp = min node
+    * id in the node's component. Nodes not in any edge are the
+    * caller's to union in as singletons (edge lists don't know them).
+    */
+  def components(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                 maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("_nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("comp"),
+          (col("_nbr") < col("comp")).as("_chg"))
+        .localCheckpoint() // materializes the round; truncates lineage
+      converged = stepped.filter(col("_chg")).isEmpty
+      labels = stepped.drop("_chg")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup grouping: every doc mapped to its near-dup group id (the
+    * min doc id of its similarity component; singletons map to
+    * themselves) with the keeper flagged. `pairs`: (idA, idB) edges
+    * from any near-dup pair emitter.
+    */
+  def groups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+             idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val comp = components(pairs, idACol, idBCol)
+    docs.select(col(idCol))
+      .join(comp, col(idCol) === col("id"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("group_id"))
+      .withColumn("is_keeper", col(idCol) === col("group_id"))
+  }
+}
