@@ -307,6 +307,16 @@ object OracleSql {
         |  count(*) AS n_events, CAST(sum(vc) AS DOUBLE)/100.0 AS total_value
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q45_range_join" ->
+      """WITH w AS (SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+        |  1704067200000000 + CAST(n_nationkey AS BIGINT) * 97200000000 AS start_us,
+        |  1704067200000000 + CAST(n_nationkey AS BIGINT) * 97200000000 + 129600000000 AS end_us
+        | FROM nation),
+        |e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT e.event_id, w.window_id, e.ts_us
+        |FROM e JOIN w ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
+        |ORDER BY e.event_id, w.window_id""".stripMargin,
+
     "q36_pivot" ->
       """SELECT c_mktsegment,
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
@@ -459,6 +469,21 @@ object OracleSql {
         |SELECT lang, count(DISTINCT tok) AS exact_distinct,
         |  CAST(abs(approx_count_distinct(tok) - count(DISTINCT tok)) AS DOUBLE) <= CAST(count(DISTINCT tok) AS DOUBLE) * 0.1 AS approx_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Deterministic hash split: fold the first 8 hex chars of md5 to
+    // the same 32-bit bucket Spark's conv(substring(md5,1,8),16,10)
+    // produces, then the same CASE thresholds.
+    "q44_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |    (a, v) -> a * 16 + v) % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // MinHash verification tier on the fixed successor-pair candidate
     // set: jaccard over hashed shingle sets, shingle hashing mirrored

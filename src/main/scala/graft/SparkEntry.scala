@@ -409,6 +409,30 @@ object SparkEntry {
       .transform(sorted1(_, col("event_id")))
   }
 
+  /** B16 — bucketed RANGE JOIN (point-in-interval): each event joins
+    * every overlapping promo window. 25 deterministic 36-hour windows
+    * spaced 27 hours apart (so consecutive windows overlap 9 hours
+    * and some events match two). graft.operators.RangeJoin buckets
+    * the time axis so the join is hash-keyed — never a nested-loop —
+    * while DuckDB oracles the same result with a plain inequality
+    * join.
+    */
+  private def q45RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val epoch0 = 1704067200000000L // 2024-01-01T00:00:00Z µs
+    val spacing = 27L * 3600 * 1000000
+    val width = 36L * 3600 * 1000000
+    val windows = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("window_id"),
+      (lit(epoch0) + col("n_nationkey").cast("long") * spacing).as("start_us"),
+      (lit(epoch0) + col("n_nationkey").cast("long") * spacing + width).as("end_us"))
+    val points = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.operators.RangeJoin.pointInInterval(points, windows,
+      "ts_us", "start_us", "end_us", bucketWidth = 6L * 3600 * 1000000)
+      .select(col("event_id"), col("window_id"), col("ts_us"))
+      .transform(sorted1(_, col("event_id"), col("window_id")))
+  }
+
   /** B13 — batch sessionization (gaps-and-islands): the oracle-checked
     * twin of the streaming flatMapGroupsWithState sessionizer — a
     * 30-minute inactivity gap starts a new session. lag + running sum
@@ -747,6 +771,21 @@ object SparkEntry {
       .orderBy("lang", "rk")
   }
 
+  /** C17 — deterministic hash-split (train/val/test): membership is a
+    * pure function of the doc key (md5 bucket), so splits are
+    * reproducible across runs, engines, partitionings and incremental
+    * loads — unlike rand()-based sample(), whose output changes with
+    * partitioning. Fully oracle-checked per doc (DuckDB folds the same
+    * 8 hex chars of md5 to the same bucket).
+    */
+  private def q44HashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"),
+      graft.functions.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
+      .transform(sorted1(_, col("doc_id")))
+
   /** C16 — cardinality sketch: HLL++ (approx_count_distinct) next to
     * the exact count per language. The exact side is oracle-checked
     * directly; the sketch side is oracle-checked as the ASSERTION
@@ -794,6 +833,7 @@ object SparkEntry {
     "q31_asof_join" -> (q31Asof _),
     "q32_topk_native" -> (q32TopkNative _),
     "q35_sessionize" -> (q35Sessionize _),
+    "q45_range_join" -> (q45RangeJoin _),
     "q36_pivot" -> (q36Pivot _),
     "q20_token_count" -> (q20TokenCount _),
     "q21_quality" -> (q21Quality _),
@@ -812,7 +852,8 @@ object SparkEntry {
     "q33_embed_lsh" -> (q33EmbedLsh _),
     "q34_heavy_hitters" -> (q34HeavyHitters _),
     "q37_tfidf" -> (q37Tfidf _),
-    "q38_approx_distinct" -> (q38ApproxDistinct _))
+    "q38_approx_distinct" -> (q38ApproxDistinct _),
+    "q44_hash_split" -> (q44HashSplit _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
