@@ -76,6 +76,16 @@ object SparkEntry {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
       .transform(sorted1(_, col("doc_id"), col("chunk_idx")))
 
+  /** The `part` parquet is ONE small file → one input split, which
+    * would run every downstream regex-heavy map stage on a single
+    * core. Fan the synthesized docs out across the cluster first: the
+    * shuffle moves a few MB once; the map work then uses every core —
+    * the same reason a real 100 TB corpus (thousands of splits) never
+    * hits this, and small-dim-driven synthesis does.
+    */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Menu-line corpus synthesized from `part` (cents-exact formatting
     * so the DuckDB twin builds byte-identical lines).
     */
@@ -88,13 +98,13 @@ object SparkEntry {
     val cs = floor(c * 8 / 10).cast("long")
     val cl = floor(c * 12 / 10).cast("long")
     val m = pmod(col("p_partkey"), lit(3))
-    p.select(
+    fanOut(s, p.select(
       col("p_partkey").as("doc_id"),
       lit(0L).as("line_no"),
       when(m === 0, concat(col("p_name"), lit(" .... Half: $"), fmt(ch), lit(" Full: $"), fmt(c)))
         .when(m === 1, concat(col("p_name"), lit(" .... $"), fmt(c)))
         .otherwise(concat(col("p_name"), lit(" .... Small: $"), fmt(cs),
-          lit(" Medium: $"), fmt(c), lit(" Large: $"), fmt(cl))).as("line"))
+          lit(" Medium: $"), fmt(c), lit(" Large: $"), fmt(cl))).as("line")))
   }
 
   /** A4 — structured parse of menu lines into the MenuItem schema. */
@@ -160,12 +170,12 @@ object SparkEntry {
     val ch = floor(c / 2).cast("long")
     val m = pmod(col("p_partkey"), lit(3))
     val sym = when(m === 0, "$").when(m === 1, "₹").otherwise("€")
-    val docs = p.select(
+    val docs = fanOut(s, p.select(
       col("p_partkey").as("doc_id"),
       concat(lit("menu_"), col("p_partkey")).as("source"),
       concat(
         col("p_name"), lit(" .... "), sym, fmt(c), lit("\n"),
-        col("p_name"), lit(" II .... Half: "), fmt(ch), lit(" Full: "), fmt(c)).as("text"))
+        col("p_name"), lit(" II .... Half: "), fmt(ch), lit(" Full: "), fmt(c)).as("text")))
     graft.etl.MenuPipeline.run(docs).items
       .select(col("doc_id"), col("item_name"), col("currency"),
         col("price_display"), col("restaurant_name"))
@@ -198,7 +208,7 @@ object SparkEntry {
       .when(m === 3, concat(col("p_name"), lit(" .... Market Price")))
       .otherwise(concat(col("p_name"), lit(" .... "), fmt(ch), lit("-"), fmt(c)))
     graft.etl.VariantParser.parseVariants(
-      p.select(col("p_partkey").as("doc_id"), line.as("line")))
+      fanOut(s, p.select(col("p_partkey").as("doc_id"), line.as("line"))))
       .transform(sorted1(_, col("doc_id"), col("item_name")))
   }
 

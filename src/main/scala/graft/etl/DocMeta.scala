@@ -40,16 +40,24 @@ object DocMeta {
     * engine's realization of the reference's LLM-reported
     * `detected_currency`: deterministic, and computed per document
     * BEFORE line explode so it is one map-side expression.
+    *
+    * The count array is bound once as a lambda variable before the
+    * argmax — a `when`-chain fold over the raw count expressions would
+    * re-inline (and re-split the text for) every count O(symbols)
+    * times per row, which profiling showed dominating the whole menu
+    * pipeline at sf0.1.
     */
   def detectedCurrency(text: Column): Column = {
-    val counts = CurrencySymbols.map { s =>
-      (s, size(split(text, java.util.regex.Pattern.quote(s), -1)) - lit(1))
-    }
-    val (bestSym, _) = counts.tail.foldLeft((lit(counts.head._1), counts.head._2)) {
-      case ((bs, bc), (s, c)) =>
-        (when(c > bc, lit(s)).otherwise(bs), when(c > bc, c).otherwise(bc))
-    }
-    val total = counts.map(_._2).reduce(_ + _)
-    when(total > 0, bestSym)
+    val counts = array(CurrencySymbols.map { s =>
+      size(split(text, java.util.regex.Pattern.quote(s), -1)) - lit(1)
+    }: _*)
+    element_at(transform(array(counts), cnts => {
+      // argmax via struct max: (count, -index) orders ties toward the
+      // earlier symbol; map the winning index back to its symbol.
+      val best = array_max(transform(sequence(lit(0), lit(CurrencySymbols.length - 1)),
+        i => struct(element_at(cnts, i + 1).as("c"), (-i).as("ni"))))
+      when(best.getField("c") > 0,
+        element_at(typedLit(CurrencySymbols), -best.getField("ni") + 1))
+    }), 1)
   }
 }
