@@ -484,14 +484,14 @@ object SparkEntry {
 
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
   private def q19DedupExact(s: SparkSession, dir: String): DataFrame =
-    ExactDedup.groups(Tables.documents(s, dir), "doc_id", "text")
+    ExactDedup.groups(fanOut(s, Tables.documents(s, dir)), "doc_id", "text")
       .orderBy("keeper_id")
 
   // ---- C. training-data operators ---------------------------------------
 
   /** C1 — token counting (whitespace + BPE-ish regex). */
   private def q20TokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    fanOut(s, Tables.documents(s, dir)).select(
       col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
       TextFunctions.regexTokenCount(col("text")).cast("long").as("n_re"))
@@ -503,7 +503,7 @@ object SparkEntry {
     * tokenization inside the composite.
     */
   private def q21Quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fanOut(s, Tables.documents(s, dir))
       .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))
       .withColumn("mean_tok", TextFunctions.meanTokenLen(col("text")))
       .withColumn("punct_ratio", TextFunctions.punctRatio(col("text")))
@@ -520,7 +520,7 @@ object SparkEntry {
 
   /** C3 — document fingerprints (md5 + modular rolling hash). */
   private def q22Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fanOut(s, Tables.documents(s, dir))
       .withColumn("_norm", TextFunctions.normalized(col("text")))
       .select(
         col("doc_id"),
@@ -532,7 +532,7 @@ object SparkEntry {
     * portably SQL-expressible).
     */
   private def q23LangId(s: SparkSession, dir: String): DataFrame =
-    LangId.detected(Tables.documents(s, dir), "text").select(
+    LangId.detected(fanOut(s, Tables.documents(s, dir)), "text").select(
       col("doc_id"), col("lang").as("declared_lang"),
       col("lang_detect.lang").as("predicted_lang"),
       col("lang_detect.score").cast("long").as("score"))
@@ -540,7 +540,7 @@ object SparkEntry {
 
   /** C5 — n-gram Jaccard on deterministic candidate pairs. */
   private def q24NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fanOut(s, Tables.documents(s, dir))
       .withColumn("_norm", TextFunctions.normalized(col("text")))
       .withColumn("_sh", TextFunctions.charShinglesOfNorm(col("_norm"), 3))
     val a = d.select(col("doc_id").as("id_a"), col("_sh").as("sh_a"))
@@ -561,7 +561,7 @@ object SparkEntry {
     * the hash-dependent LSH candidate generation stays rows-only.)
     */
   private def q25MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+    MinHashLsh.nearDuplicates(fanOut(s, Tables.documents(s, dir)), "doc_id", "text",
       threshold = 0.5)
 
   /** C6b — the MinHash VERIFICATION tier on a fixed, deterministic
@@ -574,7 +574,7 @@ object SparkEntry {
     * equals jaccard-over-shingles on this corpus.
     */
   private def q39MinhashVerify(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fanOut(s, Tables.documents(s, dir))
     val bases = MinHashLsh.signatures(d, "doc_id", "text", MinHashLsh.Config())
       .select(col("doc_id"), col("_bases"))
     val pairs = d.select(col("doc_id").as("id_a"))
@@ -596,7 +596,7 @@ object SparkEntry {
     * Spark side still runs the general fixpoint loop).
     */
   private def q43DedupGroups(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fanOut(s, Tables.documents(s, dir))
     val bases = MinHashLsh.signatures(d, "doc_id", "text", MinHashLsh.Config())
       .select(col("doc_id"), col("_bases"))
     val pairs = d.select(col("doc_id").as("id_a"))
@@ -622,7 +622,7 @@ object SparkEntry {
     // Those agree exactly on printable ASCII + \t\n\v\f\r — assert
     // that character set LOUDLY so a future non-ASCII corpus raises
     // here instead of hash-mismatching mysteriously.
-    val docs = Tables.documents(s, dir).filter(
+    val docs = fanOut(s, Tables.documents(s, dir)).filter(
       when(col("text").rlike("[^\\x09-\\x0D\\x20-\\x7E]"),
         raise_error(concat(lit("non-ASCII/control text in doc_id="), col("doc_id"),
           lit(" — the SimHash DuckDB oracle mirror is ASCII-only"))).cast("boolean"))
@@ -638,12 +638,12 @@ object SparkEntry {
 
   /** C8 — embedding-cosine near-dup within coarse buckets. */
   private def q27EmbedNeardup(s: SparkSession, dir: String): DataFrame =
-    CosineTopK.bucketedNearDup(Tables.embeddings(s, dir), dim = 64, threshold = 0.4)
+    CosineTopK.bucketedNearDup(fanOut(s, Tables.embeddings(s, dir)), dim = 64, threshold = 0.4)
       .transform(sorted1(_, col("id_a"), col("id_b")))
 
   /** C9 — brute-force cosine top-k (exact ANN baseline). */
   private def q28AnnTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = fanOut(s, Tables.embeddings(s, dir))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding"))
     CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
@@ -670,7 +670,7 @@ object SparkEntry {
     * q40_ivf_scoring).
     */
   private def q29AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = fanOut(s, Tables.embeddings(s, dir))
     val model = ivfModel(s, dir)
     val assigned = IvfIndex.assign(e, model)
     val q = e.filter(col("vec_id") < 8)
@@ -691,7 +691,7 @@ object SparkEntry {
     * q25/q39 MinHash split).
     */
   private def q40IvfScoring(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = fanOut(s, Tables.embeddings(s, dir))
     val assigned = e.withColumn("cid", pmod(col("vec_id"), lit(8)).cast("int"))
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("_qvec"))
@@ -726,7 +726,7 @@ object SparkEntry {
     * engines (measured: ~6% of rows) — it is spec-asserted instead.
     */
   private def q37Tfidf(s: SparkSession, dir: String): DataFrame =
-    graft.functions.TfIdf.compute(Tables.documents(s, dir))
+    graft.functions.TfIdf.compute(fanOut(s, Tables.documents(s, dir)))
       .filter(col("doc_id") < 25)
       .select(col("doc_id"), col("token"), col("n_term"), col("df"), col("tf"))
       .transform(sorted1(_, col("doc_id"), col("token")))
@@ -736,7 +736,7 @@ object SparkEntry {
     */
   private def q33EmbedLsh(s: SparkSession, dir: String): DataFrame =
     graft.similarity.RandomProjectionLsh.nearDuplicates(
-      Tables.embeddings(s, dir), dim = 64, threshold = 0.4, nBits = 8)
+      fanOut(s, Tables.embeddings(s, dir)), dim = 64, threshold = 0.4, nBits = 8)
 
   /** C14 — heavy hitters as the classic TWO-PHASE EXACT plan: a
     * Misra-Gries sketch pass (k=32, O(k) buffer per group — see
@@ -750,7 +750,7 @@ object SparkEntry {
     */
   private def q34HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HeavyHitters.register(s)
-    val toks = Tables.documents(s, dir)
+    val toks = fanOut(s, Tables.documents(s, dir))
       .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
     val candidates = toks
       .groupBy("lang")
@@ -807,7 +807,7 @@ object SparkEntry {
     * sketch is a fixed-size buffer per group.
     */
   private def q38ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fanOut(s, Tables.documents(s, dir))
       .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
       .groupBy("lang")
       .agg(
