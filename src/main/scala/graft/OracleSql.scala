@@ -317,6 +317,33 @@ object OracleSql {
         |FROM e JOIN w ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
         |ORDER BY e.event_id, w.window_id""".stripMargin,
 
+    // Exact interpolated percentiles over integer cents (identical
+    // rank = p*(n-1) linear interpolation in both engines); the
+    // sketch side as a 5%-bound assertion as in q38.
+    "q46_quantiles" ->
+      """WITH b AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  quantile_cont(pc, 0.25) AS p25,
+        |  quantile_cont(pc, 0.5) AS p50,
+        |  quantile_cont(pc, 0.9) AS p90,
+        |  quantile_cont(pc, 0.99) AS p99,
+        |  abs(CAST(approx_quantile(pc, 0.5) AS DOUBLE) - quantile_cont(pc, 0.5)) <= quantile_cont(pc, 0.5) * 0.05 AS approx_ok
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_window_suite" ->
+      """WITH f AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM f
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
     "q36_pivot" ->
       """SELECT c_mktsegment,
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1,

@@ -482,6 +482,51 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** B17 — quantiles: EXACT interpolated percentiles (hash-checked —
+    * both engines use rank = p·(n−1) linear interpolation over the
+    * same integer cents, so the doubles agree bit-for-bit) next to
+    * the t-digest/GK sketch (approx_percentile) as a 5%-bound
+    * assertion, mirroring q38's exact+sketch pattern. At 100 TB the
+    * exact percentile needs a per-group sort; the sketch is a
+    * fixed-size mergeable buffer.
+    */
+  private def q46Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("_pc", cents(col("o_totalprice")))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(_pc, 0.25)").as("p25"),
+        expr("percentile(_pc, 0.5)").as("p50"),
+        expr("percentile(_pc, 0.9)").as("p90"),
+        expr("percentile(_pc, 0.99)").as("p99"),
+        expr("approx_percentile(_pc, 0.5, 1000)").as("_ap50"))
+      .withColumn("approx_ok",
+        abs(col("_ap50") - col("p50")) <= col("p50") * 0.05)
+      .drop("_ap50")
+      .orderBy("o_orderpriority")
+
+  /** B18 — ranking-window suite: lag/lead/rank/dense_rank/ntile/
+    * percent_rank/cume_dist over a deterministic unique ordering —
+    * breadth coverage of the SQL window surface beyond q14's
+    * row_number. Filter BEFORE the window (mirrored in the oracle) to
+    * keep output oracle-sized; the window semantics are unaffected.
+    */
+  private def q47WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(97)) === 0)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
   private def q19DedupExact(s: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(fanOut(s, Tables.documents(s, dir)), "doc_id", "text")
@@ -844,6 +889,8 @@ object SparkEntry {
     "q32_topk_native" -> (q32TopkNative _),
     "q35_sessionize" -> (q35Sessionize _),
     "q45_range_join" -> (q45RangeJoin _),
+    "q46_quantiles" -> (q46Quantiles _),
+    "q47_window_suite" -> (q47WindowSuite _),
     "q36_pivot" -> (q36Pivot _),
     "q20_token_count" -> (q20TokenCount _),
     "q21_quality" -> (q21Quality _),

@@ -28,6 +28,30 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream INTERVAL JOIN: each click joins the same user's
+    * purchases landing within `maxDelay` after it. Both sides carry
+    * watermarks, and the join condition is equi-key + a bounded
+    * time range — exactly the shape Structured Streaming requires to
+    * bound join state (click state expires once the purchase-side
+    * watermark passes click.ts + maxDelay; purchase state
+    * symmetrically). Works identically on batch DataFrames, which the
+    * equivalence spec asserts against a plain inequality join.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark. */
   def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -56,6 +56,38 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join (AvailableNow) == batch inequality join") {
+    val ev = Tables.events(spark, sf())
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    ev.filter(col("event_type") === "click").write.parquet(s"$dir/clicks")
+    ev.filter(col("event_type") === "purchase").write.parquet(s"$dir/purchases")
+
+    val clickSchema = spark.read.parquet(s"$dir/clicks").schema
+    val q = EventStreams.clickPurchaseJoin(
+      spark.readStream.schema(clickSchema).parquet(s"$dir/clicks"),
+      spark.readStream.schema(clickSchema).parquet(s"$dir/purchases"))
+      .writeStream.format("memory").queryName("eq_ssj").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("eq_ssj")
+      .select($"click_id", $"user_id", col("purchase_ts"))
+      .as[(Long, Long, Timestamp)].collect().toSet
+
+    // batch twin: same join, no watermarks, plain inequality condition
+    val batch = EventStreams.clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .select($"click_id", $"user_id", col("purchase_ts"))
+      .as[(Long, Long, Timestamp)].collect().toSet
+
+    // an inner stream-stream join emits matches as both sides arrive;
+    // AvailableNow drains everything, so the sets must be identical
+    assert(batch.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} vs batch ${batch.size} matches")
+  }
+
   test("flatMapGroupsWithState sessionizer == oracle-checked q35 batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sf())
