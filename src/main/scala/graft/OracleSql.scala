@@ -497,6 +497,19 @@ object OracleSql {
         |  CAST(abs(approx_count_distinct(tok) - count(DISTINCT tok)) AS DOUBLE) <= CAST(count(DISTINCT tok) AS DOUBLE) * 0.1 AS approx_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // PII redaction mirrored stage by stage (URL → email → phone, each
+    // counted on the previous stage's redacted text), final text md5'd.
+    "q48_redact" ->
+      """WITH d AS (SELECT doc_id, text || ' Contact user' || doc_id || '@example.com or +1-555-01' || printf('%02d', doc_id % 100) || ' via https://ex.com/m/' || doc_id AS t FROM documents),
+        |r1 AS (SELECT doc_id, t, regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM d),
+        |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM r1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+
     // Deterministic hash split: fold the first 8 hex chars of md5 to
     // the same 32-bit bucket Spark's conv(substring(md5,1,8),16,10)
     // produces, then the same CASE thresholds.

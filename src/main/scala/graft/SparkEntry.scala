@@ -841,6 +841,25 @@ object SparkEntry {
       graft.functions.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C18 — PII scrubbing (safety filtering for training corpora):
+    * URL/email/phone redaction + per-kind match counts over documents
+    * with deterministically injected PII. Hash-checked END-TO-END: the
+    * oracle md5s the fully redacted text, so every byte of every
+    * replacement must agree across engines (patterns restricted to
+    * constructs Java regex and RE2 match identically).
+    */
+  private def q48Redact(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    val dirty = concat(col("text"),
+      lit(" Contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
+      format_string("%02d", pmod(col("doc_id"), lit(100))),
+      lit(" via https://ex.com/m/"), col("doc_id"))
+    d.select(col("doc_id") +:
+      (TextFunctions.piiCounts(dirty) :+
+        md5(TextFunctions.redactPii(dirty)).as("redacted_md5")): _*)
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C16 — cardinality sketch: HLL++ (approx_count_distinct) next to
     * the exact count per language. The exact side is oracle-checked
     * directly; the sketch side is oracle-checked as the ASSERTION
@@ -910,7 +929,8 @@ object SparkEntry {
     "q34_heavy_hitters" -> (q34HeavyHitters _),
     "q37_tfidf" -> (q37Tfidf _),
     "q38_approx_distinct" -> (q38ApproxDistinct _),
-    "q44_hash_split" -> (q44HashSplit _))
+    "q44_hash_split" -> (q44HashSplit _),
+    "q48_redact" -> (q48Redact _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

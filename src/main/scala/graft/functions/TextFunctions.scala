@@ -137,6 +137,36 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
     }
 
+  /** PII patterns for corpus scrubbing: URL first (so emails inside
+    * URLs vanish with the URL), then email, then phone. Patterns are
+    * deliberately restricted to constructs Java regex and RE2 match
+    * identically (character classes + greedy quantifiers, no
+    * backtracking-dependent forms) so redaction is engine-portable
+    * and auditable in SQL.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
+
+  /** Redacted text: every PII match replaced by its tag. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, re, tag)) => regexp_replace(t, re, tag) }
+
+  /** Per-kind PII match counts as (url, email, phone) columns.
+    * Counted in the same order redaction applies, on the
+    * progressively-redacted text, so counts and redaction agree
+    * (an email inside a URL counts as URL, not email).
+    */
+  def piiCounts(text: Column): Seq[Column] = {
+    val (cols, _) = PiiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, t), (name, re, tag)) =>
+        (acc :+ size(regexp_extract_all(t, lit(re), lit(0))).cast("long").as(s"n_$name"),
+          regexp_replace(t, re, tag))
+    }
+    cols
+  }
+
   /** Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

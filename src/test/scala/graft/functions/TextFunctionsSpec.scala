@@ -58,4 +58,15 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(String, String)].collect()
     det.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
   }
+
+  test("PII redaction: URL/email/phone replaced; nested email counts as URL") {
+    val t = "Write to bob.smith+x@mail.co or https://a.io/u?e=x@y.com call +1-555-0199 now"
+    val red = one[String](TextFunctions.redactPii(col("t")), t)
+    assert(red == "Write to <EMAIL> or <URL> call <PHONE> now")
+    val counts = Seq(t).toDF("t")
+      .select(TextFunctions.piiCounts(col("t")): _*).collect().head
+    assert(counts.getAs[Long]("n_url") == 1L)
+    assert(counts.getAs[Long]("n_email") == 1L) // the one inside the URL is gone
+    assert(counts.getAs[Long]("n_phone") == 1L)
+  }
 }
