@@ -49,6 +49,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!expr.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
   }
 
+  test("q45: range join plans as a hash join on the bucket key — never nested-loop/cartesian") {
+    val plan = formatted("q45_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a non-hash join:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin"), s"no join in:\n$plan")
+  }
+
+  test("q34: candidate semi-join is broadcast — the token exchange carries only candidates") {
+    val plan = formatted("q34_heavy_hitters")
+    assert(plan.contains("LeftSemi"), s"expected candidate semi-join in:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"candidates should broadcast:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"sketch aggregate missing:\n$plan")
+  }
+
+  test("q41: pipeline is window-free — one explode, no Window operator before the final sort") {
+    val plan = formatted("q41_detected_currency")
+    assert(plan.contains("Generate"), s"expected the line explode in:\n$plan")
+    // section propagation happens inside the per-doc array, not via a
+    // running-last window (which would shuffle by doc and break the
+    // streaming twin)
+    assert(!plan.contains("Window"), s"unexpected Window in the pipeline plan:\n$plan")
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
