@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("float_dot"),
       info("float_dot", "float_dot(a, b) - left-fold dot product of float arrays"),
       (es: Seq[Expression]) => FloatDotFold(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries heavy-hitter candidates (item, min_count)"),
+      (es: Seq[Expression]) => HeavyHittersSketch(es.head,
+        es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
   }
 }
 
@@ -52,5 +56,6 @@ object GraftExtensions {
     SimHash.register(spark)
     ShingleFunctions.register(spark)
     VectorExpressions.register(spark)
+    HeavyHitters.register(spark)
   }
 }
