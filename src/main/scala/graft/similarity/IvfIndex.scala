@@ -19,24 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Collected coarse quantizer. */
+  /** Collected coarse quantizer. Distance ranking uses the identity
+    * |a−c|² = |a|² − 2a·c + |c|²: |a|² is constant across centroids,
+    * so argmin/ordering needs only −2·dot(a,c) + |c|², with the dot
+    * through the native codegen FloatDotFold (one primitive loop) and
+    * |c|² a precomputed literal — replacing the per-centroid
+    * interpreted difference-fold, which allocated per element and
+    * dominated assignment time. Centroid components truncate to float
+    * to match the expression input; ranking is unchanged up to float
+    * noise on exact ties (and the quantizer is itself approximate).
+    */
   case class Model(dim: Int, centroids: Array[(Int, Array[Double])]) {
 
-    private def centArray: Column = array(centroids.map { case (cid, v) =>
-      struct(typedLit(v.toSeq).as("v"), lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-
-    private def distTo(vec: Column)(c: Column): Column =
-      struct(VectorFunctions.sqDist(vec, c.getField("v"), dim).as("d"),
-        c.getField("cid").as("cid"))
+    /** Per-centroid (rank-distance, cid) struct against `vec`. */
+    private def distStructs(vec: Column): Seq[Column] =
+      centroids.toIndexedSeq.map { case (cid, v) =>
+        val cf = v.map(_.toFloat)
+        val c2 = cf.map(x => x.toDouble * x.toDouble).sum
+        struct(
+          (lit(c2) - lit(2.0) * VectorFunctions.dotNative(vec, typedLit(cf.toSeq))).as("d"),
+          lit(cid).as("cid"))
+      }
 
     /** Nearest-centroid id for a vector column (map-only). */
     def assignExpr(vec: Column): Column =
-      array_min(transform(centArray, c => distTo(vec)(c))).getField("cid")
+      array_min(array(distStructs(vec): _*)).getField("cid")
 
     /** nprobe nearest centroid ids, ascending by distance (map-only). */
     def probeExpr(vec: Column, nprobe: Int): Column =
-      transform(slice(array_sort(transform(centArray, c => distTo(vec)(c))), 1, nprobe),
+      transform(slice(array_sort(array(distStructs(vec): _*)), 1, nprobe),
         s => s.getField("cid"))
   }
 
@@ -48,6 +59,7 @@ object IvfIndex {
   def trainCentroids(vectors: DataFrame, dim: Int, nCentroids: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      refinements: Int = 1): Model = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
     val comp = (1 to dim).map(i => avg(element_at(col(vecCol), i).cast("double")).as(s"_c$i"))
     val seeds = vectors
       .withColumn("cid", pmod(col(idCol), lit(nCentroids.toLong)).cast("int"))
@@ -72,8 +84,10 @@ object IvfIndex {
   }
 
   /** Corpus with a `cid` bucket column (map-only pass). */
-  def assign(vectors: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame =
+  def assign(vectors: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
     vectors.withColumn("cid", model.assignExpr(col(vecCol)))
+  }
 
   /** Probe search: explode each query to its nprobe bucket ids, join
     * the bucketed corpus on cid, exact-rank inside the probed buckets.
@@ -82,6 +96,7 @@ object IvfIndex {
              k: Int, nprobe: Int,
              qidCol: String = "query_id", idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val probes = queries
       .select(col(qidCol), col(vecCol).as("_qvec"))
       .withColumn("cid", explode(model.probeExpr(col("_qvec"), nprobe)))
