@@ -497,6 +497,22 @@ object OracleSql {
         |  CAST(abs(approx_count_distinct(tok) - count(DISTINCT tok)) AS DOUBLE) <= CAST(count(DISTINCT tok) AS DOUBLE) * 0.1 AS approx_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Fuzzy matching: identical classic levenshtein in both engines;
+    // corruption (drop one char at a partkey-derived position),
+    // prefix-2 blocking and the length-band prune mirrored exactly.
+    "q49_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 20 = 0),
+        |l AS (SELECT p_partkey AS id_l, p_name AS kl FROM p),
+        |r AS (SELECT p_partkey AS id_r,
+        |  substring(p_name, 1, CAST(p_partkey % (length(p_name) - 1) AS INTEGER)) ||
+        |  substring(p_name, CAST(p_partkey % (length(p_name) - 1) AS INTEGER) + 2) AS kr FROM p),
+        |lb AS (SELECT id_l, kl, substring(regexp_replace(lower(trim(kl)), '\s+', ' ', 'g'), 1, 2) AS blk FROM l),
+        |rb AS (SELECT id_r, kr, substring(regexp_replace(lower(trim(kr)), '\s+', ' ', 'g'), 1, 2) AS blk FROM r)
+        |SELECT id_l, id_r, CAST(levenshtein(kl, kr) AS BIGINT) AS distance
+        |FROM lb JOIN rb USING (blk)
+        |WHERE abs(length(kl) - length(kr)) <= 1 AND levenshtein(kl, kr) <= 1
+        |ORDER BY id_l, id_r""".stripMargin,
+
     // PII redaction mirrored stage by stage (URL → email → phone, each
     // counted on the previous stage's redacted text), final text md5'd.
     "q48_redact" ->

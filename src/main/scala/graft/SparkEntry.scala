@@ -841,6 +841,26 @@ object SparkEntry {
       graft.functions.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C19 — fuzzy (edit-distance) matching with prefix blocking: part
+    * names vs deterministically corrupted twins (one char dropped at
+    * a partkey-derived position). Both engines compute the identical
+    * classic levenshtein, and the corruption + blocking + length-band
+    * prune are mirrored exactly, so matched pairs and distances
+    * hash-check end-to-end. Corrupt names whose dropped char falls in
+    * the blocking prefix are missed BY BOTH engines identically —
+    * that recall tradeoff is the documented blocking semantics.
+    */
+  private def q49FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(pmod(col("p_partkey"), lit(20)) === 0)
+    val names = fanOut(s, p.select(col("p_partkey").as("id"), col("p_name").as("name")))
+    val corrupted = fanOut(s, p.select(
+      col("p_partkey").as("id"),
+      concat(expr("substring(p_name, 1, (p_partkey % (length(p_name) - 1)))"),
+        expr("substring(p_name, (p_partkey % (length(p_name) - 1)) + 2)")).as("name")))
+    graft.dedup.FuzzyMatch.fuzzyPairs(names, corrupted, maxDist = 1)
+      .transform(sorted1(_, col("id_l"), col("id_r")))
+  }
+
   /** C18 — PII scrubbing (safety filtering for training corpora):
     * URL/email/phone redaction + per-kind match counts over documents
     * with deterministically injected PII. Hash-checked END-TO-END: the
@@ -930,7 +950,8 @@ object SparkEntry {
     "q37_tfidf" -> (q37Tfidf _),
     "q38_approx_distinct" -> (q38ApproxDistinct _),
     "q44_hash_split" -> (q44HashSplit _),
-    "q48_redact" -> (q48Redact _))
+    "q48_redact" -> (q48Redact _),
+    "q49_fuzzy_match" -> (q49FuzzyMatch _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
