@@ -248,6 +248,26 @@ object OracleSql {
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q50_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+        |  count(DISTINCT l_quantity) AS l_quantity_distinct,
+        |  CAST(min(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_quantity_min,
+        |  CAST(max(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_quantity_max,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
+        |  count(DISTINCT l_extendedprice) AS l_extendedprice_distinct,
+        |  CAST(min(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_extendedprice_min,
+        |  CAST(max(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_extendedprice_max,
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_nulls,
+        |  count(DISTINCT l_discount) AS l_discount_distinct,
+        |  CAST(min(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_discount_min,
+        |  CAST(max(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_discount_max,
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_tax_nulls,
+        |  count(DISTINCT l_tax) AS l_tax_distinct,
+        |  CAST(min(CAST(round(l_tax*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_tax_min,
+        |  CAST(max(CAST(round(l_tax*100) AS BIGINT)) AS DOUBLE)/100.0 AS l_tax_max
+        |FROM lineitem""".stripMargin,
+
     "q14_window_topk" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

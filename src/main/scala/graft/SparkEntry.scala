@@ -527,6 +527,25 @@ object SparkEntry {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** B19 — data profiling: per-column null counts, exact distincts,
+    * min/max over lineitem — the standard QA pass before any corpus
+    * lands in a pipeline. One grouped aggregate per profiled column
+    * family, exact and hash-checked; at 100 TB the exact distincts
+    * swap for the q38 HLL sketch with the same output shape.
+    */
+  private def q50Profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        dollars(min(cents(col(c)))).as(s"${c}_min"),
+        dollars(max(cents(col(c)))).as(s"${c}_max"))
+    }
+    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
   private def q19DedupExact(s: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(fanOut(s, Tables.documents(s, dir)), "doc_id", "text")
@@ -951,7 +970,8 @@ object SparkEntry {
     "q38_approx_distinct" -> (q38ApproxDistinct _),
     "q44_hash_split" -> (q44HashSplit _),
     "q48_redact" -> (q48Redact _),
-    "q49_fuzzy_match" -> (q49FuzzyMatch _))
+    "q49_fuzzy_match" -> (q49FuzzyMatch _),
+    "q50_profile" -> (q50Profile _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
