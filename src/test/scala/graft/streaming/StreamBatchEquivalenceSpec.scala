@@ -88,6 +88,32 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       s"streaming ${streamed.size} vs batch ${batch.size} matches")
   }
 
+  test("text annotation stage (quality/langid/tokens) runs unchanged on a stream") {
+    import graft.functions.{LangId, TextFunctions}
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_annot").toString
+    docs.write.parquet(s"$dir/in")
+
+    def annotate(df: org.apache.spark.sql.DataFrame) =
+      LangId.detected(df, "text")
+        .select(col("doc_id"), col("lang_detect.lang").as("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+    val q = annotate(spark.readStream.schema(docs.schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("eq_annot").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("eq_annot")
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+    val batch = annotate(docs)
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(batch.nonEmpty && streamed == batch) // map-only ⇒ bit-identical
+  }
+
   test("flatMapGroupsWithState sessionizer == oracle-checked q35 batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sf())
