@@ -561,6 +561,28 @@ object OracleSql {
         |  bucket
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Decontamination: same md5-bucket split as q44, word 8-grams
+    // (lowercased whitespace tokens, distinct per doc), test-set gram
+    // semi-join, per-train-doc shared counts.
+    "q51_decontaminate" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |    (a, v) -> a * 16 + v) % 100 AS bucket
+        | FROM documents),
+        |sp AS (SELECT doc_id, text,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b),
+        |tk AS (SELECT doc_id, split, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks FROM sp),
+        |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(toks) - 7, 0) + 1), i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM tk),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+        |sh AS (SELECT doc_id, count(DISTINCT gram) AS n_shared FROM g JOIN tg USING (gram) WHERE split = 'train' GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(sh.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM sp WHERE split = 'train') d LEFT JOIN sh USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // MinHash verification tier on the fixed successor-pair candidate
     // set: jaccard over hashed shingle sets, shingle hashing mirrored
     // bit-for-bit (FNV-1a over chars, floorMod 1e9+7, distinct).

@@ -860,6 +860,30 @@ object SparkEntry {
       graft.functions.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C21 — benchmark DECONTAMINATION: flag train-split documents
+    * sharing any word 8-gram with the (hash-split) test set — the
+    * standard test-set-leakage check run before pre-training. The
+    * test set's distinct grams broadcast (benchmarks are small
+    * relative to the corpus); the train side is one semi-join +
+    * per-doc count, so the corpus-wide cost is the tokenize pass.
+    */
+  private def q51Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+      .withColumn("split", graft.functions.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5)))
+    val grams = d.select(col("doc_id"), col("split"),
+      explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
+    val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
+    val shared = grams.filter(col("split") === "train")
+      .join(broadcast(testGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+    d.filter(col("split") === "train").select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C19 — fuzzy (edit-distance) matching with prefix blocking: part
     * names vs deterministically corrupted twins (one char dropped at
     * a partkey-derived position). Both engines compute the identical
@@ -971,7 +995,8 @@ object SparkEntry {
     "q44_hash_split" -> (q44HashSplit _),
     "q48_redact" -> (q48Redact _),
     "q49_fuzzy_match" -> (q49FuzzyMatch _),
-    "q50_profile" -> (q50Profile _))
+    "q50_profile" -> (q50Profile _),
+    "q51_decontaminate" -> (q51Decontaminate _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
