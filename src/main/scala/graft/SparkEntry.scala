@@ -491,7 +491,7 @@ object SparkEntry {
     * fixed-size mergeable buffer.
     */
   private def q46Quantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+    fanOut(s, Tables.orders(s, dir))
       .withColumn("_pc", cents(col("o_totalprice")))
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -534,16 +534,24 @@ object SparkEntry {
     * swap for the q38 HLL sketch with the same output shape.
     */
   private def q50Profile(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = fanOut(s, Tables.lineitem(s, dir))
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
+    // N distinct-aggregates in ONE agg make Spark expand every row
+    // N+1 ways before the shuffle; run the distincts as independent
+    // single-column aggregates (two-phase, expand-free) and cross-join
+    // the 1-row results onto the single-pass base profile instead.
+    val base = li.agg(count(lit(1)).as("n_rows"), cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
         dollars(min(cents(col(c)))).as(s"${c}_min"),
         dollars(max(cents(col(c)))).as(s"${c}_max"))
+    }: _*)
+    val withDistincts = cols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(li.agg(countDistinct(col(c)).as(s"${c}_distinct")))
     }
-    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    withDistincts.select(col("n_rows") +: cols.flatMap { c =>
+      Seq(col(s"${c}_nulls"), col(s"${c}_distinct"), col(s"${c}_min"), col(s"${c}_max"))
+    }: _*)
   }
 
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */
