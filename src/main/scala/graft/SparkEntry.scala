@@ -37,6 +37,12 @@ object SparkEntry {
     * map-only queries that is the whole computation, twice. A single
     * post-shuffle partition sorted in place costs one tiny shuffle
     * and runs the plan once.
+    *
+    * HARNESS-ONLY: this funnel exists so the oracle hash-compare sees
+    * a total order; no `graft.*` library operator uses it, and
+    * production callers consume the operators' un-sorted distributed
+    * output (a single-partition sort of a 100 TB result would be the
+    * bottleneck the rest of the plan avoids).
     */
   private def sorted1(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
