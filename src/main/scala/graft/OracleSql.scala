@@ -561,6 +561,19 @@ object OracleSql {
         |  bucket
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Stratified downsampling: q44's md5 bucket + per-language CASE
+    // thresholds mirrored exactly.
+    "q52_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |    (a, v) -> a * 16 + v) % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  bucket < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 80 ELSE 100 END) AS kept
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // Decontamination: same md5-bucket split as q44, word 8-grams
     // (lowercased whitespace tokens, distinct per doc), test-set gram
     // semi-join, per-train-doc shared counts.

@@ -874,6 +874,21 @@ object SparkEntry {
       graft.functions.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C22 — stratified downsampling (data MIXING): per-language keep
+    * rates rebalance the corpus (halve English, keep the rest) with
+    * the same md5-hash determinism as the flat split, so the mix is
+    * reproducible across runs and engines. Per-doc decision + the
+    * per-language kept/total counts, both hash-checked.
+    */
+  private def q52Stratified(s: SparkSession, dir: String): DataFrame = {
+    val rates = Seq("en" -> 50, "es" -> 80)
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      graft.functions.Sampling.hashBucket(col("doc_id"), 100).as("bucket"),
+      graft.functions.Sampling.stratifiedKeep(col("doc_id"), col("lang"), rates).as("kept"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C21 — benchmark DECONTAMINATION: flag train-split documents
     * sharing any word 8-gram with the (hash-split) test set — the
     * standard test-set-leakage check run before pre-training. The
@@ -1010,7 +1025,8 @@ object SparkEntry {
     "q48_redact" -> (q48Redact _),
     "q49_fuzzy_match" -> (q49FuzzyMatch _),
     "q50_profile" -> (q50Profile _),
-    "q51_decontaminate" -> (q51Decontaminate _))
+    "q51_decontaminate" -> (q51Decontaminate _),
+    "q52_stratified" -> (q52Stratified _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

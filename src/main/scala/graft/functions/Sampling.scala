@@ -38,4 +38,21 @@ object Sampling {
   /** Deterministic p%-sample predicate (keep iff bucket < pct). */
   def sampledBy(key: Column, pct: Int, buckets: Int = 100): Column =
     hashBucket(key, buckets) < pct
+
+  /** Stratified downsampling (data mixing): per-stratum keep
+    * percentages — e.g. halve an over-represented language while
+    * keeping the rest — with the same hash determinism as the flat
+    * sample, so mixing decisions are reproducible and incremental
+    * loads are consistent with prior runs. Strata not listed keep
+    * `defaultPct`.
+    */
+  def stratifiedKeep(key: Column, stratum: Column, rates: Seq[(String, Int)],
+                     defaultPct: Int = 100): Column = {
+    require(rates.forall { case (_, p) => p >= 0 && p <= 100 },
+      s"rates must be percentages: $rates")
+    val pct = rates.foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(stratum === s, p).otherwise(acc)
+    }
+    hashBucket(key, 100) < pct
+  }
 }

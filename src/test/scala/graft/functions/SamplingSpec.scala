@@ -38,4 +38,20 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitLabel(col("id"), Seq("train" -> 80, "val" -> 10))
     }
   }
+
+  test("stratified keep rates apply per stratum and stay hash-deterministic") {
+    val df = (1L to 4000L).toDF("id")
+      .withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
+    val kept = df.filter(Sampling.stratifiedKeep(col("id"), col("lang"), Seq("en" -> 25)))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("de") == 2000L)                       // default 100%
+    assert(math.abs(kept("en") - 500L) < 120, s"en=${kept("en")}") // ~25%
+    // the kept 25% is a subset of the flat 25% sample on the same key
+    val strat = df.filter(col("lang") === "en")
+      .filter(Sampling.stratifiedKeep(col("id"), col("lang"), Seq("en" -> 25)))
+      .select("id").as[Long].collect().toSet
+    val flat = df.filter(col("lang") === "en")
+      .filter(Sampling.sampledBy(col("id"), 25)).select("id").as[Long].collect().toSet
+    assert(strat == flat)
+  }
 }
