@@ -561,6 +561,20 @@ object OracleSql {
         |  bucket
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Intra-doc line dedup: first-occurrence keep mirrored with
+    // list slicing + contains; md5 of the rejoined text.
+    "q53_line_dedup" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |  'PROMO banner ' || (doc_id % 7), text, 'PROMO banner ' || (doc_id % 7),
+        |  'footer', 'PROMO banner ' || (doc_id % 7), 'footer') AS t FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+        |k AS (SELECT doc_id, l, list_filter(list_transform(range(1, len(l) + 1),
+        |  i -> CASE WHEN NOT list_contains(l[1:i-1], l[i]) THEN i END), x -> x IS NOT NULL) AS keep_idx FROM ls)
+        |SELECT doc_id,
+        |  CAST(len(l) - len(keep_idx) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS dup_fraction,
+        |  md5(array_to_string(list_transform(keep_idx, i -> l[i]), chr(10))) AS cleaned_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // Stratified downsampling: q44's md5 bucket + per-language CASE
     // thresholds mirrored exactly.
     "q52_stratified" ->

@@ -874,6 +874,23 @@ object SparkEntry {
       graft.functions.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C23 — INTRA-document line dedup (RefinedWeb-style "remove
+    * repeated lines within a page"): documents get deterministic
+    * boilerplate injected (a header/footer pair repeated around the
+    * text), the operator must strip exactly the repeats and report
+    * the duplicate fraction. md5 of the cleaned text hash-checks the
+    * whole edit end-to-end.
+    */
+  private def q53LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    val boiler = concat(lit("PROMO banner "), pmod(col("doc_id"), lit(7)))
+    val dirty = concat_ws("\n", boiler, col("text"), boiler, lit("footer"), boiler, lit("footer"))
+    d.select(col("doc_id"),
+      TextFunctions.dupLineFraction(dirty).as("dup_fraction"),
+      md5(TextFunctions.dedupLines(dirty)).as("cleaned_md5"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C22 — stratified downsampling (data MIXING): per-language keep
     * rates rebalance the corpus (halve English, keep the rest) with
     * the same md5-hash determinism as the flat split, so the mix is
@@ -1026,7 +1043,8 @@ object SparkEntry {
     "q49_fuzzy_match" -> (q49FuzzyMatch _),
     "q50_profile" -> (q50Profile _),
     "q51_decontaminate" -> (q51Decontaminate _),
-    "q52_stratified" -> (q52Stratified _))
+    "q52_stratified" -> (q52Stratified _),
+    "q53_line_dedup" -> (q53LineDedup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

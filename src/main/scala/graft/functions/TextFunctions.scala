@@ -167,6 +167,38 @@ object TextFunctions {
     cols
   }
 
+  /** Intra-document line dedup (the RefinedWeb/Gopher-style "remove
+    * repeated lines within a page" cleanup): keeps each line's FIRST
+    * occurrence, preserving order — boilerplate headers/footers and
+    * templated repetition collapse, prose is untouched. O(lines²)
+    * string compares per document (bounded by doc size, never corpus
+    * size); the line array is bound once per the lambda rule.
+    */
+  def dedupLines(text: Column): Column =
+    bound(split(text, "\n")) { ls =>
+      val idx = when(size(ls) > 0, sequence(lit(0), size(ls) - 1))
+        .otherwise(array().cast("array<int>"))
+      array_join(
+        transform(
+          filter(idx, i => !array_contains(slice(ls, lit(1), i), element_at(ls, i + 1))),
+          i => element_at(ls, i + 1)),
+        "\n")
+    }
+
+  /** Fraction of lines that are repeats of an earlier line — the
+    * quality signal paired with [[dedupLines]] (high values flag
+    * templated/boilerplate documents for filtering rather than
+    * cleanup).
+    */
+  def dupLineFraction(text: Column): Column =
+    bound(split(text, "\n")) { ls =>
+      val idx = when(size(ls) > 0, sequence(lit(0), size(ls) - 1))
+        .otherwise(array().cast("array<int>"))
+      val uniq = size(filter(idx, i => !array_contains(slice(ls, lit(1), i), element_at(ls, i + 1))))
+      when(size(ls) === 0, 0.0)
+        .otherwise((size(ls) - uniq).cast("double") / size(ls).cast("double"))
+    }
+
   /** Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

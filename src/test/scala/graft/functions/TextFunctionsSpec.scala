@@ -69,4 +69,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(counts.getAs[Long]("n_email") == 1L) // the one inside the URL is gone
     assert(counts.getAs[Long]("n_phone") == 1L)
   }
+
+  test("intra-doc line dedup keeps first occurrences in order") {
+    val t = "header\nline a\nline b\nheader\nline a\nline c\nheader"
+    assert(one[String](TextFunctions.dedupLines(col("t")), t) ==
+      "header\nline a\nline b\nline c")
+    assert(math.abs(one[Double](TextFunctions.dupLineFraction(col("t")), t) - 3.0 / 7.0) < 1e-12)
+    assert(one[String](TextFunctions.dedupLines(col("t")), "solo") == "solo")
+    assert(one[Double](TextFunctions.dupLineFraction(col("t")), "a\nb\nc") == 0.0)
+  }
 }
