@@ -60,18 +60,28 @@ object Bench {
       (name, median(times), times.min, times.max)
     }
 
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    def r3(x: Double): String = f"$x%.3f"
+    // The harness captures only the LAST ~2000 chars of output and
+    // parses the JSON line from that window (round-3 lesson: the line
+    // grew past 2000 chars with full-precision spreads appended and the
+    // truncated line failed to parse). Keep the stdout line compact —
+    // millisecond precision, no spread — and put the full-precision
+    // medians + min/max spread in bench_result.json only.
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + r3(med) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}"""
+    val qsFull = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx) =>
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
     // Clean line on raw stdout (build.sbt routes fork output through
     // StdoutOutput, so no logger prefix) + a file copy as a fallback
     // parse source for the harness.
     println(json)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), jsonFull + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
