@@ -337,16 +337,19 @@ object OracleSql {
         |FROM e JOIN w ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
         |ORDER BY e.event_id, w.window_id""".stripMargin,
 
-    // Exact interpolated percentiles over integer cents (identical
-    // rank = p*(n-1) linear interpolation in both engines); the
-    // sketch side as a 5%-bound assertion as in q38.
+    // Exact interpolated percentiles over integer cents, ROUNDED to
+    // whole cents at the output boundary: Spark's (1-g)*lo + g*hi and
+    // DuckDB's lo + g*(hi-lo) can differ in the last ulp for
+    // non-dyadic g, and the harness bit-compares doubles — the
+    // rounded bigint is interpolation-formula-proof. The sketch side
+    // stays a 5%-bound assertion (full-precision) as in q38.
     "q46_quantiles" ->
       """WITH b AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders)
         |SELECT o_orderpriority, count(*) AS n,
-        |  quantile_cont(pc, 0.25) AS p25,
-        |  quantile_cont(pc, 0.5) AS p50,
-        |  quantile_cont(pc, 0.9) AS p90,
-        |  quantile_cont(pc, 0.99) AS p99,
+        |  CAST(round(quantile_cont(pc, 0.25)) AS BIGINT) AS p25,
+        |  CAST(round(quantile_cont(pc, 0.5)) AS BIGINT) AS p50,
+        |  CAST(round(quantile_cont(pc, 0.9)) AS BIGINT) AS p90,
+        |  CAST(round(quantile_cont(pc, 0.99)) AS BIGINT) AS p99,
         |  abs(CAST(approx_quantile(pc, 0.5) AS DOUBLE) - quantile_cont(pc, 0.5)) <= quantile_cont(pc, 0.5) * 0.05 AS approx_ok
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -488,14 +491,26 @@ object OracleSql {
          |ORDER BY a.doc_id""".stripMargin,
 
     // The deterministic subset of the multimodal decode record: byte
-    // size, content SHA-256, parity-based format routing, success.
+    // size, content SHA-256, format routing, success.
     // (width/height/ocr_text are stub-derived via Arrays.hashCode —
     // spec-checked in MultimodalSpec, not portable SQL.)
+    // `format` mirrors the Spark magic-byte sniff EXACTLY
+    // (Multimodal.sniffImageFormat): of the four magics, only GIF
+    // ("GIF", ≥6 bytes) and BMP ("BM", ≥2 bytes) are printable ASCII
+    // and therefore reachable from UTF-8 text payloads (PNG's 0x89 is
+    // a UTF-8 continuation byte, JPEG's 0xFF is invalid UTF-8 — a
+    // text-cast payload can never start with either); everything the
+    // sniff misses falls to the byte-length-parity stub branch.
     "q30_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
         |  sha256(text) AS content_sha,
-        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CASE
+        |    WHEN octet_length(encode(text)) >= 6 AND text LIKE 'GIF%' THEN 'gif'
+        |    WHEN text LIKE 'BM%' THEN 'bmp'
+        |    WHEN octet_length(encode(text)) % 2 = 0 THEN 'png'
+        |    ELSE 'jpeg'
+        |  END AS format,
         |  octet_length(encode(text)) > 0 AS success
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -30,6 +30,14 @@ object ConnectedComponents {
   /** (id, comp) for every node appearing in `edges`; comp = min node
     * id in the node's component. Nodes not in any edge are the
     * caller's to union in as singletons (edge lists don't know them).
+    *
+    * Throws IllegalStateException if the fixpoint is NOT reached
+    * within `maxIter` rounds: a partially-propagated labeling splits
+    * one true component into several, which downstream dedup would
+    * silently treat as several groups with several "keepers" — a
+    * wrong answer no one can eyeball at corpus scale. Callers hitting
+    * the cap should raise `maxIter` (rounds are diameter-bounded) or
+    * switch the step to large-star/small-star contraction.
     */
   def components(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                  maxIter: Int = 25): DataFrame = {
@@ -56,6 +64,12 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge after $maxIter iterations — " +
+          "a component with diameter > maxIter would be silently split into " +
+          "multiple groups. Raise maxIter (rounds are diameter-bounded, so " +
+          "near-dup graphs converge in a handful) or use star-contraction.")
     labels
   }
 
@@ -65,8 +79,9 @@ object ConnectedComponents {
     * from any near-dup pair emitter.
     */
   def groups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-             idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
-    val comp = components(pairs, idACol, idBCol)
+             idACol: String = "id_a", idBCol: String = "id_b",
+             maxIter: Int = 25): DataFrame = {
+    val comp = components(pairs, idACol, idBCol, maxIter)
     docs.select(col(idCol))
       .join(comp, col(idCol) === col("id"), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("group_id"))

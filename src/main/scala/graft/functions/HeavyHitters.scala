@@ -126,6 +126,71 @@ case class HeavyHittersSketch(
 }
 
 object HeavyHitters {
+
+  /** Two-phase EXACT top-N items per group: a Misra-Gries sketch pass
+    * (O(k) buffer per group) produces a candidate superset; a second
+    * pass exact-counts ONLY the candidates (the broadcast join keeps
+    * the count shuffle to ≤ groups×k keys, never the full vocabulary)
+    * and ranks the true top N.
+    *
+    * The output is certified AT RUNTIME via the Misra-Gries mass
+    * bound: with n items processed and S = Σ min_count retained in
+    * the sketch, every absent item's true count is ≤ (n−S)/(k+1)
+    * (each decrement event removes k+1 units of mass; the bound is
+    * preserved by the mergeable-summaries merge). The query
+    * raise_error()s — instead of silently returning a wrong top-N —
+    * when either certificate fails:
+    *  1. the sketch returned < N candidates while decrements occurred
+    *     (n > S): the missing ranks could belong to evicted items
+    *     (closes the round-4 "sparse sketch skips the guard" blind
+    *     spot — checked on the candidate side, before ranking, so it
+    *     fires even when no rank-N row exists);
+    *  2. the exact rank-N count is ≤ (n−S)/(k+1): an absent item
+    *     could displace rank N.
+    * When n == S the sketch provably saw no eviction, the candidate
+    * set is the complete vocabulary, and both certificates pass by
+    * construction. On failure: raise k or fall back to exact
+    * counting.
+    */
+  def exactTopN(toks: org.apache.spark.sql.DataFrame, groupCol: String, itemCol: String,
+                k: Int = 32, topN: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= topN, s"sketch width k=$k must be >= topN=$topN")
+    register(toks.sparkSession)
+    val sketch = toks.groupBy(groupCol)
+      .agg(heavyHitters(col(itemCol), k).as("hh"), count(lit(1)).as("_n"))
+    // explode_outer keeps groups whose sketch drained to empty (all
+    // counters decremented away) so certificate 1 still fires for them
+    val cand = sketch.select(col(groupCol), col("_n"),
+        size(col("hh")).cast("long").as("_ncand"),
+        aggregate(col("hh.min_count"), lit(0L), (a, x) => a + x).as("_s"),
+        explode_outer(col("hh.item")).as(itemCol))
+      .filter(
+        when(col("_n") > col("_s") && col("_ncand") < lit(topN.toLong),
+          raise_error(format_string(
+            s"heavy-hitters: sketch holds %d < $topN candidates for $groupCol=%s " +
+              "with evictions (n=%d, retained mass=%d) — missing ranks cannot be " +
+              "certified; raise sketch k or fall back to exact counting",
+            col("_ncand"), col(groupCol), col("_n"), col("_s"))).cast("boolean"))
+          .otherwise(lit(true)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cnt").desc, col(itemCol))
+    toks.join(broadcast(cand), Seq(groupCol, itemCol))
+      .groupBy(col(groupCol), col(itemCol), col("_n"), col("_ncand"), col("_s"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+      .filter(
+        when(col("rk") === topN && col("cnt") * (k + 1) <= col("_n") - col("_s"),
+          raise_error(format_string(
+            s"heavy-hitters top-$topN guarantee violated for $groupCol=%s: rank-$topN " +
+              s"count %d <= (n - retained)/(k+1) bound of (%d - %d)/${k + 1} — an evicted " +
+              "item could displace it; raise sketch k or fall back to exact counting",
+            col(groupCol), col("cnt"), col("_n"), col("_s"))).cast("boolean"))
+          .otherwise(lit(true)))
+      .select(col(groupCol), col("rk"), col(itemCol).as("item"), col("cnt"))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters",

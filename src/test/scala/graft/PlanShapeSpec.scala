@@ -56,9 +56,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("HashJoin"), s"no join in:\n$plan")
   }
 
-  test("q34: candidate semi-join is broadcast — the token exchange carries only candidates") {
+  test("q34: candidate join is broadcast — the token exchange carries only candidates") {
+    // exactTopN filters tokens through an inner BROADCAST join against
+    // the ≤ langs×k candidate set (which also carries the per-lang
+    // certificate stats), so the exact-count groupBy shuffles only
+    // candidate tokens, never the full vocabulary.
     val plan = formatted("q34_heavy_hitters")
-    assert(plan.contains("LeftSemi"), s"expected candidate semi-join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast candidate join in:\n$plan")
     assert(plan.contains("BroadcastExchange"), s"candidates should broadcast:\n$plan")
     assert(plan.contains("ObjectHashAggregate"), s"sketch aggregate missing:\n$plan")
   }

@@ -31,6 +31,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Seq(1L, 7L, 9L, 100L).forall(c(_) == 1L))
   }
 
+  test("non-convergence at maxIter fails loudly instead of returning split groups") {
+    // A path graph of diameter 10 cannot reach the min-label fixpoint
+    // in 3 rounds; a silent return here would hand dedup several
+    // "keepers" for one true component (the round-4 verdict's silent
+    // under-merge). The operator must throw, naming the cap.
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge after 3 iterations"))
+    // the same graph under a sufficient cap converges fine
+    val c = ConnectedComponents.components(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 10L).forall(c(_) == 0L))
+  }
+
   test("groups: singletons keep themselves; members point at the keeper") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 3L), (3L, 5L)).toDF("id_a", "id_b")

@@ -45,6 +45,39 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(12L).width >= 64 && meta(12L).ocr_text == "not an image")
   }
 
+  test("format sniff agrees with the q30 oracle CASE on text payloads, including BM/GIF prefixes") {
+    // The q30 DuckDB twin (OracleSql "q30_multimodal") derives `format`
+    // as: GIF if >= 6 bytes and text LIKE 'GIF%'; BMP if text LIKE
+    // 'BM%'; else byte-length parity. The round-4 verdict flagged that
+    // the old parity-only oracle would hash-mismatch on any corpus doc
+    // whose text starts with the printable "BM"/"GIF" magics — this
+    // spec pins the agreement on exactly those adversarial prefixes.
+    def oracleFormat(text: String): String = {
+      val n = text.getBytes("UTF-8").length
+      if (n >= 6 && text.startsWith("GIF")) "gif"
+      else if (text.startsWith("BM")) "bmp"
+      else if (n % 2 == 0) "png"
+      else "jpeg"
+    }
+    val texts = Seq(
+      "BM",                        // 2-byte BMP magic alone
+      "BMW dealership menu, page", // ordinary text that happens to start with BM
+      "GIF89a-style banner text",  // >= 6 bytes, GIF prefix → gif
+      "GIF",                       // GIF prefix but < 6 bytes → parity (jpeg: 3 odd)
+      "GIFs!",                     // 5 bytes < 6 → parity (jpeg: 5 odd)
+      "plain menu text",           // no magic, odd length
+      "even menu text!!",          // no magic, even length
+      "")                          // empty → parity (png)
+    val d = Multimodal.asBinaryPayload(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"), "text")
+    val got = Multimodal.decodeMeta(d).collect().map(m => m.doc_id -> m.format).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == oracleFormat(t),
+        s"doc $i (${t.take(12)}): spark=${got(i.toLong)} oracle=${oracleFormat(t)}")
+    }
+    assert(got(0L) == "bmp" && got(1L) == "bmp" && got(2L) == "gif" && got(3L) == "jpeg")
+  }
+
   test("three-tier method routing: text / vision (image payload) / ocr") {
     val png = {
       val img = new java.awt.image.BufferedImage(4, 4,
