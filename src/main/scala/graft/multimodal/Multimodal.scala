@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *  - IMAGE DIMENSIONS ARE REAL for JDK-supported formats (PNG/JPEG/
   *    GIF/BMP): magic-byte sniff + `javax.imageio` header-only read
   *    (no full pixel decode, so it stays cheap at scale).
-  *  - OCR, resize, feature-extract and video-frame kernels remain
+  *  - RESIZE IS REAL for JDK-decodable payloads: full `ImageIO`
+  *    decode + bilinear `Graphics2D` rescale + PNG re-encode; only
+  *    non-JDK formats fall back to the byte-stride stub.
+  *  - OCR, feature-extract and video-frame kernels remain
   *    DETERMINISTIC STUBS (=== STUB ... ===); the Spark-side contract
   *    — schema, binary transport, partition-batched execution, output
   *    shape — is real, tested, and is exactly where a JNI/ONNX/PIL
@@ -141,9 +144,31 @@ object Multimodal {
 
   case class Resized(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
 
-  /** Resize stub: deterministic downsample of the payload to a target
-    * "resolution" (byte stride). Real impl: PIL/libvips thumbnail —
-    * same per-partition batch shape, same output schema.
+  /** Real bilinear resize + PNG re-encode via `java.awt`/`ImageIO`
+    * for a decoded BufferedImage. Package-visible for the spec. */
+  private[multimodal] def resizeImage(img: java.awt.image.BufferedImage,
+                                      targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new java.awt.image.BufferedImage(targetW, targetH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Resize: REAL for JDK-decodable payloads (PNG/JPEG/GIF/BMP magic
+    * that `ImageIO` can decode) — full pixel decode, bilinear rescale
+    * to (targetW, targetH), deterministic PNG re-encode; other
+    * payloads (TIFF, video, non-image bytes — no codec in the JDK)
+    * keep the deterministic byte-stride stub so the record shape stays
+    * total. Same per-partition batch shape either way: this is the
+    * map-heavy no-shuffle stage where a libvips/PIL kernel would slot
+    * in for the remaining formats.
     */
   def resize(df: DataFrame, targetW: Int = 64, targetH: Int = 64,
              idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[Resized] = {
@@ -151,12 +176,22 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // === STUB: a real resampler initializes here. ===
         it.map { case (id, bytes) =>
           val data = if (bytes == null) Array.emptyByteArray else bytes
-          val n = targetW * targetH / 64
-          val stride = math.max(1, data.length / math.max(1, n))
-          Resized(id, targetW, targetH, data.grouped(stride).map(_.head).take(n).toArray)
+          val real = sniffImageFormat(data).flatMap { _ =>
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+              .map(img => resizeImage(img, targetW, targetH))
+            catch { case _: Exception => None }
+          }
+          real match {
+            case Some(png) => Resized(id, targetW, targetH, png)
+            case None =>
+              // === STUB: non-JDK formats — deterministic byte-stride
+              // downsample stands in for a real resampler. ===
+              val n = targetW * targetH / 64
+              val stride = math.max(1, data.length / math.max(1, n))
+              Resized(id, targetW, targetH, data.grouped(stride).map(_.head).take(n).toArray)
+          }
         }
       }
   }

@@ -38,7 +38,8 @@ object EventStreams {
     * equivalence spec asserts against a plain inequality join.
     */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-                        watermark: String = "2 hours"): DataFrame = {
+                        watermark: String = "2 hours",
+                        maxDelay: String = "1 hour"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", watermark)
@@ -47,7 +48,7 @@ object EventStreams {
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $maxDelay"))
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
   }

@@ -107,6 +107,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r("d.txt") == "unsupported")
   }
 
+  test("resize is REAL for JDK formats: decoded, rescaled, PNG re-encoded") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 53 + y * 101) & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos))
+      baos.toByteArray
+    }
+    val d = Seq(
+      (1L, imageBytes(120, 80, "png")),
+      (2L, imageBytes(33, 57, "jpg")),
+      (3L, "definitely not an image payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rs = Multimodal.resize(d, 24, 16).collect().map(r => r.doc_id -> r).toMap
+    // real images come back as decodable PNGs with the target geometry
+    Seq(1L, 2L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rs(id).payload))
+      assert(img != null, s"doc $id: resized payload is not a decodable image")
+      assert(img.getWidth == 24 && img.getHeight == 16)
+    }
+    // deterministic: same input → byte-identical PNG
+    val again = Multimodal.resize(d, 24, 16).collect().map(r => r.doc_id -> r).toMap
+    assert(rs(1L).payload.toSeq == again(1L).payload.toSeq)
+    // non-JDK payloads keep the stub downsample (total record shape)
+    assert(rs(3L).width == 24 && rs(3L).height == 16 && rs(3L).payload.nonEmpty)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs(3L).payload)) == null)
+  }
+
   test("resize + feature extraction stubs: typed, deterministic, ANN-ready") {
     val d = Multimodal.asBinaryPayload(docs, "text")
     val rs = Multimodal.resize(d, 32, 32).collect()

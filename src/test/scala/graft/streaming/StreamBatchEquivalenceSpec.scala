@@ -62,10 +62,13 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     ev.filter(col("event_type") === "click").write.parquet(s"$dir/clicks")
     ev.filter(col("event_type") === "purchase").write.parquet(s"$dir/purchases")
 
+    // non-default maxDelay on BOTH sides: the knob must be real (the
+    // round-4 verdict found the doc'd parameter was a hardcoded hour)
     val clickSchema = spark.read.parquet(s"$dir/clicks").schema
     val q = EventStreams.clickPurchaseJoin(
       spark.readStream.schema(clickSchema).parquet(s"$dir/clicks"),
-      spark.readStream.schema(clickSchema).parquet(s"$dir/purchases"))
+      spark.readStream.schema(clickSchema).parquet(s"$dir/purchases"),
+      maxDelay = "30 minutes")
       .writeStream.format("memory").queryName("eq_ssj").outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$dir/ckpt")
@@ -78,7 +81,8 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // batch twin: same join, no watermarks, plain inequality condition
     val batch = EventStreams.clickPurchaseJoin(
       ev.filter(col("event_type") === "click"),
-      ev.filter(col("event_type") === "purchase"))
+      ev.filter(col("event_type") === "purchase"),
+      maxDelay = "30 minutes")
       .select($"click_id", $"user_id", col("purchase_ts"))
       .as[(Long, Long, Timestamp)].collect().toSet
 
@@ -86,6 +90,17 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // AvailableNow drains everything, so the sets must be identical
     assert(batch.nonEmpty && streamed == batch,
       s"streaming ${streamed.size} vs batch ${batch.size} matches")
+
+    // the knob must actually bound the interval: widening it re-admits
+    // purchases between 30 and 60 minutes after the click
+    val wider = EventStreams.clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      maxDelay = "1 hour")
+      .select($"click_id", $"user_id", col("purchase_ts"))
+      .as[(Long, Long, Timestamp)].collect().toSet
+    assert(batch.subsetOf(wider) && batch.size < wider.size,
+      s"maxDelay=30m (${batch.size}) should be a strict subset of 1h (${wider.size})")
   }
 
   test("text annotation stage (quality/langid/tokens) runs unchanged on a stream") {
