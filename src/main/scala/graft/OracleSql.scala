@@ -590,6 +590,22 @@ object OracleSql {
         |  md5(array_to_string(list_transform(keep_idx, i -> l[i]), chr(10))) AS cleaned_md5
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // Incremental dedup vs the persisted MinHash index — the
+    // reconstruct-expected-output pattern: the batch is synthesized
+    // from the corpus (doc_id%5==0 → verbatim copy, guaranteed found:
+    // identical signatures collide in every band and Jaccard is
+    // exactly 1; doc_id%5==1 → unique hex text, guaranteed novel: the
+    // verify tier rejects any accidental collision at Jaccard ≈ 0),
+    // so is_novel follows from the construction alone and the oracle
+    // never mirrors MinHash internals. Eligibility (non-empty shingle
+    // set) mirrors Spark's normalized-length >= 3 guard.
+    "q54_incremental_dedup" ->
+      """SELECT doc_id + 100000 AS doc_id, (doc_id % 5 = 1) AS is_novel
+        |FROM documents
+        |WHERE doc_id % 5 IN (0, 1)
+        |  AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
     // Stratified downsampling: q44's md5 bucket + per-language CASE
     // thresholds mirrored exactly.
     "q52_stratified" ->

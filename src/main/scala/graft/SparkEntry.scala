@@ -881,6 +881,48 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C24 — INCREMENTAL dedup against a persisted signature index
+    * (graft.dedup.IncrementalDedup): the daily-ingest shape — a new
+    * batch is near-dup-matched against the existing corpus's MinHash
+    * index without re-shingling the corpus or reading its text.
+    *
+    * Oracle via the reconstruct-expected-output pattern (q41/q42/q45
+    * recipe): the batch is synthesized deterministically from the
+    * corpus — docs with doc_id % 5 == 0 re-enter VERBATIM (exact
+    * duplicates: identical signatures collide in every band, Jaccard
+    * is exactly 1 ≥ threshold, so they are found regardless of LSH
+    * recall), docs with doc_id % 5 == 1 contribute an id whose text is
+    * replaced by unique hex material (Jaccard ≈ 0 with everything, so
+    * any accidental band collision is rejected by the verify tier).
+    * is_novel is therefore fully determined by the construction and
+    * DuckDB reconstructs it directly. Eligibility requires a non-empty
+    * shingle set (normalized length ≥ shingle size) — mirrored in the
+    * oracle via the same norm regex — because a degenerate doc has
+    * Jaccard 0 even with itself. maxBucketSize is lifted for the
+    * harness run so the skew guard (an intentional recall trade at
+    * production default) cannot drop a guaranteed exact-dup candidate.
+    */
+  private def q54IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val cfg = MinHashLsh.Config(maxBucketSize = 1000000)
+    val docs = fanOut(s, Tables.documents(s, dir))
+    val eligible = docs
+      .filter(length(TextFunctions.normalized(col("text"))) >= 3)
+    val dups = eligible.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val novels = eligible.filter(pmod(col("doc_id"), lit(5)) === 1)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", lit("novel document"), col("doc_id").cast("string"),
+          md5(col("doc_id").cast("string")),
+          md5(concat(col("doc_id").cast("string"), lit("x"))),
+          md5(concat(col("doc_id").cast("string"), lit("y")))).as("text"))
+    val index = graft.dedup.IncrementalDedup.buildIndex(
+      docs.select(col("doc_id"), col("text")), cfg = cfg)
+    graft.dedup.IncrementalDedup.dedupBatch(index, dups.union(novels),
+        threshold = 0.8, cfg = cfg)
+      .select(col("doc_id"), col("is_novel"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C22 — stratified downsampling (data MIXING): per-language keep
     * rates rebalance the corpus (halve English, keep the rest) with
     * the same md5-hash determinism as the flat split, so the mix is
@@ -1034,7 +1076,8 @@ object SparkEntry {
     "q50_profile" -> (q50Profile _),
     "q51_decontaminate" -> (q51Decontaminate _),
     "q52_stratified" -> (q52Stratified _),
-    "q53_line_dedup" -> (q53LineDedup _))
+    "q53_line_dedup" -> (q53LineDedup _),
+    "q54_incremental_dedup" -> (q54IncrementalDedup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

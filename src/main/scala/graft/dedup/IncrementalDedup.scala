@@ -1,0 +1,104 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate detection: dedup a NEW batch of
+  * documents against the signature index of an EXISTING corpus —
+  * the daily-ingest shape a production pipeline actually runs. The
+  * full corpus is never re-shingled and its text is never read:
+  * matching happens entirely between the batch's signatures and the
+  * persisted index.
+  *
+  * The index is the `MinHashLsh.signatures()` table
+  * (id, _bases, sig — ~300 B/doc regardless of document size),
+  * written once per corpus and appended after each accepted batch.
+  * Ingest then is:
+  *   1. signature pass over the batch only (map-side, no shuffle);
+  *   2. LSH band join batch-bands × index-bands (the only shuffle
+  *      that touches the corpus, and it carries band hashes + ids,
+  *      never text);
+  *   3. exact-Jaccard verification over the stored hashed shingle
+  *      sets for candidate pairs only;
+  *   4. verdict per batch doc: novel, or duplicate of which corpus
+  *      doc.
+  * Determinism: signatures, band hashes and Jaccard are pure
+  * functions of (text, cfg.seed), so the same batch against the same
+  * index always yields the same verdicts — and equals the full-corpus
+  * `nearDuplicates` run restricted to batch×corpus pairs
+  * (IncrementalDedupSpec asserts this equivalence).
+  *
+  * Reference: Restaurant-ETL's process_menu.py re-processes whole
+  * directories per run; this operator is the scale path that replaces
+  * "re-run everything" with "match the delta against the index".
+  */
+object IncrementalDedup {
+
+  /** Build (or rebuild) the persistable corpus signature index:
+    * (idCol, _bases, sig). Write this to parquet once; `dedupBatch`
+    * consumes it as-is, including straight after a parquet round-trip.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 cfg: MinHashLsh.Config = MinHashLsh.Config()): DataFrame =
+    MinHashLsh.signatures(corpus, idCol, textCol, cfg)
+
+  /** Per-side LSH skew guard: drop buckets larger than
+    * cfg.maxBucketSize (degenerate boilerplate buckets would turn the
+    * band join quadratic — same guard as MinHashLsh.pairsFromBanded).
+    */
+  private def guarded(bands: DataFrame, cfg: MinHashLsh.Config): DataFrame =
+    bands.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("_bn") <= cfg.maxBucketSize)
+      .drop("_bn")
+
+  /** Verified matches (batch_id, corpus_id, jaccard ≥ threshold).
+    * Candidates come from the band join; Jaccard is exact over the
+    * stored hashed shingle sets (same rounding as
+    * MinHashLsh.nearDuplicates, so results are comparable).
+    */
+  def matches(index: DataFrame, batch: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text",
+              threshold: Double = 0.8,
+              cfg: MinHashLsh.Config = MinHashLsh.Config()): DataFrame = {
+    graft.functions.ShingleFunctions.register(batch.sparkSession)
+    val batchSigs = MinHashLsh.signatures(batch, idCol, textCol, cfg).persist()
+    batchSigs.count() // materialize once: banding + verify both read it
+    val idxBands = guarded(MinHashLsh.banded(index, idCol, cfg), cfg)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("corpus_id"))
+    val batBands = guarded(MinHashLsh.banded(batchSigs, idCol, cfg), cfg)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("batch_id"))
+    val candidates = batBands.join(idxBands, Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    candidates
+      .join(index.select(col(idCol).as("corpus_id"), col("_bases").as("sh_a")), Seq("corpus_id"))
+      .join(batchSigs.select(col(idCol).as("batch_id"), col("_bases").as("sh_b")), Seq("batch_id"))
+      .withColumn("jaccard",
+        round(graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Verdict per batch doc: is_novel (no corpus match ≥ threshold),
+    * matched_id (min matching corpus id, null when novel), n_matches.
+    */
+  def dedupBatch(index: DataFrame, batch: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 threshold: Double = 0.8,
+                 cfg: MinHashLsh.Config = MinHashLsh.Config()): DataFrame = {
+    val m = matches(index, batch, idCol, textCol, threshold, cfg)
+      .groupBy(col("batch_id"))
+      .agg(min(col("corpus_id")).as("matched_id"),
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+    batch.select(col(idCol))
+      .join(m, col(idCol) === col("batch_id"), "left")
+      .select(col(idCol),
+        col("matched_id").isNull.as("is_novel"),
+        col("matched_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_jaccard"))
+  }
+}

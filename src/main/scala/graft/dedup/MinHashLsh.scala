@@ -107,7 +107,11 @@ object MinHashLsh {
             col("_norm"), cfg.shingleSize, cfg.numHashes, cfg.seed).as("sig"))
     }
 
-  private def banded(sigs: DataFrame, idCol: String, cfg: Config): DataFrame = {
+  /** (id, band_idx, band_hash) from a precomputed `signatures()`
+    * table — public so an already-persisted signature index can be
+    * (re-)banded without touching document text (IncrementalDedup).
+    */
+  def banded(sigs: DataFrame, idCol: String, cfg: Config): DataFrame = {
     val r = cfg.rowsPerBand
     val bandHashes = array((0 until cfg.bands).map { j =>
       hash(slice(col("sig"), j * r + 1, r), lit(j))
