@@ -21,17 +21,19 @@ object DocMeta {
   val CurrencySymbols: Seq[String] = Seq("$", "₹", "€", "£", "¥")
 
   /** Source path → display name: basename, strip last extension,
-    * underscores → spaces, title-case. Mirrors Python `.title()` for
-    * space- and hyphen-separated words ("great_india" → "Great India",
-    * "PNF-Food-Drinks.pdf" → "Pnf-Food-Drinks"); Python additionally
-    * re-capitalizes after apostrophes/digits, which no menu filename
-    * in the reference corpus exercises.
+    * underscores → spaces, title-case with EXACT Python `.title()`
+    * semantics (graft.functions.PyTitle — re-capitalizes after any
+    * uncased character, so hyphens, apostrophes and digits all reset:
+    * "great_india" → "Great India", "PNF-Food-Drinks.pdf" →
+    * "Pnf-Food-Drinks", "bob's_cafe_2go" → "Bob'S Cafe 2Go", matching
+    * process_menu.py:43 byte-for-byte). Callers must have called
+    * `PyTitleFunctions.register(spark)` (MenuPipeline.run does).
     */
   def restaurantName(source: Column): Column = {
     val base = regexp_extract(source, "([^/]*)$", 1)
     val stem = regexp_replace(base, "\\.[^.]*$", "")
     val spaced = regexp_replace(stem, "_", " ")
-    array_join(transform(split(spaced, "-"), seg => initcap(seg)), "-")
+    graft.functions.PyTitleFunctions.pyTitle(spaced)
   }
 
   /** Modal currency symbol of the raw document text (argmax of symbol

@@ -25,6 +25,7 @@ object MenuPipeline {
     * byte-identical to the window formulation.
     */
   def run(docs: DataFrame): Result = {
+    graft.functions.PyTitleFunctions.register(docs.sparkSession)
     // Document-level metadata BEFORE the line explode: one map-side
     // expression per doc (process_menu.py:43 restaurant name;
     // menu_models.py:167/:194 detected_currency → per-item fallback).
