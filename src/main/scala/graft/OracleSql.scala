@@ -606,6 +606,46 @@ object OracleSql {
         |  AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 3
         |ORDER BY doc_id""".stripMargin,
 
+    // Gopher quality rules: every signal is an integer count mirrored
+    // verbatim (token split + per-token length fold as in q21; line
+    // split on chr(10); replace()-based symbol counts are non-
+    // overlapping left-to-right in both engines); thresholds evaluate
+    // in cross-multiplied integer space so no double exists anywhere.
+    "q55_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS toks,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS ltoks,
+        |  string_split(text, chr(10)) AS lines
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS BIGINT) AS n_ellipsis,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+        |    + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols,
+        |  CAST(len(list_intersect(list_distinct(ltoks), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+        | FROM t)
+        |SELECT doc_id, n_words, n_lines, n_alpha, n_symbols, n_bullet, n_ellipsis, n_stop,
+        |  n_words BETWEEN 50 AND 100000 AS pass_words,
+        |  n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS pass_mean_len,
+        |  n_words > 0 AND n_symbols * 10 <= n_words AS pass_symbol,
+        |  n_bullet * 10 <= n_lines * 9 AS pass_bullet,
+        |  n_ellipsis * 10 <= n_lines * 3 AS pass_ellipsis,
+        |  n_words > 0 AND n_alpha * 5 >= n_words * 4 AS pass_alpha,
+        |  n_stop >= 2 AS pass_stop,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+        |    AND (n_words > 0 AND n_symbols * 10 <= n_words)
+        |    AND (n_bullet * 10 <= n_lines * 9)
+        |    AND (n_ellipsis * 10 <= n_lines * 3)
+        |    AND (n_words > 0 AND n_alpha * 5 >= n_words * 4)
+        |    AND (n_stop >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Stratified downsampling: q44's md5 bucket + per-language CASE
     // thresholds mirrored exactly.
     "q52_stratified" ->

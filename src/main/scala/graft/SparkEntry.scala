@@ -923,6 +923,22 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C25 — Gopher-rule quality GATE (graft.functions.GopherRules):
+    * the standard pre-training document filter set as integer-count
+    * signals + per-rule verdicts + combined keep. Every threshold is
+    * checked in cross-multiplied integer space, so the output is
+    * bigint/boolean only — the oracle mirrors each count expression
+    * verbatim and no double ever reaches the hash compare.
+    */
+  private def q55GopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.functions.GopherRules.signals(fanOut(s, Tables.documents(s, dir)))
+      .select(col("doc_id"), col("n_words"), col("n_lines"), col("n_alpha"),
+        col("n_symbols"), col("n_bullet"), col("n_ellipsis"), col("n_stop"),
+        col("pass_words"), col("pass_mean_len"), col("pass_symbol"),
+        col("pass_bullet"), col("pass_ellipsis"), col("pass_alpha"),
+        col("pass_stop"), col("keep"))
+      .transform(sorted1(_, col("doc_id")))
+
   /** C22 — stratified downsampling (data MIXING): per-language keep
     * rates rebalance the corpus (halve English, keep the rest) with
     * the same md5-hash determinism as the flat split, so the mix is
@@ -1077,7 +1093,8 @@ object SparkEntry {
     "q51_decontaminate" -> (q51Decontaminate _),
     "q52_stratified" -> (q52Stratified _),
     "q53_line_dedup" -> (q53LineDedup _),
-    "q54_incremental_dedup" -> (q54IncrementalDedup _))
+    "q54_incremental_dedup" -> (q54IncrementalDedup _),
+    "q55_gopher_rules" -> (q55GopherRules _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
