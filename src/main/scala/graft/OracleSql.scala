@@ -646,6 +646,26 @@ object OracleSql {
         |    AND (n_stop >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // Token-budget selection: md5-hash order with unique tiebreak →
+    // exact integer cumulative sums; the window frame is tie-free so
+    // RANGE (both engines' default) equals ROWS.
+    "q56_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+        | FROM t)
+        |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, cum <= 500 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Per-domain cap: md5-hash row_number per source, keep rank <= 3.
+    "q57_domain_cap" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS domain_rank,
+        |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Stratified downsampling: q44's md5 bucket + per-language CASE
     // thresholds mirrored exactly.
     "q52_stratified" ->

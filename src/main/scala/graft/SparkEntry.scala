@@ -939,6 +939,32 @@ object SparkEntry {
         col("pass_stop"), col("keep"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C26 — deterministic token-budget selection (Sampling
+    * .tokenBudgetSelect): per-language md5-hash order, greedy prefix
+    * within a 500-token budget. Cumulative sums are exact integer
+    * window sums over a unique ordering, so the whole record
+    * hash-checks.
+    */
+  private def q56TokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.tokenBudgetSelect(
+      fanOut(s, Tables.documents(s, dir)).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 500L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"), col("kept"))
+      .transform(sorted1(_, col("doc_id")))
+
+  /** C27 — per-domain document cap (Sampling.domainCap): at most 3
+    * docs per source, ranked by md5 hash with a unique tiebreak — the
+    * CommonCrawl-style bound on any one domain's corpus contribution.
+    */
+  private def q57DomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.domainCap(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", cap = 3)
+      .select(col("doc_id"), col("source"), col("domain_rank"), col("kept"))
+      .transform(sorted1(_, col("doc_id")))
+
   /** C22 — stratified downsampling (data MIXING): per-language keep
     * rates rebalance the corpus (halve English, keep the rest) with
     * the same md5-hash determinism as the flat split, so the mix is
@@ -1094,7 +1120,9 @@ object SparkEntry {
     "q52_stratified" -> (q52Stratified _),
     "q53_line_dedup" -> (q53LineDedup _),
     "q54_incremental_dedup" -> (q54IncrementalDedup _),
-    "q55_gopher_rules" -> (q55GopherRules _))
+    "q55_gopher_rules" -> (q55GopherRules _),
+    "q56_token_budget" -> (q56TokenBudget _),
+    "q57_domain_cap" -> (q57DomainCap _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling/splitting for training
@@ -38,6 +39,49 @@ object Sampling {
   /** Deterministic p%-sample predicate (keep iff bucket < pct). */
   def sampledBy(key: Column, pct: Int, buckets: Int = 100): Column =
     hashBucket(key, buckets) < pct
+
+  /** Deterministic TOKEN-BUDGET selection (data mixing to a budget):
+    * within each group (typically language or domain), order docs by
+    * their md5 hash — a reproducible shuffle, independent of engine
+    * and partitioning — and keep the greedy prefix whose cumulative
+    * token count stays within `budget`. "Give me ≤ B tokens of
+    * Spanish, the same B tokens every run" is the operation a mixing
+    * recipe actually needs; percentage sampling can't hit a token
+    * target when doc lengths are skewed.
+    *
+    * Appends cum_tokens (inclusive running total in hash order) and
+    * kept (cum_tokens ≤ budget). Determinism: the hash order has a
+    * unique tiebreak (keyCol), so the prefix — and therefore the
+    * selected token mass — is a pure function of the data.
+    *
+    * Scale: one window per group = one shuffle + per-group sort over
+    * (group, hash, key, n_tokens) — 4 narrow columns, never text. For
+    * extreme single-group skew, pre-aggregate a per-bucket token
+    * histogram to find the cutoff hash, then broadcast-filter (same
+    * output, no big sort).
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, keyCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic per-DOMAIN cap (the CommonCrawl-style policy
+    * "at most N documents per domain/source"): rank docs inside each
+    * domain by md5 hash with a unique tiebreak and keep the first
+    * `cap`. Bounds any single domain's contribution to the corpus —
+    * the standard guard against boilerplate-heavy hosts — while
+    * staying reproducible across runs and incremental loads.
+    * Appends domain_rank (1-based hash rank) and kept.
+    */
+  def domainCap(df: DataFrame, domainCol: String, keyCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("domain_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("domain_rank") <= cap)
+  }
 
   /** Stratified downsampling (data mixing): per-stratum keep
     * percentages — e.g. halve an over-represented language while

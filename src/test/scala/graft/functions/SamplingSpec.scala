@@ -39,6 +39,48 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("token budget keeps the greedy hash-order prefix, per group, reproducibly") {
+    val df = (1L to 100L).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+      .withColumn("n_tokens", lit(10L) + col("doc_id") % 7)
+    val out = Sampling.tokenBudgetSelect(df, "lang", "doc_id", "n_tokens", budget = 100L)
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("kept")))
+    // kept mass per group is within budget; adding any dropped doc would overflow
+    Seq("en", "de").foreach { g =>
+      val grp = rows.filter(_._2 == g).sortBy(_._4)
+      val keptMass = grp.filter(_._5).map(_._3).sum
+      assert(keptMass <= 100L && keptMass > 0L, s"$g kept $keptMass")
+      val firstDropped = grp.find(!_._5).get
+      assert(keptMass + firstDropped._3 > 100L ||
+        firstDropped._4 > 100L, s"$g prefix not greedy")
+      // cumulative sums are consistent: cum = running sum in cum order
+      assert(grp.map(_._3).scanLeft(0L)(_ + _).tail.toSeq == grp.map(_._4).toSeq)
+    }
+    // determinism under repartitioning
+    val again = Sampling.tokenBudgetSelect(df.repartition(13), "lang", "doc_id", "n_tokens", 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("kept"))).toMap
+    assert(rows.map(r => r._1 -> r._5).toMap == again)
+  }
+
+  test("domain cap keeps exactly `cap` docs per domain, hash-ranked") {
+    val df = (1L to 60L).toDF("doc_id")
+      .withColumn("source", concat(lit("host_"), col("doc_id") % 4))
+    val out = Sampling.domainCap(df, "source", "doc_id", cap = 3)
+    val kept = out.filter(col("kept")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id"))
+    assert(kept.groupBy(_._1).forall(_._2.length == 3))
+    // ranks are 1..n and dense within each domain
+    val ranks = out.collect().groupBy(_.getAs[String]("source"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("domain_rank")).sorted.toSeq }
+    assert(ranks.forall(r => r == (1L to r.length).toSeq))
+    // deterministic under repartitioning
+    val again = Sampling.domainCap(df.repartition(7), "source", "doc_id", 3)
+      .filter(col("kept")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id")).toSet
+    assert(kept.toSet == again)
+  }
+
   test("stratified keep rates apply per stratum and stay hash-deterministic") {
     val df = (1L to 4000L).toDF("id")
       .withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
