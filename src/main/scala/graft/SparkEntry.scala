@@ -915,8 +915,13 @@ object SparkEntry {
           md5(col("doc_id").cast("string")),
           md5(concat(col("doc_id").cast("string"), lit("x"))),
           md5(concat(col("doc_id").cast("string"), lit("y")))).as("text"))
+    // The index is a MATERIALIZED table in production (written once,
+    // read per batch); cache stands in for the parquet round-trip so
+    // the corpus signature pass runs once, not once per consumer
+    // (band join + verify join both read it).
     val index = graft.dedup.IncrementalDedup.buildIndex(
-      docs.select(col("doc_id"), col("text")), cfg = cfg)
+      docs.select(col("doc_id"), col("text")), cfg = cfg).persist()
+    index.count()
     graft.dedup.IncrementalDedup.dedupBatch(index, dups.union(novels),
         threshold = 0.8, cfg = cfg)
       .select(col("doc_id"), col("is_novel"))
