@@ -666,6 +666,31 @@ object OracleSql {
         |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3 AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Gopher repetition rules: gram construction (overlapping
+    // space-joined word n-grams), char-mass arithmetic and the
+    // (count DESC, gram ASC) tie-break mirrored exactly; all integer.
+    "q58_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, c) -> a + c) AS BIGINT)
+        |    + CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS total_chars, toks FROM t),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1), i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM b),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |r2 AS (SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk FROM c2),
+        |top2 AS (SELECT doc_id, gram AS top_2gram, CAST(cnt AS BIGINT) AS top2_count, CAST(cnt * length(gram) AS BIGINT) AS top2_chars FROM r2 WHERE rk = 1),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1), i -> array_to_string(toks[i:i+4], ' '))) AS gram FROM b),
+        |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, CAST(sum(cnt * length(gram)) AS BIGINT) AS dup5_chars FROM c5 WHERE cnt > 1 GROUP BY 1)
+        |SELECT b.doc_id, total_chars,
+        |  coalesce(top_2gram, '') AS top_2gram,
+        |  coalesce(top2_count, 0) AS top2_count,
+        |  coalesce(top2_chars, 0) AS top2_chars,
+        |  coalesce(dup5_chars, 0) AS dup5_chars,
+        |  coalesce(top2_chars, 0) * 5 <= total_chars AS pass_top2,
+        |  coalesce(dup5_chars, 0) * 10 <= total_chars * 3 AS pass_dup5
+        |FROM b LEFT JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // Stratified downsampling: q44's md5 bucket + per-language CASE
     // thresholds mirrored exactly.
     "q52_stratified" ->

@@ -970,6 +970,16 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("domain_rank"), col("kept"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C28 — Gopher REPETITION rules (GopherRules.repetitionSignals):
+    * top word-2-gram char fraction (≤0.20) and duplicated word-5-gram
+    * char fraction (≤0.30), exact integer char mass with
+    * lexicographic tie-break — the second Gopher rule family, run as
+    * two explode→groupBy shuffles, never per-doc quadratic scans.
+    */
+  private def q58Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.functions.GopherRules.repetitionSignals(fanOut(s, Tables.documents(s, dir)))
+      .transform(sorted1(_, col("doc_id")))
+
   /** C22 — stratified downsampling (data MIXING): per-language keep
     * rates rebalance the corpus (halve English, keep the rest) with
     * the same md5-hash determinism as the flat split, so the mix is
@@ -1127,7 +1137,8 @@ object SparkEntry {
     "q54_incremental_dedup" -> (q54IncrementalDedup _),
     "q55_gopher_rules" -> (q55GopherRules _),
     "q56_token_budget" -> (q56TokenBudget _),
-    "q57_domain_cap" -> (q57DomainCap _))
+    "q57_domain_cap" -> (q57DomainCap _),
+    "q58_repetition" -> (q58Repetition _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

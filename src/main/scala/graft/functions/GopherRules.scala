@@ -82,6 +82,64 @@ object GopherRules {
           col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") && col("pass_stop"))
   }
 
+  /** Gopher's REPETITION rules (App. A1.1 second family): the
+    * fraction of characters taken by the single most common word
+    * 2-gram (threshold 0.20) and by all duplicated word 5-grams
+    * (threshold 0.30). Char mass of a gram = occurrences × gram
+    * length (its tokens + internal spaces) — a documented
+    * deterministic realization of "characters contained in" that
+    * avoids span-union bookkeeping; total chars = length of the
+    * space-joined token stream. Ties for the top gram break
+    * lexicographically. All arithmetic is integer; thresholds are
+    * cross-multiplied.
+    *
+    * Shape: two explode → (id, gram) groupBy passes (the same
+    * corpus-wide tokenize shuffle class as TF-IDF) joined back per
+    * doc — never a per-doc quadratic HOF scan, so a boilerplate-heavy
+    * 100 TB corpus costs two shuffles of (id, gram-hash) width.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val base = df.select(id, TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("total_chars",
+        aggregate(col("_toks"), lit(0L), (a, x) => a + length(x).cast("long")) +
+          greatest(size(col("_toks")).cast("long") - 1L, lit(0L)))
+      .persist() // feeds both gram explodes + the final join
+
+    def gramRows(n: Int): DataFrame = base.select(id,
+      explode(when(size(col("_toks")) >= n,
+        transform(sequence(lit(0), size(col("_toks")) - n),
+          i => array_join(slice(col("_toks"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("cnt").desc, col("gram"))
+    val top2 = gramRows(2)
+      .groupBy(id, col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(id, col("gram").as("top_2gram"),
+        col("cnt").as("top2_count"),
+        (col("cnt") * length(col("gram"))).cast("long").as("top2_chars"))
+    val dup5 = gramRows(5)
+      .groupBy(id, col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy(id)
+      .agg(sum(col("cnt") * length(col("gram"))).cast("long").as("dup5_chars"))
+
+    base.select(id, col("total_chars"))
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(id, col("total_chars"),
+        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"))
+      .withColumn("pass_top2", col("top2_chars") * 5 <= col("total_chars"))
+      .withColumn("pass_dup5", col("dup5_chars") * 10 <= col("total_chars") * 3)
+  }
+
   /** The gate itself: documents surviving every rule. */
   def filterDocs(df: DataFrame, textCol: String = "text"): DataFrame =
     signals(df, textCol).filter(col("keep"))

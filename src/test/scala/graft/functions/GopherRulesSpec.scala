@@ -49,6 +49,35 @@ class GopherRulesSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("pass_mean_len") && !r.getAs[Boolean]("pass_alpha"))
   }
 
+  test("repetition signals: top 2-gram mass, duplicated 5-gram mass, exact arithmetic") {
+    val boiler = "buy now " * 10                        // "buy now" x10 + alternating "now buy" x9
+    val varied = (1 to 30).map(i => f"w$i%02d").mkString(" ") // 30 unique 3-char words
+    val df = Seq((1L, boiler.trim), (2L, varied), (3L, "one"), (4L, "")).toDF("doc_id", "text")
+    val out = GopherRules.repetitionSignals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val r1 = out(1L)
+    // 20 tokens, 19 2-grams: "buy now" x10, "now buy" x9 → top = "buy now" (7 chars x 10)
+    assert(r1.getAs[String]("top_2gram") == "buy now")
+    assert(r1.getAs[Long]("top2_count") == 10L && r1.getAs[Long]("top2_chars") == 70L)
+    assert(r1.getAs[Long]("total_chars") == 79L)  // "buy now buy ..." joined length
+    assert(!r1.getAs[Boolean]("pass_top2"))       // 70*5 > 79
+    // 16 distinct 5-grams... all "buy now buy now buy"/"now buy..." repeat heavily
+    assert(r1.getAs[Long]("dup5_chars") > 0L && !r1.getAs[Boolean]("pass_dup5"))
+
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("top2_count") == 1L)    // all 2-grams unique
+    assert(r2.getAs[Boolean]("pass_top2") && r2.getAs[Boolean]("pass_dup5"))
+    assert(r2.getAs[Long]("dup5_chars") == 0L)
+
+    // docs too short for grams fail nothing and produce empty/zero signals
+    Seq(3L, 4L).foreach { i =>
+      val r = out(i)
+      assert(r.getAs[String]("top_2gram") == "" && r.getAs[Long]("top2_chars") == 0L)
+      assert(r.getAs[Boolean]("pass_top2") && r.getAs[Boolean]("pass_dup5"))
+    }
+  }
+
   test("filterDocs keeps exactly the keep=true subset with original columns") {
     val docs = Seq((1L, goodText), (2L, "too short")).toDF("doc_id", "text")
     val kept = GopherRules.filterDocs(docs)

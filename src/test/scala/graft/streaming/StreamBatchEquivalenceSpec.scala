@@ -129,6 +129,29 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch) // map-only ⇒ bit-identical
   }
 
+  test("Gopher quality gate runs unchanged on a stream (map-only, bit-identical)") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_gopher").toString
+    docs.write.parquet(s"$dir/in")
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.GopherRules.signals(df)
+        .select(col("doc_id"), col("n_words"), col("n_symbols"), col("n_stop"), col("keep"))
+
+    val q = gate(spark.readStream.schema(docs.schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("eq_gopher").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("eq_gopher")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = gate(docs)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionizer == oracle-checked q35 batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sf())
