@@ -81,6 +81,21 @@ object IncrementalDedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Close the ingest loop: the next index = old index ∪ signatures
+    * of the batch docs ACCEPTED as novel. Signatures are pure
+    * functions of (text, cfg), so appending equals rebuilding from
+    * scratch over corpus ∪ accepted docs (spec-asserted) — the index
+    * never needs a full recompute, which is the entire point at
+    * 100 TB (in production: append the new rows to the index table).
+    */
+  def appendAccepted(index: DataFrame, batch: DataFrame, verdicts: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     cfg: MinHashLsh.Config = MinHashLsh.Config()): DataFrame = {
+    val novelIds = verdicts.filter(col("is_novel")).select(col(idCol))
+    val accepted = batch.join(novelIds, Seq(idCol), "left_semi")
+    index.unionByName(MinHashLsh.signatures(accepted, idCol, textCol, cfg))
+  }
+
   /** Verdict per batch doc: is_novel (no corpus match ≥ threshold),
     * matched_id (min matching corpus id, null when novel), n_matches.
     */

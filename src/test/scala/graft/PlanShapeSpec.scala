@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.col
 
 /** Scale-shape assertions: these queries must produce the plan we'd
   * want at 100 TB — filters/projections reaching the parquet scan,
@@ -74,6 +75,36 @@ class PlanShapeSpec extends SparkSpec {
     // running-last window (which would shuffle by doc and break the
     // streaming twin)
     assert(!plan.contains("Window"), s"unexpected Window in the pipeline plan:\n$plan")
+  }
+
+  test("gopher gate is map-only: zero shuffles, rides the document scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = functions.GopherRules.signals(Tables.documents(spark, sf("sf0.001")))
+      val ex = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(ex.isEmpty, s"quality gate should not shuffle: ${ex.map(_.nodeName)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("token-budget and domain-cap windows shuffle narrow columns, never text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val tb = functions.Sampling.tokenBudgetSelect(
+        docs.select(col("doc_id"), col("lang"),
+          functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", 500L)
+      val dc = functions.Sampling.domainCap(
+        docs.select(col("doc_id"), col("source")), "source", "doc_id", 3)
+      Seq(tb, dc).foreach { df =>
+        val ex = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+        assert(ex.nonEmpty, "expected the window shuffle")
+        ex.foreach { s =>
+          val cols = s.output.map(_.name)
+          assert(!cols.contains("text"), s"window shuffle carries payload: $cols")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("exact dedup shuffles only (fingerprint, id), never the payload") {

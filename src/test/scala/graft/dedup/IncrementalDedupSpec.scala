@@ -55,6 +55,26 @@ class IncrementalDedupSpec extends SparkSpec {
       s"incremental $incremental vs full-run-restricted $full")
   }
 
+  test("appendAccepted == rebuilding the index from scratch over corpus + accepted docs") {
+    val index = IncrementalDedup.buildIndex(corpus, cfg = cfg)
+    val verdicts = IncrementalDedup.dedupBatch(index, batch, threshold = 0.5, cfg = cfg)
+    val appended = IncrementalDedup.appendAccepted(index, batch, verdicts, cfg = cfg)
+    val appendedRows = appended.collect().map(_.toString).sorted.toSeq
+
+    val acceptedIds = verdicts.filter(col("is_novel")).select("doc_id").as[Long].collect().toSet
+    assert(acceptedIds.contains(103L) && !acceptedIds.contains(101L))
+    val rebuilt = IncrementalDedup.buildIndex(
+      corpus.union(batch.filter(col("doc_id").isin(acceptedIds.toSeq: _*))), cfg = cfg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(appendedRows == rebuilt &&
+      appendedRows.size == corpus.count().toInt + acceptedIds.size)
+
+    // a re-ingest of the same batch against the appended index finds
+    // every doc (novel ones now match themselves at jaccard 1)
+    val again = IncrementalDedup.dedupBatch(appended, batch, threshold = 0.5, cfg = cfg)
+    assert(again.filter(col("is_novel")).count() == 0L)
+  }
+
   test("the index survives a parquet round-trip (persisted-index shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
     IncrementalDedup.buildIndex(corpus, cfg = cfg).write.parquet(s"$dir/index")
