@@ -691,6 +691,27 @@ object OracleSql {
         |FROM b LEFT JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // Corpus-level boilerplate removal: identical frequency
+    // computation (md5 per line, count distinct docs, threshold),
+    // keep-index filtering via a collected frequent-hash list, md5 of
+    // the order-preserving rejoin — q53's list idioms plus a corpus
+    // aggregate.
+    "q59_boilerplate" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |  'PROMO banner ' || (doc_id % 7), text, 'PROMO banner ' || (doc_id % 7),
+        |  'footer') AS t FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+        |e AS (SELECT doc_id, unnest(l) AS line FROM ls),
+        |f AS (SELECT md5(line) AS lh FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+        |fl AS (SELECT coalesce(list(lh), []) AS fls FROM f),
+        |k AS (SELECT doc_id, l, list_filter(range(1, len(l) + 1),
+        |  i -> NOT list_contains(fls, md5(l[i]))) AS keep FROM ls, fl)
+        |SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_lines,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(list_transform(keep, i -> l[i]), chr(10))) AS cleaned_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // Stratified downsampling: q44's md5 bucket + per-language CASE
     // thresholds mirrored exactly.
     "q52_stratified" ->

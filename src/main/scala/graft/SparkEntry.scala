@@ -980,6 +980,25 @@ object SparkEntry {
     graft.functions.GopherRules.repetitionSignals(fanOut(s, Tables.documents(s, dir)))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C29 — CORPUS-level boilerplate line removal (etl.Boilerplate):
+    * lines occurring in ≥ minDocs distinct docs are stripped
+    * everywhere, order preserved. Same deterministic dirty
+    * construction as q53 (per-doc-mod-7 banner + footer), so the
+    * banners (~1/7 of the corpus each) and the footer (every doc)
+    * are corpus-frequent while real text lines mostly are not; the
+    * oracle runs the identical frequency computation, so any real
+    * cross-doc repeated text lines agree too. md5 of the cleaned
+    * rejoin checks the edit end-to-end.
+    */
+  private def q59Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    val boiler = concat(lit("PROMO banner "), pmod(col("doc_id"), lit(7)))
+    val dirty = concat_ws("\n", boiler, col("text"), boiler, lit("footer"))
+    graft.etl.Boilerplate.removeFrequentLines(
+      d.select(col("doc_id"), dirty.as("text")), minDocs = 10L)
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C22 — stratified downsampling (data MIXING): per-language keep
     * rates rebalance the corpus (halve English, keep the rest) with
     * the same md5-hash determinism as the flat split, so the mix is
@@ -1138,7 +1157,8 @@ object SparkEntry {
     "q55_gopher_rules" -> (q55GopherRules _),
     "q56_token_budget" -> (q56TokenBudget _),
     "q57_domain_cap" -> (q57DomainCap _),
-    "q58_repetition" -> (q58Repetition _))
+    "q58_repetition" -> (q58Repetition _),
+    "q59_boilerplate" -> (q59Boilerplate _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
