@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics beyond quantiles (q46) and per-column
+  * profiling (q50).
+  */
+object Stats {
+
+  /** Fixed-range equi-width histogram computed entirely in integer
+    * space: bucket = ⌊(v − lo)·n / (hi − lo)⌋ over scaled-integer
+    * values (cents for money), with underflow collected in bucket −1
+    * and overflow in bucket n. One map-side-combined groupBy — a
+    * single pass however large the input — and exact, unlike
+    * sampling-based histogram sketches. Fixed [lo, hi) keeps it
+    * one-pass; when bounds are unknown, q46's quantiles or q50's
+    * min/max profile supply them with one extra pass.
+    *
+    * Output: (bucket, lo_cents, hi_cents, n, sum_cents, min_cents,
+    * max_cents) — empty buckets absent (at 100 TB a dense-bucket
+    * backfill is a driver-side array_join against `sequence()`, not a
+    * data pass).
+    */
+  def equiWidthHistogram(df: DataFrame, valueCents: Column,
+                         loCents: Long, hiCents: Long, nBuckets: Int): DataFrame = {
+    require(hiCents > loCents && nBuckets > 0, "need hi > lo and n > 0")
+    val span = hiCents - loCents
+    val b = when(valueCents < loCents, lit(-1L))
+      .when(valueCents >= hiCents, lit(nBuckets.toLong))
+      .otherwise(((valueCents - loCents) * nBuckets) / span) // Long math, exact
+      .cast("long")
+    df.select(b.as("bucket"), valueCents.as("_v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_cents"),
+        min(col("_v")).as("min_cents"), max(col("_v")).as("max_cents"))
+      .select(col("bucket"),
+        when(col("bucket") === -1L, lit(null))
+          .otherwise(loCents + col("bucket") * span / nBuckets).cast("long").as("lo_cents"),
+        when(col("bucket") === nBuckets.toLong, lit(null))
+          .otherwise(loCents + (col("bucket") + 1) * span / nBuckets).cast("long").as("hi_cents"),
+        col("n"), col("sum_cents"), col("min_cents"), col("max_cents"))
+  }
+}

@@ -199,6 +199,45 @@ object TextFunctions {
         .otherwise((size(ls) - uniq).cast("double") / size(ls).cast("double"))
     }
 
+  /** HTML/markup → text extraction (the trafilatura-shaped step every
+    * web-crawl pipeline runs before quality scoring; the reference's
+    * extractors only handle pdf/docx/image — web pages are the missing
+    * input class at corpus scale). Heuristic, not a DOM parse:
+    *   1. drop script/style elements wholesale;
+    *   2. block-level closers (</p> </div> </li> </tr> </h*> and <br>)
+    *      become newlines so visual structure survives;
+    *3+4. every remaining tag → space; entities decoded (&amp; LAST so
+    *      double-encoded text is not over-decoded);
+    *   5. whitespace normalization: space runs collapse, line edges
+    *      trim, blank-line runs collapse.
+    * Patterns are restricted to constructs Java regex and RE2 execute
+    * identically ((?s)/(?i)/(?m) flags, lazy quantifiers, classes — no
+    * backreferences or lookaround), so the whole chain is mirrorable
+    * in SQL and the oracle can md5 the result end-to-end.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val breaks = regexp_replace(noBlocks,
+      "(?i)<(br|hr)\\s*/?>|</(p|div|li|tr|h[1-6]|ul|ol|table)\\s*>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (t, (ent, ch)) =>
+      replace(t, lit(ent), lit(ch)) // literal (non-regex), same as SQL replace()
+    }
+    val oneSpace = regexp_replace(decoded, "[ \\t]+", " ")
+    val trimmed = regexp_replace(oneSpace, "(?m)^ +| +$", "")
+    trim(regexp_replace(trimmed, "\\n{2,}", "\n"), "\n")
+  }
+
+  /** <title> contents (first match; "" when absent) — the one piece of
+    * head metadata worth keeping from [[stripMarkup]]'s step 1 scope.
+    */
+  def markupTitle(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1)
+
   /** Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
