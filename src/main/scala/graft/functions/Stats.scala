@@ -26,9 +26,13 @@ object Stats {
                          loCents: Long, hiCents: Long, nBuckets: Int): DataFrame = {
     require(hiCents > loCents && nBuckets > 0, "need hi > lo and n > 0")
     val span = hiCents - loCents
+    // `div` (IntegralDivide) keeps the arithmetic in Long end-to-end;
+    // Column./ would route through double and can mis-bucket by one
+    // once |(v-lo)·n| exceeds 2^53. Operands are non-negative in this
+    // branch (lo ≤ v < hi), so truncation == floor.
     val b = when(valueCents < loCents, lit(-1L))
       .when(valueCents >= hiCents, lit(nBuckets.toLong))
-      .otherwise(((valueCents - loCents) * nBuckets) / span) // Long math, exact
+      .otherwise(call_function("div", (valueCents - loCents) * nBuckets, lit(span)))
       .cast("long")
     df.select(b.as("bucket"), valueCents.as("_v"))
       .groupBy(col("bucket"))
@@ -36,9 +40,11 @@ object Stats {
         min(col("_v")).as("min_cents"), max(col("_v")).as("max_cents"))
       .select(col("bucket"),
         when(col("bucket") === -1L, lit(null))
-          .otherwise(loCents + col("bucket") * span / nBuckets).cast("long").as("lo_cents"),
+          .otherwise(lit(loCents) + call_function("div", col("bucket") * span, lit(nBuckets.toLong)))
+          .cast("long").as("lo_cents"),
         when(col("bucket") === nBuckets.toLong, lit(null))
-          .otherwise(loCents + (col("bucket") + 1) * span / nBuckets).cast("long").as("hi_cents"),
+          .otherwise(lit(loCents) + call_function("div", (col("bucket") + 1) * span, lit(nBuckets.toLong)))
+          .cast("long").as("hi_cents"),
         col("n"), col("sum_cents"), col("min_cents"), col("max_cents"))
   }
 }
