@@ -56,29 +56,34 @@ object IncrementalDedup {
   /** Verified matches (batch_id, corpus_id, jaccard ≥ threshold).
     * Candidates come from the band join; Jaccard is exact over the
     * stored hashed shingle sets (same rounding as
-    * MinHashLsh.nearDuplicates, so results are comparable).
+    * MinHashLsh.nearDuplicates, so results are comparable). The match
+    * table (small: verified candidates only) is materialized eagerly
+    * so the batch-signature cache is released before returning — a
+    * per-micro-batch caller (StreamingIngest) would otherwise
+    * accumulate one cached signature table per batch for the life of
+    * the session.
     */
   def matches(index: DataFrame, batch: DataFrame,
               idCol: String = "doc_id", textCol: String = "text",
               threshold: Double = 0.8,
               cfg: MinHashLsh.Config = MinHashLsh.Config()): DataFrame = {
     graft.functions.ShingleFunctions.register(batch.sparkSession)
-    val batchSigs = MinHashLsh.signatures(batch, idCol, textCol, cfg).persist()
-    batchSigs.count() // materialize once: banding + verify both read it
-    val idxBands = guarded(MinHashLsh.banded(index, idCol, cfg), cfg)
-      .select(col("band_idx"), col("band_hash"), col(idCol).as("corpus_id"))
-    val batBands = guarded(MinHashLsh.banded(batchSigs, idCol, cfg), cfg)
-      .select(col("band_idx"), col("band_hash"), col(idCol).as("batch_id"))
-    val candidates = batBands.join(idxBands, Seq("band_idx", "band_hash"))
-      .select(col("batch_id"), col("corpus_id"))
-      .distinct()
-    candidates
-      .join(index.select(col(idCol).as("corpus_id"), col("_bases").as("sh_a")), Seq("corpus_id"))
-      .join(batchSigs.select(col(idCol).as("batch_id"), col("_bases").as("sh_b")), Seq("batch_id"))
-      .withColumn("jaccard",
-        round(graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    graft.Exec.withCached(MinHashLsh.signatures(batch, idCol, textCol, cfg)) { batchSigs =>
+      val idxBands = guarded(MinHashLsh.banded(index, idCol, cfg), cfg)
+        .select(col("band_idx"), col("band_hash"), col(idCol).as("corpus_id"))
+      val batBands = guarded(MinHashLsh.banded(batchSigs, idCol, cfg), cfg)
+        .select(col("band_idx"), col("band_hash"), col(idCol).as("batch_id"))
+      val candidates = batBands.join(idxBands, Seq("band_idx", "band_hash"))
+        .select(col("batch_id"), col("corpus_id"))
+        .distinct()
+      candidates
+        .join(index.select(col(idCol).as("corpus_id"), col("_bases").as("sh_a")), Seq("corpus_id"))
+        .join(batchSigs.select(col(idCol).as("batch_id"), col("_bases").as("sh_b")), Seq("batch_id"))
+        .withColumn("jaccard",
+          round(graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    }
   }
 
   /** Close the ingest loop: the next index = old index ∪ signatures

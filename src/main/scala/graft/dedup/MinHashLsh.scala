@@ -173,19 +173,21 @@ object MinHashLsh {
     * the bucket self-join, and both verification joins all branch from
     * it; without that, each branch re-scans the corpus and re-shingles
     * (at 100 TB: persist `signatures()` to a table instead of caching).
+    * The verified-pair result (small: LSH keeps it ≪ n²) is
+    * materialized eagerly so the cache is released before returning —
+    * repeated callers never accumulate cached signature tables.
     * Verification compares hashed shingles (8B longs), not shingle
     * strings — same Jaccard, a fraction of the shuffle width.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, cfg: Config = Config()): DataFrame = {
     graft.functions.ShingleFunctions.register(docs.sparkSession)
-    val sigs = signatures(docs, idCol, textCol, cfg).persist()
-    sigs.count() // materialize before the branches race: banding, the
-                 // bucket join, and both verify joins all read this
-    val pairs = pairsFromBanded(banded(sigs, idCol, cfg), idCol, cfg)
-    verifyPairs(pairs, sigs.select(col(idCol), col("_bases")), idCol)
-      .withColumn("jaccard", round(col("jaccard"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    graft.Exec.withCached(signatures(docs, idCol, textCol, cfg)) { sigs =>
+      val pairs = pairsFromBanded(banded(sigs, idCol, cfg), idCol, cfg)
+      verifyPairs(pairs, sigs.select(col(idCol), col("_bases")), idCol)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 }

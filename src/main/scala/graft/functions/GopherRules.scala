@@ -101,11 +101,16 @@ object GopherRules {
   def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val id = col(idCol)
+    // NOT cached: three consumers (two gram explodes + the final join)
+    // each re-run the map-side tokenize instead. Caching the exploded
+    // token arrays would pin a corpus-sized table (larger than the
+    // text itself) per call — and this is called per bench iteration /
+    // per micro-batch, where leaked caches accumulate. A 3× regex
+    // re-scan is the cheaper trade at any scale.
     val base = df.select(id, TextFunctions.tokens(col(textCol)).as("_toks"))
       .withColumn("total_chars",
         aggregate(col("_toks"), lit(0L), (a, x) => a + length(x).cast("long")) +
           greatest(size(col("_toks")).cast("long") - 1L, lit(0L)))
-      .persist() // feeds both gram explodes + the final join
 
     def gramRows(n: Int): DataFrame = base.select(id,
       explode(when(size(col("_toks")) >= n,
