@@ -759,5 +759,78 @@ object OracleSql {
          |  CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 0.0
          |       ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) END AS jaccard
          |FROM p)
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= CAST(0.1 AS DOUBLE) ORDER BY id_a""".stripMargin)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= CAST(0.1 AS DOUBLE) ORDER BY id_a""".stripMargin,
+
+    // Unigram-LM integer evidence: vocabulary pass (per-token corpus
+    // counts) joined onto per-(doc,token) counts, both from the same
+    // lowercased whitespace tokenization as q20/q21; left join keeps
+    // token-less docs with zeroed evidence.
+    "q60_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS token FROM documents),
+        |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+        |dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY doc_id, token),
+        |per AS (SELECT dt.doc_id AS doc_id,
+        |  CAST(sum(k) AS BIGINT) AS n_toks,
+        |  CAST(sum(k * cnt) AS BIGINT) AS sum_cnt,
+        |  min(cnt) AS min_cnt,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN k ELSE 0 END) AS BIGINT) AS n_hapax
+        | FROM dt JOIN vocab USING (token) GROUP BY dt.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_toks, 0) AS n_toks,
+        |  coalesce(sum_cnt, 0) AS sum_cnt,
+        |  coalesce(min_cnt, 0) AS min_cnt,
+        |  coalesce(n_hapax, 0) AS n_hapax
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // URL canonicalization + domain cap: the 5-shape URL synthesis is
+    // reconstructed verbatim, every extraction is an RE2-safe regex
+    // mirrored from UrlFunctions, the registered-domain heuristic uses
+    // the same label arithmetic, and the cap is q57's md5 row_number.
+    "q61_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'https://www.example' || (doc_id % 10) || '.com/a/b/page' || doc_id || '?utm_source=feed&id=' || doc_id || '&utm_campaign=x#frag'
+        |    WHEN 1 THEN 'http://blog.example' || (doc_id % 10) || '.co.uk/post/' || doc_id
+        |    WHEN 2 THEN 'https://user@media.example' || (doc_id % 10) || '.org:8080/v/' || doc_id || '?gclid=abc' || doc_id
+        |    WHEN 3 THEN 'ftp://files.example' || (doc_id % 10) || '.net/'
+        |    ELSE 'not a url ' || doc_id END AS url
+        | FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#]+)', 2)) AS host,
+        |  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*(/[^?#]*)', 2) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q
+        | FROM u),
+        |r AS (SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM p),
+        |rd AS (SELECT doc_id, scheme, host, path, q,
+        |  CASE WHEN n >= 3 AND ls[n-1] IN ('co','com','org','net','ac','gov') THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+        |       WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
+        |       ELSE host END AS reg_domain,
+        |  CAST(len(list_filter(string_split(path, '/'), x -> length(x) > 0)) AS BIGINT) AS path_depth,
+        |  array_to_string(list_filter(string_split(q, '&'), x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref)=') AND length(x) > 0), '&') AS kq
+        | FROM r),
+        |c AS (SELECT doc_id, scheme, host, reg_domain, path_depth,
+        |  scheme || '://' || host || path || CASE WHEN length(kq) > 0 THEN '?' || kq ELSE '' END AS canon_url
+        | FROM rd)
+        |SELECT doc_id, scheme, host, reg_domain, path_depth, canon_url,
+        |  CAST(row_number() OVER (PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS domain_rank,
+        |  row_number() OVER (PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Equi-width histogram: all-integer bucket math ((v-lo)*n // span
+    // with non-negative operands, so // == Spark's `div`), underflow
+    // bucket -1 / overflow bucket 16; bounds derived from the bucket
+    // id by the same integer expressions.
+    "q62_histogram" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders),
+        |b AS (SELECT c, CASE WHEN c < 250000 THEN CAST(-1 AS BIGINT)
+        |                     WHEN c >= 45000000 THEN CAST(16 AS BIGINT)
+        |                     ELSE CAST(((c - 250000) * 16) // 44750000 AS BIGINT) END AS bucket FROM v),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_cents,
+        |             min(c) AS min_cents, max(c) AS max_cents FROM b GROUP BY bucket)
+        |SELECT bucket,
+        |  CAST(CASE WHEN bucket = -1 THEN NULL ELSE 250000 + (bucket * 44750000 + 15) // 16 END AS BIGINT) AS lo_cents,
+        |  CAST(CASE WHEN bucket = 16 THEN NULL ELSE 250000 + ((bucket + 1) * 44750000 + 15) // 16 END AS BIGINT) AS hi_cents,
+        |  n, sum_cents, min_cents, max_cents
+        |FROM g ORDER BY bucket""".stripMargin)
 }

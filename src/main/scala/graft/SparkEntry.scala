@@ -1107,6 +1107,71 @@ object SparkEntry {
           col("exact_distinct").cast("double") * 0.1).as("approx_ok"))
       .orderBy("lang")
 
+  /** C30 — corpus unigram-LM scoring (UnigramLm.score): the CCNet-
+    * style perplexity-proxy quality signal, scored against the
+    * corpus's own unigram distribution. The driver checks the exact
+    * integer evidence columns (token count, corpus-count mass, rarest
+    * token's count, hapax tokens); the ln-based avg_neg_logp is
+    * pruned here (libm last-ulp is engine-specific, same tradeoff as
+    * TfIdf's ln weight) and spec-checked in UnigramLmSpec instead.
+    */
+  private def q60UnigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLm.score(fanOut(s, Tables.documents(s, dir)))
+      .select(col("doc_id"), col("n_toks"), col("sum_cnt"), col("min_cnt"), col("n_hapax"))
+      .transform(sorted1(_, col("doc_id")))
+
+  /** C31 — URL canonicalization + per-domain capping (UrlFunctions +
+    * Sampling.domainCap): the two CommonCrawl curation keys — a
+    * canonical URL (tracking params stripped, fragment dropped) for
+    * URL-level exact dedup, and the registered domain for per-domain
+    * contribution caps. URLs are synthesized deterministically from
+    * doc_id (5 shapes: plain https with utm/fragment junk, co.uk
+    * multi-part TLD, userinfo+port with gclid, bare ftp host, and a
+    * malformed non-URL that must yield empty fields, never an error);
+    * the oracle reconstructs the same strings and mirrors every
+    * RE2-safe extraction, so all fields hash-check end-to-end.
+    */
+  private def q61UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val m = pmod(col("doc_id"), lit(5))
+    val d = pmod(col("doc_id"), lit(10)).cast("string")
+    val id = col("doc_id").cast("string")
+    val url = when(m === 0, concat(lit("https://www.example"), d, lit(".com/a/b/page"),
+        id, lit("?utm_source=feed&id="), id, lit("&utm_campaign=x#frag")))
+      .when(m === 1, concat(lit("http://blog.example"), d, lit(".co.uk/post/"), id))
+      .when(m === 2, concat(lit("https://user@media.example"), d, lit(".org:8080/v/"),
+        id, lit("?gclid=abc"), id))
+      .when(m === 3, concat(lit("ftp://files.example"), d, lit(".net/")))
+      .otherwise(concat(lit("not a url "), id))
+    val parsed = fanOut(s, Tables.documents(s, dir)).select(
+      col("doc_id"),
+      UrlFunctions.scheme(url).as("scheme"),
+      UrlFunctions.host(url).as("host"),
+      UrlFunctions.registeredDomain(url).as("reg_domain"),
+      UrlFunctions.pathDepth(url).as("path_depth"),
+      UrlFunctions.canonicalize(url).as("canon_url"))
+    graft.functions.Sampling.domainCap(parsed, "reg_domain", "doc_id", cap = 3)
+      .select(col("doc_id"), col("scheme"), col("host"), col("reg_domain"),
+        col("path_depth"), col("canon_url"), col("domain_rank"), col("kept"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** B20 — exact equi-width histogram (Stats.equiWidthHistogram):
+    * fixed-range integer bucketing of order totals in cents, one
+    * map-side-combined pass however large the input. The [lo, hi)
+    * range is set strictly inside the data's span so BOTH the
+    * underflow bucket (−1) and the overflow bucket (16) carry rows.
+    * All-integer output — bucket math, bounds, counts and cent sums
+    * mirror exactly in the oracle (`//` is DuckDB integer division;
+    * operands are non-negative so truncation == floor on both
+    * engines).
+    */
+  private def q62Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Stats.equiWidthHistogram(
+      Tables.orders(s, dir), cents(col("o_totalprice")),
+      loCents = 250000L, hiCents = 45000000L, nBuckets = 16)
+      .orderBy("bucket")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1166,7 +1231,10 @@ object SparkEntry {
     "q56_token_budget" -> (q56TokenBudget _),
     "q57_domain_cap" -> (q57DomainCap _),
     "q58_repetition" -> (q58Repetition _),
-    "q59_boilerplate" -> (q59Boilerplate _))
+    "q59_boilerplate" -> (q59Boilerplate _),
+    "q60_unigram_lm" -> (q60UnigramLm _),
+    "q61_url_canonicalize" -> (q61UrlCanonicalize _),
+    "q62_histogram" -> (q62Histogram _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -26,6 +26,11 @@ object Stats {
                          loCents: Long, hiCents: Long, nBuckets: Int): DataFrame = {
     require(hiCents > loCents && nBuckets > 0, "need hi > lo and n > 0")
     val span = hiCents - loCents
+    // (v - lo) * n must not overflow Long — the price of staying in
+    // exact integer arithmetic. Cents over [0, 2^63/n) cover any real
+    // money range; for wider domains pre-scale the value column.
+    require(span <= Long.MaxValue / nBuckets,
+      s"span * nBuckets overflows Long: span=$span n=$nBuckets")
     // `div` (IntegralDivide) keeps the arithmetic in Long end-to-end;
     // Column./ would route through double and can mis-bucket by one
     // once |(v-lo)·n| exceeds 2^53. Operands are non-negative in this
@@ -39,11 +44,17 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_cents"),
         min(col("_v")).as("min_cents"), max(col("_v")).as("max_cents"))
       .select(col("bucket"),
+        // bucket b holds v iff b ≤ (v-lo)·n/span < b+1, i.e. the
+        // integer edge of bucket b is CEIL(b·span/n) — floor-div
+        // edges would exclude values the assignment puts in b when
+        // span % n ≠ 0. Ceil via (x + n - 1) div n (non-negative).
         when(col("bucket") === -1L, lit(null))
-          .otherwise(lit(loCents) + call_function("div", col("bucket") * span, lit(nBuckets.toLong)))
+          .otherwise(lit(loCents) + call_function("div",
+            col("bucket") * span + (nBuckets - 1), lit(nBuckets.toLong)))
           .cast("long").as("lo_cents"),
         when(col("bucket") === nBuckets.toLong, lit(null))
-          .otherwise(lit(loCents) + call_function("div", (col("bucket") + 1) * span, lit(nBuckets.toLong)))
+          .otherwise(lit(loCents) + call_function("div",
+            (col("bucket") + 1) * span + (nBuckets - 1), lit(nBuckets.toLong)))
           .cast("long").as("hi_cents"),
         col("n"), col("sum_cents"), col("min_cents"), col("max_cents"))
   }

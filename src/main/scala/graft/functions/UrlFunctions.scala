@@ -47,13 +47,19 @@ object UrlFunctions {
     * heuristic covers the common registries without the table.
     */
   def registeredDomain(url: Column): Column = {
-    val labels = split(host(url), "\\.")
+    val h = host(url)
+    val labels = split(h, "\\.")
     val n = size(labels)
-    val sld = element_at(labels, -2)
+    // get() (0-based) returns null out-of-bounds; element_at's
+    // negative indexing THROWS on short arrays under ANSI mode
+    // (Spark 4 default) even on rows the when() guards route away.
+    val last = get(labels, n - 1)
+    val sld = get(labels, n - 2)
+    val third = get(labels, n - 3)
     when(n >= 3 && sld.isin("co", "com", "org", "net", "ac", "gov"),
-      concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
-      .when(n >= 2, concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
-      .otherwise(host(url))
+      concat_ws(".", third, sld, last))
+      .when(n >= 2, concat_ws(".", sld, last))
+      .otherwise(h)
   }
 
   /** Canonical URL for exact dedup: lowercased scheme+host, path as-is,

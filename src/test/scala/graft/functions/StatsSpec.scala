@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Stats.equiWidthHistogram — bucket assignment (underflow/overflow/
+  * boundaries), per-bucket aggregates, derived bounds, and the 2^53
+  * integer-exactness boundary where a double-routed division would
+  * mis-bucket.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist(vals: Seq[Long], lo: Long, hi: Long, n: Int): Map[Long, Row] =
+    Stats.equiWidthHistogram(vals.toDF("v"), col("v"), lo, hi, n)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("bucket assignment: underflow, overflow, inclusive lo / exclusive hi") {
+    // [0, 100) in 4 buckets of width 25
+    val h = hist(Seq(-5L, 0L, 24L, 25L, 99L, 100L, 150L), lo = 0L, hi = 100L, n = 4)
+    assert(h.keySet === Set(-1L, 0L, 1L, 3L, 4L))
+    assert(h(-1L).getAs[Long]("n") === 1L) // -5
+    assert(h(0L).getAs[Long]("n") === 2L) // 0, 24
+    assert(h(1L).getAs[Long]("n") === 1L) // 25
+    assert(h(3L).getAs[Long]("n") === 1L) // 99
+    assert(h(4L).getAs[Long]("n") === 2L) // 100 (hi is exclusive), 150
+  }
+
+  test("derived bounds and aggregates per bucket") {
+    val h = hist(Seq(10L, 12L, 30L, 95L), lo = 0L, hi = 100L, n = 4)
+    val b0 = h(0L)
+    assert(b0.getAs[Long]("lo_cents") === 0L)
+    assert(b0.getAs[Long]("hi_cents") === 25L)
+    assert(b0.getAs[Long]("n") === 2L)
+    assert(b0.getAs[Long]("sum_cents") === 22L)
+    assert(b0.getAs[Long]("min_cents") === 10L)
+    assert(b0.getAs[Long]("max_cents") === 12L)
+    // underflow bucket has null lo bound; overflow has null hi bound
+    val hu = hist(Seq(-1L, 100L), lo = 0L, hi = 100L, n = 4)
+    assert(hu(-1L).isNullAt(hu(-1L).fieldIndex("lo_cents")))
+    assert(hu(4L).isNullAt(hu(4L).fieldIndex("hi_cents")))
+    assert(hu(-1L).getAs[Long]("hi_cents") === 0L)
+    assert(hu(4L).getAs[Long]("lo_cents") === 100L)
+  }
+
+  test("non-divisible range: integer bound math stays consistent with bucket assignment") {
+    // span 10 over 3 buckets: assignment floor(v*3/10) implies integer
+    // edges CEIL(b*10/3) = 0, 4, 7, 10
+    val h = hist(Seq(0L, 2L, 3L, 5L, 6L, 9L), lo = 0L, hi = 10L, n = 3)
+    // v=3 -> 9//10 = 0; v=5 -> 15//10 = 1; v=6 -> 18//10=1; v=9 -> 27//10=2
+    assert(h(0L).getAs[Long]("n") === 3L) // 0, 2, 3
+    assert(h(1L).getAs[Long]("n") === 2L) // 5, 6
+    assert(h(2L).getAs[Long]("n") === 1L) // 9
+    assert(h(0L).getAs[Long]("hi_cents") === 4L)
+    assert(h(1L).getAs[Long]("lo_cents") === 4L)
+    assert(h(1L).getAs[Long]("hi_cents") === 7L)
+    // every value lies within its bucket's derived [lo, hi) bounds
+    h.filterKeys(b => b >= 0 && b < 3).values.foreach { r =>
+      assert(r.getAs[Long]("min_cents") >= r.getAs[Long]("lo_cents"))
+      assert(r.getAs[Long]("max_cents") < r.getAs[Long]("hi_cents"))
+    }
+  }
+
+  test("2^53 boundary: long-exact bucketing where double math would misassign") {
+    // (v - lo) * n exceeds 2^53 (but not 2^63), so a double-routed
+    // division could be off by one ulp and mis-bucket edge-adjacent
+    // values; the Long `div` path must split them exactly.
+    val lo = 0L
+    val hi = 1L << 50
+    val n = 1000
+    val span = hi - lo
+    // smallest v in bucket 499: ceil(499*span/n); 499*span ≈ 5.6e17
+    val edge = (499L * span + n - 1) / n
+    assert((edge - 1) * n > (1L << 53)) // genuinely beyond double-exact
+    assert(((edge - 1) * n) / span === 498L)
+    assert((edge * n) / span === 499L)
+    val h = hist(Seq(edge - 1, edge), lo, hi, n)
+    assert(h(498L).getAs[Long]("n") === 1L)
+    assert(h(499L).getAs[Long]("n") === 1L)
+    assert(h(498L).getAs[Long]("max_cents") === edge - 1)
+    assert(h(499L).getAs[Long]("min_cents") === edge)
+    // and the derived edge agrees with the assignment split
+    assert(h(499L).getAs[Long]("lo_cents") === edge)
+    assert(h(498L).getAs[Long]("hi_cents") === edge)
+  }
+}
