@@ -39,15 +39,24 @@ object Bench {
     // consumer of the artifact can tell "the machine was loaded" apart
     // from "the code regressed" (round-4's official bench was 1.9×
     // noise on byte-identical code and nothing in the JSON said so).
-    def spinMs(): Double = {
+    def spinMs(n: Int = 40000000): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L
       var i = 0
-      while (i < 40000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       if (x == 42L) System.err.println("unreachable") // keep the loop live
       (System.nanoTime() - t0) / 1e6
     }
     val spinPre = spinMs()
+    // Per-query sentinel work size: quarter spins (~25 ms) interleaved
+    // before each query's batch, so a loaded WINDOW inside an
+    // otherwise-clean suite shows up attached to the queries it
+    // inflated. The suite-level pre/post pair can't see those
+    // (round-6: a ~20 s load window inflated q15's min AND max, so
+    // the >3x spread rerun never tripped and 3.04 s published as
+    // real).
+    val QSpinIters = 10000000
+    val qSpinBase = spinPre / 4.0
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -71,19 +80,27 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
-    // A max/min spread > 3× within one query's iterations is a
-    // contention signature, not a property of the plan (round-4: q41
-    // spanned 4.2–25.7 s inside one driver run). Such queries get a
-    // second batch of iterations and the median is taken over ALL
-    // samples, so one descheduled outlier can't set the headline.
+    // Two per-query contention triggers, either of which earns a
+    // second batch of iterations (median then taken over ALL samples,
+    // so one descheduled window can't set the headline):
+    //  - spread: max/min > 3× within the batch (round-4: q41 spanned
+    //    4.2–25.7 s inside one driver run) — catches a spike that hit
+    //    SOME iterations;
+    //  - spin: the interleaved quarter-spin ran > 2× its idle-machine
+    //    time — catches a load window that inflated ALL iterations
+    //    equally (round-6's q15).
     val results = queries.map { case (name, fn) =>
+      val qSpin = spinMs(QSpinIters)
       val first = (1 to iters).map(_ => runOnce(name, fn))
-      val noisy = iters > 1 && first.max > 0.25 && first.max / math.max(first.min, 1e-9) > 3.0
+      val spreadNoisy = iters > 1 && first.max > 0.25 && first.max / math.max(first.min, 1e-9) > 3.0
+      val loadNoisy = qSpin > qSpinBase * 2.0
+      val noisy = spreadNoisy || loadNoisy
       val times = if (noisy) {
-        System.err.println(f"[bench] $name spread ${first.min}%.3f-${first.max}%.3f s (>3x) — re-running")
+        System.err.println(f"[bench] $name spread ${first.min}%.3f-${first.max}%.3f s spin $qSpin%.1f ms " +
+          f"(spread>3x=$spreadNoisy load>2x=$loadNoisy) — re-running")
         first ++ (1 to iters).map(_ => runOnce(name, fn))
       } else first
-      (name, median(times), times.min, times.max, noisy)
+      (name, median(times), times.min, times.max, noisy, qSpin)
     }
     val spinPost = spinMs()
 
@@ -99,20 +116,22 @@ object Bench {
     // truncated line failed to parse). Keep the stdout line compact —
     // millisecond precision, no spread — and put the full-precision
     // medians + min/max spread in bench_result.json only.
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + r3(med) }
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // "spin":[pre_ms,post_ms] is the load sentinel; "reruns" counts
-    // queries that tripped the >3x spread re-run. A clean run shows
-    // two similar small spin numbers and reruns=0.
+    // "spin":[pre_ms,post_ms] is the suite-level load sentinel;
+    // "reruns" counts queries that tripped either per-query trigger.
+    // A clean run shows two similar small spin numbers and reruns=0;
+    // per-query spin times live in bench_result.json's spread map.
     val sentinel = s""""spin":[${r1(spinPre)},${r1(spinPost)}],"reruns":${results.count(_._5)}"""
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"iters":$iters,$sentinel,"sf":"$sfDir"}"""
-    val qsFull = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    val qsFull = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx, rerun) =>
-      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"rerun\":" + rerun + "}"
+    val spread = results.map { case (k, _, mn, mx, rerun, qSpin) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"rerun\":" + rerun +
+        ",\"spin_ms\":" + r1(qSpin) + "}"
     }.mkString("{", ",", "}")
-    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spread,"iters":$iters,$sentinel,"sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spread,"iters":$iters,$sentinel,"qspin_base_ms":${r1(qSpinBase)},"sf":"$sfDir"}"""
     // Clean line on raw stdout (build.sbt routes fork output through
     // StdoutOutput, so no logger prefix) + a file copy as a fallback
     // parse source for the harness.

@@ -21,6 +21,18 @@ object Exec {
     * (verified pairs, per-batch verdicts): the result is materialized
     * in executor storage, so a corpus-sized `f` output would trade a
     * cache leak for a storage spike.
+    *
+    * Cluster-scale caveats, by design: (1) this call is EAGER — the
+    * input is materialized and `f` executed before returning, not
+    * when the caller first acts on the result; (2) localCheckpoint
+    * truncates lineage WITHOUT replication, so on a multi-executor
+    * cluster losing an executor after the call makes the result
+    * unrecoverable (block-fetch failure instead of recompute). In
+    * local mode — the bench/stream loops this exists for — there is
+    * no executor to lose; on a real cluster, callers that need fault
+    * tolerance should write the small result to a table (a reliable
+    * checkpoint) and read it back instead, exactly as the MinHashLsh
+    * scaladoc prescribes for corpus-scale signature reuse.
     */
   def withCached(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val cached = df.persist()

@@ -343,15 +343,36 @@ object OracleSql {
     // non-dyadic g, and the harness bit-compares doubles — the
     // rounded bigint is interpolation-formula-proof. The sketch side
     // stays a 5%-bound assertion (full-precision) as in q38.
+    // Quantiles in exact integer space: rank numerator (n-1)*p over
+    // denominator 100, 100*percentile = lo*(100-rem) + hi*rem, then
+    // (+50)//100 whole-cent HALF_UP — no quantile_cont, so no libm
+    // ulp can straddle the two engines (round-6 verdict residual).
     "q46_quantiles" ->
-      """WITH b AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders)
-        |SELECT o_orderpriority, count(*) AS n,
-        |  CAST(round(quantile_cont(pc, 0.25)) AS BIGINT) AS p25,
-        |  CAST(round(quantile_cont(pc, 0.5)) AS BIGINT) AS p50,
-        |  CAST(round(quantile_cont(pc, 0.9)) AS BIGINT) AS p90,
-        |  CAST(round(quantile_cont(pc, 0.99)) AS BIGINT) AS p99,
-        |  abs(CAST(approx_quantile(pc, 0.5) AS DOUBLE) - quantile_cont(pc, 0.5)) <= quantile_cont(pc, 0.5) * 0.05 AS approx_ok
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH v AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders),
+        |r AS (SELECT o_orderpriority, pc,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY pc) - 1 AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n FROM v),
+        |i AS (SELECT *,
+        |  ((n-1)*25)//100 AS i25, ((n-1)*25)%100 AS rem25,
+        |  ((n-1)*50)//100 AS i50, ((n-1)*50)%100 AS rem50,
+        |  ((n-1)*90)//100 AS i90, ((n-1)*90)%100 AS rem90,
+        |  ((n-1)*99)//100 AS i99, ((n-1)*99)%100 AS rem99 FROM r),
+        |g AS (SELECT o_orderpriority, max(n) AS n,
+        |  max(rem25) AS rem25, max(rem50) AS rem50, max(rem90) AS rem90, max(rem99) AS rem99,
+        |  max(CASE WHEN rn = i25 THEN pc END) AS l25, max(CASE WHEN rn = i25 + (CASE WHEN rem25 > 0 THEN 1 ELSE 0 END) THEN pc END) AS h25,
+        |  max(CASE WHEN rn = i50 THEN pc END) AS l50, max(CASE WHEN rn = i50 + (CASE WHEN rem50 > 0 THEN 1 ELSE 0 END) THEN pc END) AS h50,
+        |  max(CASE WHEN rn = i90 THEN pc END) AS l90, max(CASE WHEN rn = i90 + (CASE WHEN rem90 > 0 THEN 1 ELSE 0 END) THEN pc END) AS h90,
+        |  max(CASE WHEN rn = i99 THEN pc END) AS l99, max(CASE WHEN rn = i99 + (CASE WHEN rem99 > 0 THEN 1 ELSE 0 END) THEN pc END) AS h99,
+        |  approx_quantile(pc, 0.5) AS ap50
+        | FROM i GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CAST((l25*(100-rem25) + h25*rem25 + 50)//100 AS BIGINT) AS p25,
+        |  CAST((l50*(100-rem50) + h50*rem50 + 50)//100 AS BIGINT) AS p50,
+        |  CAST((l90*(100-rem90) + h90*rem90 + 50)//100 AS BIGINT) AS p90,
+        |  CAST((l99*(100-rem99) + h99*rem99 + 50)//100 AS BIGINT) AS p99,
+        |  abs(CAST(ap50 AS BIGINT) - (l50*(100-rem50) + h50*rem50 + 50)//100) * 20
+        |    <= (l50*(100-rem50) + h50*rem50 + 50)//100 AS approx_ok
+        |FROM g ORDER BY 1""".stripMargin,
 
     "q47_window_suite" ->
       """WITH f AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
@@ -816,6 +837,38 @@ object OracleSql {
         |  CAST(row_number() OVER (PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS domain_rank,
         |  row_number() OVER (PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3 AS kept
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Markup strip: identical HTML synthesis, then the 7-step chain
+    // mirrored — script/style wholesale, block closers -> newline,
+    // remaining tags -> space, entity decode in the same order (&amp;
+    // last), space-run collapse, line-edge trim, blank-line collapse.
+    // All patterns are Java-regex/RE2-identical constructs; md5 of
+    // the cleaned text checks every byte.
+    "q63_strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || ' &amp; friends</title>' ||
+        |  '<style>p { color: red; }</style></head><body>' ||
+        |  '<script>var x = 1 < 2 && 3 > 2;</script>' ||
+        |  '<h1>Doc ' || doc_id || '</h1>' ||
+        |  '<p>' || substring(text, 1, 120) || '</p>' ||
+        |  '<div>Tom &amp; Jerry &lt;3 say &quot;hi&#39;&nbsp;there</div>' ||
+        |  '<ul><li>alpha</li><li>beta ' || doc_id || '</li></ul>' ||
+        |  '<br><hr/></body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id, html, regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS a FROM h),
+        |s2 AS (SELECT doc_id, html, regexp_replace(a, '(?i)<(br|hr)\s*/?>|</(p|div|li|tr|h[1-6]|ul|ol|table)\s*>', chr(10), 'g') AS b FROM s1),
+        |s3 AS (SELECT doc_id, html, regexp_replace(b, '(?s)<[^>]*>', ' ', 'g') AS c FROM s2),
+        |s4 AS (SELECT doc_id, html,
+        |  replace(replace(replace(replace(replace(replace(c,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS d FROM s3),
+        |s5 AS (SELECT doc_id, html, regexp_replace(d, '[ \t]+', ' ', 'g') AS e FROM s4),
+        |s6 AS (SELECT doc_id, html, regexp_replace(e, '(?m)^ +| +$', '', 'g') AS f FROM s5),
+        |s7 AS (SELECT doc_id, html, trim(regexp_replace(f, '\n{2,}', chr(10), 'g'), chr(10)) AS clean FROM s6)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\s*>', 1) AS title,
+        |  CAST(length(clean) AS BIGINT) AS clean_chars,
+        |  CAST(len(string_split(clean, chr(10))) AS BIGINT) AS n_lines,
+        |  md5(clean) AS clean_md5
+        |FROM s7 ORDER BY doc_id""".stripMargin,
 
     // Equi-width histogram: all-integer bucket math ((v-lo)*n // span
     // with non-negative operands, so // == Spark's `div`), underflow

@@ -494,34 +494,47 @@ object SparkEntry {
     * percentile needs a per-group sort; the sketch is a fixed-size
     * mergeable buffer.
     *
-    * Output percentiles are ROUNDED TO WHOLE CENTS (bigint): Spark
-    * interpolates `(1-g)·lo + g·hi` while DuckDB's quantile_cont uses
-    * `lo + g·(hi-lo)` — algebraically equal, but for non-dyadic g
-    * (p=0.9/0.99) the two double expressions can differ in the last
-    * ulp, and the harness compares doubles by bit pattern. Rounding
-    * at the output boundary makes the comparison integer-exact
-    * (round-4 verdict item 3); the 5%-bound check runs on the
-    * full-precision doubles before rounding.
+    * The interpolation never touches a double: for percentile p over
+    * n sorted values the rank numerator is (n−1)·p with denominator
+    * 100, so with lo/hi the values at ⌊num/100⌋ and the next rank,
+    * 100·percentile = lo·(100−rem) + hi·rem exactly (rem = num mod
+    * 100) — Spark's `(1−g)·lo + g·hi` and DuckDB's `lo + g·(hi−lo)`
+    * both equal this rational, but computed in floating point they
+    * can differ in the last ulp and a `round()` within an ulp of a
+    * .5-cent boundary can straddle engines (round-6 verdict). The
+    * whole-cent rounding is integer too: (x + 50) div 100 == HALF_UP
+    * for non-negative x. Rank lookups ride one row_number window per
+    * group; equal values make any tie order yield the same ranked
+    * value. The 5% approx assertion is ×20 integer cross-multiply.
     */
-  private def q46Quantiles(s: SparkSession, dir: String): DataFrame =
-    fanOut(s, Tables.orders(s, dir))
+  private def q46Quantiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(25, 50, 90, 99)
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("_pc"))
+    val ranked = fanOut(s, Tables.orders(s, dir))
       .withColumn("_pc", cents(col("o_totalprice")))
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        count(lit(1)).as("n"),
-        expr("percentile(_pc, 0.25)").as("_p25"),
-        expr("percentile(_pc, 0.5)").as("_p50"),
-        expr("percentile(_pc, 0.9)").as("_p90"),
-        expr("percentile(_pc, 0.99)").as("_p99"),
-        expr("approx_percentile(_pc, 0.5, 1000)").as("_ap50"))
-      .select(
-        col("o_orderpriority"), col("n"),
-        round(col("_p25")).cast("long").as("p25"),
-        round(col("_p50")).cast("long").as("p50"),
-        round(col("_p90")).cast("long").as("p90"),
-        round(col("_p99")).cast("long").as("p99"),
-        (abs(col("_ap50") - col("_p50")) <= col("_p50") * 0.05).as("approx_ok"))
+      .select(col("o_orderpriority"), col("_pc"),
+        (row_number().over(w) - 1).cast("long").as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))).as("_n"))
+    def num(p: Int): Column = (col("_n") - 1) * p
+    val aggs = ps.flatMap { p =>
+      val loIdx = call_function("div", num(p), lit(100L))
+      val hiIdx = loIdx + when(pmod(num(p), lit(100L)) > 0, 1L).otherwise(0L)
+      Seq(
+        max(when(col("_rn") === loIdx, col("_pc"))).as(s"_lo$p"),
+        max(when(col("_rn") === hiIdx, col("_pc"))).as(s"_hi$p"))
+    } :+ expr("approx_percentile(_pc, 0.5, 1000)").as("_ap50")
+    val g = ranked.groupBy(col("o_orderpriority"))
+      .agg(max(col("_n")).as("n"), aggs: _*)
+    def pc(p: Int): Column = {
+      val rem = pmod((col("n") - 1) * p, lit(100L))
+      call_function("div",
+        col(s"_lo$p") * (lit(100L) - rem) + col(s"_hi$p") * rem + 50L, lit(100L))
+        .cast("long").as(s"p$p")
+    }
+    g.select(col("o_orderpriority") +: col("n") +: ps.map(pc) :+
+        (abs(col("_ap50") - pc(50)) * 20 <= pc(50)).as("approx_ok"): _*)
       .orderBy("o_orderpriority")
+  }
 
   /** B18 — ranking-window suite: lag/lead/rank/dense_rank/ntile/
     * percent_rank/cume_dist over a deterministic unique ordering —
@@ -1172,6 +1185,39 @@ object SparkEntry {
       loCents = 250000L, hiCents = 45000000L, nBuckets = 16)
       .orderBy("bucket")
 
+  /** C32 — HTML/markup → text extraction (TextFunctions.stripMarkup +
+    * markupTitle): the web-page input class the reference's extractors
+    * (pdf/docx/image) lack, run before any quality scoring in a
+    * crawl-derived pipeline. HTML is synthesized deterministically
+    * around each document's text — head title, style + script blocks
+    * that must vanish wholesale (including their `<`/`>` operators),
+    * entity-encoded punctuation, block structure, self-closing
+    * breaks. The oracle rebuilds identical HTML and mirrors the
+    * 7-step strip chain (RE2-safe patterns, literal entity replaces
+    * in the same decode order) and md5s the cleaned text, so every
+    * byte of the extraction is hash-checked end-to-end.
+    */
+  private def q63StripMarkup(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"), lit(" &amp; friends</title>"),
+      lit("<style>p { color: red; }</style></head><body>"),
+      lit("<script>var x = 1 < 2 && 3 > 2;</script>"),
+      lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+      lit("<p>"), substring(col("text"), 1, 120), lit("</p>"),
+      lit("<div>Tom &amp; Jerry &lt;3 say &quot;hi&#39;&nbsp;there</div>"),
+      lit("<ul><li>alpha</li><li>beta "), col("doc_id"), lit("</li></ul>"),
+      lit("<br><hr/></body></html>"))
+    fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        TextFunctions.markupTitle(html).as("title"),
+        TextFunctions.stripMarkup(html).as("_clean"))
+      .select(col("doc_id"), col("title"),
+        length(col("_clean")).cast("long").as("clean_chars"),
+        size(split(col("_clean"), "\n", -1)).cast("long").as("n_lines"),
+        md5(col("_clean")).as("clean_md5"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1234,7 +1280,8 @@ object SparkEntry {
     "q59_boilerplate" -> (q59Boilerplate _),
     "q60_unigram_lm" -> (q60UnigramLm _),
     "q61_url_canonicalize" -> (q61UrlCanonicalize _),
-    "q62_histogram" -> (q62Histogram _))
+    "q62_histogram" -> (q62Histogram _),
+    "q63_strip_markup" -> (q63StripMarkup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

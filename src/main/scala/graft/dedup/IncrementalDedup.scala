@@ -101,6 +101,30 @@ object IncrementalDedup {
     index.unionByName(MinHashLsh.signatures(accepted, idCol, textCol, cfg))
   }
 
+  /** Within-batch duplicate verdicts: batch docs that near-dup-match
+    * a SMALLER-id doc in the same batch, in the same verdict schema
+    * as [[dedupBatch]] (matched_id = min matching smaller batch id —
+    * which may itself be a duplicate of a corpus doc; "duplicate of"
+    * chains resolve through the keeper's own verdict). Run this
+    * BEFORE the index check and exclude the flagged docs from it:
+    * otherwise two identical docs arriving in one ingest batch are
+    * both verdicted novel and both enter the index permanently.
+    */
+  def selfDuplicates(batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     threshold: Double = 0.8,
+                     cfg: MinHashLsh.Config = MinHashLsh.Config()): DataFrame =
+    MinHashLsh.nearDuplicates(batch, idCol, textCol, threshold, cfg)
+      .select(
+        least(col("id_a"), col("id_b")).as("_keep"),
+        greatest(col("id_a"), col("id_b")).as("_dup"),
+        col("jaccard"))
+      .groupBy(col("_dup"))
+      .agg(min(col("_keep")).as("matched_id"),
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+      .select(col("_dup").as(idCol), lit(false).as("is_novel"),
+        col("matched_id"), col("n_matches"), col("best_jaccard"))
+
   /** Verdict per batch doc: is_novel (no corpus match ≥ threshold),
     * matched_id (min matching corpus id, null when novel), n_matches.
     */

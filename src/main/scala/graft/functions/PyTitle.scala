@@ -20,6 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codepoint-aware (surrogate pairs advance by charCount) and uses
   * Character.toTitleCase, matching Python's titlecase mapping for
   * digraphs (ǆ → ǅ).
+  *
+  * KNOWN DEVIATION: Character.toTitleCase is a single-codepoint
+  * mapping, while CPython applies the full (one-to-many) Unicode
+  * titlecase mappings — word-initial ß titlecases to "Ss" in CPython
+  * but stays ß here, and similarly for the other SpecialCasing.txt
+  * expansions (ﬁ → "Fi", ŉ → "ʼN", …). Matching exactly would need a
+  * generated expansion table; no corpus input exercises these, so the
+  * single-codepoint mapping is the documented approximation.
   */
 object PyTitleImpl {
   private def isCased(cp: Int): Boolean =

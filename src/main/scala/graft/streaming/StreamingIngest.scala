@@ -26,8 +26,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * effective exactly-once for both the verdict table and the index.
   *
   * Scale: per micro-batch work is the q54 plan — map-side signature
-  * pass over the delta only, LSH band join vs the index (band hashes +
-  * ids only, never text), exact-Jaccard verify on candidates. Index
+  * pass over the delta only, batch self-dedup (delta × delta LSH,
+  * min-id keeper) so same-batch duplicates yield one novel verdict,
+  * then LSH band join vs the index (band hashes + ids only, never
+  * text), exact-Jaccard verify on candidates. Index
   * reads prune nothing today because signatures are ~300 B/doc; at
   * 100 TB corpus the index is still only ~GBs and the band join
   * shuffles the delta side, not the corpus.
@@ -62,8 +64,15 @@ object StreamingIngest {
     // docs must not match themselves
     val index = spark.read.parquet(indexDir)
       .filter(col("batch_no") < batchId).drop("batch_no")
+    // batch SELF-dedup first (min-id keeper): identical docs arriving
+    // in one micro-batch must produce one novel verdict, not two —
+    // the flagged docs skip the index check and never enter the index
+    val self = IncrementalDedup
+      .selfDuplicates(batch, threshold = threshold, cfg = cfg)
+    val keepers = batch.join(self.select("doc_id"), Seq("doc_id"), "left_anti")
     val verdicts = IncrementalDedup
-      .dedupBatch(index, batch, threshold = threshold, cfg = cfg)
+      .dedupBatch(index, keepers, threshold = threshold, cfg = cfg)
+      .unionByName(self)
       .persist()
     verdicts.count() // materialize once: both writes below read it
     verdicts.withColumn("batch_no", lit(batchId))

@@ -78,4 +78,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](TextFunctions.dedupLines(col("t")), "solo") == "solo")
     assert(one[Double](TextFunctions.dupLineFraction(col("t")), "a\nb\nc") == 0.0)
   }
+
+  test("stripMarkup: script/style vanish wholesale, blocks become lines, entities decode") {
+    val html = "<html><head><title>T</title><style>p{color:red}</style></head><body>" +
+      "<script>if (1 < 2 && 3 > 2) { alert('x'); }</script>" +
+      "<h1>Head</h1><p>one &amp; two</p><div>A &lt;3 B</div>" +
+      "<ul><li>x</li><li>y</li></ul><br></body></html>"
+    val clean = one[String](TextFunctions.stripMarkup(col("t")), html)
+    // script content (including its < > operators) is gone entirely
+    assert(!clean.contains("alert") && !clean.contains("color"))
+    // </title> is not a block closer, so title text shares the first
+    // line; each listed closer (</h1> </p> </div> </li>) breaks one
+    assert(clean == "T Head\none & two\nA <3 B\nx\ny")
+  }
+
+  test("stripMarkup: double-encoded entities are not over-decoded (&amp; decodes last)") {
+    // &amp;lt; is the TEXT "&lt;", not a less-than sign
+    assert(one[String](TextFunctions.stripMarkup(col("t")), "<p>&amp;lt;tag&amp;gt;</p>") ==
+      "&lt;tag&gt;")
+  }
+
+  test("markupTitle: first title contents; empty when absent") {
+    assert(one[String](TextFunctions.markupTitle(col("t")),
+      "<head><TITLE lang=\"en\">My Page</TITLE><title>other</title></head>") == "My Page")
+    assert(one[String](TextFunctions.markupTitle(col("t")), "<p>no title</p>") == "")
+  }
 }

@@ -84,4 +84,39 @@ class StreamingIngestSpec extends SparkSpec {
     val after = (spark.read.parquet(vDir).count(), spark.read.parquet(idxDir).count())
     assert(before == after, s"retry changed row counts: $before -> $after")
   }
+
+  test("two identical docs in ONE micro-batch: one novel verdict, one index entry") {
+    val idxDir = Files.createTempDirectory("graft_sb_idx").toString + "/index"
+    val vDir = Files.createTempDirectory("graft_sb_v").toString + "/verdicts"
+    StreamingIngest.initIndex(corpus, idxDir, cfg = cfg)
+
+    val batch = Seq(
+      (301L, "brand new content about llm corpus curation pipelines and quality signals today"),
+      (302L, "brand new content about llm corpus curation pipelines and quality signals today"),
+      (303L, "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"),
+      (304L, "some other completely fresh and unrelated piece of writing about sailing boats")
+    ).toDF("doc_id", "text")
+    StreamingIngest.ingestBatch(spark, batch, batchId = 0L, idxDir, vDir, t, cfg)
+
+    val v = spark.read.parquet(vDir)
+      .select("doc_id", "is_novel", "matched_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_novel"), if (r.isNullAt(2)) -1L else r.getAs[Long]("matched_id"))).toMap
+    assert(v.size == 4)
+    assert(v(301L) == (true, -1L)) // the min-id keeper is the one novel copy
+    assert(v(302L) == (false, 301L)) // same-batch twin: dup of the keeper
+    assert(v(303L) == (false, 1L)) // corpus dup unaffected by self-dedup
+    assert(v(304L) == (true, -1L))
+
+    // exactly the two novel docs entered the index — not 302
+    val appended = spark.read.parquet(idxDir)
+      .filter(col("batch_no") === 0L).select("doc_id").as[Long].collect().sorted
+    assert(appended.toSeq == Seq(301L, 304L))
+
+    // retry still idempotent with the self-dedup in the loop
+    val before = (spark.read.parquet(vDir).count(), spark.read.parquet(idxDir).count())
+    StreamingIngest.ingestBatch(spark, batch, batchId = 0L, idxDir, vDir, t, cfg)
+    val after = (spark.read.parquet(vDir).count(), spark.read.parquet(idxDir).count())
+    assert(before == after, s"retry changed row counts: $before -> $after")
+  }
 }
