@@ -21,17 +21,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * Character.toTitleCase, matching Python's titlecase mapping for
   * digraphs (ǆ → ǅ).
   *
-  * KNOWN DEVIATION: Character.toTitleCase is a single-codepoint
-  * mapping, while CPython applies the full (one-to-many) Unicode
-  * titlecase mappings — word-initial ß titlecases to "Ss" in CPython
-  * but stays ß here, and similarly for the other SpecialCasing.txt
-  * expansions (ﬁ → "Fi", ŉ → "ʼN", …). Matching exactly would need a
-  * generated expansion table; no corpus input exercises these, so the
-  * single-codepoint mapping is the documented approximation.
+  * CPython applies the FULL Unicode case mappings, which are
+  * one-to-many for ~50 codepoints (SpecialCasing.txt): word-initial
+  * ß titlecases to "Ss", ﬁ to "Fi", İ lowercases to "i"+combining
+  * dot, the Greek iota-subscript and breathing compositions expand,
+  * etc. Character.toTitleCase/toLowerCase are single-codepoint
+  * (simple) mappings, so those expansions are carried by two small
+  * generated tables (CPython 3.11 `chr(cp).title()`/`.lower()` for
+  * every cp whose mapping is longer than one codepoint); all
+  * one-to-one mappings fall through to the Character methods, whose
+  * simple-mapping data matches CPython's (PyTitleSpec pins
+  * CPython-generated vectors for both classes).
   */
 object PyTitleImpl {
   private def isCased(cp: Int): Boolean =
     Character.isLowerCase(cp) || Character.isUpperCase(cp) || Character.isTitleCase(cp)
+
+  // One-to-many FULL case mappings (every cp where CPython's
+  // .title()/.lower() yields >1 codepoint — generated, do not edit).
+  private val TitleExpansions: Map[Int, String] = Map(
+    0x00DF -> "\u0053\u0073", 0x0149 -> "\u02BC\u004E",
+    0x01F0 -> "\u004A\u030C", 0x0390 -> "\u0399\u0308\u0301",
+    0x03B0 -> "\u03A5\u0308\u0301", 0x0587 -> "\u0535\u0582",
+    0x1E96 -> "\u0048\u0331", 0x1E97 -> "\u0054\u0308",
+    0x1E98 -> "\u0057\u030A", 0x1E99 -> "\u0059\u030A",
+    0x1E9A -> "\u0041\u02BE", 0x1F50 -> "\u03A5\u0313",
+    0x1F52 -> "\u03A5\u0313\u0300", 0x1F54 -> "\u03A5\u0313\u0301",
+    0x1F56 -> "\u03A5\u0313\u0342", 0x1FB2 -> "\u1FBA\u0345",
+    0x1FB4 -> "\u0386\u0345", 0x1FB6 -> "\u0391\u0342",
+    0x1FB7 -> "\u0391\u0342\u0345", 0x1FC2 -> "\u1FCA\u0345",
+    0x1FC4 -> "\u0389\u0345", 0x1FC6 -> "\u0397\u0342",
+    0x1FC7 -> "\u0397\u0342\u0345", 0x1FD2 -> "\u0399\u0308\u0300",
+    0x1FD3 -> "\u0399\u0308\u0301", 0x1FD6 -> "\u0399\u0342",
+    0x1FD7 -> "\u0399\u0308\u0342", 0x1FE2 -> "\u03A5\u0308\u0300",
+    0x1FE3 -> "\u03A5\u0308\u0301", 0x1FE4 -> "\u03A1\u0313",
+    0x1FE6 -> "\u03A5\u0342", 0x1FE7 -> "\u03A5\u0308\u0342",
+    0x1FF2 -> "\u1FFA\u0345", 0x1FF4 -> "\u038F\u0345",
+    0x1FF6 -> "\u03A9\u0342", 0x1FF7 -> "\u03A9\u0342\u0345",
+    0xFB00 -> "\u0046\u0066", 0xFB01 -> "\u0046\u0069",
+    0xFB02 -> "\u0046\u006C", 0xFB03 -> "\u0046\u0066\u0069",
+    0xFB04 -> "\u0046\u0066\u006C", 0xFB05 -> "\u0053\u0074",
+    0xFB06 -> "\u0053\u0074", 0xFB13 -> "\u0544\u0576",
+    0xFB14 -> "\u0544\u0565", 0xFB15 -> "\u0544\u056B",
+    0xFB16 -> "\u054E\u0576", 0xFB17 -> "\u0544\u056D")
+  private val LowerExpansions: Map[Int, String] = Map(
+    0x0130 -> "\u0069\u0307")
 
   def title(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -40,8 +74,12 @@ object PyTitleImpl {
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      sb.appendCodePoint(
-        if (prevCased) Character.toLowerCase(cp) else Character.toTitleCase(cp))
+      val exp = if (prevCased) LowerExpansions.get(cp) else TitleExpansions.get(cp)
+      exp match {
+        case Some(e) => sb.append(e)
+        case None => sb.appendCodePoint(
+          if (prevCased) Character.toLowerCase(cp) else Character.toTitleCase(cp))
+      }
       prevCased = isCased(cp)
       i += Character.charCount(cp)
     }

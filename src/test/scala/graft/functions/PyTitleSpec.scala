@@ -39,6 +39,30 @@ class PyTitleSpec extends SparkSpec {
       .isAssignableFrom(classOf[PyTitle]))
   }
 
+  test("one-to-many FULL case mappings match CPython (vectors from 3.11)") {
+    PyTitleFunctions.register(spark)
+    // chr.title()/.lower() expansions: word-initial ß → "Ss" (but ß
+    // after a cased char stays ß — lowercase full mapping of ß is
+    // itself), ﬁ/ﬂ/ﬃ/ﬆ ligatures expand, ŉ → ʼN, lowercase İ → i +
+    // combining dot (the one one-to-many LOWER mapping), digraph ǳ
+    // uses its real titlecase codepoint ǲ.
+    val vectors = Seq(
+      "straße weg" -> "Straße Weg",
+      "ﬁsh and ﬂour" -> "Fish And Flour",
+      "ŉe test" -> "ʼNe Test",
+      "İstanbul İZMİR" -> "İstanbul İzmi̇r",
+      "ǳur ǆeneric" -> "ǲur ǅeneric",
+      "ßß ßa aß" -> "Ssß Ssa Aß",
+      "ﬃ ﬆop" -> "Ffi Stop")
+    val out = vectors.zipWithIndex.map { case ((in, _), i) => (i, in) }
+      .toDF("i", "s")
+      .select($"i", PyTitleFunctions.pyTitle($"s").as("t"))
+      .as[(Int, String)].collect().toMap
+    vectors.zipWithIndex.foreach { case ((in, expected), i) =>
+      assert(out(i) == expected, s"title($in): got ${out(i)}, want $expected")
+    }
+  }
+
   test("restaurantName re-capitalizes after apostrophes and digits like the reference") {
     PyTitleFunctions.register(spark)
     val names = Seq("/menus/bob's_diner_2go.pdf", "/m/o'malley-pub.txt")
