@@ -510,7 +510,10 @@ object SparkEntry {
   private def q46Quantiles(s: SparkSession, dir: String): DataFrame = {
     val ps = Seq(25, 50, 90, 99)
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("_pc"))
-    val ranked = fanOut(s, Tables.orders(s, dir))
+    // no fanOut: the pre-shuffle work is a trivial 2-column projection
+    // and the window exchange immediately repartitions by group key —
+    // a repartition here would be a wasted full shuffle
+    val ranked = Tables.orders(s, dir)
       .withColumn("_pc", cents(col("o_totalprice")))
       .select(col("o_orderpriority"), col("_pc"),
         (row_number().over(w) - 1).cast("long").as("_rn"),

@@ -10,15 +10,17 @@ import org.apache.spark.sql.functions._
   * a high average negative log-probability and can be gated or
   * bucketed for curriculum mixing.
   *
-  * Two-pass, both distributed:
-  *   1. vocabulary pass — explode tokens, count per token (map-side
-  *      partial aggregation absorbs the "the"-style skew before the
-  *      shuffle);
-  *   2. scoring pass — per-doc token counts FIRST (groupBy doc,token),
-  *      then join the vocabulary on token, then one groupBy doc.
-  *      Joining (doc,token,k) instead of raw exploded tokens shrinks
-  *      the join input from total-token to distinct-(doc,token) scale,
-  *      and the hot-token join skew is AQE-split.
+  * One tokenize pass, all derived: the corpus is exploded and
+  * aggregated to (doc, token, k) ONCE; the vocabulary is a
+  * re-aggregation of that table (sum k per token) and the corpus
+  * total a re-aggregation of the vocabulary — every branch hangs off
+  * the same (doc,token) shuffle, so Spark's ReuseExchange rule
+  * executes the explode+partial-agg once however many branches
+  * consume it (a naive explode-per-branch plan tokenizes the corpus
+  * three times). Joining (doc,token,k) instead of raw exploded
+  * tokens also shrinks the join input from total-token to
+  * distinct-(doc,token) scale, and the hot-token join skew is
+  * AQE-split.
   *
   * Integer evidence columns (n_toks, sum_cnt, min_cnt, n_hapax) are
   * exact and engine-portable — the driver oracle checks those; the
@@ -27,10 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
+  /** (doc, token, k): distinct-pair-scale counts — the one tokenize
+    * pass everything else re-aggregates. The explicit isNotNull on
+    * the id matters for PLAN REUSE, not semantics (null-id docs score
+    * null anyway via the final left join): the downstream left join
+    * infers isnotnull(id) and pushes it into the per-doc branch only,
+    * which would make the three branches' exchange subtrees
+    * canonically different and defeat ReuseExchange — pinning the
+    * filter here keeps every branch byte-identical up to this
+    * aggregation, so the corpus is exploded once, not once per
+    * branch.
+    */
+  private def docTokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("k"))
+
   /** Vocabulary pass: (token, cnt) over lowercased whitespace tokens. */
-  def counts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+  def counts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docTokenCounts(docs, idCol, textCol)
+      .groupBy("token").agg(sum(col("k")).as("cnt"))
 
   /** Per-document score against the corpus unigram distribution:
     * n_toks, sum_cnt (Σ corpus count with multiplicity), min_cnt
@@ -40,11 +58,12 @@ object UnigramLm {
     * more "typical" text; null for token-less docs).
     */
   def score(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val vocab = counts(docs, textCol)
-    val total = vocab.agg(sum(col("cnt")).as("total_toks"))
-    val docTok = docs
-      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("k"))
+    val docTok = docTokenCounts(docs, idCol, textCol)
+    val vocab = counts(docs, idCol, textCol) // same exchange as docTok → reused
+    // Σ cnt == Σ token-count per doc: the scalar needs no explode and
+    // no shuffle — a map-side sum folds to one row
+    val total = docs.filter(col(idCol).isNotNull)
+      .agg(sum(size(TextFunctions.tokens(lower(col(textCol))))).as("total_toks"))
     val perDoc = docTok.join(vocab, Seq("token"))
       .groupBy(col(idCol))
       .agg(

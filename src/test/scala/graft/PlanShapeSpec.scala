@@ -107,6 +107,36 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q60: vocab join runs on pre-aggregated (doc,token) counts, not raw exploded tokens") {
+    val df = SparkEntry.queries("q60_unigram_lm")(spark, sf("sf0.001"))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // the token-keyed join: BOTH sides must be aggregates (vocabulary
+    // counts × per-(doc,token) counts) — joining raw exploded tokens
+    // would put the shuffle at total-token scale instead of
+    // distinct-pair scale
+    val tokenJoin = joins.filter(_.condition.exists(_.references.exists(_.name == "token")))
+    assert(tokenJoin.nonEmpty, "expected a token-keyed join")
+    tokenJoin.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty, s"token join side is not pre-aggregated:\n$side")
+      }
+    }
+  }
+
+  test("q61/q63: URL parse and markup strip are map-only modulo harness repartitions") {
+    Seq("q61_url_canonicalize", "q63_strip_markup").foreach { name =>
+      val plan = formatted(name)
+      assert(!plan.contains("Join"), s"$name: unexpected join\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$name: unexpected aggregate\n$plan")
+    }
+    // q63 has no window either — pure scan → project → funnel
+    assert(!formatted("q63_strip_markup").contains("Window"))
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
