@@ -24,21 +24,24 @@ object Exec {
     *
     * Cluster-scale caveats, by design: (1) this call is EAGER — the
     * input is materialized and `f` executed before returning, not
-    * when the caller first acts on the result; (2) localCheckpoint
-    * truncates lineage WITHOUT replication, so on a multi-executor
-    * cluster losing an executor after the call makes the result
-    * unrecoverable (block-fetch failure instead of recompute). In
-    * local mode — the bench/stream loops this exists for — there is
-    * no executor to lose; on a real cluster, callers that need fault
-    * tolerance should write the small result to a table (a reliable
-    * checkpoint) and read it back instead, exactly as the MinHashLsh
-    * scaladoc prescribes for corpus-scale signature reuse.
+    * when the caller first acts on the result; (2) the materialized
+    * result's durability depends on the session's checkpoint dir.
+    * With `sparkContext.setCheckpointDir` set (any cluster job should
+    * point it at durable storage), the result is a RELIABLE
+    * checkpoint — executor loss recovers by re-reading the files.
+    * Without one it falls back to `localCheckpoint`, which truncates
+    * lineage with blocks only in executor storage: fine in local mode
+    * (the bench/stream loops this exists for have no executor to
+    * lose), unrecoverable after executor loss on a cluster — so set
+    * the checkpoint dir there.
     */
   def withCached(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val cached = df.persist()
     try {
       cached.count() // materialize once before f's branches race
-      f(cached).localCheckpoint(true)
+      val result = f(cached)
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
+      else result.localCheckpoint(true)
     } finally {
       cached.unpersist()
       ()

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Exec.withCached — cache-release contract and the checkpoint-dir
+  * durability switch (reliable checkpoint when a dir is configured,
+  * localCheckpoint fallback otherwise).
+  */
+class ExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withCached releases the input cache and returns correct results") {
+    val df = (1L to 100L).toDF("v")
+    val out = Exec.withCached(df) { d =>
+      d.filter(col("v") % 2 === 0).agg(sum(col("v")).as("s"))
+    }
+    assert(out.as[Long].head() === (2L to 100L by 2).sum)
+    // the INPUT's cache entry is gone (the small materialized result
+    // legitimately holds its own checkpoint blocks until GC)
+    assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "input cache leaked past withCached")
+  }
+
+  test("with a checkpoint dir set, the result is a RELIABLE checkpoint") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val out = Exec.withCached((1L to 10L).toDF("v")) { d =>
+        d.agg(count(lit(1)).as("n"))
+      }
+      assert(out.as[Long].head() === 10L)
+      // reliable checkpoints materialize as files under the dir
+      def anyFiles(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFiles))
+      assert(anyFiles(new java.io.File(dir)),
+        s"no reliable checkpoint files written under $dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+}
