@@ -870,6 +870,22 @@ object OracleSql {
         |  md5(clean) AS clean_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
 
+    // Audio features: the oracle reconstructs the EXPECTED decode
+    // output from the same doc_id-keyed sawtooth arithmetic the Spark
+    // side encodes into real WAV bytes — if either the RIFF encoder
+    // or the chunk-walking decoder is wrong, integers mismatch.
+    "q64_audio_features" ->
+      """WITH p AS (SELECT doc_id, 400 + (doc_id % 50) * 8 AS n, 13 + doc_id % 7 AS f FROM documents),
+        |s AS (SELECT doc_id, n, f, list_transform(range(0, n), i -> (i * f) % 2048 - 1024) AS smp FROM p)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(smp, x -> x * x)), (a, b) -> a + b) AS BIGINT) AS sum_sq,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_abs,
+        |  true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Equi-width histogram: all-integer bucket math ((v-lo)*n // span
     // with non-negative operands, so // == Spark's `div`), underflow
     // bucket -1 / overflow bucket 16; bounds derived from the bucket

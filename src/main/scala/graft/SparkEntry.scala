@@ -1221,6 +1221,30 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C33 — REAL audio decode (Wav + Multimodal.audioFeatures): each
+    * doc gets a genuine 16-bit PCM WAV payload synthesized from a
+    * doc_id-keyed sawtooth, and the decoder round-trips it — RIFF
+    * chunk walk, fmt validation, exact integer sample statistics
+    * (frame count, duration, Σ s², peak). The oracle reconstructs the
+    * EXPECTED statistics directly from the synthesis arithmetic, so a
+    * broken encoder OR decoder hash-mismatches; every output is
+    * integer/boolean (the q41/q42 reconstruct-expected pattern).
+    */
+  private def q64AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (400 + (id % 50) * 8).toInt
+        val f = (13 + id % 7).toInt
+        val samples = Array.tabulate(n)(i => ((i * f) % 2048 - 1024).toShort)
+        (id, graft.multimodal.Wav.encode(8000, samples))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.audioFeatures(wav).toDF()
+      .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("duration_ms"), col("sum_sq"), col("peak_abs"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1284,7 +1308,8 @@ object SparkEntry {
     "q60_unigram_lm" -> (q60UnigramLm _),
     "q61_url_canonicalize" -> (q61UrlCanonicalize _),
     "q62_histogram" -> (q62Histogram _),
-    "q63_strip_markup" -> (q63StripMarkup _))
+    "q63_strip_markup" -> (q63StripMarkup _),
+    "q64_audio_features" -> (q64AudioFeatures _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *  - RESIZE IS REAL for JDK-decodable payloads: full `ImageIO`
   *    decode + bilinear `Graphics2D` rescale + PNG re-encode; only
   *    non-JDK formats fall back to the byte-stride stub.
+  *  - AUDIO DECODE IS REAL for WAV/PCM payloads ([[Wav]]: RIFF chunk
+  *    walk + exact integer sample statistics — `audioFeatures`);
+  *    native-codec formats (MP3/AAC/opus) are out of scope.
   *  - OCR, feature-extract and video-frame kernels remain
   *    DETERMINISTIC STUBS (=== STUB ... ===); the Spark-side contract
   *    — schema, binary transport, partition-batched execution, output
@@ -220,6 +223,27 @@ object Multimodal {
           (id, vec)
         }
       }.toDF(idCol, "embedding")
+  }
+
+  case class AudioMeta(
+      doc_id: Long, sample_rate: Int, n_samples: Long, duration_ms: Long,
+      sum_sq: Long, peak_abs: Long, valid: Boolean)
+
+  /** REAL audio decode for WAV/PCM payloads (`Wav.decode` — RIFF chunk
+    * walk + exact integer sample statistics, no native codec needed):
+    * per-doc sample rate, frame count, duration, energy (Σ s²) and
+    * peak amplitude. Same batched map-only shape as the image path;
+    * malformed payloads yield `valid=false` rows, never exceptions.
+    */
+  def audioFeatures(df: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload"): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val w = Wav.decode(bytes)
+        AudioMeta(id, w.sampleRate, w.nSamples, w.durationMs, w.sumSq, w.peakAbs, w.valid)
+      })
   }
 
   /** Frame sampling stub: every media doc yields ceil(bytes/step)

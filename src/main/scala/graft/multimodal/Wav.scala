@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal RIFF/WAVE PCM codec — REAL audio decode with zero native
+  * dependencies (the WAV container and 16-bit PCM are fully specified
+  * public formats; parsing them needs only little-endian arithmetic).
+  * This is the audio leg of the multimodal surface: where images get
+  * header-dims + ImageIO resize, audio gets container parse + sample
+  * statistics, leaving only genuinely-native codecs (MP3/AAC/opus) as
+  * declared stubs.
+  *
+  * Decode walks the chunk list (fmt /data may be preceded by LIST or
+  * fact chunks), validates RIFF/WAVE magics and PCM format, and folds
+  * the 16-bit samples into EXACT integer statistics (sum of squares,
+  * peak absolute amplitude) — integer outputs are engine-portable, so
+  * the q64 oracle can reconstruct them bit-for-bit; doubles like RMS
+  * are one division+sqrt away for callers that want them.
+  */
+object Wav {
+
+  /** Exact integer decode result; `valid=false` rows carry zeros
+    * (crawl-scale contract: malformed payloads yield a row, never an
+    * exception).
+    */
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Long, durationMs: Long, sumSq: Long, peakAbs: Long,
+      valid: Boolean)
+
+  private val Invalid = WavInfo(0, 0, 0, 0L, 0L, 0L, 0L, valid = false)
+
+  /** Encode 16-bit PCM mono samples as a standard 44-byte-header WAV. */
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a WAV payload into exact integer statistics. */
+  def decode(bytes: Array[Byte]): WavInfo = {
+    if (bytes == null || bytes.length < 44) return Invalid
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return Invalid
+    buf.getInt // declared riff size; trust actual array bounds instead
+    if (tag() != "WAVE") return Invalid
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var fmtSeen = false
+    // walk chunks until the data chunk (fmt may be preceded by LIST/fact)
+    while (buf.remaining() >= 8) {
+      val id = tag()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) return Invalid
+      id match {
+        case "fmt " =>
+          if (size < 16) return Invalid
+          val p0 = buf.position()
+          val audioFormat = buf.getShort
+          channels = buf.getShort.toInt
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          bits = buf.getShort.toInt
+          if (audioFormat != 1 || bits != 16 || channels < 1 || sampleRate <= 0)
+            return Invalid // PCM 16-bit only; others are declared out of scope
+          fmtSeen = true
+          buf.position(p0 + size + (size & 1)) // chunks are word-aligned
+        case "data" =>
+          if (!fmtSeen) return Invalid
+          val n = (size / 2).toLong // 16-bit samples across all channels
+          var sumSq = 0L; var peak = 0L
+          var i = 0L
+          while (i < n) {
+            val s = buf.getShort.toLong
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val frames = n / channels
+          return WavInfo(sampleRate, channels, bits,
+            nSamples = frames,
+            durationMs = frames * 1000L / sampleRate,
+            sumSq = sumSq, peakAbs = peak, valid = true)
+        case _ =>
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    Invalid
+  }
+}

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Wav codec — encode/decode round trip, chunk walking, and the
+  * malformed-payload contract (valid=false, never an exception).
+  */
+class WavSpec extends SparkSpec {
+
+  test("encode/decode round trip with exact integer statistics") {
+    val samples = Array[Short](0, 100, -200, 300, -1024, 1023)
+    val info = Wav.decode(Wav.encode(16000, samples))
+    assert(info.valid)
+    assert(info.sampleRate === 16000)
+    assert(info.channels === 1)
+    assert(info.bitsPerSample === 16)
+    assert(info.nSamples === 6L)
+    assert(info.durationMs === 6L * 1000 / 16000)
+    assert(info.sumSq === samples.map(s => s.toLong * s).sum)
+    assert(info.peakAbs === 1024L)
+  }
+
+  test("decoder walks extra chunks before fmt/data") {
+    // RIFF with a junk LIST chunk (odd size → word-aligned padding)
+    // ahead of fmt, as real-world encoders emit
+    val samples = Array[Short](5, -5)
+    val std = Wav.encode(8000, samples)
+    val listBody = Array[Byte](1, 2, 3) // size 3, padded to 4
+    val out = ByteBuffer.allocate(std.length + 8 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(std, 0, 12) // RIFF....WAVE
+      .put("LIST".getBytes("US-ASCII")).putInt(3).put(listBody).put(0.toByte)
+      .put(std, 12, std.length - 12)
+    val info = Wav.decode(out.array())
+    assert(info.valid)
+    assert(info.nSamples === 2L)
+    assert(info.sumSq === 50L)
+  }
+
+  test("malformed payloads yield valid=false, never exceptions") {
+    val good = Wav.encode(8000, Array[Short](1, 2, 3))
+    val cases = Seq[Array[Byte]](
+      null,
+      Array.emptyByteArray,
+      "not audio at all, just some text".getBytes("UTF-8"),
+      good.take(20), // truncated mid-header
+      { val b = good.clone(); b(8) = 'X'.toByte; b }, // WAVE magic broken
+      { val b = good.clone(); b(20) = 3.toByte; b } // IEEE-float format, not PCM
+    )
+    cases.foreach { bytes =>
+      val info = Wav.decode(bytes)
+      assert(!info.valid, s"expected invalid for ${Option(bytes).map(_.take(8).mkString(",")).getOrElse("null")}")
+      assert(info.nSamples === 0L && info.sumSq === 0L)
+    }
+  }
+
+  test("declared chunk size beyond the buffer is rejected, not read") {
+    val good = Wav.encode(8000, Array[Short](1, 2))
+    val b = good.clone()
+    // blow up the data chunk's declared size (offset 40 in the
+    // standard 44-byte header layout)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putInt(40, Int.MaxValue)
+    assert(!Wav.decode(b).valid)
+  }
+}
