@@ -870,6 +870,26 @@ object OracleSql {
         |  md5(clean) AS clean_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
 
+    // Semantic dedup: identical union construction (corpus + exact
+    // copies of every 10th vector at id+100000), identical 4-bit sign
+    // signature, the shared mirrored cosine chain, min-id keeper
+    // verdicts.
+    "q65_semantic_dedup" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |sb AS (SELECT vec_id, embedding,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         |  (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS b
+         | FROM u),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+         |  FROM sb a JOIN sb b ON a.b = b.b AND a.vec_id < b.vec_id),
+         |${cosineCte("p")},
+         |d AS (SELECT id_b, min(id_a) AS dup_of, CAST(count(*) AS BIGINT) AS n_matches, max(cosine) AS best_cosine
+         |  FROM c WHERE cosine >= CAST(0.99 AS DOUBLE) GROUP BY id_b)
+         |SELECT u.vec_id, d.dup_of IS NULL AS kept, d.dup_of,
+         |  coalesce(d.n_matches, 0) AS n_matches, d.best_cosine
+         |FROM u LEFT JOIN d ON u.vec_id = d.id_b ORDER BY u.vec_id""".stripMargin,
+
     // Audio features: the oracle reconstructs the EXPECTED decode
     // output from the same doc_id-keyed sawtooth arithmetic the Spark
     // side encodes into real WAV bytes — if either the RIFF encoder

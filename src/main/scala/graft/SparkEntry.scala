@@ -1245,6 +1245,24 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C34 — SemDeDup-shaped semantic dedup (similarity.SemDedup): the
+    * corpus plus exact copies of every 10th embedding (offset ids)
+    * goes through sign-signature blocking and within-bucket cosine;
+    * each copy must be verdicted a duplicate of its original (exact
+    * copies share the signature by construction and score the same
+    * mirrored cosine on both engines), originals and non-dups kept.
+    * The oracle reconstructs the identical union and mirrors the
+    * signature + cosine chain, so verdicts hash-check end-to-end.
+    */
+  private def q65SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
+    val copies = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    graft.similarity.SemDedup.verdicts(
+      e.unionByName(copies), dim = 64, threshold = 0.99, signBits = 4)
+      .transform(sorted1(_, col("vec_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1309,7 +1327,8 @@ object SparkEntry {
     "q61_url_canonicalize" -> (q61UrlCanonicalize _),
     "q62_histogram" -> (q62Histogram _),
     "q63_strip_markup" -> (q63StripMarkup _),
-    "q64_audio_features" -> (q64AudioFeatures _))
+    "q64_audio_features" -> (q64AudioFeatures _),
+    "q65_semantic_dedup" -> (q65SemanticDedup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
