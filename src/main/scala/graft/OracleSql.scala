@@ -36,6 +36,15 @@ object OracleSql {
       s"(acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) " +
       s"* 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
 
+  /** First `chars` hex chars of md5(expr) folded to a BIGINT —
+    * mirrors Spark's conv(substring(md5(e), 1, chars), 16, 10)
+    * (chars ≤ 15 keeps the fold inside 60 bits, BIGINT-safe).
+    */
+  private def md5fold(expr: String, chars: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substring(md5($expr), 1, $chars), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, v) -> a * 16 + v)"
+
   /** Unsigned 2^64-domain HUGEINT → signed BIGINT (two's complement). */
   private def signed(u: String): String =
     s"CAST(CASE WHEN $u >= CAST(1 AS HUGEINT) << 63 " +
@@ -921,5 +930,84 @@ object OracleSql {
         |  CAST(CASE WHEN bucket = -1 THEN NULL ELSE 250000 + (bucket * 44750000 + 15) // 16 END AS BIGINT) AS lo_cents,
         |  CAST(CASE WHEN bucket = 16 THEN NULL ELSE 250000 + ((bucket + 1) * 44750000 + 15) // 16 END AS BIGINT) AS hi_cents,
         |  n, sum_cents, min_cents, max_cents
-        |FROM g ORDER BY bucket""".stripMargin)
+        |FROM g ORDER BY bucket""".stripMargin,
+
+    // Count-Min sketch: exact probe counts computed by DuckDB; the
+    // two sketch certificates asserted true (Spark emits false on an
+    // undercounting merge or an over-bound collision → hash mismatch).
+    "q66_cms_frequency" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS tok FROM documents),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |p AS (SELECT unnest(['column','filter','hash','join','merge','order','scan','window']) AS tok),
+        |e AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t
+        |  WHERE tok IN ('column','filter','hash','join','merge','order','scan','window') GROUP BY 1, 2)
+        |SELECT g.lang, p.tok, g.n_tokens, coalesce(e.exact_cnt, 0) AS exact_cnt,
+        |  true AS never_undercounts, true AS within_bound
+        |FROM g CROSS JOIN p LEFT JOIN e ON e.lang = g.lang AND e.tok = p.tok
+        |ORDER BY g.lang, p.tok""".stripMargin,
+
+    // Bloom decontamination: q51's split + 8-gram construction, then
+    // the bloom mirrored bit-for-bit — 3 md5-fold positions mod 2^20
+    // per gram, distinct test-set positions as the filter, membership
+    // = all distinct positions present. Bloom counts (false positives
+    // included) AND the exact tier both hash-checked.
+    "q67_bloom_decontaminate" ->
+      s"""WITH b AS (SELECT doc_id, text, ${md5fold("CAST(doc_id AS VARCHAR)", 8)} % 100 AS bucket FROM documents),
+         |sp AS (SELECT doc_id, text,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b),
+         |tk AS (SELECT doc_id, split, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM sp),
+         |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(toks) - 7, 0) + 1), i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM tk),
+         |gp AS (SELECT doc_id, split, gram, list_distinct([
+         |  ${md5fold("'0:' || gram", 15)} % 1048576,
+         |  ${md5fold("'1:' || gram", 15)} % 1048576,
+         |  ${md5fold("'2:' || gram", 15)} % 1048576]) AS ps FROM g),
+         |bp AS (SELECT DISTINCT bloom_pos FROM
+         |  (SELECT unnest(ps) AS bloom_pos FROM gp WHERE split = 'test')),
+         |tp AS (SELECT doc_id, gram, len(ps) AS np, unnest(ps) AS p FROM gp WHERE split = 'train'),
+         |hits AS (SELECT doc_id, gram, any_value(np) AS np, count(bp.bloom_pos) AS nh
+         |  FROM tp LEFT JOIN bp ON tp.p = bp.bloom_pos GROUP BY doc_id, gram),
+         |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN nh = np THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_flagged FROM hits GROUP BY 1),
+         |tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+         |ex AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_shared
+         |  FROM (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train') t JOIN tg USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(fl.n_grams, 0) AS n_grams,
+         |  coalesce(fl.n_bloom_flagged, 0) AS n_bloom_flagged,
+         |  coalesce(ex.n_exact_shared, 0) AS n_exact_shared,
+         |  coalesce(fl.n_bloom_flagged, 0) > 0 AS bloom_contaminated,
+         |  coalesce(ex.n_exact_shared, 0) > 0 AS exact_contaminated,
+         |  coalesce(fl.n_bloom_flagged, 0) >= coalesce(ex.n_exact_shared, 0) AS no_false_negatives
+         |FROM (SELECT doc_id FROM sp WHERE split = 'train') d
+         |LEFT JOIN fl USING (doc_id) LEFT JOIN ex USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Sequence packing: same md5-bucket writer assignment as q44's
+    // split, md5-order exclusive window prefix-sum per writer, `//`
+    // sequence ids (non-negative operands, so // == Spark's div).
+    "q68_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         |w AS (SELECT doc_id, n_tokens, ${md5fold("CAST(doc_id AS VARCHAR)", 8)} % 8 AS writer,
+         |  md5(CAST(doc_id AS VARCHAR)) AS h FROM t),
+         |c AS (SELECT doc_id, writer, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY writer ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM w)
+         |SELECT doc_id, writer, n_tokens, cum_before,
+         |  cum_before // 2048 AS start_seq,
+         |  greatest(cum_before, cum_before + n_tokens - 1) // 2048 AS end_seq,
+         |  greatest(cum_before, cum_before + n_tokens - 1) // 2048 > cum_before // 2048 AS crosses_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Temperature (T=2) mixing: the same md5-fold hash halved to 31
+    // bits, and the squared-comparison Bernoulli draw in HUGEINT —
+    // h31²·domain_tokens < min_tokens·2^62 ⟺ hashFrac < sqrt(min/domain).
+    "q69_temperature_mix" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         |dom AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS domain_tokens FROM t GROUP BY 1),
+         |mn AS (SELECT min(domain_tokens) AS min_tokens FROM dom),
+         |h AS (SELECT doc_id, lang, n_tokens, ${md5fold("CAST(doc_id AS VARCHAR)", 8)} // 2 AS h31 FROM t)
+         |SELECT doc_id, h.lang, n_tokens, domain_tokens, min_tokens,
+         |  CAST(h31 AS HUGEINT) * h31 * domain_tokens < CAST(min_tokens AS HUGEINT) * 4611686018427387904 AS kept
+         |FROM h JOIN dom ON h.lang = dom.lang CROSS JOIN mn ORDER BY doc_id""".stripMargin)
 }

@@ -1263,6 +1263,123 @@ object SparkEntry {
       .transform(sorted1(_, col("vec_id")))
   }
 
+  /** C35 — Count-Min sketch frequency estimation (functions.CountMin):
+    * the "how frequent is THIS token" sketch complementing q34's
+    * Misra-Gries "which tokens are frequent" — a fixed 64 KB buffer
+    * per group instead of a full-vocabulary (token → count) shuffle.
+    * Certified at query time against the exact counts of 8 probe
+    * tokens: `never_undercounts` (est ≥ exact — a CMS structural
+    * guarantee, counters only ever absorb occurrences) must ALWAYS
+    * hold, and `within_bound` caps the overcount at the documented
+    * 8N/w slack. The oracle computes the exact counts and asserts
+    * both certificates true, so a broken sketch (undercount from a
+    * bad merge, runaway collision overcount) hash-mismatches.
+    */
+  private def q66CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CountMin.register(s)
+    val probes = Seq("column", "filter", "hash", "join", "merge", "order", "scan", "window")
+    val toks = fanOut(s, Tables.documents(s, dir))
+      .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+    val cms = toks.groupBy("lang")
+      .agg(graft.functions.CountMin.cmsEstimates(col("tok"), probes, depth = 4, width = 2048).as("cms"))
+      .select(col("lang"), col("cms.n").as("n_tokens"), posexplode(col("cms.ests")))
+      .select(col("lang"), col("n_tokens"),
+        element_at(array(probes.map(lit): _*), col("pos") + 1).as("tok"),
+        col("col").as("est"))
+    val exact = toks.filter(col("tok").isin(probes: _*))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("exact_cnt"))
+    cms.join(exact, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("tok"), col("n_tokens"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        (col("est") >= coalesce(col("exact_cnt"), lit(0L))).as("never_undercounts"),
+        (col("est") <= coalesce(col("exact_cnt"), lit(0L)) + expr("n_tokens * 8 div 2048") + 1L)
+          .as("within_bound"))
+      .transform(sorted1(_, col("lang"), col("tok")))
+  }
+
+  /** C36 — BLOOM-FILTER decontamination (functions.PortableBloom):
+    * q51's test-set-leakage check re-run through a Bloom filter — the
+    * scale path when the contamination set outgrows an exact
+    * broadcast of its gram strings (the filter is m bits however many
+    * grams the benchmark suite holds). The filter is relational
+    * (distinct set positions ≡ the bit array; scaladoc documents the
+    * mechanical bit_or packing for the broadcast-long[] form) and
+    * md5-based, so the oracle mirrors it bit-for-bit: per-doc bloom
+    * counts — FALSE POSITIVES INCLUDED — hash-check end-to-end, and
+    * the exact tier runs alongside so `no_false_negatives` (a Bloom
+    * structural guarantee) is certified on every row.
+    */
+  private def q67BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableBloom
+    val k = 3; val m = 1 << 20
+    val d = fanOut(s, Tables.documents(s, dir))
+      .withColumn("split", graft.functions.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5)))
+    val grams = d.select(col("doc_id"), col("split"),
+      explode(TextFunctions.wordShingles(col("text"), 8)).as("gram")).distinct()
+    val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
+    val bloom = PortableBloom.build(testGrams, "gram", k, m)
+    val train = grams.filter(col("split") === "train").select("doc_id", "gram")
+    val flagged = PortableBloom.mightContain(train, Seq("doc_id"), "gram", bloom, k, m)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_bloom_flagged"))
+    val exact = train.join(broadcast(testGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact_shared"))
+    d.filter(col("split") === "train").select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_bloom_flagged"), lit(0L)).as("n_bloom_flagged"),
+        coalesce(col("n_exact_shared"), lit(0L)).as("n_exact_shared"),
+        (coalesce(col("n_bloom_flagged"), lit(0L)) > 0).as("bloom_contaminated"),
+        (coalesce(col("n_exact_shared"), lit(0L)) > 0).as("exact_contaminated"),
+        (coalesce(col("n_bloom_flagged"), lit(0L)) >= coalesce(col("n_exact_shared"), lit(0L)))
+          .as("no_false_negatives"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C37 — sequence PACKING for pre-training (functions.Packing):
+    * docs are concatenated per writer group in deterministic hash
+    * order and chopped into 2048-token training sequences; each doc
+    * reports its writer, stream offset, start/end sequence ids and
+    * whether it straddles a boundary — the document-masking
+    * bookkeeping a packed-pretraining loader needs. Windows are
+    * writer-partitioned (the shard-writer shape at scale — no global
+    * funnel); all-integer outputs, every column hash-checked.
+    */
+  private def q68PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"), size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tokens"))
+    graft.functions.Packing.packSequences(d, "doc_id", "n_tokens", seqLen = 2048L, writers = 8)
+      .select(col("doc_id"), col("writer"), col("n_tokens"), col("cum_before"),
+        col("start_seq"), col("end_seq"), col("crosses_boundary"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C38 — TEMPERATURE-smoothed domain mixing at T = 2
+    * (Sampling.temperatureKeepT2): rebalance per-language token
+    * masses toward sqrt proportions — the mT5/UniMax multilingual
+    * recipe — with the Bernoulli draw made ENGINE-EXACT as an
+    * all-integer squared-hash comparison (h31² · domain < min · 2^62
+    * in Decimal(38)/HUGEINT): no pow(), no libm, so per-doc verdicts
+    * hash-check bit-for-bit. The smallest domain keeps everything by
+    * construction; a 4× domain keeps ~half.
+    */
+  private def q69TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tokens"))
+    val dom = d.groupBy("lang").agg(sum("n_tokens").as("domain_tokens"))
+    val mn = dom.agg(min("domain_tokens").as("min_tokens"))
+    d.join(broadcast(dom), Seq("lang")).crossJoin(broadcast(mn))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("domain_tokens"), col("min_tokens"),
+        graft.functions.Sampling.temperatureKeepT2(
+          col("doc_id"), col("domain_tokens"), col("min_tokens")).as("kept"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1328,7 +1445,11 @@ object SparkEntry {
     "q62_histogram" -> (q62Histogram _),
     "q63_strip_markup" -> (q63StripMarkup _),
     "q64_audio_features" -> (q64AudioFeatures _),
-    "q65_semantic_dedup" -> (q65SemanticDedup _))
+    "q65_semantic_dedup" -> (q65SemanticDedup _),
+    "q66_cms_frequency" -> (q66CmsFrequency _),
+    "q67_bloom_decontaminate" -> (q67BloomDecontaminate _),
+    "q68_pack_sequences" -> (q68PackSequences _),
+    "q69_temperature_mix" -> (q69TemperatureMix _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

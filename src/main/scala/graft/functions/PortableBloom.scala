@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable Bloom filter, expressed relationally: the filter
+  * is the DISTINCT SET of hash positions its keys set (position p in
+  * the table ⟺ bit p set in a bit-array encoding), and membership is
+  * "every one of the key's k positions is present". Both sides are
+  * pure `functions._` column expressions over md5 — deterministic,
+  * codegen'd, and mirrorable in any SQL engine for audits (same
+  * md5-fold trick as Sampling.hashBucket / q44).
+  *
+  * This is the scale path for set-membership filtering when the probe
+  * set outgrows an exact broadcast of its keys: q51's decontamination
+  * broadcasts the test set's distinct 8-gram STRINGS (~50+ B each); a
+  * real benchmark-suite contamination set at 100 TB is billions of
+  * grams — too big as strings, but m = 2^27 bloom positions is ≤ 1 GB
+  * of longs here and 16 MB as the equivalent bit array. The relation
+  * ⟶ bit-array step is mechanical (groupBy(pos / 64) +
+  * bit_or(1 << pos % 64) → broadcast long[]); this module keeps the
+  * relational form so the false-positive behavior itself is
+  * hash-checked against the oracle, false positives included.
+  *
+  * Classic guarantees: NO false negatives, ever (an inserted key's
+  * positions are all present by construction); false-positive rate
+  * ≈ (1 − e^(−kn/m))^k for n inserted keys.
+  */
+object PortableBloom {
+
+  /** The key's k hash positions in [0, m), distinct (two hash rows
+    * may collide on one position; membership then needs only that
+    * one position present — hence array_distinct here and
+    * count-based checks downstream).
+    */
+  def positions(key: Column, k: Int, m: Int): Column = {
+    require(k >= 1 && k <= 8, s"k out of range: $k")
+    require(m >= 16, s"m too small: $m")
+    array_distinct(array((0 until k).map { i =>
+      conv(substring(md5(concat(lit(s"$i:"), key)), 1, 15), 16, 10).cast("long") % m
+    }: _*))
+  }
+
+  /** Build the filter: one `bloom_pos` row per distinct set position. */
+  def build(keys: DataFrame, keyCol: String, k: Int, m: Int): DataFrame =
+    keys.select(explode(positions(col(keyCol), k, m)).as("bloom_pos")).distinct()
+
+  /** Membership test per (idCols, keyCol) row: appends
+    * `might_contain` — true iff every distinct position of the key is
+    * present in `bloom`. The bloom side broadcasts (positions are
+    * 8-byte longs); the probe side stays distributed.
+    */
+  def mightContain(keys: DataFrame, idCols: Seq[String], keyCol: String,
+                   bloom: DataFrame, k: Int, m: Int): DataFrame = {
+    val grouped = (idCols :+ keyCol).map(col)
+    keys.select(grouped :+ explode(positions(col(keyCol), k, m)).as("_pos"): _*)
+      .join(broadcast(bloom), col("_pos") === col("bloom_pos"), "left")
+      .groupBy(grouped: _*)
+      .agg((count(col("bloom_pos")) === count(lit(1))).as("might_contain"))
+  }
+}

@@ -83,6 +83,31 @@ object Sampling {
       .withColumn("kept", col("domain_rank") <= cap)
   }
 
+  /** TEMPERATURE-smoothed domain rebalancing at T = 2 (the mT5/UniMax
+    * multilingual mixing family): downsample each domain so resulting
+    * domain masses are proportional to sqrt(original mass) — big
+    * domains flattened toward the small ones. The per-doc keep
+    * probability is p_d = sqrt(min_domain_tokens / domain_tokens_d)
+    * (the smallest domain keeps everything; a 100× larger domain
+    * keeps 10%).
+    *
+    * ENGINE-EXACT without floats: keep ⟺ hashFrac < sqrt(r) ⟺
+    * hashFrac² < r, so the Bernoulli draw is the all-integer
+    * comparison h31² · domain_tokens < min_tokens · 2^62 with
+    * h31 = the top 31 bits of the md5 hash (hashFrac = h31/2^31).
+    * Decimal(38) on Spark / HUGEINT on the audit engine hold the
+    * products exactly for domains up to 10^18 tokens — no pow(),
+    * no libm, bit-identical everywhere, and as reproducible across
+    * partitionings/engines/incremental loads as every other sampler
+    * here. (General T needs floats; T = 2 is the common smoothing
+    * and the one an exact audit can certify.)
+    */
+  def temperatureKeepT2(key: Column, domainTokens: Column, minTokens: Column): Column = {
+    val h31 = shiftright(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"), 1)
+    (h31.cast("decimal(10,0)") * h31.cast("decimal(10,0)") * domainTokens.cast("decimal(18,0)")) <
+      (minTokens.cast("decimal(18,0)") * lit(4611686018427387904L).cast("decimal(19,0)"))
+  }
+
   /** Stratified downsampling (data mixing): per-stratum keep
     * percentages — e.g. halve an over-represented language while
     * keeping the rest — with the same hash determinism as the flat

@@ -96,4 +96,26 @@ class SamplingSpec extends SparkSpec {
       .filter(Sampling.sampledBy(col("id"), 25)).select("id").as[Long].collect().toSet
     assert(strat == flat)
   }
+
+  test("temperature T=2 keep rebalances domains toward sqrt proportions") {
+    // three domains with 16:4:1 token mass — after T=2 smoothing the
+    // kept masses should approach 4:2:1 (sqrt), i.e. keep rates
+    // 1/4, 1/2, 1 (p_d = sqrt(min/domain))
+    val df = (1L to 21000L).toDF("id")
+      .withColumn("dom", when(col("id") <= 16000, "big")
+        .when(col("id") <= 20000, "mid").otherwise("small"))
+    val dom = df.groupBy("dom").agg(count(lit(1)).as("domain_tokens"))
+    val mn = dom.agg(min("domain_tokens").as("min_tokens"))
+    val kept = df.join(dom, "dom").crossJoin(mn)
+      .filter(Sampling.temperatureKeepT2(col("id"), col("domain_tokens"), col("min_tokens")))
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 1000L, "smallest domain must keep everything")
+    assert(math.abs(kept("mid") - 2000L) < 200, s"mid=${kept("mid")} want ~4000*1/2")
+    assert(math.abs(kept("big") - 4000L) < 300, s"big=${kept("big")} want ~16000*1/4")
+    // partitioning-invariant
+    val again = df.repartition(7).join(dom, "dom").crossJoin(mn)
+      .filter(Sampling.temperatureKeepT2(col("id"), col("domain_tokens"), col("min_tokens")))
+      .count()
+    assert(again == kept.values.sum)
+  }
 }
