@@ -567,24 +567,41 @@ object SparkEntry {
     * swap for the q38 HLL sketch with the same output shape.
     */
   private def q50Profile(s: SparkSession, dir: String): DataFrame = {
-    val li = fanOut(s, Tables.lineitem(s, dir))
+    val li = Tables.lineitem(s, dir)
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     // N distinct-aggregates in ONE agg make Spark expand every row
-    // N+1 ways before the shuffle; run the distincts as independent
-    // single-column aggregates (two-phase, expand-free) and cross-join
-    // the 1-row results onto the single-pass base profile instead.
-    val base = li.agg(count(lit(1)).as("n_rows"), cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        dollars(min(cents(col(c)))).as(s"${c}_min"),
-        dollars(max(cents(col(c)))).as(s"${c}_max"))
-    }: _*)
-    val withDistincts = cols.foldLeft(base) { (acc, c) =>
-      acc.crossJoin(li.agg(countDistinct(col(c)).as(s"${c}_distinct")))
-    }
-    withDistincts.select(col("n_rows") +: cols.flatMap { c =>
-      Seq(col(s"${c}_nulls"), col(s"${c}_distinct"), col(s"${c}_min"), col(s"${c}_max"))
-    }: _*)
+    // N+1 ways before the shuffle; N independent countDistinct passes
+    // re-scan the table N times. Do neither: ONE scan posexplodes the
+    // N columns to (col_idx, value) pairs and a manual two-phase
+    // aggregate profiles every column — level 1 groups (idx, value)
+    // with a count (the map-side partial absorbs duplicate values, so
+    // the exchange carries at most n_cols × distinct-values narrow
+    // rows, and no Expand doubles the input the way Spark's mixed
+    // distinct+regular rewrite would); level 2 derives n / nulls /
+    // distinct / min / max per column from the group counts; a
+    // conditional-agg pivot folds the n_cols rows into the single
+    // profile row. Scan cost stays 1× however many columns are
+    // profiled — the only shape that survives 100 TB profiling.
+    val l1 = li.select(posexplode(array(cols.map(col): _*)))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("_c"))
+    val l2 = l1.groupBy(col("pos")).agg(
+      sum(col("_c")).as("_n"),
+      sum(when(col("col").isNull, col("_c")).otherwise(0L)).as("_nulls"),
+      count(when(col("col").isNotNull, 1L)).as("_distinct"),
+      min(cents(col("col"))).as("_min"),
+      max(cents(col("col"))).as("_max"))
+    l2.agg(
+      max(when(col("pos") === 0, col("_n"))).as("n_rows"),
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          max(when(col("pos") === i, col("_nulls"))).as(s"${c}_nulls"),
+          max(when(col("pos") === i, col("_distinct"))).as(s"${c}_distinct"),
+          dollars(max(when(col("pos") === i, col("_min")))).as(s"${c}_min"),
+          dollars(max(when(col("pos") === i, col("_max")))).as(s"${c}_max"))
+      }: _*)
+      .select(col("n_rows") +: cols.flatMap { c =>
+        Seq(col(s"${c}_nulls"), col(s"${c}_distinct"), col(s"${c}_min"), col(s"${c}_max"))
+      }: _*)
   }
 
   /** B10 — exact dedup groups (md5 fingerprint, keep-first). */

@@ -44,8 +44,14 @@ object ConnectedComponents {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // init fuses the first propagation round: comp₀ = min(id, min
+    // neighbor) straight off the edge list — one groupBy instead of a
+    // distinct + a join round. For pair/star-shaped components (the
+    // dominant near-dup shape) this IS the fixpoint, so the loop's
+    // first pass only confirms convergence.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("comp"))
+      .select(col("src").as("id"), col("comp"))
       .localCheckpoint()
     var iter = 0
     var converged = false

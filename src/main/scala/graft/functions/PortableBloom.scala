@@ -58,4 +58,26 @@ object PortableBloom {
       .groupBy(grouped: _*)
       .agg((count(col("bloom_pos")) === count(lit(1))).as("might_contain"))
   }
+
+  /** Per-doc decontamination verdict against a pre-built gram bloom:
+    * (id, n_grams, n_flagged, contaminated) for each input doc — the
+    * corpus-side half of the q67 check, reusable per micro-batch by
+    * the streaming ingest path (the filter is static; the doc side is
+    * one tokenize + membership pass, nothing corpus-wide).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bloom: DataFrame, k: Int, m: Int, gramN: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), gramN)).as("gram")).distinct()
+    val flagged = mightContain(grams, Seq(idCol), "gram", bloom, k, m)
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_flagged"))
+    docs.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0).as("contaminated"))
+  }
 }

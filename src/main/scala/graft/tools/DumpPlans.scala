@@ -33,7 +33,17 @@ object DumpPlans {
     "q60_unigram_lm" ->
       "Unigram-LM scoring: both sides of the token-keyed join are HashAggregate pairs (map-side combine) — the vocabulary at distinct-token scale, the doc side at distinct-(doc,token) scale; raw exploded tokens never shuffle. The vocabulary re-aggregates the SAME (doc,token) exchange the per-doc side uses (AQE stage reuse; the isNotNull pin in UnigramLm keeps the branches canonically identical), and the corpus-total scalar is a map-only sum — one explode pass over the corpus total, not one per branch.",
     "q46_quantiles" ->
-      "Exact quantiles: one hash exchange on the group key feeds both window functions (rank + partition count) and the final aggregate — the integer-rational interpolation is pure projection arithmetic above it, with approx_percentile riding the same aggregate.")
+      "Exact quantiles: one hash exchange on the group key feeds both window functions (rank + partition count) and the final aggregate — the integer-rational interpolation is pure projection arithmetic above it, with approx_percentile riding the same aggregate.",
+    "q50_profile" ->
+      "Single-scan profiling: posexplode fans each row to (col_idx, value) pairs map-side and ONE two-phase distinct aggregate (partial (idx, value) dedup before the exchange) counts every column's distincts — scan cost stays 1x however many columns are profiled, vs one countDistinct pass per column.",
+    "q66_cms_frequency" ->
+      "Count-Min sketch: ObjectHashAggregate pair — the fixed 64 KB sketch buffers merge map-side and the exchange carries one serialized sketch per (lang, partition), never the token stream; the exact probe tier filters to the 8 probe tokens BEFORE its exchange.",
+    "q67_bloom_decontaminate" ->
+      "Bloom decontamination: the filter side reduces to distinct integer positions broadcast as 8-byte longs (the relational bit array); the probe side explodes k=3 positions map-side and the membership verdict groups on (doc_id, gram) — contamination-set gram STRINGS are never broadcast or shuffled.",
+    "q68_pack_sequences" ->
+      "Sequence packing: one hash exchange on the writer key + per-writer sort; prefix sums and sequence ids are window/projection integer arithmetic above it — no global single-partition funnel anywhere in the packing itself.",
+    "q69_temperature_mix" ->
+      "Temperature mixing: per-domain token masses aggregate to a handful of rows and broadcast back onto the corpus; the T=2 Bernoulli draw is pure decimal projection arithmetic — one corpus scan, no shuffle beyond the domain aggregate.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
