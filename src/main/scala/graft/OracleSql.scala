@@ -1009,5 +1009,24 @@ object OracleSql {
          |h AS (SELECT doc_id, lang, n_tokens, ${md5fold("CAST(doc_id AS VARCHAR)", 8)} // 2 AS h31 FROM t)
          |SELECT doc_id, h.lang, n_tokens, domain_tokens, min_tokens,
          |  CAST(h31 AS HUGEINT) * h31 * domain_tokens < CAST(min_tokens AS HUGEINT) * 4611686018427387904 AS kept
-         |FROM h JOIN dom ON h.lang = dom.lang CROSS JOIN mn ORDER BY doc_id""".stripMargin)
+         |FROM h JOIN dom ON h.lang = dom.lang CROSS JOIN mn ORDER BY doc_id""".stripMargin,
+
+    // Image pixel stats: the oracle reconstructs the EXPECTED decode
+    // output from the same doc_id-keyed channel arithmetic the Spark
+    // side encodes into real BMP bytes — a broken BMP encoder or
+    // padded-row decoder mismatches the integer sums.
+    "q70_image_pixels" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h FROM documents),
+        |py AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM p),
+        |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM py),
+        |s AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |  CAST(sum((x*7 + y*3 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x*5 + y*11 + 2*doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x*13 + y + 3*doc_id) % 256) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max((x*7 + y*3 + doc_id) % 256), max((x*5 + y*11 + 2*doc_id) % 256),
+        |                max((x*13 + y + 3*doc_id) % 256)) AS BIGINT) AS peak
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -1397,6 +1397,45 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C11b — REAL image pixel decode (multimodal.Bmp +
+    * Multimodal.imagePixelStats): each doc gets a genuine 24-bit
+    * bottom-up BMP synthesized from a doc_id-keyed channel pattern,
+    * and the decoder round-trips it — magic/header validation,
+    * padded-row walk, exact integer per-channel sums and peak. The
+    * oracle reconstructs the EXPECTED statistics from the synthesis
+    * arithmetic (q64's reconstruct-expected pattern for audio), so a
+    * broken encoder OR decoder hash-mismatches; BmpSpec additionally
+    * cross-checks the decoder against the JDK's own ImageIO BMP
+    * reader.
+    */
+  private def q70ImagePixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmp = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 8).toInt; val h = (6 + id % 5).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            rgb(p) = ((x * 7 + y * 3 + id) % 256).toByte
+            rgb(p + 1) = ((x * 5 + y * 11 + 2 * id) % 256).toByte
+            rgb(p + 2) = ((x * 13 + y + 3 * id) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.multimodal.Bmp.encode(w, h, rgb))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.imagePixelStats(bmp).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("peak").cast("long").as("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1466,7 +1505,8 @@ object SparkEntry {
     "q66_cms_frequency" -> (q66CmsFrequency _),
     "q67_bloom_decontaminate" -> (q67BloomDecontaminate _),
     "q68_pack_sequences" -> (q68PackSequences _),
-    "q69_temperature_mix" -> (q69TemperatureMix _))
+    "q69_temperature_mix" -> (q69TemperatureMix _),
+    "q70_image_pixels" -> (q70ImagePixels _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -246,6 +246,27 @@ object Multimodal {
       })
   }
 
+  case class PixelMeta(
+      doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, peak: Int, valid: Boolean)
+
+  /** REAL image PIXEL decode for 24-bit BMP payloads (`Bmp.decode` —
+    * header validation + bottom-up padded-row walk + exact integer
+    * channel statistics, no codec library): the image twin of
+    * `audioFeatures`. Same batched map-only shape; malformed payloads
+    * yield `valid=false` rows, never exceptions.
+    */
+  def imagePixelStats(df: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload"): Dataset[PixelMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = Bmp.decode(bytes)
+        PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)
+      })
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
     * (explode-per-item, bounded by content size).
