@@ -28,17 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object PortableBloom {
 
-  /** The key's k hash positions in [0, m), distinct (two hash rows
-    * may collide on one position; membership then needs only that
-    * one position present — hence array_distinct here and
-    * count-based checks downstream).
+  /** The key's k hash positions in [0, m), one per hash row (two
+    * rows may collide on one position; both then read the same set
+    * bit, so verdicts equal a distinct-position check).
     */
   def positions(key: Column, k: Int, m: Int): Column = {
     require(k >= 1 && k <= 8, s"k out of range: $k")
     require(m >= 16, s"m too small: $m")
-    array_distinct(array((0 until k).map { i =>
+    array((0 until k).map { i =>
       conv(substring(md5(concat(lit(s"$i:"), key)), 1, 15), 16, 10).cast("long") % m
-    }: _*))
+    }: _*)
   }
 
   /** Build the filter: one `bloom_pos` row per distinct set position. */
@@ -46,17 +45,25 @@ object PortableBloom {
     keys.select(explode(positions(col(keyCol), k, m)).as("bloom_pos")).distinct()
 
   /** Membership test per (idCols, keyCol) row: appends
-    * `might_contain` — true iff every distinct position of the key is
-    * present in `bloom`. The bloom side broadcasts (positions are
-    * 8-byte longs); the probe side stays distributed.
+    * `might_contain` — true iff every position of the key is present
+    * in `bloom`. Implemented as k BROADCAST left-joins (one per hash
+    * row) — membership is entirely MAP-SIDE: the probe side is never
+    * exploded, shuffled, or re-aggregated, which is the shape that
+    * lets a 100 TB scan stream through the filter at full width.
+    * (Two hash rows colliding on one position both read the same
+    * set bit — verdict identical to a distinct-position check.)
     */
   def mightContain(keys: DataFrame, idCols: Seq[String], keyCol: String,
                    bloom: DataFrame, k: Int, m: Int): DataFrame = {
     val grouped = (idCols :+ keyCol).map(col)
-    keys.select(grouped :+ explode(positions(col(keyCol), k, m)).as("_pos"): _*)
-      .join(broadcast(bloom), col("_pos") === col("bloom_pos"), "left")
-      .groupBy(grouped: _*)
-      .agg((count(col("bloom_pos")) === count(lit(1))).as("might_contain"))
+    val ps = positions(col(keyCol), k, m)
+    val joined = (0 until k).foldLeft(
+      keys.select(grouped :+ ps.as("_ps"): _*)) { (df, i) =>
+      df.join(broadcast(bloom.select(col("bloom_pos").as(s"_b$i"))),
+        element_at(col("_ps"), i + 1) === col(s"_b$i"), "left")
+    }
+    joined.select(grouped :+
+      (0 until k).map(i => col(s"_b$i").isNotNull).reduce(_ && _).as("might_contain"): _*)
   }
 
   /** Per-doc decontamination verdict against a pre-built gram bloom:

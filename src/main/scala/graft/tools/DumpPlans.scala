@@ -39,7 +39,7 @@ object DumpPlans {
     "q66_cms_frequency" ->
       "Count-Min sketch: ObjectHashAggregate pair — the fixed 64 KB sketch buffers merge map-side and the exchange carries one serialized sketch per (lang, partition), never the token stream; the exact probe tier filters to the 8 probe tokens BEFORE its exchange.",
     "q67_bloom_decontaminate" ->
-      "Bloom decontamination: the filter side reduces to distinct integer positions broadcast as 8-byte longs (the relational bit array); the probe side explodes k=3 positions map-side and the membership verdict groups on (doc_id, gram) — contamination-set gram STRINGS are never broadcast or shuffled.",
+      "Bloom decontamination: the filter side reduces to distinct integer positions broadcast as 8-byte longs (the relational bit array); membership is k=3 BroadcastHashJoins — entirely map-side, the probe side is never exploded or shuffled for the verdict — and contamination-set gram STRINGS are never broadcast or shuffled.",
     "q68_pack_sequences" ->
       "Sequence packing: one hash exchange on the writer key + per-writer sort; prefix sums and sequence ids are window/projection integer arithmetic above it — no global single-partition funnel anywhere in the packing itself.",
     "q69_temperature_mix" ->

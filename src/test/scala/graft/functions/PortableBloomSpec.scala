@@ -34,6 +34,19 @@ class PortableBloomSpec extends SparkSpec {
     assert(fp <= 20, s"false-positive count $fp way above theory (~1-2 of 2000)")
   }
 
+  test("membership is map-side: k broadcast joins, no probe-side exchange") {
+    import spark.implicits._
+    val keys = (0 until 100).map(i => s"key-$i").toDF("k")
+    // materialize the filter so its own build-time distinct exchange
+    // (bloom-sized, one-off) is out of the membership plan under test
+    val bloom = build(keys, "k", k = 3, m = 1 << 12).localCheckpoint()
+    val plan = mightContain(keys, Seq.empty, "k", bloom, k = 3, m = 1 << 12)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 3, plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe side must not shuffle:\n$plan")
+  }
+
   test("filter is partitioning-invariant") {
     import spark.implicits._
     val keys = (0 until 500).map(i => s"key-$i").toDF("k")
