@@ -1069,9 +1069,12 @@ object SparkEntry {
     val grams = d.select(col("doc_id"), col("split"),
       explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
     val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
+    // grams are per-doc distinct already (wordShingles array_distincts),
+    // so count(1) == countDistinct(gram) without the distinct-agg
+    // expand — the shuffle carries (doc_id, partial count) only.
     val shared = grams.filter(col("split") === "train")
       .join(broadcast(testGrams), Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     d.filter(col("split") === "train").select(col("doc_id"))
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -1332,8 +1335,12 @@ object SparkEntry {
     val d = fanOut(s, Tables.documents(s, dir))
       .withColumn("split", graft.functions.Sampling.splitLabel(col("doc_id"),
         Seq("train" -> 90, "val" -> 5, "test" -> 5)))
+    // wordShingles is array_distinct per doc, so (doc_id, gram) rows
+    // are already unique — a global distinct here would re-shuffle the
+    // corpus's gram strings for nothing (cut in r7: the shuffle was
+    // q67's single biggest stage).
     val grams = d.select(col("doc_id"), col("split"),
-      explode(TextFunctions.wordShingles(col("text"), 8)).as("gram")).distinct()
+      explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
     val testGrams = grams.filter(col("split") === "test").select("gram").distinct()
     val bloom = PortableBloom.build(testGrams, "gram", k, m)
     val train = grams.filter(col("split") === "train").select("doc_id", "gram")

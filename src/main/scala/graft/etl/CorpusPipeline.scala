@@ -87,8 +87,11 @@ object CorpusPipeline {
     val deconned = cfg.decontamGramN match {
       case Some(n) =>
         val kept = base.filter(col("keep"))
+        // no gram-level distinct: build() distincts the (cheaper,
+        // fixed-width) hash positions anyway, so deduping the gram
+        // strings first would just add a second, wider shuffle
         val testGrams = kept.filter(col("split") === "test")
-          .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram")).distinct()
+          .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
         val bloom = PortableBloom.build(testGrams, "gram", cfg.bloomK, cfg.bloomM)
         val verdicts = PortableBloom.decontaminate(
           kept.filter(col("split") === "train").select(col(idCol), col(textCol)),

@@ -74,8 +74,10 @@ object PortableBloom {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bloom: DataFrame, k: Int, m: Int, gramN: Int): DataFrame = {
+    // wordShingles array_distincts per doc, so (id, gram) is already
+    // unique — no global distinct (that shuffle is corpus-gram-scale).
     val grams = docs.select(col(idCol),
-      explode(TextFunctions.wordShingles(col(textCol), gramN)).as("gram")).distinct()
+      explode(TextFunctions.wordShingles(col(textCol), gramN)).as("gram"))
     val flagged = mightContain(grams, Seq(idCol), "gram", bloom, k, m)
       .groupBy(idCol).agg(
         count(lit(1)).as("n_grams"),
