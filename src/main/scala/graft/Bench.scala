@@ -108,6 +108,8 @@ object Bench {
     // emit {"value":52,918} — invalid JSON (ADVICE r4).
     def r3(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    def r2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     def r1(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
     // The harness captures only the LAST ~2000 chars of output and
@@ -116,7 +118,11 @@ object Bench {
     // truncated line failed to parse). Keep the stdout line compact —
     // millisecond precision, no spread — and put the full-precision
     // medians + min/max spread in bench_result.json only.
-    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r3(med) }
+    // Per-query medians at centisecond precision on stdout: with 70+
+    // queries the %.3f form pushed the line toward the ~2000-char
+    // harness capture window; full precision lives in
+    // bench_result.json.
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r2(med) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // "spin":[pre_ms,post_ms] is the suite-level load sentinel;

@@ -1028,5 +1028,44 @@ object OracleSql {
         | FROM px GROUP BY doc_id)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  sum_r, sum_g, sum_b, peak, true AS valid
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Span dedup: stride-1 20-token windows hashed with the portable
+    // md5 fold; a hash in ≥2 distinct docs flags its span; flagged
+    // positions merge into islands (gap > w splits) whose exact token
+    // coverage is max−min+w per island. Mirrors SpanDedup bit-for-bit,
+    // hash collisions included.
+    "q71_span_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
+         |w AS (SELECT doc_id, s.pos AS pos, s.whash AS whash FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 19, 0) + 1),
+         |    i -> {'pos': CAST(i - 1 AS BIGINT), 'whash': ${md5fold("array_to_string(toks[i:i+19], ' ')", 15)}})) AS s
+         |  FROM tk)),
+         |dup AS (SELECT whash FROM (SELECT DISTINCT doc_id, whash FROM w) GROUP BY whash HAVING count(*) >= 2),
+         |f AS (SELECT doc_id, pos FROM w WHERE whash IN (SELECT whash FROM dup)),
+         |i AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |      FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f)),
+         |c AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_windows, CAST(sum(cov) AS BIGINT) AS dup_tokens FROM (
+         |  SELECT doc_id, isl, count(*) AS cnt, max(pos) - min(pos) + 20 AS cov FROM i GROUP BY doc_id, isl)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(toks) - 19, 0) AS BIGINT) AS n_windows,
+         |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(dup_tokens, 0) AS dup_tokens,
+         |  coalesce(n_dup_windows, 0) > 0 AS has_dup_span
+         |FROM tk t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // Linear-classifier scoring: per-token stand-in weight = 8-hex-char
+    // md5 fold % 2001 − 1000, margin = Σ weights with multiplicity
+    // (exact integer left-fold), keep = margin ≥ 0.
+    "q72_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+         |    t -> ${md5fold("t", 8)} % 2001 - 1000)), (a, v) -> a + v) AS margin
+         | FROM tk)
+         |SELECT doc_id, n_tokens, margin, margin >= 0 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin)
 }

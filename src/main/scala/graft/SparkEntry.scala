@@ -1443,6 +1443,39 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C39 — SPAN-level substring dedup (dedup.SpanDedup): runs of ≥ 20
+    * consecutive tokens shared verbatim across documents, found via
+    * stride-1 hashed sliding windows — the duplication class document
+    * dedup misses (shared paragraphs inside otherwise-distinct docs)
+    * and q58 only sees within one doc. Flagged window positions merge
+    * into islands (interval union), so `dup_tokens` is the EXACT
+    * duplicated token mass. Window hashes are the portable md5 fold —
+    * the oracle reproduces them bit-for-bit, collisions included.
+    */
+  private def q71SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SpanDedup.spanStats(
+      fanOut(s, Tables.documents(s, dir)), "doc_id", "text", w = 20)
+      .transform(sorted1(_, col("doc_id")))
+
+  /** C40 — hashed-feature LINEAR classifier scoring
+    * (functions.LinearClassifier): the model-based quality-filter
+    * shape (fastText-style keep/drop) as a map-only corpus pass —
+    * tokenize → hash → weight → exact integer margin → threshold
+    * verdict. The weight table is a declared deterministic stand-in
+    * (md5 fold → [−1000, 1000]); a trained model swaps in as a
+    * broadcast array without touching the plan. Margin is an integer
+    * sum, so the verdict hash-checks bit-for-bit across engines.
+    */
+  private def q72QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LinearClassifier
+    fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tokens"),
+        LinearClassifier.margin(col("text")).as("margin"),
+        LinearClassifier.keep(col("text")).as("keep"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1513,7 +1546,9 @@ object SparkEntry {
     "q67_bloom_decontaminate" -> (q67BloomDecontaminate _),
     "q68_pack_sequences" -> (q68PackSequences _),
     "q69_temperature_mix" -> (q69TemperatureMix _),
-    "q70_image_pixels" -> (q70ImagePixels _))
+    "q70_image_pixels" -> (q70ImagePixels _),
+    "q71_span_dedup" -> (q71SpanDedup _),
+    "q72_quality_classifier" -> (q72QualityClassifier _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
