@@ -43,7 +43,11 @@ object DumpPlans {
     "q68_pack_sequences" ->
       "Sequence packing: one hash exchange on the writer key + per-writer sort; prefix sums and sequence ids are window/projection integer arithmetic above it — no global single-partition funnel anywhere in the packing itself.",
     "q69_temperature_mix" ->
-      "Temperature mixing: per-domain token masses aggregate to a handful of rows and broadcast back onto the corpus; the T=2 Bernoulli draw is pure decimal projection arithmetic — one corpus scan, no shuffle beyond the domain aggregate.")
+      "Temperature mixing: per-domain token masses aggregate to a handful of rows and broadcast back onto the corpus; the T=2 Bernoulli draw is pure decimal projection arithmetic — one corpus scan, no shuffle beyond the domain aggregate.",
+    "q71_span_dedup" ->
+      "Span dedup: windows explode map-side to fixed-width (id, pos, 60-bit hash) rows — text never shuffles; the duplicated-hash set is found on a per-doc-deduped (id, hash) aggregate and flagged with a shuffle semi-join on the 8-byte hash (unbounded set — deliberately NOT broadcast); island merging windows over flagged positions only, partitioned by doc.",
+    "q72_quality_classifier" ->
+      "Linear classifier scoring: scan -> project only — the margin is a codegen'd higher-order fold over the token array computed inside the row, so the corpus pass has no exchange at all (the plan's only shuffle is the harness's ordered single-partition output funnel).")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()

@@ -137,6 +137,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!formatted("q63_strip_markup").contains("Window"))
   }
 
+  test("q71: span-dedup shuffles carry fixed-width columns, never text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = dedup.SpanDedup.spanStats(
+        Tables.documents(spark, sf("sf0.001")), "doc_id", "text", w = 20)
+      val ex = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(ex.nonEmpty, "expected the window-hash shuffles")
+      ex.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.contains("text"), s"span-dedup shuffle carries text: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q72: classifier margin is map-only — no join, aggregate, or window") {
+    val plan = formatted("q72_quality_classifier")
+    assert(!plan.contains("Join"), s"q72: unexpected join\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q72: unexpected aggregate\n$plan")
+    assert(!plan.contains("Window"), s"q72: unexpected window\n$plan")
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
