@@ -1067,5 +1067,36 @@ object OracleSql {
          |    t -> ${md5fold("t", 8)} % 2001 - 1000)), (a, v) -> a + v) AS margin
          | FROM tk)
          |SELECT doc_id, n_tokens, margin, margin >= 0 AS keep
-         |FROM m ORDER BY doc_id""".stripMargin)
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Ordered funnel: events per user in deterministic (ts_us,
+    // event_id) order, folded through the same 4-state automaton
+    // (view→click→purchase, each step strictly after the previous).
+    // Event types are encoded to step numbers so the fold is an
+    // integer left-fold; 'view' == step 1 ⟺ acc 0→1, etc.
+    "q73_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list(CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT)
+        |       ORDER BY ts_us, event_id) AS steps
+        | FROM e GROUP BY user_id),
+        |f AS (SELECT user_id, n_events,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), steps),
+        |    (acc, t) -> CASE WHEN t = acc + 1 THEN acc + 1 ELSE acc END) AS funnel_stage
+        | FROM g)
+        |SELECT user_id, n_events, funnel_stage, funnel_stage = 3 AS converted
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // Range-frame rolling window: trailing 1 hour on the microsecond
+    // axis; RANGE frames bound by ORDER-BY value, so both engines
+    // include every row within [ts−1h, ts] regardless of ties.
+    "q74_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(vc) OVER w AS BIGINT) AS sum_1h_cents
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
 }

@@ -1476,6 +1476,51 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** B22 — ordered FUNNEL analysis (the windowFunnel class of
+    * sequential pattern matching): per user, how deep into
+    * view → click → purchase did they get, with each step strictly
+    * after the previous step's first qualifying event — order
+    * matters, so this is NOT expressible as three independent
+    * conditional mins (a purchase before the first view must not
+    * count). Implemented as a deterministic per-user fold: events
+    * sort by (ts_us, event_id) inside a collected array and a
+    * codegen'd higher-order aggregate runs the 4-state automaton.
+    * One shuffle on user_id; the per-user buffer is that user's
+    * events — bounded by per-entity activity, the same bound any
+    * funnel/sessionization engine carries (a retention window caps
+    * it in production; q35's gaps-and-islands pre-pass would bound
+    * it per session instead).
+    */
+  private def q73Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    graft.operators.Funnel.depth(ev, "user_id", "ts_us", "event_id",
+      "event_type", Seq("view", "click", "purchase"))
+      .transform(sorted1(_, col("user_id")))
+  }
+
+  /** B23 — RANGE-frame time windows: per event, the trailing-1-hour
+    * count and value sum for its user (`rangeBetween` on the
+    * microsecond axis) — the window class q47's ROWS frames don't
+    * cover (a RANGE frame is defined by the ORDER-BY value, so ties
+    * and gaps behave differently and both engines must agree on
+    * boundary inclusion). Money stays in cents; one shuffle on
+    * user_id, frames evaluated in a single per-partition sweep.
+    */
+  private def q74Rolling(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("_vc"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("_vc")).over(w).as("sum_1h_cents"))
+      .transform(sorted1(_, col("event_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1548,7 +1593,9 @@ object SparkEntry {
     "q69_temperature_mix" -> (q69TemperatureMix _),
     "q70_image_pixels" -> (q70ImagePixels _),
     "q71_span_dedup" -> (q71SpanDedup _),
-    "q72_quality_classifier" -> (q72QualityClassifier _))
+    "q72_quality_classifier" -> (q72QualityClassifier _),
+    "q73_funnel" -> (q73Funnel _),
+    "q74_rolling" -> (q74Rolling _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
