@@ -1098,5 +1098,57 @@ object OracleSql {
         |  CAST(sum(vc) OVER w AS BIGINT) AS sum_1h_cents
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // Keyed-snapshot merge: the same deterministic change batch
+    // replayed through SQL FULL OUTER JOIN semantics; op verdicts
+    // from explicit side-presence tests.
+    "q75_upsert" ->
+      """WITH base AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, c_mktsegment FROM customer),
+        |u AS (
+        |  SELECT c_custkey, bal_cents + 1000 AS bal_cents, c_mktsegment, false AS del FROM base WHERE c_custkey % 3 = 0
+        |  UNION ALL SELECT c_custkey, bal_cents, c_mktsegment, true FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
+        |  UNION ALL SELECT c_custkey + 10000000, bal_cents, c_mktsegment, false FROM base WHERE c_custkey % 11 = 0)
+        |SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
+        |  coalesce(u.bal_cents, b.bal_cents) AS bal_cents,
+        |  coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |  CASE WHEN u.c_custkey IS NOT NULL AND u.del THEN 'delete'
+        |       WHEN u.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL THEN 'update'
+        |       WHEN u.c_custkey IS NOT NULL THEN 'insert'
+        |       ELSE 'carry' END AS op
+        |FROM base b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey
+        |ORDER BY 1""".stripMargin,
+
+    // SCD2 history: row_number versioning + lead-derived half-open
+    // validity over the same deterministic (date, orderkey) order.
+    "q76_scd2" ->
+      """WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        | FROM orders WHERE o_custkey % 50 = 0)
+        |SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS version_no,
+        |  o_orderdate AS valid_from, lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current, o_orderkey, price_cents
+        |FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version_no""".stripMargin,
+
+    // Bucketed-checksum reconciliation: row hash = md5 fold of the
+    // unit-separator-joined stringified row (nulls → chr(0) sentinel,
+    // mirroring Reconcile.rowHash), bucket = q44's 8-hex md5 fold of
+    // the key, combiner = bit_xor.
+    "q77_reconcile" ->
+      s"""WITH a AS (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus FROM orders),
+         |b AS (SELECT o_orderkey,
+         |  CASE WHEN o_orderkey % 1000 = 13 THEN price_cents + 100 ELSE price_cents END AS price_cents,
+         |  o_orderstatus FROM a WHERE o_orderkey % 1000 <> 7),
+         |ha AS (SELECT ${md5fold("CAST(o_orderkey AS VARCHAR)", 8)} % 64 AS bucket,
+         |  ${md5fold("concat_ws(chr(1), coalesce(CAST(o_orderkey AS VARCHAR), chr(0)), coalesce(CAST(price_cents AS VARCHAR), chr(0)), coalesce(o_orderstatus, chr(0)))", 15)} AS h FROM a),
+         |hb AS (SELECT ${md5fold("CAST(o_orderkey AS VARCHAR)", 8)} % 64 AS bucket,
+         |  ${md5fold("concat_ws(chr(1), coalesce(CAST(o_orderkey AS VARCHAR), chr(0)), coalesce(CAST(price_cents AS VARCHAR), chr(0)), coalesce(o_orderstatus, chr(0)))", 15)} AS h FROM b),
+         |ca AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a, bit_xor(h) AS xor_a FROM ha GROUP BY bucket),
+         |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b, bit_xor(h) AS xor_b FROM hb GROUP BY bucket)
+         |SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+         |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, xor_a, xor_b,
+         |  coalesce(n_a, 0) = coalesce(n_b, 0) AND xor_a IS NOT DISTINCT FROM xor_b AS matches
+         |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+         |ORDER BY 1""".stripMargin)
 }

@@ -1521,6 +1521,69 @@ object SparkEntry {
       .transform(sorted1(_, col("event_id")))
   }
 
+  /** B24 — keyed-snapshot MERGE / CDC apply (operators.Upsert): a
+    * deterministic change batch (updates for custkey%3, deletes for
+    * custkey%7 outside the update set, inserts on shifted keys for
+    * custkey%11) full-outer merged into the customer snapshot;
+    * every output row carries its op verdict, deletes retained for
+    * audit. The oracle replays the same batch through SQL FULL OUTER
+    * JOIN semantics.
+    */
+  private def q75Upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(col("c_custkey"),
+      cents(col("c_acctbal")).as("bal_cents"), col("c_mktsegment"))
+    val upd = base.filter(pmod(col("c_custkey"), lit(3)) === 0)
+      .select(col("c_custkey"), (col("bal_cents") + 1000).as("bal_cents"),
+        col("c_mktsegment"), lit(false).as("_delete"))
+      .union(base.filter(pmod(col("c_custkey"), lit(7)) === 0 &&
+          pmod(col("c_custkey"), lit(3)) =!= 0)
+        .select(col("c_custkey"), col("bal_cents"), col("c_mktsegment"),
+          lit(true).as("_delete")))
+      .union(base.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"), col("bal_cents"),
+          col("c_mktsegment"), lit(false).as("_delete")))
+    graft.operators.Upsert.merge(base, upd, Seq("c_custkey"))
+      .transform(sorted1(_, col("c_custkey")))
+  }
+
+  /** B25 — SCD2 HISTORY build (operators.Upsert.scd2): each order is
+    * a change to its customer's tracked state; versions get
+    * [valid_from, valid_to) half-open validity from the next change
+    * (lead), is_current on the latest. One shuffle on the key, a
+    * per-key window sweep — the warehouse dimension-versioning op.
+    */
+  private def q76Scd2(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.orders(s, dir)
+      .filter(pmod(col("o_custkey"), lit(50)) === 0)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+    graft.operators.Upsert.scd2(changes, Seq("o_custkey"),
+      Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey"), col("version_no"), col("valid_from"),
+        col("valid_to"), col("is_current"), col("o_orderkey"), col("price_cents"))
+      .transform(sorted1(_, col("o_custkey"), col("version_no")))
+  }
+
+  /** B26 — bucketed-checksum RECONCILIATION (operators.Reconcile):
+    * orders vs a mutated copy (planted deletes at key%1000==7,
+    * value drift at key%1000==13) compared WITHOUT moving either
+    * table — each side collapses map-side to 64 (count, xor-of-row-
+    * hash) summaries and only those meet. Buckets holding a planted
+    * mutation must mismatch, all others must match; the oracle
+    * mirrors row hash, bucketing, and xor bit-for-bit.
+    */
+  private def q77Reconcile(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+    val b = a.filter(pmod(col("o_orderkey"), lit(1000)) =!= 7)
+      .withColumn("price_cents",
+        when(pmod(col("o_orderkey"), lit(1000)) === 13, col("price_cents") + 100)
+          .otherwise(col("price_cents")))
+    graft.operators.Reconcile.diff(a, b, "o_orderkey",
+      Seq("o_orderkey", "price_cents", "o_orderstatus"), buckets = 64)
+      .transform(sorted1(_, col("bucket")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1595,7 +1658,10 @@ object SparkEntry {
     "q71_span_dedup" -> (q71SpanDedup _),
     "q72_quality_classifier" -> (q72QualityClassifier _),
     "q73_funnel" -> (q73Funnel _),
-    "q74_rolling" -> (q74Rolling _))
+    "q74_rolling" -> (q74Rolling _),
+    "q75_upsert" -> (q75Upsert _),
+    "q76_scd2" -> (q76Scd2 _),
+    "q77_reconcile" -> (q77Reconcile _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

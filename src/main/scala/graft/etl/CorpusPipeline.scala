@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * data pipeline actually runs, built entirely from graft's operators
   * so each stage keeps its documented 100 TB shape:
   *
-  *   1. ANNOTATE      — quality score, language-ID, token count (map-only);
-  *   2. FILTER        — quality/language/length gates (map-only);
+  *   1. ANNOTATE      — quality score, language-ID, token count,
+  *                      classifier margin (map-only);
+  *   2. FILTER        — quality/language/length gates + optional
+  *                      model-based classifier gate (map-only);
   *   3. DEDUP         — MinHash-LSH candidate pairs → verified Jaccard →
   *                      connected components → one keeper per group;
   *   4. SPLIT         — deterministic md5-bucket train/val/test labels;
@@ -35,6 +37,12 @@ object CorpusPipeline {
       minQuality: Double = 0.5,
       allowedLangs: Seq[String] = Seq("en"),
       minTokens: Int = 10,
+      /** Optional model-based gate: docs whose hashed-feature linear
+        * margin (LinearClassifier) falls below this are filtered with
+        * reason "classifier" — the fastText-style filter slot in the
+        * recipe. None disables the gate.
+        */
+      minClassifierMargin: Option[Long] = None,
       dedupJaccard: Double = 0.8,
       splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
       minhash: MinHashLsh.Config = MinHashLsh.Config(),
@@ -56,12 +64,16 @@ object CorpusPipeline {
       .withColumn("lang", col("lang_detect.lang")).drop("lang_detect")
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("classifier_margin",
+        graft.functions.LinearClassifier.margin(col(textCol)))
 
     // 2. filter decisions (kept as a reason column, rows retained)
     val filtered = annotated.withColumn("filter_reason",
       when(col("quality") < cfg.minQuality, "low_quality")
         .when(!col("lang").isin(cfg.allowedLangs: _*), "language")
-        .when(col("n_tokens") < cfg.minTokens, "too_short"))
+        .when(col("n_tokens") < cfg.minTokens, "too_short")
+        .when(cfg.minClassifierMargin
+          .map(t => col("classifier_margin") < t).getOrElse(lit(false)), "classifier"))
 
     // 3. dedup the SURVIVORS only (no point hashing filtered docs)
     val survivors = filtered.filter(col("filter_reason").isNull)

@@ -40,6 +40,22 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("train", "val", "test").contains(r.getAs[String]("split"))))
   }
 
+  test("classifier margin annotates every row; the optional gate filters below threshold") {
+    // default config: margin annotated, gate off
+    assert(curated.values.forall(r => r.getAs[Any]("classifier_margin") != null))
+    val m1 = curated(1L).getAs[Long]("classifier_margin")
+    // re-run with the gate just above doc 1's margin: doc 1 now filters
+    // with reason "classifier" (earlier gates still win for docs 3-5)
+    val gated = CorpusPipeline.curate(docs, CorpusPipeline.Config(dedupJaccard = 0.6,
+      minhash = graft.dedup.MinHashLsh.Config(bands = 8),
+      minClassifierMargin = Some(m1 + 1))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(gated(1L).getAs[String]("filter_reason") == "classifier")
+    assert(!gated(1L).getAs[Boolean]("keep"))
+    assert(gated(3L).getAs[String]("filter_reason") == "language",
+      "earlier gates still take precedence over the classifier gate")
+  }
+
   test("full recipe: decontaminate + temperature-mix + pack") {
     // deterministic split membership first, so a test→train leak can
     // be planted knowingly
