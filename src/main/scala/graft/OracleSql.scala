@@ -1150,5 +1150,24 @@ object OracleSql {
          |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, xor_a, xor_b,
          |  coalesce(n_a, 0) = coalesce(n_b, 0) AND xor_a IS NOT DISTINCT FROM xor_b AS matches
          |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
-         |ORDER BY 1""".stripMargin)
+         |ORDER BY 1""".stripMargin,
+
+    // Gap-fill + LOCF: per-user daily spine (generate_series over the
+    // user's [min, max] day), left-joined daily counts and the
+    // last-event-of-day value (row_number pick, (ts_us, event_id)
+    // DESC), forward-filled with IGNORE NULLS last_value.
+    "q78_gapfill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |cnt AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1, 2),
+        |lastv AS (SELECT user_id, d, vc AS last_vc FROM (
+        |  SELECT user_id, d, vc, row_number() OVER (PARTITION BY user_id, d ORDER BY ts_us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+        |spine AS (SELECT user_id, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d FROM e GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.d, coalesce(n_events, 0) AS n_events, last_vc
+        |      FROM spine s LEFT JOIN cnt USING (user_id, d) LEFT JOIN lastv USING (user_id, d))
+        |SELECT user_id, d, n_events,
+        |  last_value(last_vc IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_vc,
+        |  n_events = 0 AS is_gap
+        |FROM j ORDER BY user_id, d""".stripMargin)
 }

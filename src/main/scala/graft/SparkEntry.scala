@@ -1584,6 +1584,25 @@ object SparkEntry {
       .transform(sorted1(_, col("bucket")))
   }
 
+  /** B27 — time-series GAP-FILL + LOCF (operators.GapFill): each
+    * user's irregular event stream becomes a dense daily series over
+    * their [first, last] day — missing days get n_events = 0 and
+    * inherit the last known value (last event of the most recent
+    * active day, ties broken by (ts_us, event_id)) instead of NULLing
+    * out. Spine fan-out is keys × calendar span, not event count; the
+    * fill is an ignoreNulls `last` window — the imputation class the
+    * window suite (q47/q74) doesn't cover.
+    */
+  private def q78Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("d"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), cents(col("value")).as("vc"))
+    graft.operators.GapFill.dailyLocf(e, "user_id", "d",
+      Seq("ts_us", "event_id"), "vc")
+      .withColumnRenamed("filled_value", "filled_vc")
+      .transform(sorted1(_, col("user_id"), col("d")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1661,7 +1680,8 @@ object SparkEntry {
     "q74_rolling" -> (q74Rolling _),
     "q75_upsert" -> (q75Upsert _),
     "q76_scd2" -> (q76Scd2 _),
-    "q77_reconcile" -> (q77Reconcile _))
+    "q77_reconcile" -> (q77Reconcile _),
+    "q78_gapfill" -> (q78Gapfill _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
