@@ -1169,5 +1169,35 @@ object OracleSql {
         |  last_value(last_vc IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_vc,
         |  n_events = 0 AS is_gap
-        |FROM j ORDER BY user_id, d""".stripMargin)
+        |FROM j ORDER BY user_id, d""".stripMargin,
+
+    // Span removal: q71's windows with per-hash min-id keepers; loser
+    // positions merge into islands whose covered ranges are cut from
+    // the lowercased token sequence; md5 of the single-space rejoin
+    // hash-checks the whole treatment end-to-end.
+    "q79_span_removal" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
+         |w AS (SELECT doc_id, s.pos AS pos, s.whash AS whash FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 19, 0) + 1),
+         |    i -> {'pos': CAST(i - 1 AS BIGINT), 'whash': ${md5fold("array_to_string(toks[i:i+19], ' ')", 15)}})) AS s
+         |  FROM tk)),
+         |own AS (SELECT whash, min(doc_id) AS keeper FROM (SELECT DISTINCT doc_id, whash FROM w) GROUP BY whash HAVING count(*) >= 2),
+         |lose AS (SELECT doc_id, pos FROM w JOIN own USING (whash) WHERE doc_id <> keeper),
+         |i AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |      FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM lose)),
+         |cuts AS (SELECT doc_id, list({'s': s, 'e': e}) AS cuts FROM (
+         |  SELECT doc_id, isl, min(pos) AS s, max(pos) + 19 AS e FROM i GROUP BY doc_id, isl) GROUP BY doc_id),
+         |c AS (SELECT t.doc_id, toks, coalesce(cuts, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS cuts
+         |      FROM tk t LEFT JOIN cuts USING (doc_id)),
+         |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+         |  list_filter(range(1, len(toks) + 1),
+         |    i -> len(list_filter(cuts, r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0) AS keepidx
+         | FROM c)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_tokens - len(keepidx) AS BIGINT) AS n_removed_tokens,
+         |  -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+         |  -- array_join: coalesce so fully-cut docs hash the empty string
+         |  md5(coalesce(array_to_string(list_transform(keepidx, i -> toks[i]), ' '), '')) AS cleaned_md5
+         |FROM f ORDER BY doc_id""".stripMargin)
 }

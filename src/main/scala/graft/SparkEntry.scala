@@ -1603,6 +1603,22 @@ object SparkEntry {
       .transform(sorted1(_, col("user_id"), col("d")))
   }
 
+  /** C39b — span REMOVAL (dedup.SpanDedup.removeSpans): q71's
+    * detection plus the published remedy — each duplicated ≥ 20-token
+    * window keeps exactly ONE occurrence corpus-wide (min-id doc);
+    * every other doc's covered range is cut and the cleaned text
+    * rebuilt from the surviving tokens. md5 of the rebuilt text is
+    * hash-checked end-to-end (q53/q59's pattern), so the island
+    * arithmetic, keeper choice, and token filtering must all agree
+    * byte-for-byte with the oracle.
+    */
+  private def q79SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SpanDedup.removeSpans(
+      fanOut(s, Tables.documents(s, dir)), "doc_id", "text", w = 20)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed_tokens"),
+        md5(col("cleaned_text")).as("cleaned_md5"))
+      .transform(sorted1(_, col("doc_id")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1681,7 +1697,8 @@ object SparkEntry {
     "q75_upsert" -> (q75Upsert _),
     "q76_scd2" -> (q76Scd2 _),
     "q77_reconcile" -> (q77Reconcile _),
-    "q78_gapfill" -> (q78Gapfill _))
+    "q78_gapfill" -> (q78Gapfill _),
+    "q79_span_removal" -> (q79SpanRemoval _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

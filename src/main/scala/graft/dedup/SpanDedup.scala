@@ -104,4 +104,51 @@ object SpanDedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("n_dup_windows"), lit(0L)) > 0).as("has_dup_span"))
   }
+
+  /** The REMEDY: remove duplicated spans, keeping exactly ONE
+    * occurrence corpus-wide — for each duplicated window hash the
+    * min-id doc keeps its span; every other doc's covered token range
+    * is cut (published substring-dedup treatment: keep one, drop the
+    * rest; the survivor choice just has to be deterministic, and
+    * min-id matches the repo's keeper convention). Loser windows
+    * merge into interval-union islands exactly as in `spanStats`, and
+    * the cleaned text is the lowercased token sequence minus covered
+    * positions, single-space joined (whitespace-normalized — the same
+    * canonicalization the window hashing applies).
+    *
+    * Output: (id, n_tokens, n_removed_tokens, cleaned_text) per doc.
+    * Same shuffle shape as spanStats plus one per-doc island
+    * collect_list (bounded by islands per doc, not tokens).
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val win = docs.select(col(idCol),
+      posexplode(windowHashes(col(textCol), w)).as(Seq("pos", "whash")))
+    // duplicated hashes with their keeper (min doc id among sharers)
+    val owners = win.select(col(idCol), col("whash")).distinct()
+      .groupBy("whash").agg(count(lit(1)).as("_nd"), min(col(idCol)).as("_keeper"))
+      .filter(col("_nd") >= 2).select(col("whash"), col("_keeper"))
+    val lose = win.join(owners, Seq("whash")).filter(col(idCol) =!= col("_keeper"))
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val isl = lose
+      .withColumn("_prev", lag("pos", 1).over(byPos))
+      .withColumn("_isl", sum(
+        when(col("_prev").isNull || col("pos") - col("_prev") > w, 1L).otherwise(0L)).over(byPos))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + w - 1).cast("long").as("_e"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("_s").cast("long").as("s"), col("_e").as("e"))).as("_cuts"))
+    docs.join(isl, Seq(idCol), "left")
+      .select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("_toks"),
+        coalesce(col("_cuts"), array().cast("array<struct<s:bigint,e:bigint>>")).as("_cuts"))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        col("_toks"), col("_cuts"))
+      .withColumn("_kept", filter(
+        transform(col("_toks"), (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
+        s => !exists(col("_cuts"), r => s("i") >= r("s") && s("i") <= r("e"))))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).cast("long").as("n_removed_tokens"),
+        array_join(transform(col("_kept"), s => s("t")), " ").as("cleaned_text"))
+  }
 }

@@ -60,6 +60,44 @@ class SpanDedupSpec extends SparkSpec {
       "within-doc repetition is q58's class, not span dedup's")
   }
 
+  private def removed(docs: Seq[(Long, String)]) =
+    SpanDedup.removeSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w = W)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("removal keeps exactly one occurrence corpus-wide (min-id doc)") {
+    val shared = (1 to W).map(i => s"sh$i").mkString(" ")
+    val v = removed(Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"one two $shared three"),
+      (3L, s"x y $shared z")))
+    // doc 1 is the keeper: loses nothing; docs 2 and 3 each lose W tokens
+    assert(v(1L).getAs[Long]("n_removed_tokens") === 0L)
+    assert(v(1L).getAs[String]("cleaned_text") === s"alpha beta $shared gamma")
+    assert(v(2L).getAs[Long]("n_removed_tokens") === W.toLong)
+    assert(v(2L).getAs[String]("cleaned_text") === "one two three")
+    assert(v(3L).getAs[String]("cleaned_text") === "x y z")
+  }
+
+  test("removal cuts the full interval union, not per-window repeats") {
+    val run = (1 to W + 2).map(i => s"r$i").mkString(" ") // 3 overlapping windows
+    val v = removed(Seq(
+      (1L, run),                      // keeper
+      (2L, s"pre1 pre2 $run post1"))) // loses the whole W+2 run once
+    assert(v(2L).getAs[Long]("n_removed_tokens") === (W + 2).toLong)
+    assert(v(2L).getAs[String]("cleaned_text") === "pre1 pre2 post1")
+    assert(v(1L).getAs[Long]("n_removed_tokens") === 0L)
+  }
+
+  test("docs without duplicated spans pass through untouched (lowercased rejoin)") {
+    val v = removed(Seq(
+      (1L, "Just Some Unique words here"),
+      (2L, "")))
+    assert(v(1L).getAs[Long]("n_removed_tokens") === 0L)
+    assert(v(1L).getAs[String]("cleaned_text") === "just some unique words here")
+    assert(v(2L).getAs[Long]("n_tokens") === 0L)
+    assert(v(2L).getAs[String]("cleaned_text") === "")
+  }
+
   test("short and empty docs yield zero windows and zeroed stats") {
     val v = stats(Seq(
       (1L, "only three tokens"),
