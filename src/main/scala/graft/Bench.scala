@@ -118,11 +118,15 @@ object Bench {
     // truncated line failed to parse). Keep the stdout line compact —
     // millisecond precision, no spread — and put the full-precision
     // medians + min/max spread in bench_result.json only.
-    // Per-query medians at centisecond precision on stdout: with 70+
-    // queries the %.3f form pushed the line toward the ~2000-char
-    // harness capture window; full precision lives in
-    // bench_result.json.
-    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r2(med) }
+    // Per-query medians at centisecond precision on stdout, trailing
+    // zeros stripped ("0.20" -> "0.2", still valid JSON): with 75+
+    // queries every byte counts against the ~2000-char harness
+    // capture window; full precision lives in bench_result.json.
+    def r2t(x: Double): String = {
+      val s = r2(x)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r2t(med) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // "spin":[pre_ms,post_ms] is the suite-level load sentinel;
@@ -134,7 +138,9 @@ object Bench {
     // harness capture window now that the suite is 75+ queries
     val sentinel = s""""spin":[${math.round(spinPre)},${math.round(spinPost)}],"reruns":${results.count(_._5)}"""
     val sentinelFull = s""""spin":[${r1(spinPre)},${r1(spinPost)}],"reruns":${results.count(_._5)}"""
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$sentinel,"sf":"$sfDir"}"""
+    // sf as basename on stdout (full path in bench_result.json)
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$sentinel,"sf":"$sfName"}"""
     val qsFull = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx, rerun, qSpin) =>

@@ -1199,5 +1199,24 @@ object OracleSql {
          |  -- array_to_string([]) is NULL in DuckDB but '' in Spark's
          |  -- array_join: coalesce so fully-cut docs hash the empty string
          |  md5(coalesce(array_to_string(list_transform(keepidx, i -> toks[i]), ' '), '')) AS cleaned_md5
-         |FROM f ORDER BY doc_id""".stripMargin)
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // PNG pixel decode: expected statistics rebuilt from the synthesis
+    // arithmetic (q70's reconstruct-expected pattern) — the oracle
+    // never sees a PNG byte, so encoder, inflater plumbing, and filter
+    // reconstruction must all be right for the hash to match.
+    "q80_png_pixels" ->
+      """WITH p AS (SELECT doc_id, 9 + doc_id % 7 AS w, 5 + doc_id % 6 AS h FROM documents),
+        |py AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM p),
+        |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM py),
+        |s AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |  CAST(sum((x*11 + y*5 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x*3 + y*13 + 2*doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x*7 + y*9 + 3*doc_id) % 256) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max((x*11 + y*5 + doc_id) % 256), max((x*3 + y*13 + 2*doc_id) % 256),
+        |                max((x*7 + y*9 + 3*doc_id) % 256)) AS BIGINT) AS peak
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

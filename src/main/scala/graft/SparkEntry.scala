@@ -1619,6 +1619,44 @@ object SparkEntry {
         md5(col("cleaned_text")).as("cleaned_md5"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C11c — REAL compressed-image pixel decode (multimodal.Png):
+    * each doc gets a genuine PNG written by the JDK's ImageIO encoder
+    * from a doc_id-keyed channel pattern, and the HAND-ROLLED decoder
+    * (chunk walk → Inflater → all five scanline filter
+    * reconstructions) recovers exact integer pixel statistics. The
+    * oracle rebuilds the expected stats from the synthesis arithmetic
+    * without seeing a PNG byte — so a broken encoder, inflater
+    * plumbing, or filter reconstruction hash-mismatches; PngSpec
+    * additionally round-trips against ImageIO's own reader.
+    */
+  private def q80PngPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val png = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (9 + id % 7).toInt; val h = (5 + id % 6).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            rgb(p) = ((x * 11 + y * 5 + id) % 256).toByte
+            rgb(p + 1) = ((x * 3 + y * 13 + 2 * id) % 256).toByte
+            rgb(p + 2) = ((x * 7 + y * 9 + 3 * id) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.multimodal.Png.encodeViaImageIO(w, h, rgb))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.imagePixelStats(png).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("peak").cast("long").as("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1698,7 +1736,8 @@ object SparkEntry {
     "q76_scd2" -> (q76Scd2 _),
     "q77_reconcile" -> (q77Reconcile _),
     "q78_gapfill" -> (q78Gapfill _),
-    "q79_span_removal" -> (q79SpanRemoval _))
+    "q79_span_removal" -> (q79SpanRemoval _),
+    "q80_png_pixels" -> (q80PngPixels _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

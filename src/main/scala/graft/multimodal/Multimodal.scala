@@ -262,8 +262,16 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val b = Bmp.decode(bytes)
-        PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)
+        // magic-byte routing between the two real pixel decoders:
+        // PNG signature → hand-rolled inflate+unfilter (Png), else BMP
+        // (Bmp.decode returns invalid for anything that isn't BM)
+        if (bytes != null && bytes.length > 0 && (bytes(0) & 0xff) == 0x89) {
+          val p = Png.decode(bytes)
+          PixelMeta(id, p.width, p.height, p.sumR, p.sumG, p.sumB, p.peak, p.valid)
+        } else {
+          val b = Bmp.decode(bytes)
+          PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)
+        }
       })
   }
 
