@@ -47,7 +47,11 @@ object DumpPlans {
     "q71_span_dedup" ->
       "Span dedup: windows explode map-side to fixed-width (id, pos, 60-bit hash) rows — text never shuffles; the duplicated-hash set is found on a per-doc-deduped (id, hash) aggregate and flagged with a shuffle semi-join on the 8-byte hash (unbounded set — deliberately NOT broadcast); island merging windows over flagged positions only, partitioned by doc.",
     "q72_quality_classifier" ->
-      "Linear classifier scoring: scan -> project only — the margin is a codegen'd higher-order fold over the token array computed inside the row, so the corpus pass has no exchange at all (the plan's only shuffle is the harness's ordered single-partition output funnel).")
+      "Linear classifier scoring: scan -> project only — the margin is a codegen'd higher-order fold over the token array computed inside the row, so the corpus pass has no exchange at all (the plan's only shuffle is the harness's ordered single-partition output funnel).",
+    "q77_reconcile" ->
+      "Reconciliation: each side collapses to 64 (bucket, count, xor) summary rows BEHIND a map-side partial aggregate — the exchanges carry bucket summaries, never table rows, which is what lets two 100 TB versions diff by moving kilobytes; the final full-outer join runs on 64-row inputs.",
+    "q79_span_removal" ->
+      "Span removal: window hashes explode map-side (fixed-width rows), keeper election is an aggregate on the per-doc-deduped (id, hash) pairs, and the island/cut arithmetic windows over loser positions only — the document text is read in the final projection stage, never shuffled.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()

@@ -158,6 +158,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q72: unexpected window\n$plan")
   }
 
+  test("q77: reconcile exchanges carry bucket summaries, never table rows") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val o = Tables.orders(spark, sf("sf0.001"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val df = operators.Reconcile.checksums(o, "o_orderkey",
+        Seq("o_orderkey", "o_totalprice", "o_orderstatus"), buckets = 16)
+      val ex = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(ex.nonEmpty, "expected the bucket-summary exchange")
+      ex.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(c => c.contains("orderkey") || c.contains("totalprice")),
+          s"reconcile shuffle carries table rows: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
