@@ -1218,5 +1218,15 @@ object OracleSql {
         | FROM px GROUP BY doc_id)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  sum_r, sum_g, sum_b, peak, true AS valid
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // CUBE: same MSB-first grouping bitmask in both engines
+    // (GROUPING(a, b) == Spark grouping_id() over cube(a, b)).
+    "q81_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, 1, 2""".stripMargin)
 }

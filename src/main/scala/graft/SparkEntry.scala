@@ -1657,6 +1657,24 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** B28 — CUBE multi-dimensional aggregate: all 2^k grouping-set
+    * combinations of (returnflag, linestatus) in ONE pass (Spark
+    * plans a single Expand + aggregate, not 2^k scans), with
+    * `grouping_id` disambiguating a genuine NULL group member from a
+    * rolled-up level — the grouping-sets shape q16's linear ROLLUP
+    * ladder doesn't cover. Money in cents; both engines use the same
+    * MSB-first grouping bitmask.
+    */
+  private def q81Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_cents"))
+      .transform(sorted1(_, col("gid"), col("l_returnflag"), col("l_linestatus")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1737,7 +1755,8 @@ object SparkEntry {
     "q77_reconcile" -> (q77Reconcile _),
     "q78_gapfill" -> (q78Gapfill _),
     "q79_span_removal" -> (q79SpanRemoval _),
-    "q80_png_pixels" -> (q80PngPixels _))
+    "q80_png_pixels" -> (q80PngPixels _),
+    "q81_cube" -> (q81Cube _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
