@@ -1,0 +1,42 @@
+package graft
+
+/** Driver-contract invariants: the queries/oracleSql maps must stay
+  * consistent (a dangling oracle key or an unanalyzable query would
+  * surface as a confusing driver-side failure instead of a red test),
+  * and every query must at least pass ANALYSIS against the real
+  * sf0.001 tables — catches schema drift (renamed column, dropped
+  * table) without paying for execution (Verify covers that).
+  */
+class EntryContractSpec extends SparkSpec {
+
+  private val RowsOnlyByDesign = Set(
+    "q23_langid", "q25_minhash_lsh", "q29_ann_ivf", "q33_embed_lsh")
+
+  test("every oracleSql key has a queries entry") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+  }
+
+  test("rows-only queries are exactly the declared set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === RowsOnlyByDesign,
+      "every new query needs an oracle, or an explicit declaration here")
+  }
+
+  test("every query analyzes against the sf0.001 tables") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf("sf0.001")).schema; None }
+      catch { case e: Exception => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, s"unanalyzable queries:\n${failures.mkString("\n")}")
+  }
+
+  test("query output column names are unique and snake_case-safe") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val cols = fn(spark, sf("sf0.001")).schema.fieldNames.toSeq
+      assert(cols.distinct === cols, s"$name: duplicate output columns $cols")
+      cols.foreach(c => assert(!c.contains("(") && !c.contains(" "),
+        s"$name: unaliased expression column '$c' would break the driver's column sort"))
+    }
+  }
+}
