@@ -60,6 +60,9 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+  case class FunnelState(stepEvents: List[(Long, Long, Int)])
+  case class FunnelUpdate(user_id: Long, n_step_events: Long,
+                          funnel_stage: Long, converted: Boolean)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
@@ -134,5 +137,41 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** D11 — STREAMING funnel (q73's automaton as live per-user state):
+    * every micro-batch emits each touched user's current funnel depth.
+    * OUT-OF-ORDER SAFE without a watermark ordering requirement: the
+    * state keeps every STEP event seen so far ((ts_us, event_id,
+    * step) triples — non-step events are discarded immediately, which
+    * is the state bound) and the automaton re-folds the sorted list
+    * on each update, so a late-arriving early 'view' correctly
+    * unlocks clicks that arrived before it — arrival order can never
+    * change the answer (the batch-equivalence spec feeds steps in
+    * reverse arrival order to prove it). At scale, step events below
+    * the watermark are final and can be folded into a (stage,
+    * frontier) prefix to truncate state; kept whole here for exact
+    * any-order semantics.
+    */
+  def funnelDepth(events: Dataset[Event], steps: Seq[String]): Dataset[FunnelUpdate] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[FunnelState]): FunnelUpdate = {
+      val incoming = it.flatMap(e =>
+        stepOf.get(e.event_type).map(s => (tsMicros(e.ts), e.event_id, s))).toList
+      val all = (state.getOption.map(_.stepEvents).getOrElse(Nil) ++ incoming)
+        .sortBy(t => (t._1, t._2))
+      var stage = 0
+      all.foreach { case (_, _, s) => if (s == stage + 1) stage += 1 }
+      state.update(FunnelState(all))
+      FunnelUpdate(userId, all.size.toLong, stage.toLong, stage == steps.length)
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 }
