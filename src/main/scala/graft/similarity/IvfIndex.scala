@@ -89,6 +89,37 @@ object IvfIndex {
     vectors.withColumn("cid", model.assignExpr(col(vecCol)))
   }
 
+  /** Persist the trained index: the model as one row per centroid
+    * (model-sized — KBs), the bucketed corpus PARTITIONED BY cid so a
+    * probe-time read with `cid isin probes` partition-prunes to the
+    * nprobe touched buckets instead of scanning the corpus — the
+    * build-offline / serve-later layout (IncrementalDedup's persisted
+    * signature index, for vectors).
+    */
+  def save(model: Model, assignments: DataFrame, dir: String): Unit = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    model.centroids.toSeq
+      .map { case (cid, v) => (model.dim, cid, v.toSeq) }
+      .toDF("dim", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    assignments.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assignments")
+  }
+
+  /** Restore a saved index: (bit-identical Model, cid-partitioned
+    * assignments DataFrame).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): (Model, DataFrame) = {
+    val rows = spark.read.parquet(s"$dir/model")
+      .select(col("dim"), col("cid"), col("centroid")).collect()
+    require(rows.nonEmpty, s"no model at $dir/model")
+    val dim = rows.head.getInt(0)
+    val centroids = rows.map { r =>
+      (r.getInt(1), r.getSeq[Double](2).toArray)
+    }.sortBy(_._1)
+    (Model(dim, centroids), spark.read.parquet(s"$dir/assignments"))
+  }
+
   /** Probe search: explode each query to its nprobe bucket ids, join
     * the bucketed corpus on cid, exact-rank inside the probed buckets.
     */

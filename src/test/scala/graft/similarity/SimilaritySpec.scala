@@ -68,4 +68,43 @@ class SimilaritySpec extends SparkSpec {
     // ivf must actually probe fewer vectors than the corpus
     assert(ivf.size == brute.size)
   }
+
+  test("ivf save/load round-trips the model bit-exact and prunes probe reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val model = IvfIndex.trainCentroids(e, dim = 64, nCentroids = 8, refinements = 1)
+    val assigned = IvfIndex.assign(e, model)
+    IvfIndex.save(model, assigned, dir)
+    val (loaded, loadedAssignments) = IvfIndex.load(spark, dir)
+
+    assert(loaded.dim === model.dim)
+    assert(loaded.centroids.length === model.centroids.length)
+    model.centroids.zip(loaded.centroids).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca === cb && va.sameElements(vb), "centroids must round-trip bit-exact")
+    }
+
+    // identical search results through the persisted index
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val before = IvfIndex.search(assigned, model, q, k = 5, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val after = IvfIndex.search(loadedAssignments, loaded, q, k = 5, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(before === after, "search through the loaded index must be identical")
+
+    // the cid-partitioned layout prunes a single-bucket read to that
+    // bucket's partition only — the serve-time probe shape. Asserted
+    // on executed-plan scan metrics (inputFiles ignores pruning).
+    val nBuckets = loadedAssignments.select(countDistinct("cid")).as[Long].head()
+    val oneCid = loadedAssignments.select("cid").as[Int].head()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = loadedAssignments.filter($"cid" === oneCid).groupBy("cid").count()
+      q.collect()
+      val scan = q.queryExecution.executedPlan
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .headOption.getOrElse(fail("no FileSourceScanExec in plan"))
+      val partsRead = scan.metrics.get("numPartitions").map(_.value)
+      assert(partsRead.contains(1L),
+        s"probe read touched $partsRead of $nBuckets bucket partitions — no pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
