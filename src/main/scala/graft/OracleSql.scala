@@ -1228,5 +1228,20 @@ object OracleSql {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY gid, 1, 2""".stripMargin)
+        |ORDER BY gid, 1, 2""".stripMargin,
+
+    // Cluster-balanced sampling: sign-bit bucket (exact float > 0
+    // comparisons) + q57's md5-ordered per-cluster cap.
+    "q82_cluster_sample" ->
+      """WITH c AS (SELECT vec_id,
+        |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cid
+        | FROM embeddings),
+        |r AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+        |  CAST(row_number() OVER (PARTITION BY cid
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS domain_rank
+        | FROM c)
+        |SELECT vec_id, cid, domain_rank, domain_rank <= 40 AS kept
+        |FROM r ORDER BY vec_id""".stripMargin)
 }

@@ -1675,6 +1675,28 @@ object SparkEntry {
         col("n"), col("sum_cents"))
       .transform(sorted1(_, col("gid"), col("l_returnflag"), col("l_linestatus")))
 
+  /** C41 — CLUSTER-BALANCED diverse sampling (the DiverseSelect /
+    * cluster-cap selection shape): embeddings bucket into semantic
+    * regions by sign bits of the first three dimensions (an exact,
+    * engine-portable 1-bit quantization — the q33 RP-LSH family
+    * without FP-order-dependent trained centroids), then each cluster
+    * contributes at most `cap` vectors in deterministic md5 order
+    * (q57's cap machinery keyed on the cluster) — bounding any one
+    * embedding-space region's share of a curated set the way
+    * domain caps bound any one source's. Map-only bucketing + one
+    * window shuffle on the cluster key.
+    */
+  private def q82ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cid = (1 to 3).map(i =>
+      when(element_at(col("embedding"), i) > 0f, 1L << (i - 1)).otherwise(0L))
+      .reduce(_ + _)
+    graft.functions.Sampling.domainCap(
+      e.select(col("vec_id"), cid.as("cid")), "cid", "vec_id", cap = 40)
+      .select(col("vec_id"), col("cid"), col("domain_rank"), col("kept"))
+      .transform(sorted1(_, col("vec_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1756,7 +1778,8 @@ object SparkEntry {
     "q78_gapfill" -> (q78Gapfill _),
     "q79_span_removal" -> (q79SpanRemoval _),
     "q80_png_pixels" -> (q80PngPixels _),
-    "q81_cube" -> (q81Cube _))
+    "q81_cube" -> (q81Cube _),
+    "q82_cluster_sample" -> (q82ClusterSample _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
