@@ -99,7 +99,9 @@ object Png {
     var off = 0
     while (off < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, off, raw.length - off)
-      if (n == 0 && inflater.needsInput()) return Invalid // truncated stream
+      // 0 without finishing = truncated stream or a preset-dictionary
+      // request (forbidden in PNG) — bail rather than spin forever
+      if (n == 0) { inflater.end(); return Invalid }
       off += n
     }
     inflater.end()
