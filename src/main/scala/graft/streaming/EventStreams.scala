@@ -63,6 +63,9 @@ object EventStreams {
   case class FunnelState(stepEvents: List[(Long, Long, Int)])
   case class FunnelUpdate(user_id: Long, n_step_events: Long,
                           funnel_stage: Long, converted: Boolean)
+  case class LocfState(tsUs: Long, eventId: Long, valueCents: Long, nEvents: Long)
+  case class LocfUpdate(user_id: Long, last_ts_us: Long, last_event_id: Long,
+                        filled_cents: Long, n_events: Long)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
@@ -173,5 +176,36 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** D12 — streaming LOCF FRONTIER (the live half of q78's gap-fill):
+    * per-key "last known value" state, updated each micro-batch and
+    * emitted as the current fill frontier — what a serving layer
+    * reads while the batch gap-fill materializes dense historical
+    * spines. OUT-OF-ORDER SAFE by construction: the state keeps the
+    * event-time-MAX (ts, event_id) observation, a pure max under the
+    * same total order as the batch operator's within-day tie pick, so
+    * a late-arriving older event can never overwrite a newer value.
+    * O(1) state per key — no buffering, no watermark dependency.
+    */
+  def locfFrontier(events: Dataset[Event]): Dataset[LocfUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[LocfState]): LocfUpdate = {
+      var cur = state.getOption.getOrElse(LocfState(Long.MinValue, Long.MinValue, 0L, 0L))
+      var n = cur.nEvents
+      it.foreach { e =>
+        val t = tsMicros(e.ts)
+        n += 1
+        if (t > cur.tsUs || (t == cur.tsUs && e.event_id > cur.eventId))
+          cur = LocfState(t, e.event_id, math.round(e.value * 100), n)
+      }
+      cur = cur.copy(nEvents = n)
+      state.update(cur)
+      LocfUpdate(userId, cur.tsUs, cur.eventId, cur.valueCents, n)
+    }
+
+    events.groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 }
