@@ -163,4 +163,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count(_.doc_id == 2L) == 1) // empty doc still yields 1 stub frame
     assert(frames.filter(_.doc_id == 3L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("imagePixelStats routes BMP and PNG payloads by magic byte in one pass") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 31 % 256).toByte)
+    val mixed = Seq(
+      (1L, Bmp.encode(4, 3, rgb)),
+      (2L, Png.encodeViaImageIO(4, 3, rgb)),
+      (3L, "neither format".getBytes)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.imagePixelStats(mixed).collect()
+      .map(p => p.doc_id -> p).toMap
+    assert(out(1L).valid && out(2L).valid && !out(3L).valid)
+    // identical pixels through the two decoders → identical statistics
+    assert((out(1L).sum_r, out(1L).sum_g, out(1L).sum_b, out(1L).peak) ===
+      ((out(2L).sum_r, out(2L).sum_g, out(2L).sum_b, out(2L).peak)))
+    assert(out(1L).width === 4 && out(2L).width === 4)
+  }
 }
