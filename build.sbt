@@ -17,6 +17,11 @@ run / fork := true
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time: ..." footer after a run: the harness
+// parses the Bench JSON from the LAST ~2000 chars of output, and the
+// footer would eat ~75 chars of that window right behind the
+// ~1920-char metric line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

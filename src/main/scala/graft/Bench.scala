@@ -154,12 +154,16 @@ object Bench {
     // The harness parses the LAST ~2000 chars of captured output; warn
     // at bench time if the compact line creeps toward that window so
     // overflow is caught here, not as a silent parsed:null (ADVICE r4).
-    if (json.length > 1900)
+    if (json.length > 1940)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${json.length} chars — " +
         "approaching the ~2000-char harness capture window; compact the format")
-    println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), jsonFull + "\n")
     catch { case _: Throwable => () }
+    // stop BEFORE the stdout line: the JSON must be the LAST stdout
+    // bytes so nothing a shutdown path prints can push it out of the
+    // harness's tail capture window (the line is ~1920 chars at 81
+    // queries — only ~80 chars of slack remain)
     spark.stop()
+    println(json)
   }
 }
