@@ -1110,8 +1110,8 @@ object OracleSql {
         |  UNION ALL SELECT c_custkey, bal_cents, c_mktsegment, true FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
         |  UNION ALL SELECT c_custkey + 10000000, bal_cents, c_mktsegment, false FROM base WHERE c_custkey % 11 = 0)
         |SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
-        |  coalesce(u.bal_cents, b.bal_cents) AS bal_cents,
-        |  coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.bal_cents ELSE b.bal_cents END AS bal_cents,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
         |  CASE WHEN u.c_custkey IS NOT NULL AND u.del THEN 'delete'
         |       WHEN u.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL THEN 'update'
         |       WHEN u.c_custkey IS NOT NULL THEN 'insert'

@@ -36,6 +36,7 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count()
+    require(n > 0, "empty graph: edge list has no nodes (1/n would be Infinity)")
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("double").as("out_deg")).persist()
 

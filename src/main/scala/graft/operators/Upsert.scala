@@ -42,8 +42,13 @@ object Upsert {
       .when(col("_u_present").isNotNull && col("_b_present").isNotNull, "update")
       .when(col("_u_present").isNotNull, "insert")
       .otherwise("carry")
+    // side-presence picks the value, NOT coalesce: an update row that
+    // carries NULL in a value column must WRITE that null (standard
+    // MERGE semantics) rather than silently retain the base value
     joined.select(keyCols.map(col) ++
-      valCols.map(c => coalesce(col(s"_u_$c"), col(s"_b_$c")).as(c)) :+
+      valCols.map(c =>
+        when(col("_u_present").isNotNull, col(s"_u_$c"))
+          .otherwise(col(s"_b_$c")).as(c)) :+
       op.as("op"): _*)
   }
 

@@ -199,7 +199,13 @@ object EventStreams {
         val t = tsMicros(e.ts)
         n += 1
         if (t > cur.tsUs || (t == cur.tsUs && e.event_id > cur.eventId))
-          cur = LocfState(t, e.event_id, math.round(e.value * 100), n)
+          // cents encoding must equal the batch path's Spark round(v*100)
+          // — HALF_UP away from zero on the double's decimal repr;
+          // math.round is half-toward-positive and disagrees on
+          // negative half-cents (e.g. -0.005)
+          cur = LocfState(t, e.event_id,
+            BigDecimal(e.value * 100)
+              .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).longValue, n)
       }
       cur = cur.copy(nEvents = n)
       state.update(cur)

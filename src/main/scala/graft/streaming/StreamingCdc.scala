@@ -42,19 +42,48 @@ object StreamingCdc {
       .json(inDir)
 
   /** Seed the snapshot directory (batch_no=-1 partition). */
-  def initSnapshot(base: DataFrame, snapDir: String): Unit =
+  def initSnapshot(base: DataFrame, snapDir: String): Unit = {
     base.withColumn("batch_no", lit(-1L))
       .write.partitionBy("batch_no").parquet(snapDir)
+    markCommitted(base.sparkSession, snapDir, -1L)
+  }
+
+  /** Per-batch COMMIT MARKERS: a batch_no partition counts only once
+    * its `_COMMITTED_<n>` marker exists — written strictly AFTER the
+    * partition write succeeds. A foreachBatch attempt that dies after
+    * partially committing task files leaves a partition with no
+    * marker, which `snapshot()` (external readers) then ignores; the
+    * engine-side retry is already safe via the `batch_no < batchId`
+    * read plus dynamic partition overwrite rewriting the whole
+    * partition. Markers are tiny sidecar files next to the partition
+    * dirs (underscore-prefixed, so parquet readers skip them).
+    */
+  private def markerPath(snapDir: String, n: Long) =
+    new org.apache.hadoop.fs.Path(snapDir, s"_COMMITTED_$n")
+
+  private def markCommitted(spark: SparkSession, snapDir: String, n: Long): Unit = {
+    val p = markerPath(snapDir, n)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  private def committedBatches(spark: SparkSession, snapDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("_COMMITTED_") => s.stripPrefix("_COMMITTED_").toLong }
+  }
 
   /** One merge step; public for the spec's idempotence assertion. */
   private[graft] def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                                 snapDir: String): Unit = {
     if (batch.isEmpty) return
-    // latest snapshot strictly below this batch: a retry must not see
-    // its own failed attempt's write
-    val snaps = spark.read.parquet(snapDir).filter(col("batch_no") < batchId)
-    val latestNo = snaps.agg(max(col("batch_no").cast("long"))).head().getLong(0)
-    val current = snaps.filter(col("batch_no") === latestNo).drop("batch_no")
+    // latest COMMITTED snapshot strictly below this batch: a retry
+    // must not see its own failed attempt's (marker-less) write
+    val latestNo = committedBatches(spark, snapDir).filter(_ < batchId).max
+    val current = spark.read.parquet(snapDir)
+      .filter(col("batch_no") === latestNo).drop("batch_no")
     // within-batch last-writer-wins on the change sequence
     val byKey = Window.partitionBy(col("k")).orderBy(col("seq").desc)
     val newest = batch.withColumn("_rn", row_number().over(byKey))
@@ -65,6 +94,7 @@ object StreamingCdc {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_no").parquet(snapDir)
+    markCommitted(spark, snapDir, batchId)
   }
 
   /** Wire the loop; AvailableNow drains pending change files and
@@ -81,10 +111,14 @@ object StreamingCdc {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** The current snapshot (highest batch_no partition). */
+  /** The current snapshot: highest batch_no partition WITH a commit
+    * marker — a partially-written partition from a crashed attempt
+    * (no marker yet) is never served.
+    */
   def snapshot(spark: SparkSession, snapDir: String): DataFrame = {
-    val all = spark.read.parquet(snapDir)
-    val latestNo = all.agg(max(col("batch_no").cast("long"))).head().getLong(0)
-    all.filter(col("batch_no") === latestNo).drop("batch_no")
+    val committed = committedBatches(spark, snapDir)
+    require(committed.nonEmpty, s"no committed snapshot in $snapDir")
+    spark.read.parquet(snapDir)
+      .filter(col("batch_no") === committed.max).drop("batch_no")
   }
 }

@@ -35,6 +35,12 @@ class PageRankSpec extends SparkSpec {
     assert(spokes.map(r).distinct.size === 1, "identical spokes rank identically")
   }
 
+  test("an empty edge list fails fast instead of producing Infinity ranks") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](PageRank.ranks(empty))
+    assert(ex.getMessage.contains("empty graph"))
+  }
+
   test("known 3-node chain matches the analytic solution") {
     // 1 -> 2 -> 3, 3 dangling. Solved analytically for d = 0.85, n = 3:
     // r1 = (1-d)/3 + d*m/3; r2 = (1-d)/3 + d*(r1 + m/3); r3 = (1-d)/3 + d*(r2 + m/3)

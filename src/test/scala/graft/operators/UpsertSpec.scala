@@ -34,6 +34,18 @@ class UpsertSpec extends SparkSpec {
     assert(out.head.getAs[String]("op") === "update")
   }
 
+  test("merge writes a NULL carried by an update row (MERGE semantics, not coalesce)") {
+    val base = Seq((1L, Option(10L), "a"), (2L, Option(20L), "b")).toDF("k", "v", "s")
+    val upd = Seq((1L, Option.empty[Long], "a2", false)).toDF("k", "v", "s", "_delete")
+    val out = Upsert.merge(base, upd, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("op") === "update")
+    assert(out(1L).isNullAt(out(1L).fieldIndex("v")),
+      "an update that nulls a field must write the null, not retain the base value")
+    assert(out(1L).getAs[String]("s") === "a2")
+    assert(out(2L).getAs[Long]("v") === 20L, "carry row untouched")
+  }
+
   test("scd2 assigns versions and half-open validity with is_current on the last") {
     val d = (s: String) => Date.valueOf(s)
     val changes = Seq(

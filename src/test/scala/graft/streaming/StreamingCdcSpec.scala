@@ -75,5 +75,14 @@ class StreamingCdcSpec extends SparkSpec {
     // time-travel: the pre-b2 snapshot is still readable at batch_no=0
     val historic = spark.read.parquet(snap).filter(col("batch_no") === 0L)
     assert(keyed(historic.drop("batch_no")) == keyed(s1))
+
+    // a partially-written partition (no _COMMITTED_ marker — the
+    // residue of an attempt that died mid-write) must be invisible to
+    // snapshot(): it still serves the last COMMITTED batch
+    val partial = java.nio.file.Paths.get(snap, "batch_no=99")
+    Files.createDirectories(partial)
+    s2.limit(1).write.mode("overwrite").parquet(partial.toString)
+    assert(keyed(StreamingCdc.snapshot(spark, snap)) == before,
+      "snapshot must ignore a marker-less (uncommitted) partition")
   }
 }

@@ -71,6 +71,37 @@ class StreamingLocfSpec extends SparkSpec {
     assert(lastFilled(2L) === m(2L).filled_cents)
   }
 
+  test("cent encoding matches Spark round(v*100) for signed half-cent values") {
+    // the frontier's cents must equal the batch path's HALF_UP
+    // round(value*100) for ALL signs — math.round (half toward
+    // positive infinity) disagrees on negative half-cents
+    val tricky = Seq(-0.005, -1.125, -0.015, 2.675, 0.005, -99.995)
+    val dir = Files.createTempDirectory("graft_locf_neg").toString
+    Files.createDirectories(java.nio.file.Paths.get(dir, "in"))
+    val rows = tricky.zipWithIndex.map { case (v, i) =>
+      (100L + i, "2024-01-01 00:00:00", 10L + i, v)
+    }
+    Files.writeString(java.nio.file.Paths.get(dir, "in", "b.jsonl"), jsonl(rows))
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(s"$dir/in").as[EventStreams.Event]
+    val q = EventStreams.locfFrontier(src)
+      .writeStream.format("memory").queryName("locf_neg")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("locf_neg").as[EventStreams.LocfUpdate]
+      .collect().map(u => u.user_id -> u.filled_cents).toMap
+    val batch = tricky.zipWithIndex
+      .map { case (v, i) => (10L + i, v) }.toDF("user_id", "value")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("vc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.foreach { case (u, vc) =>
+      assert(streamed(u) === vc, s"user $u: streaming ${streamed(u)} vs Spark round $vc")
+    }
+  }
+
   test("corpus frontier equals the last spine row of batch gap-fill per user") {
     val dir = Files.createTempDirectory("graft_locf_c").toString
     val ev = Tables.events(spark, sf())
