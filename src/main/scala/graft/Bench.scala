@@ -73,6 +73,9 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     queries.foreach { case (name, fn) => runOnce(name, fn) }
+    // phase marker on stderr: lets a log reader (or a load-injection
+    // test) line wall-clock events up with the timed phase
+    System.err.println("[bench] warm-up done; timed phase begins")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -86,21 +89,30 @@ object Bench {
     //  - spread: max/min > 3× within the batch (round-4: q41 spanned
     //    4.2–25.7 s inside one driver run) — catches a spike that hit
     //    SOME iterations;
-    //  - spin: the interleaved quarter-spin ran > 2× its idle-machine
-    //    time — catches a load window that inflated ALL iterations
-    //    equally (round-6's q15).
+    //  - spin: a quarter-spin sentinel ran > 2× its idle-machine time.
+    //    Spins BRACKET every iteration (before each + one after the
+    //    batch), not just the batch start: round-7's q18/q19 ran ~4×
+    //    inflated under a load window that opened AFTER the single
+    //    pre-batch spin, so spin ratio published ~0.95× and the 2×
+    //    trigger never fired. With brackets, a window overlapping any
+    //    iteration also overlaps an adjacent spin.
+    def spinBracketedBatch(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    : (Seq[Double], Seq[Double]) = {
+      val pairs = (1 to iters).map(_ => (spinMs(QSpinIters), runOnce(name, fn)))
+      (pairs.map(_._1) :+ spinMs(QSpinIters), pairs.map(_._2))
+    }
     val results = queries.map { case (name, fn) =>
-      val qSpin = spinMs(QSpinIters)
-      val first = (1 to iters).map(_ => runOnce(name, fn))
+      val (spins1, first) = spinBracketedBatch(name, fn)
       val spreadNoisy = iters > 1 && first.max > 0.25 && first.max / math.max(first.min, 1e-9) > 3.0
-      val loadNoisy = qSpin > qSpinBase * 2.0
+      val loadNoisy = spins1.max > qSpinBase * 2.0
       val noisy = spreadNoisy || loadNoisy
-      val times = if (noisy) {
-        System.err.println(f"[bench] $name spread ${first.min}%.3f-${first.max}%.3f s spin $qSpin%.1f ms " +
+      val (spins, times) = if (noisy) {
+        System.err.println(f"[bench] $name spread ${first.min}%.3f-${first.max}%.3f s spin max ${spins1.max}%.1f ms " +
           f"(spread>3x=$spreadNoisy load>2x=$loadNoisy) — re-running")
-        first ++ (1 to iters).map(_ => runOnce(name, fn))
-      } else first
-      (name, median(times), times.min, times.max, noisy, qSpin)
+        val (spins2, second) = spinBracketedBatch(name, fn)
+        (spins1 ++ spins2, first ++ second)
+      } else (spins1, first)
+      (name, median(times), times.min, times.max, noisy, spins.max)
     }
     val spinPost = spinMs()
 
@@ -126,8 +138,19 @@ object Bench {
       val s = r2(x)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r2t(med) }
-      .mkString("{", ",", "}")
+    // stdout keys are the bare query NUMBERS ("q01_extract_meta" ->
+    // "1"): at 81+ queries the full names alone are ~1100 chars and
+    // pushed the line to ~1920 of the harness's ~2000-char tail
+    // window. Full names stay in bench_result.json; falls back to full
+    // names if numbers ever collide (they are unique by construction).
+    def shortKey(name: String): String = {
+      val digits = name.dropWhile(!_.isDigit).takeWhile(_.isDigit).dropWhile(_ == '0')
+      if (digits.nonEmpty) digits else name
+    }
+    val useShort = results.map(r => shortKey(r._1)).distinct.size == results.size
+    val qs = results.map { case (k, med, _, _, _, _) =>
+      "\"" + (if (useShort) shortKey(k) else k) + "\":" + r2t(med)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // "spin":[pre_ms,post_ms] is the suite-level load sentinel;
     // "reruns" counts queries that tripped either per-query trigger.
