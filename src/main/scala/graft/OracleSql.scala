@@ -1087,6 +1087,36 @@ object OracleSql {
         |SELECT user_id, n_events, funnel_stage, funnel_stage = 3 AS converted
         |FROM f ORDER BY user_id""".stripMargin,
 
+    // Windowed funnel: EXISTS self-joins — level k iff some strictly
+    // (ts, event_id)-ordered chain view<click<... completes within
+    // 12h of ITS OWN first event. Provably equals the Spark
+    // anchors-array fold: the fold keeps the latest chain anchor per
+    // step, and replacing an anchor with a later one never loses a
+    // completable chain (later start => longer future reach), so
+    // fold-reachable == EXISTS-reachable.
+    "q84_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY user_id),
+        |v AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'purchase'),
+        |l1 AS (SELECT DISTINCT user_id FROM v),
+        |l2 AS (SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+        |  AND (c.ts_us > v.ts_us OR (c.ts_us = v.ts_us AND c.event_id > v.event_id))
+        |  AND c.ts_us - v.ts_us <= 43200000000),
+        |l3 AS (SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+        |  AND (c.ts_us > v.ts_us OR (c.ts_us = v.ts_us AND c.event_id > v.event_id))
+        |  JOIN p ON p.user_id = v.user_id
+        |  AND (p.ts_us > c.ts_us OR (p.ts_us = c.ts_us AND p.event_id > c.event_id))
+        |  AND p.ts_us - v.ts_us <= 43200000000)
+        |SELECT g.user_id, g.n_events,
+        |  CAST(CASE WHEN g.user_id IN (SELECT user_id FROM l3) THEN 3
+        |            WHEN g.user_id IN (SELECT user_id FROM l2) THEN 2
+        |            WHEN g.user_id IN (SELECT user_id FROM l1) THEN 1
+        |            ELSE 0 END AS BIGINT) AS funnel_stage,
+        |  g.user_id IN (SELECT user_id FROM l3) AS converted
+        |FROM g ORDER BY g.user_id""".stripMargin,
+
     // Range-frame rolling window: trailing 1 hour on the microsecond
     // axis; RANGE frames bound by ORDER-BY value, so both engines
     // include every row within [ts−1h, ts] regardless of ties.

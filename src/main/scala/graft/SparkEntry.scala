@@ -1700,6 +1700,25 @@ object SparkEntry {
       .transform(sorted1(_, col("vec_id")))
   }
 
+  /** B22b — WINDOWED funnel (the published windowFunnel operator):
+    * q73's chain must now complete within 12 hours of the chain's
+    * FIRST event, and the depth is the max over all candidate chains
+    * (anchors-array fold — see Funnel.windowedDepth). The oracle
+    * mirrors with EXISTS self-joins, provably equivalent to the fold:
+    * keeping the latest chain anchor per step is optimal because a
+    * later chain start only extends the window's future reach. Same
+    * one-shuffle shape as q73; the span is also the state-retention
+    * bound the streaming twin (D11) prunes with.
+    */
+  private def q84WindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    graft.operators.Funnel.windowedDepth(ev, "user_id", "ts_us", "event_id",
+      "event_type", Seq("view", "click", "purchase"), maxSpan = 12L * 3600 * 1000000)
+      .transform(sorted1(_, col("user_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1782,7 +1801,8 @@ object SparkEntry {
     "q79_span_removal" -> (q79SpanRemoval _),
     "q80_png_pixels" -> (q80PngPixels _),
     "q81_cube" -> (q81Cube _),
-    "q82_cluster_sample" -> (q82ClusterSample _))
+    "q82_cluster_sample" -> (q82ClusterSample _),
+    "q84_window_funnel" -> (q84WindowFunnel _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

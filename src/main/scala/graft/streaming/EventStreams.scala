@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * aggregation; watermarks bound state. Sessionization state is
   * per-user and GC'd by the processing-time timeout.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** Tumbling event-time window counts with a watermark bounding
     * late data and state size.
@@ -60,9 +60,11 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
-  case class FunnelState(stepEvents: List[(Long, Long, Int)])
+  case class FunnelState(baseAnchors: List[Long], nFinalized: Long,
+                         pending: List[(Long, Long, Int)])
   case class FunnelUpdate(user_id: Long, n_step_events: Long,
-                          funnel_stage: Long, converted: Boolean)
+                          funnel_stage: Long, converted: Boolean,
+                          n_buffered: Long)
   case class LocfState(tsUs: Long, eventId: Long, valueCents: Long, nEvents: Long)
   case class LocfUpdate(user_id: Long, last_ts_us: Long, last_event_id: Long,
                         filled_cents: Long, n_events: Long)
@@ -142,38 +144,85 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** The windowed-funnel anchors fold (Funnel.windowedDepth's state,
+    * shared by the live operator): slot k holds the chain-start time
+    * of the best chain that has reached step k+1 (−1 = none); `max`
+    * keeps folds idempotent under a non-monotone event (an event
+    * arriving beyond allowed lateness can never REGRESS an anchor).
+    * Left-fold associativity over a sorted prefix is what makes state
+    * pruning exact: fold(fold(base, finalized), rest) ==
+    * fold(base, finalized ++ rest).
+    */
+  private def foldAnchors(base: Array[Long], evs: Seq[(Long, Long, Int)],
+                          maxSpanUs: Long): Array[Long] = {
+    val a = base.clone()
+    evs.foreach { case (ts, _, s) =>
+      if (s == 1) a(0) = math.max(a(0), ts)
+      else if (a(s - 2) >= 0 && ts - a(s - 2) <= maxSpanUs)
+        a(s - 1) = math.max(a(s - 1), a(s - 2))
+    }
+    a
+  }
+
   /** D11 — STREAMING funnel (q73's automaton as live per-user state):
     * every micro-batch emits each touched user's current funnel depth.
-    * OUT-OF-ORDER SAFE without a watermark ordering requirement: the
-    * state keeps every STEP event seen so far ((ts_us, event_id,
-    * step) triples — non-step events are discarded immediately, which
-    * is the state bound) and the automaton re-folds the sorted list
-    * on each update, so a late-arriving early 'view' correctly
-    * unlocks clicks that arrived before it — arrival order can never
-    * change the answer (the batch-equivalence spec feeds steps in
-    * reverse arrival order to prove it). At scale, step events below
-    * the watermark are final and can be folded into a (stage,
-    * frontier) prefix to truncate state; kept whole here for exact
-    * any-order semantics.
+    * OUT-OF-ORDER SAFE: state buffers STEP events ((ts_us, event_id,
+    * step) triples — non-step events are discarded immediately) and
+    * re-folds the sorted buffer on each update, so a late-arriving
+    * early 'view' correctly unlocks clicks that arrived before it —
+    * arrival order can never change the answer within the allowed
+    * lateness (the batch-equivalence spec feeds steps in reverse
+    * arrival order to prove it).
+    *
+    * STATE IS BOUNDED when `lateness` is set: once the event-time
+    * watermark (maxEventTime − lateness) passes an event, nothing can
+    * arrive before it anymore, so it folds into the O(steps) base
+    * anchors array and leaves the buffer — steady-state size is
+    * O(steps) + O(events inside the lateness window), flat over an
+    * arbitrarily long stream instead of O(all events) (the round-7
+    * unbounded-state design note). An event arriving beyond the
+    * allowed lateness still folds (best-effort, against the already-
+    * finalized base — the max-anchors fold can't regress), matching
+    * watermark contracts everywhere else in Structured Streaming.
+    * With `lateness` unset the watermark stays 0 and nothing prunes —
+    * the exact any-order mode.
+    *
+    * `maxSpanUs` is the windowFunnel retention bound (chains must
+    * complete within it — Funnel.windowedDepth's batch twin);
+    * Long.MaxValue gives the unwindowed q73 automaton (greedy ==
+    * max-over-chains when the window is infinite).
     */
-  def funnelDepth(events: Dataset[Event], steps: Seq[String]): Dataset[FunnelUpdate] = {
+  def funnelDepth(events: Dataset[Event], steps: Seq[String],
+                  maxSpanUs: Long = Long.MaxValue,
+                  lateness: Option[String] = None): Dataset[FunnelUpdate] = {
     require(steps.nonEmpty, "need at least one funnel step")
     val spark = events.sparkSession
     import spark.implicits._
+    val nSteps = steps.length
     val stepOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
 
     def fn(userId: Long, it: Iterator[Event], state: GroupState[FunnelState]): FunnelUpdate = {
+      val prev = state.getOption
+        .getOrElse(FunnelState(List.fill(nSteps)(-1L), 0L, Nil))
       val incoming = it.flatMap(e =>
         stepOf.get(e.event_type).map(s => (tsMicros(e.ts), e.event_id, s))).toList
-      val all = (state.getOption.map(_.stepEvents).getOrElse(Nil) ++ incoming)
-        .sortBy(t => (t._1, t._2))
-      var stage = 0
-      all.foreach { case (_, _, s) => if (s == stage + 1) stage += 1 }
-      state.update(FunnelState(all))
-      FunnelUpdate(userId, all.size.toLong, stage.toLong, stage == steps.length)
+      val pending = (prev.pending ++ incoming).sortBy(t => (t._1, t._2))
+      val base = prev.baseAnchors.toArray
+      val anchors = foldAnchors(base, pending, maxSpanUs)
+      val stage = anchors.count(_ >= 0)
+      // finalize below the lateness frontier: fold into base, drop
+      // (without a watermark the frontier stays 0 — exact mode, no
+      // pruning; getCurrentWatermarkMs THROWS when none is set)
+      val frontierUs =
+        if (lateness.isDefined) state.getCurrentWatermarkMs() * 1000L else 0L
+      val (fin, keep) = pending.partition(_._1 < frontierUs)
+      state.update(FunnelState(foldAnchors(base, fin, maxSpanUs).toList,
+        prev.nFinalized + fin.size, keep))
+      FunnelUpdate(userId, prev.nFinalized + pending.size, stage.toLong,
+        stage == nSteps, keep.size.toLong)
     }
 
-    events
+    lateness.fold(events)(l => events.withWatermark("ts", l))
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }

@@ -82,6 +82,113 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(after2(2L).funnel_stage === 0L, "click+signup with no view stays at 0")
   }
 
+  test("lateness pruning keeps state flat; a late event inside L still re-folds") {
+    val dir = Files.createTempDirectory("graft_funnel_prune").toString
+    Files.createDirectories(java.nio.file.Paths.get(dir, "in"))
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("pathGlobFilter", "*.jsonl")
+      .json(s"$dir/in")
+      .as[EventStreams.Event]
+    val q = EventStreams.funnelDepth(src, Steps, lateness = Some("1 hour"))
+      .writeStream.format("memory").queryName("funnel_pruned")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    def drop(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      Files.writeString(java.nio.file.Paths.get(dir, "in", name), jsonl(rows))
+      q.processAllAvailable()
+    }
+    def latest(): Map[Long, EventStreams.FunnelUpdate] =
+      spark.table("funnel_pruned").as[EventStreams.FunnelUpdate]
+        .collect().groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.n_step_events) }
+
+    // day 1: user 1 reaches stage 2; user 2 views on day 2 morning
+    drop("b1.jsonl", Seq(
+      (1L, "2024-01-01T10:00:00.000", 1L, "view"),
+      (2L, "2024-01-01T10:10:00.000", 1L, "click"),
+      (3L, "2024-01-02T10:00:00.000", 2L, "view")))
+    // advance the watermark past day 1 (max event time 13:00 − 1 h)
+    drop("b2.jsonl", Seq((4L, "2024-01-02T13:00:00.000", 1L, "purchase")))
+    val after2 = latest()
+    assert(after2(1L).funnel_stage === 3L && after2(1L).converted)
+    // next batch's frontier is 12:00 day 2: user 1's day-1 events and
+    // user 2's 10:00 view finalize into the O(steps) base anchors
+    drop("b3.jsonl", Seq(
+      (5L, "2024-01-02T13:05:00.000", 2L, "purchase"),
+      (6L, "2024-01-02T13:06:00.000", 1L, "signup")))
+    val after3 = latest()
+    assert(after3(1L).n_buffered === 1L,
+      s"day-1 events must prune once the frontier passes them (got ${after3(1L).n_buffered})")
+    assert(after3(1L).funnel_stage === 3L, "pruning must not lose the converted stage")
+    assert(after3(2L).funnel_stage === 1L, "view then purchase without click stays at 1")
+    assert(after3(2L).n_buffered === 1L, "user 2's pruned view lives in base anchors")
+
+    // late click INSIDE the lateness window (frontier 12:06), arriving
+    // after the purchase AND after its preceding view was finalized:
+    // the re-fold over (finalized base + buffered purchase) must
+    // still unlock stage 3
+    drop("b4.jsonl", Seq((7L, "2024-01-02T12:40:00.000", 2L, "click")))
+    val after4 = latest()
+    q.stop()
+    assert(after4(2L).funnel_stage === 3L,
+      "a late click within lateness must chain a finalized view to a buffered purchase")
+    assert(after4(2L).n_step_events === 3L)
+    assert(after4.values.forall(_.n_buffered <= 2L),
+      "state must stay bounded by the lateness window, not total history")
+
+    // batch twin agrees on the final stages
+    val all = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"), (2L, "2024-01-01 10:10:00", 1L, "click"),
+      (4L, "2024-01-02 13:00:00", 1L, "purchase"), (6L, "2024-01-02 13:06:00", 1L, "signup"),
+      (3L, "2024-01-02 10:00:00", 2L, "view"), (7L, "2024-01-02 12:40:00", 2L, "click"),
+      (5L, "2024-01-02 13:05:00", 2L, "purchase"))
+      .map { case (id, ts, u, t) => (u, micros(Timestamp.valueOf(ts)), id, t) }
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val batch = Funnel.depth(all, "user_id", "ts_us", "event_id", "event_type", Steps)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("funnel_stage")).toMap
+    assert(after4(1L).funnel_stage === batch(1L))
+    assert(after4(2L).funnel_stage === batch(2L))
+  }
+
+  test("maxSpan mirrors the batch windowed fold over streamed events") {
+    val dir = Files.createTempDirectory("graft_funnel_span").toString
+    Files.createDirectories(java.nio.file.Paths.get(dir, "in"))
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("pathGlobFilter", "*.jsonl")
+      .json(s"$dir/in")
+      .as[EventStreams.Event]
+    // 10-minute span: user 1's chain completes inside it, user 2's
+    // purchase lands 11 minutes after its view
+    val spanUs = 10L * 60 * 1000000
+    val rows = Seq(
+      (1L, "2024-01-01T10:00:00.000", 1L, "view"), (2L, "2024-01-01T10:04:00.000", 1L, "click"),
+      (3L, "2024-01-01T10:09:00.000", 1L, "purchase"),
+      (4L, "2024-01-01T10:00:00.000", 2L, "view"), (5L, "2024-01-01T10:04:00.000", 2L, "click"),
+      (6L, "2024-01-01T10:11:00.000", 2L, "purchase"))
+    val q = EventStreams.funnelDepth(src, Steps, maxSpanUs = spanUs)
+      .writeStream.format("memory").queryName("funnel_span")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    Files.writeString(java.nio.file.Paths.get(dir, "in", "b1.jsonl"), jsonl(rows))
+    q.processAllAvailable()
+    val streamed = spark.table("funnel_span").as[EventStreams.FunnelUpdate]
+      .collect().map(u => u.user_id -> u.funnel_stage).toMap
+    q.stop()
+    val batch = Funnel.windowedDepth(
+      rows.map { case (id, ts, u, t) =>
+        (u, micros(Timestamp.valueOf(ts.replace('T', ' '))), id, t) }
+        .toDF("user_id", "ts_us", "event_id", "event_type"),
+      "user_id", "ts_us", "event_id", "event_type", Steps, spanUs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("funnel_stage")).toMap
+    assert(streamed(1L) === 3L && batch(1L) === 3L)
+    assert(streamed(2L) === 2L && batch(2L) === 2L,
+      "purchase past maxSpan must not convert in either engine")
+  }
+
   test("streamed corpus events converge to the oracle-checked q73 result") {
     val dir = Files.createTempDirectory("graft_funnel_c").toString
     val ev = Tables.events(spark, sf())
