@@ -1030,6 +1030,27 @@ object OracleSql {
         |  sum_r, sum_g, sum_b, peak, true AS valid
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // GIF pixel stats: the oracle reconstructs the EXPECTED decode
+    // output from the same doc_id-keyed palette + index arithmetic the
+    // Spark side encodes into real GIF bytes (indexed-in/indexed-out
+    // through the JDK writer is lossless) — a broken LZW decode or
+    // color-table walk mismatches the integer sums.
+    "q83_gif_pixels" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h FROM documents),
+        |py AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM p),
+        |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM py),
+        |j AS (SELECT doc_id, w, h, (x*3 + y*5 + doc_id) % 64 AS ci FROM px),
+        |s AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |  CAST(sum((ci*5 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((ci*11 + 3*doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((ci*3 + 7*doc_id) % 256) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max((ci*5 + doc_id) % 256), max((ci*11 + 3*doc_id) % 256),
+        |                max((ci*3 + 7*doc_id) % 256)) AS BIGINT) AS peak
+        | FROM j GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Span dedup: stride-1 20-token windows hashed with the portable
     // md5 fold; a hash in ≥2 distinct docs flags its span; flagged
     // positions merge into islands (gap > w splits) whose exact token

@@ -1446,6 +1446,50 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C11d — REAL GIF pixel decode (multimodal.Gif +
+    * Multimodal.imagePixelStats routing on the GIF magic): each doc
+    * gets a genuine single-frame GIF — a doc_id-keyed 64-color
+    * palette and index pattern, encoded through the JDK's own indexed
+    * GIF writer (lossless for indexed input) — and the hand-rolled
+    * decoder walks the container, inflates the variable-width LZW
+    * stream, maps indices through the color table, and folds exact
+    * integer channel statistics. The oracle reconstructs the EXPECTED
+    * stats from the same synthesis arithmetic (q70's pattern), so a
+    * broken LZW decode or palette walk hash-mismatches; GifSpec
+    * additionally cross-checks the decoder against the JDK's GIF
+    * reader pixel-for-pixel.
+    */
+  private def q83GifPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gif = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 8).toInt; val h = (6 + id % 5).toInt
+        val palette = Array.tabulate(64) { j =>
+          val r = ((j * 5 + id) % 256).toInt
+          val g = ((j * 11 + 3 * id) % 256).toInt
+          val b = ((j * 3 + 7 * id) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val indices = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            indices(y * w + x) = ((x * 3 + y * 5 + id) % 64).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.multimodal.Gif.encodeViaImageIO(w, h, indices, palette))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.imagePixelStats(gif).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("peak").cast("long").as("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C39 — SPAN-level substring dedup (dedup.SpanDedup): runs of ≥ 20
     * consecutive tokens shared verbatim across documents, found via
     * stride-1 hashed sliding windows — the duplication class document
@@ -1802,6 +1846,7 @@ object SparkEntry {
     "q80_png_pixels" -> (q80PngPixels _),
     "q81_cube" -> (q81Cube _),
     "q82_cluster_sample" -> (q82ClusterSample _),
+    "q83_gif_pixels" -> (q83GifPixels _),
     "q84_window_funnel" -> (q84WindowFunnel _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *  - RESIZE IS REAL for JDK-decodable payloads: full `ImageIO`
   *    decode + bilinear `Graphics2D` rescale + PNG re-encode; only
   *    non-JDK formats fall back to the byte-stride stub.
+  *  - PIXEL DECODE IS REAL for every non-lossy image format:
+  *    BMP ([[Bmp]]), PNG ([[Png]] — inflate + all five filters), GIF
+  *    ([[Gif]] — LZW + palette walk); `imagePixelStats` routes by
+  *    magic bytes. Only lossy JPEG stays header-only.
   *  - AUDIO DECODE IS REAL for WAV/PCM payloads ([[Wav]]: RIFF chunk
   *    walk + exact integer sample statistics — `audioFeatures`);
   *    native-codec formats (MP3/AAC/opus) are out of scope.
@@ -250,11 +254,10 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, peak: Int, valid: Boolean)
 
-  /** REAL image PIXEL decode for 24-bit BMP payloads (`Bmp.decode` —
-    * header validation + bottom-up padded-row walk + exact integer
-    * channel statistics, no codec library): the image twin of
-    * `audioFeatures`. Same batched map-only shape; malformed payloads
-    * yield `valid=false` rows, never exceptions.
+  /** REAL image PIXEL decode for BMP, PNG and GIF payloads (`Bmp` /
+    * `Png` / `Gif` — every non-lossy image format, no codec library):
+    * the image twin of `audioFeatures`. Same batched map-only shape;
+    * malformed payloads yield `valid=false` rows, never exceptions.
     */
   def imagePixelStats(df: DataFrame, idCol: String = "doc_id",
                       payloadCol: String = "payload"): Dataset[PixelMeta] = {
@@ -262,12 +265,17 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        // magic-byte routing between the two real pixel decoders:
-        // PNG signature → hand-rolled inflate+unfilter (Png), else BMP
-        // (Bmp.decode returns invalid for anything that isn't BM)
+        // magic-byte routing between the three real pixel decoders:
+        // PNG signature → hand-rolled inflate+unfilter (Png); GIF →
+        // hand-rolled LZW + palette walk (Gif); else BMP (Bmp.decode
+        // returns invalid for anything that isn't BM)
         if (bytes != null && bytes.length > 0 && (bytes(0) & 0xff) == 0x89) {
           val p = Png.decode(bytes)
           PixelMeta(id, p.width, p.height, p.sumR, p.sumG, p.sumB, p.peak, p.valid)
+        } else if (bytes != null && bytes.length > 2 &&
+          bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+          val g = Gif.decode(bytes)
+          PixelMeta(id, g.width, g.height, g.sumR, g.sumG, g.sumB, g.peak, g.valid)
         } else {
           val b = Bmp.decode(bytes)
           PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)

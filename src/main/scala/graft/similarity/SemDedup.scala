@@ -17,10 +17,19 @@ import org.apache.spark.sql.functions._
   * buckets → cheaper join, more missed pairs whose near-zero leading
   * dim flips sign between the two vectors). That recall tradeoff is
   * the standard blocked-dedup contract, and it is mirrored exactly in
-  * the q65 oracle, so both engines miss identically. At corpus scale,
-  * raise signBits (doubling buckets per bit) or swap the signature
-  * for IVF centroid ids (`IvfIndex`) — the verdict machinery is
-  * unchanged.
+  * the q65 oracle, so both engines miss identically.
+  *
+  * AT CORPUS SCALE the default blocking is IVF CENTROID IDS
+  * ([[verdictsIvf]]): sign bits split on fixed axes, so bucket sizes
+  * follow whatever mass the corpus puts on each orthant — one dense
+  * orthant and Σ bucket² goes quadratic. A trained coarse quantizer
+  * (IvfIndex) places its K centroids where the data is, so buckets
+  * track the actual density and K is a direct fan-out dial (4096
+  * centroids ≈ 4096-way split regardless of how the corpus skews).
+  * The verdict machinery is IDENTICAL — both paths call
+  * [[verdictsBlocked]] with a different bucket expression — so the
+  * sign-signature path stays the engine-portable oracle surface (q65)
+  * while IVF is the production default.
   *
   * Verdicts follow IncrementalDedup.selfDuplicates' min-id-keeper
   * shape: a vector matching any smaller-id vector at ≥ threshold is
@@ -36,14 +45,17 @@ object SemDedup {
     }.reduce(_ + _)
   }
 
-  /** Per-vector dedup verdict: (id, kept, dup_of, n_matches,
-    * best_cosine). `dup_of` is the smallest same-signature id that
-    * matched at ≥ threshold (null when kept).
+  /** Per-vector dedup verdict under an arbitrary blocking expression:
+    * (id, kept, dup_of, n_matches, best_cosine). `dup_of` is the
+    * smallest same-bucket id that matched at ≥ threshold (null when
+    * kept). Only same-bucket pairs are ever compared — the blocking
+    * expression IS the recall contract.
     */
-  def verdicts(vectors: DataFrame, dim: Int, threshold: Double, signBits: Int = 4,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def verdictsBlocked(vectors: DataFrame, dim: Int, threshold: Double,
+                      bucket: Column, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
     val bucketed = vectors.select(col(idCol), col(vecCol))
-      .withColumn("_sig", signSignature(col(vecCol), signBits))
+      .withColumn("_sig", bucket)
     val pairs = CosineTopK.bucketedNearDup(
       bucketed, dim, threshold, idCol, vecCol, bucketCol = "_sig")
     val dups = pairs.groupBy(col("id_b"))
@@ -57,5 +69,28 @@ object SemDedup {
         col("dup_of"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("best_cosine"))
+  }
+
+  /** Sign-signature blocking (the engine-portable q65 surface). */
+  def verdicts(vectors: DataFrame, dim: Int, threshold: Double, signBits: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    verdictsBlocked(vectors, dim, threshold,
+      signSignature(col(vecCol), signBits), idCol, vecCol)
+
+  /** IVF-centroid blocking — the corpus-scale default: buckets are the
+    * trained coarse quantizer's cells (map-only assignment, no extra
+    * shuffle vs the sign path), so fan-out follows data density and
+    * `model.centroids.length` dials it directly. Same recall contract
+    * class: a pair straddling a centroid boundary is missed by design
+    * (the IVF analogue of a flipped sign bit); raise K's refinements
+    * or dedup with a second rotated model to tighten.
+    */
+  def verdictsIvf(vectors: DataFrame, dim: Int, threshold: Double,
+                  model: IvfIndex.Model, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(model.dim == dim, s"model dim ${model.dim} != $dim")
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    verdictsBlocked(vectors, dim, threshold,
+      model.assignExpr(col(vecCol)), idCol, vecCol)
   }
 }

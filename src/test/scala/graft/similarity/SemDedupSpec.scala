@@ -38,6 +38,43 @@ class SemDedupSpec extends SparkSpec {
       "sign-blocked pair must be missed BY DESIGN (documented recall tradeoff)")
   }
 
+  test("IVF-centroid blocking reaches the same verdicts as sign blocking on planted dups") {
+    // two well-separated clusters, each carrying planted near-dups:
+    // any sane blocking (sign orthants OR trained centroids) keeps
+    // each cluster in one bucket, so verdicts must agree pair-for-pair
+    val around = (base: Array[Float], id: Long, eps: Float) =>
+      (id, base.map(_ + eps))
+    val cA = pad(10f, 10f, 10f)
+    val cB = pad(-10f, -10f, 10f)
+    val vecs = Seq(
+      around(cA, 1L, 0f), around(cA, 2L, 0.0001f), around(cA, 3L, 0.0002f),
+      around(cB, 4L, 0f), around(cB, 5L, 0.0001f),
+      (6L, pad(0f, 10f, -10f)) // its own region, kept under both
+    ).toDF("vec_id", "embedding")
+    val model = IvfIndex.trainCentroids(vecs, dim = 8, nCentroids = 3, refinements = 2)
+    val bySign = SemDedup.verdicts(vecs, dim = 8, threshold = 0.999, signBits = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val byIvf = SemDedup.verdictsIvf(vecs, dim = 8, threshold = 0.999, model)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1L to 6L).foreach { id =>
+      assert(byIvf(id).getAs[Boolean]("kept") === bySign(id).getAs[Boolean]("kept"),
+        s"vec $id: kept verdict diverged between blockings")
+      assert(byIvf(id).getAs[Any]("dup_of") === bySign(id).getAs[Any]("dup_of"),
+        s"vec $id: keeper election diverged between blockings")
+    }
+    assert(!byIvf(2L).getAs[Boolean]("kept") && byIvf(2L).getAs[Long]("dup_of") === 1L)
+    assert(!byIvf(5L).getAs[Boolean]("kept") && byIvf(5L).getAs[Long]("dup_of") === 4L)
+    assert(byIvf(6L).getAs[Boolean]("kept"))
+  }
+
+  test("verdictsIvf rejects a model trained at a different dimension") {
+    val vecs = Seq((1L, pad(1f, 2f))).toDF("vec_id", "embedding")
+    val model = IvfIndex.Model(4, Array((0, Array(0.0, 0.0, 0.0, 0.0))))
+    val ex = intercept[IllegalArgumentException](
+      SemDedup.verdictsIvf(vecs, dim = 8, threshold = 0.9, model))
+    assert(ex.getMessage.contains("dim"))
+  }
+
   test("signSignature packs leading-dim signs little-endian") {
     import org.apache.spark.sql.functions.col
     val sig = Seq((1L, Array(1f, -1f, 1f, -1f, 9f, 9f, 9f, 9f)))
