@@ -25,9 +25,24 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 
-  def get(): SparkSession = {
+  /** Session with graft defaults, including a CHECKPOINT DIR when none
+    * is configured: Exec.withCached / ConnectedComponents / PageRank
+    * upgrade from localCheckpoint (executor-storage blocks, lost with
+    * the executor) to RELIABLE checkpoints without caller action. The
+    * default is a temp dir — correct for local mode; on a cluster pass
+    * `checkpointDir` pointed at durable shared storage (HDFS/S3), or
+    * pre-set one on the context, which is always respected.
+    */
+  def get(checkpointDir: Option[String] = None): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    checkpointDir match {
+      case Some(dir) => s.sparkContext.setCheckpointDir(dir)
+      case None if s.sparkContext.getCheckpointDir.isEmpty =>
+        s.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      case None => // caller already configured one — keep it
+    }
     s
   }
 }

@@ -1,7 +1,9 @@
 package graft.etl
 
-import graft.dedup.{ConnectedComponents, MinHashLsh}
-import graft.functions.{LangId, Packing, PortableBloom, Sampling, TextFunctions}
+import graft.dedup.{ConnectedComponents, MinHashLsh, SpanDedup}
+import graft.functions.{LangId, Packing, PortableBloom, Sampling, TextFunctions, UnigramLm}
+import graft.operators.PageRank
+import graft.similarity.SemDedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,11 +12,22 @@ import org.apache.spark.sql.functions._
   * so each stage keeps its documented 100 TB shape:
   *
   *   1. ANNOTATE      — quality score, language-ID, token count,
-  *                      classifier margin (map-only);
+  *                      classifier margin (map-only); optionally a
+  *                      corpus-derived unigram-LM perplexity proxy
+  *                      (one reused tokenize shuffle) and a PageRank
+  *                      domain-centrality prior from a link graph
+  *                      (model-sized power iteration, broadcast join);
   *   2. FILTER        — quality/language/length gates + optional
-  *                      model-based classifier gate (map-only);
+  *                      model-based classifier, LM-perplexity, and
+  *                      low-domain-rank gates (map-only);
+  *   2b. SPAN DEDUP   (opt) — docs whose duplicated-span token mass
+  *                      (vs the surviving corpus) exceeds a fraction
+  *                      are filtered (hashed-window reduction);
   *   3. DEDUP         — MinHash-LSH candidate pairs → verified Jaccard →
   *                      connected components → one keeper per group;
+  *   3b. SEM DEDUP    (opt) — embedding-level near-dup among the
+  *                      keepers (sign-signature blocked cosine;
+  *                      IVF-blocked at corpus scale);
   *   4. SPLIT         — deterministic md5-bucket train/val/test labels;
   *   5. DECONTAMINATE (opt) — kept train docs sharing any word n-gram
   *                      with the kept test split lose `keep` (bloom
@@ -43,6 +56,38 @@ object CorpusPipeline {
         * recipe. None disables the gate.
         */
       minClassifierMargin: Option[Long] = None,
+      /** Optional unigram-LM gate: docs whose corpus-derived mean
+        * −ln p(token) (UnigramLm.score) exceeds this are filtered
+        * with reason "lm_perplexity" — the CCNet-style perplexity
+        * filter slot. None disables the gate.
+        */
+      maxAvgNegLogp: Option[Double] = None,
+      /** Optional domain-centrality gate (needs `domainEdges`): docs
+        * whose domain's PageRank falls below this are filtered with
+        * reason "low_rank"; docs on domains absent from the graph are
+        * NOT gated (no link evidence either way). None annotates
+        * `domain_rank` without gating.
+        */
+      minDomainRank: Option[Double] = None,
+      domainCol: String = "source",
+      pagerankIters: Int = 20,
+      pagerankTol: Option[Double] = Some(1e-9),
+      /** Optional span-dedup gate: hashed `w`-token sliding-window
+        * stats (SpanDedup.spanStats) over the surviving corpus; docs
+        * whose duplicated token mass exceeds `spanMaxDupFrac` of
+        * their tokens are filtered with reason "span_dup". None
+        * disables the stage.
+        */
+      spanDedupW: Option[Int] = None,
+      spanMaxDupFrac: Double = 0.5,
+      /** Optional semantic dedup among lexical-dedup keepers (needs
+        * `embeddings`): embedding cosine ≥ this within a blocking
+        * bucket marks the larger id a duplicate (SemDedup min-id
+        * keeper). None disables the stage.
+        */
+      semDedupThreshold: Option[Double] = None,
+      semDedupDim: Int = 64,
+      semDedupSignBits: Int = 4,
       dedupJaccard: Double = 0.8,
       splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
       minhash: MinHashLsh.Config = MinHashLsh.Config(),
@@ -55,25 +100,91 @@ object CorpusPipeline {
 
   /** docs: (idCol, textCol, …). Returns docs + annotation/decision
     * columns: quality, lang, n_tokens, filter_reason (null = passed),
-    * group_id, is_keeper, split, keep.
+    * group_id, is_keeper, split, keep — plus avg_neg_logp /
+    * domain_rank / dup_tokens / sem_dup_of when the matching optional
+    * stages are on.
+    *
+    * @param domainEdges optional domain-level link graph
+    *        (src, dst — `domainCol`-valued strings): PageRank
+    *        centrality joins in as the `domain_rank` quality prior
+    *        (gated by cfg.minDomainRank). Domain ids are md5-folded,
+    *        so the graph — and every rank — is deterministic.
+    * @param embeddings optional (idCol, embedding Array[Float]) table
+    *        enabling the semantic-dedup stage (cfg.semDedupThreshold).
     */
   def curate(docs: DataFrame, cfg: Config = Config(),
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+             idCol: String = "doc_id", textCol: String = "text",
+             domainEdges: Option[DataFrame] = None,
+             embeddings: Option[DataFrame] = None): DataFrame = {
+    require(cfg.minDomainRank.isEmpty || domainEdges.nonEmpty,
+      "minDomainRank needs a domainEdges link graph")
+    require(cfg.semDedupThreshold.isEmpty || embeddings.nonEmpty,
+      "semDedupThreshold needs an embeddings table")
     // 1. annotate (one map pass)
-    val annotated = LangId.detected(docs, textCol)
+    val annotated0 = LangId.detected(docs, textCol)
       .withColumn("lang", col("lang_detect.lang")).drop("lang_detect")
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
       .withColumn("classifier_margin",
         graft.functions.LinearClassifier.margin(col(textCol)))
 
-    // 2. filter decisions (kept as a reason column, rows retained)
-    val filtered = annotated.withColumn("filter_reason",
+    // 1b. unigram-LM perplexity proxy (optional): corpus-derived,
+    // one reused tokenize shuffle (UnigramLm's ReuseExchange shape)
+    val annotated1 = cfg.maxAvgNegLogp match {
+      case Some(_) =>
+        val lm = UnigramLm.score(docs, idCol, textCol)
+          .select(col(idCol).as("_lmid"), col("avg_neg_logp"))
+        annotated0.join(lm, col(idCol) === col("_lmid"), "left").drop("_lmid")
+      case None => annotated0
+    }
+
+    // 1c. domain-centrality prior (optional): PageRank over the
+    // md5-deterministic domain graph; ranks are a model-sized dim
+    // broadcast back onto the corpus
+    val annotated = domainEdges match {
+      case Some(edges) =>
+        val nid = (c: org.apache.spark.sql.Column) =>
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        val ranks = PageRank.ranks(
+          edges.select(nid(col("src")).as("src"), nid(col("dst")).as("dst")),
+          iters = cfg.pagerankIters, tol = cfg.pagerankTol)
+        val domRank = edges.select(col("src").as("_dom"))
+          .union(edges.select(col("dst").as("_dom"))).distinct()
+          .join(ranks, nid(col("_dom")) === col("id"))
+          .select(col("_dom"), col("rank").as("domain_rank"))
+        annotated1.join(broadcast(domRank),
+          col(cfg.domainCol) === col("_dom"), "left").drop("_dom")
+      case None => annotated1
+    }
+
+    // 2. filter decisions (kept as a reason column, rows retained);
+    // a doc on a domain with no link evidence is not rank-gated
+    val filtered0 = annotated.withColumn("filter_reason",
       when(col("quality") < cfg.minQuality, "low_quality")
         .when(!col("lang").isin(cfg.allowedLangs: _*), "language")
         .when(col("n_tokens") < cfg.minTokens, "too_short")
         .when(cfg.minClassifierMargin
-          .map(t => col("classifier_margin") < t).getOrElse(lit(false)), "classifier"))
+          .map(t => col("classifier_margin") < t).getOrElse(lit(false)), "classifier")
+        .when(cfg.maxAvgNegLogp
+          .map(t => col("avg_neg_logp") > t).getOrElse(lit(false)), "lm_perplexity")
+        .when(cfg.minDomainRank
+          .map(t => col("domain_rank") < t).getOrElse(lit(false)), "low_rank"))
+
+    // 2b. span-dedup gate (optional): hashed-window duplicated-mass
+    // stats over the docs that survived the cheap gates
+    val filtered = cfg.spanDedupW match {
+      case Some(w) =>
+        val surv = filtered0.filter(col("filter_reason").isNull)
+          .select(col(idCol), col(textCol))
+        val stats = SpanDedup.spanStats(surv, idCol, textCol, w)
+          .select(col(idCol).as("_sid"), col("dup_tokens"))
+        filtered0.join(stats, col(idCol) === col("_sid"), "left").drop("_sid")
+          .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+          .withColumn("filter_reason", coalesce(col("filter_reason"),
+            when(col("dup_tokens").cast("double") >
+              lit(cfg.spanMaxDupFrac) * col("n_tokens").cast("double"), "span_dup")))
+      case None => filtered0
+    }
 
     // 3. dedup the SURVIVORS only (no point hashing filtered docs)
     val survivors = filtered.filter(col("filter_reason").isNull)
@@ -83,14 +194,37 @@ object CorpusPipeline {
       .select(col("id_a"), col("id_b"))
     val groups = ConnectedComponents.groups(survivors, pairs, idCol)
 
+    // 3b. semantic dedup among the lexical keepers (optional):
+    // embedding-level near-dup the shingle hash can't see
+    val semVerdicts = (cfg.semDedupThreshold, embeddings) match {
+      case (Some(t), Some(emb)) =>
+        val keeperIds = filtered.filter(col("filter_reason").isNull)
+          .join(groups.filter(col("is_keeper")).select(col(idCol).as("_kid")),
+            col(idCol) === col("_kid"))
+          .select(col(idCol))
+        val keeperEmb = emb.join(keeperIds, Seq(idCol), "left_semi")
+        Some(SemDedup.verdicts(keeperEmb, cfg.semDedupDim, t,
+          cfg.semDedupSignBits, idCol, vecCol = "embedding")
+          .select(col(idCol).as("_semid"), col("kept").as("_sem_kept"),
+            col("dup_of").as("sem_dup_of")))
+      case _ => None
+    }
+
     // 4. split + keep decision
-    val base = filtered
+    val base0 = filtered
       .join(groups.withColumnRenamed(idCol, "_gid"),
         col(idCol) === col("_gid"), "left")
       .drop("_gid")
       .withColumn("split", Sampling.splitLabel(col(idCol), cfg.splits))
       .withColumn("keep",
         col("filter_reason").isNull && coalesce(col("is_keeper"), lit(false)))
+    val base = semVerdicts match {
+      case Some(v) =>
+        base0.join(v, col(idCol) === col("_semid"), "left").drop("_semid")
+          .withColumn("keep", col("keep") && coalesce(col("_sem_kept"), lit(true)))
+          .drop("_sem_kept")
+      case None => base0
+    }
 
     // 5. decontaminate (optional): the kept test split's grams must
     // not leak into train — bloom-flag kept train docs (map-side

@@ -19,18 +19,23 @@ import org.apache.spark.sql.functions._
   * round with localCheckpoint (the ConnectedComponents pattern —
   * round N's plan must not replay rounds 1..N−1); driver involvement
   * is one tiny scalar aggregate per round (the dangling mass), never
-  * a data collect. Fixed iteration count, the production norm (10–20
-  * rounds ≈ convergence for link graphs; an L1-delta stopping rule is
-  * a one-line addition with one more scalar action per round).
+  * a data collect. `iters` bounds the rounds (10–20 ≈ convergence for
+  * link graphs); an optional `tol` adds the L1-delta stopping rule —
+  * stop once Σ|r_new − r_old| < tol — costing one more scalar
+  * aggregate per round (a self-join of two model-sized rank tables,
+  * never corpus data).
   */
 object PageRank {
 
   /** (id, rank) for every node in `edges` (either side), damping `d`,
-    * `iters` power-iteration rounds.
+    * at most `iters` power-iteration rounds, early-stopped when the
+    * L1 rank delta drops below `tol` (None = always run all rounds).
     */
   def ranks(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-            d: Double = 0.85, iters: Int = 10): DataFrame = {
+            d: Double = 0.85, iters: Int = 10,
+            tol: Option[Double] = None): DataFrame = {
     require(iters >= 1 && d > 0 && d < 1, s"bad params: d=$d iters=$iters")
+    require(tol.forall(_ > 0), s"tol must be positive: $tol")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).persist()
     val nodes = e.select(col("src").as("id"))
@@ -42,7 +47,8 @@ object PageRank {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
       // dangling mass: a tiny scalar aggregate, not a collect
       val dangling = withDeg.filter(col("out_deg").isNull)
@@ -51,11 +57,20 @@ object PageRank {
         .join(e, col("id") === col("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("out_deg")).as("_c"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - d) / n) + lit(d) *
             (coalesce(col("_c"), lit(0.0)) + lit(dangling / n))).as("rank"))
         .localCheckpoint(true)
+      tol.foreach { t =>
+        // L1 delta — the second scalar per round; both sides are
+        // checkpointed model-sized rank tables
+        val delta = ranks.select(col("id"), col("rank").as("_old"))
+          .join(next, Seq("id"))
+          .agg(sum(abs(col("rank") - col("_old")))).head().getDouble(0)
+        if (delta < t) converged = true
+      }
+      ranks = next
       i += 1
     }
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()

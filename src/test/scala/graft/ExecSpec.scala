@@ -22,6 +22,29 @@ class ExecSpec extends SparkSpec {
       "input cache leaked past withCached")
   }
 
+  test("a GraftSession-built session hits the reliable-checkpoint path by default") {
+    // getOrCreate returns the suite's active session; GraftSession
+    // must give it a checkpoint dir when none is configured, so
+    // withCached/CC/PageRank upgrade from localCheckpoint without
+    // caller action
+    val prior = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(null)
+      val s = GraftSession.get()
+      assert(s eq spark, "getOrCreate must return the active session")
+      val dirOpt = s.sparkContext.getCheckpointDir
+      assert(dirOpt.isDefined, "GraftSession must default a checkpoint dir")
+      val out = Exec.withCached((1L to 10L).toDF("v"))(_.agg(count(lit(1)).as("n")))
+      assert(out.as[Long].head() === 10L)
+      def anyFiles(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFiles))
+      assert(anyFiles(new java.io.File(new java.net.URI(dirOpt.get).getPath)),
+        "withCached under a GraftSession must write reliable checkpoint files")
+      // an explicitly configured dir is respected, not replaced
+      assert(GraftSession.get().sparkContext.getCheckpointDir === dirOpt)
+    } finally spark.sparkContext.setCheckpointDir(prior.orNull)
+  }
+
   test("with a checkpoint dir set, the result is a RELIABLE checkpoint") {
     val dir = Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)

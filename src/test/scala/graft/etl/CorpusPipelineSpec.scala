@@ -111,6 +111,119 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("span-dedup, LM-perplexity and semantic-dedup stages compose; every row keeps its decision") {
+    // the id is IN the salt: no shifted alignment of two docs' salt
+    // sequences can ever match a 20-token window across docs (the
+    // (id*31+j)%997 scheme admits period-13 shift collisions)
+    def enDoc(id: Long) =
+      good.trim.split(" ").zipWithIndex
+        .map { case (w, j) => s"$w w${id}j${j}x" }.mkString(" ")
+    // 25 real English words so the span-heavy doc still passes langid
+    val span = "the quiet river winds slowly past the ancient mill where " +
+      "stones remember every footstep taken beneath the autumn sky while " +
+      "birds gather softly before dusk"
+    val rare = ("whosoever bramble thicket yonder lantern cobbled harbinger sundry " +
+      "alabaster vellum quill parchment sconce turret rampart portcullis bailey " +
+      "moreover thereupon hitherto notwithstanding forsooth albeit whence thither")
+    val corpus =
+      (10L to 40L).map(id => (id, enDoc(id))) ++ Seq(
+        (50L, rare),                       // corpus-rare tokens → LM gate
+        (60L, span + " s60a s60b s60c s60d s60e"), // mostly a shared span → span_dup
+        (61L, enDoc(61) + " " + span),     // long doc sharing the span → survives
+        (70L, enDoc(70)),                  // sem-dup pair: distinct texts,
+        (71L, enDoc(71)))                  //   near-identical embeddings
+    val docs = corpus.toDF("doc_id", "text")
+
+    // threshold between the clean docs' scores and the rare doc's
+    val scores = graft.functions.UnigramLm.score(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logp")).toMap
+    val cleanMax = (corpus.map(_._1).toSet - 50L).map(scores).max
+    assert(scores(50L) > cleanMax, "rare-token doc must score above every clean doc")
+    val lmT = (cleanMax + scores(50L)) / 2
+    // allow whatever language the n-gram heuristic assigns the rare
+    // doc, so the LM gate (not the language gate) is what fires on it
+    val rareLang = graft.functions.LangId.detected(docs.filter(col("doc_id") === 50L), "text")
+      .select(col("lang_detect.lang")).collect().head.getString(0)
+
+    def pad(v: Float*): Array[Float] = (v ++ Seq.fill(8 - v.length)(0.1f)).toArray
+    val embeddings = Seq(
+      (70L, pad(10f, 10f, 10f)),
+      (71L, pad(10.0001f, 10.0002f, 10f))).toDF("doc_id", "embedding")
+
+    // word shingles: every word 3-gram carries a doc-unique salt, so
+    // the salted docs are lexically independent by construction (char
+    // trigrams would overlap across salts and near the 0.97 bar)
+    val cfg = CorpusPipeline.Config(
+      minQuality = 0.2,
+      allowedLangs = Seq("en", rareLang).distinct,
+      dedupJaccard = 0.97,
+      minhash = graft.dedup.MinHashLsh.Config(bands = 8, wordShingles = true),
+      maxAvgNegLogp = Some(lmT),
+      spanDedupW = Some(20),
+      semDedupThreshold = Some(0.99), semDedupDim = 8)
+    val out = CorpusPipeline.curate(docs, cfg, embeddings = Some(embeddings))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out.size === corpus.size, "every input row is retained with its decision")
+    assert(out(50L).getAs[String]("filter_reason") === "lm_perplexity")
+    assert(!out(50L).getAs[Boolean]("keep"))
+    assert(out(60L).getAs[String]("filter_reason") === "span_dup")
+    assert(out(60L).getAs[Long]("dup_tokens") === 25L,
+      "island union over the shared span must measure its exact token mass")
+    assert(out(61L).getAs[String]("filter_reason") === null,
+      "a long doc whose span share is below the fraction survives")
+    assert(out(61L).getAs[Boolean]("keep"))
+    assert(out(70L).getAs[Boolean]("keep"))
+    assert(!out(71L).getAs[Boolean]("keep"), "semantic dup must lose keep")
+    assert(out(71L).getAs[Long]("sem_dup_of") === 70L)
+    assert(out(71L).getAs[String]("filter_reason") === null &&
+      out(71L).getAs[Boolean]("is_keeper"),
+      "sem-dup is a dedup decision, not a filter: lexical columns unchanged")
+    assert((10L to 40L).forall(id => out(id).getAs[Boolean]("keep")),
+      "clean salted docs pass all three new stages")
+  }
+
+  test("a domain link graph steers keep/drop through the PageRank prior") {
+    def enDoc(id: Long) =
+      good.trim.split(" ").zipWithIndex
+        .map { case (w, j) => s"$w w${id}j${j}x" }.mkString(" ")
+    val docs = Seq(
+      (1L, enDoc(1), "hub.example"),
+      (2L, enDoc(2), "hub.example"),
+      (3L, enDoc(3), "junk.example"),   // only ever a link SOURCE → low rank
+      (4L, enDoc(4), "offgraph.example") // absent from the graph → ungated
+    ).toDF("doc_id", "text", "source")
+    val edges = Seq(
+      ("a.example", "hub.example"), ("b.example", "hub.example"),
+      ("c.example", "hub.example"), ("junk.example", "hub.example"))
+      .toDF("src", "dst")
+    val base = CorpusPipeline.Config(
+      minQuality = 0.2, dedupJaccard = 0.97,
+      minhash = graft.dedup.MinHashLsh.Config(bands = 8, wordShingles = true))
+
+    // pass 1: annotate only — read the deterministic ranks
+    val annotated = CorpusPipeline.curate(docs, base, domainEdges = Some(edges))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val hubRank = annotated(1L).getAs[Double]("domain_rank")
+    val junkRank = annotated(3L).getAs[Double]("domain_rank")
+    assert(hubRank > junkRank, "the link hub must outrank a pure source")
+    assert(annotated(4L).getAs[Any]("domain_rank") == null)
+    assert(annotated.values.forall(_.getAs[String]("filter_reason") == null),
+      "without minDomainRank the prior only annotates")
+
+    // pass 2: gate between the two ranks
+    val gated = CorpusPipeline.curate(docs,
+      base.copy(minDomainRank = Some((hubRank + junkRank) / 2)),
+      domainEdges = Some(edges))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(gated(3L).getAs[String]("filter_reason") === "low_rank")
+    assert(!gated(3L).getAs[Boolean]("keep"))
+    assert(gated(1L).getAs[Boolean]("keep") && gated(2L).getAs[Boolean]("keep"))
+    assert(gated(4L).getAs[String]("filter_reason") === null,
+      "a domain with no link evidence is not rank-gated")
+    assert(gated(4L).getAs[Boolean]("keep"))
+  }
+
   test("report aggregates decisions per split") {
     val rep = CorpusPipeline.report(
       CorpusPipeline.curate(docs, CorpusPipeline.Config(dedupJaccard = 0.6,

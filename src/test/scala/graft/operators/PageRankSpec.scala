@@ -35,6 +35,19 @@ class PageRankSpec extends SparkSpec {
     assert(spokes.map(r).distinct.size === 1, "identical spokes rank identically")
   }
 
+  test("L1-delta early stop converges to the full-iteration fixed point") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val full = PageRank.ranks(edges, iters = 80)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val early = PageRank.ranks(edges, iters = 80, tol = Some(1e-12))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    full.foreach { case (id, r) =>
+      assert(math.abs(early(id) - r) < 1e-9,
+        s"node $id: early-stopped rank ${early(id)} vs full $r")
+    }
+    assert(math.abs(early.values.sum - 1.0) < 1e-9)
+  }
+
   test("an empty edge list fails fast instead of producing Infinity ranks") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val ex = intercept[IllegalArgumentException](PageRank.ranks(empty))
