@@ -47,6 +47,17 @@ object Bench {
       if (x == 42L) System.err.println("unreachable") // keep the loop live
       (System.nanoTime() - t0) / 1e6
     }
+    // 1-minute system load average brackets the suite: the spin
+    // sentinel is single-threaded and cannot see PARTIAL multicore
+    // load (3-4 external busy cores leave a 1-thread spin untouched
+    // while costing a 32-thread query ~10%+) — loadavg sees exactly
+    // that. Published as evidence, not a trigger: during the suite
+    // the figure includes our own executor threads.
+    def load1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadPre = load1()
     val spinPre = spinMs()
     // Per-query sentinel work size: quarter spins (~25 ms) interleaved
     // before each query's batch, so a loaded WINDOW inside an
@@ -159,8 +170,11 @@ object Bench {
     // stdout keeps whole-ms spin and drops iters (both full-precision
     // in bench_result.json) — every byte counts against the ~2000-char
     // harness capture window now that the suite is 75+ queries
-    val sentinel = s""""spin":[${math.round(spinPre)},${math.round(spinPost)}],"reruns":${results.count(_._5)}"""
-    val sentinelFull = s""""spin":[${r1(spinPre)},${r1(spinPost)}],"reruns":${results.count(_._5)}"""
+    val loadPost = load1()
+    val sentinel = s""""spin":[${math.round(spinPre)},${math.round(spinPost)}],""" +
+      s""""load":[${r1(loadPre)},${r1(loadPost)}],"reruns":${results.count(_._5)}"""
+    val sentinelFull = s""""spin":[${r1(spinPre)},${r1(spinPost)}],""" +
+      s""""load":[${r1(loadPre)},${r1(loadPost)}],"reruns":${results.count(_._5)}"""
     // sf as basename on stdout (full path in bench_result.json)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$sentinel,"sf":"$sfName"}"""

@@ -51,7 +51,9 @@ object DumpPlans {
     "q77_reconcile" ->
       "Reconciliation: each side collapses to 64 (bucket, count, xor) summary rows BEHIND a map-side partial aggregate — the exchanges carry bucket summaries, never table rows, which is what lets two 100 TB versions diff by moving kilobytes; the final full-outer join runs on 64-row inputs.",
     "q79_span_removal" ->
-      "Span removal: window hashes explode map-side (fixed-width rows), keeper election is an aggregate on the per-doc-deduped (id, hash) pairs, and the island/cut arithmetic windows over loser positions only — the document text is read in the final projection stage, never shuffled.")
+      "Span removal: window hashes explode map-side (fixed-width rows), keeper election is an aggregate on the per-doc-deduped (id, hash) pairs, and the island/cut arithmetic windows over loser positions only — the document text is read in the final projection stage, never shuffled.",
+    "q84_window_funnel" ->
+      "Windowed funnel: ObjectHashAggregate pair around ONE hash exchange on the entity key (partial collect map-side); the anchors-array fold and depth count are codegen'd higher-order projection arithmetic above it — the windowed variant adds zero shuffles over q73's unwindowed automaton.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()

@@ -55,6 +55,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     }
     inv("funnel")(e => operators.Funnel.depth(e, "k", "ts", "eid", "et",
       Seq("view", "click", "purchase")))
+    inv("windowedFunnel")(e => operators.Funnel.windowedDepth(e, "k", "ts", "eid", "et",
+      Seq("view", "click", "purchase"), maxSpan = 200L))
     inv("gapfill")(e => operators.GapFill.dailyLocf(e, "k", "d", Seq("ts", "eid"), "v"))
     inv("reconcile")(e => operators.Reconcile.checksums(e, "eid",
       Seq("eid", "v", "et"), buckets = 4))
