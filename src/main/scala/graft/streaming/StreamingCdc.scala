@@ -121,4 +121,45 @@ object StreamingCdc {
     spark.read.parquet(snapDir)
       .filter(col("batch_no") === committed.max).drop("batch_no")
   }
+
+  /** TIME TRAVEL: the snapshot as of committed batch `n` (the state
+    * external readers saw after that micro-batch), while it is still
+    * retained.
+    */
+  def snapshotAt(spark: SparkSession, snapDir: String, n: Long): DataFrame = {
+    require(committedBatches(spark, snapDir).contains(n),
+      s"batch $n is not a committed, retained snapshot in $snapDir")
+    spark.read.parquet(snapDir).filter(col("batch_no") === n).drop("batch_no")
+  }
+
+  /** VACUUM: drop all but the newest `keepLast` committed snapshot
+    * versions — bounds the copy-on-write history (each version is a
+    * full snapshot copy). Markers are removed BEFORE their partition
+    * dirs, so a crash mid-vacuum can never leave a marker pointing at
+    * deleted data (the inverse of the write-then-mark commit order);
+    * the current snapshot is never eligible. Marker-less partitions
+    * (crashed write attempts below the newest commit) are swept too.
+    * Returns the batch numbers whose versions were removed.
+    */
+  def vacuum(spark: SparkSession, snapDir: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"must retain at least the current snapshot: $keepLast")
+    val committed = committedBatches(spark, snapDir).sorted
+    require(committed.nonEmpty, s"no committed snapshot in $snapDir")
+    val drop = committed.dropRight(keepLast)
+    val dir = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { n =>
+      fs.delete(markerPath(snapDir, n), false)
+      fs.delete(new org.apache.hadoop.fs.Path(snapDir, s"batch_no=$n"), true)
+    }
+    // sweep crashed-attempt residue: partitions below the newest
+    // commit that never earned a marker (a marker-less partition AT
+    // or ABOVE it may be a write in flight — left alone)
+    val keep = committed.drop(drop.length).toSet
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch_no=") => s.stripPrefix("batch_no=").toLong }
+      .filter(n => n < committed.max && !keep.contains(n) && !drop.contains(n))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(snapDir, s"batch_no=$n"), true))
+    drop
+  }
 }

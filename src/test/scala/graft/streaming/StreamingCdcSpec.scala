@@ -84,5 +84,23 @@ class StreamingCdcSpec extends SparkSpec {
     s2.limit(1).write.mode("overwrite").parquet(partial.toString)
     assert(keyed(StreamingCdc.snapshot(spark, snap)) == before,
       "snapshot must ignore a marker-less (uncommitted) partition")
+
+    // time travel reads any retained committed version
+    assert(keyed(StreamingCdc.snapshotAt(spark, snap, -1L)) == keyed(base))
+    assert(keyed(StreamingCdc.snapshotAt(spark, snap, 0L)) == keyed(s1))
+    intercept[IllegalArgumentException](StreamingCdc.snapshotAt(spark, snap, 99L))
+
+    // vacuum(keepLast=1): history and the crashed-attempt residue
+    // below the newest commit go; the current snapshot still serves
+    val removed = StreamingCdc.vacuum(spark, snap, keepLast = 1)
+    assert(removed === Seq(-1L, 0L))
+    assert(keyed(StreamingCdc.snapshot(spark, snap)) == before,
+      "vacuum must never touch the current snapshot")
+    intercept[IllegalArgumentException](StreamingCdc.snapshotAt(spark, snap, 0L))
+    val leftDirs = new java.io.File(snap).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_no=")).toSet
+    assert(leftDirs === Set("batch_no=1", "batch_no=99"),
+      "only the retained version survives below the newest commit; an " +
+        "in-flight partition above it is left alone")
   }
 }
