@@ -39,12 +39,34 @@ object Exec {
     val cached = df.persist()
     try {
       cached.count() // materialize once before f's branches race
-      val result = f(cached)
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
-      else result.localCheckpoint(true)
+      materialize(f(cached))
     } finally {
       cached.unpersist()
       ()
     }
   }
+
+  /** `withCached` for a CHAIN of intermediates (each may derive from
+    * the previous): caches all of them, materializes in order (later
+    * actions reuse earlier cache entries), runs `f`, and checkpoints
+    * the result ONCE — nesting `withCached` would re-checkpoint the
+    * result at every level. Same contract as `withCached`: the
+    * result must be much smaller than the cached inputs, and all
+    * cache entries are released before returning.
+    */
+  def withCachedChain(dfs: Seq[DataFrame])(f: => DataFrame): DataFrame = {
+    require(dfs.nonEmpty, "need at least one intermediate")
+    dfs.foreach(_.persist())
+    try {
+      dfs.foreach(_.count())
+      materialize(f)
+    } finally {
+      dfs.reverse.foreach(_.unpersist())
+      ()
+    }
+  }
+
+  private def materialize(result: DataFrame): DataFrame =
+    if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
+    else result.localCheckpoint(true)
 }

@@ -1294,5 +1294,41 @@ object OracleSql {
         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS domain_rank
         | FROM c)
         |SELECT vec_id, cid, domain_rank, domain_rank <= 40 AS kept
-        |FROM r ORDER BY vec_id""".stripMargin)
+        |FROM r ORDER BY vec_id""".stripMargin,
+
+    // Incremental aggregate maintenance: the oracle is the FULL
+    // RECOMPUTE over the post-CDC fact (m=13 deleted, m=7 inserted
+    // back, m=21 updated +100, l_partkey%97=0 prices NULL) — the
+    // hash match proves delta-apply ≡ recompute, including NULL-sum
+    // bookkeeping via count(price_cents).
+    "q85_incremental_agg" ->
+      """WITH li AS (SELECT l_suppkey, l_returnflag, l_orderkey % 100 AS m,
+        |  CASE WHEN l_partkey % 97 <> 0
+        |    THEN CAST(round(l_extendedprice*100) AS BIGINT) END AS price_cents
+        | FROM lineitem),
+        |fact AS (SELECT l_suppkey, l_returnflag,
+        |  CASE WHEN m = 21 THEN price_cents + 100 ELSE price_cents END AS price_cents
+        | FROM li WHERE m <> 13)
+        |SELECT l_suppkey, l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+        |  CAST(count(price_cents) AS BIGINT) AS nn_price_cents
+        |FROM fact GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Graph degree + triangles: id-ordered a<b<c triangle self-join —
+    // orientation-invariant counts, so exact agreement cross-checks
+    // the Spark side's degree-ordered enumeration.
+    "q86_graph_metrics" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+        |pairs AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM pairs e1 JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT d.node AS part_id, d.degree, coalesce(t.triangles, 0) AS triangles
+        |FROM deg d LEFT JOIN tcnt t ON d.node = t.node ORDER BY 1""".stripMargin)
 }

@@ -1763,6 +1763,66 @@ object SparkEntry {
       .transform(sorted1(_, col("user_id")))
   }
 
+  /** q85: incremental aggregate maintenance — a materialized
+    * (suppkey, returnflag) revenue view maintained under a CDC delta
+    * batch (inserts of held-out orders, deletes, and updates as
+    * delete+insert pairs) WITHOUT rescanning the base fact table
+    * (operators/IncrementalAgg — the counting algorithm of
+    * incremental view maintenance). The oracle is the full recompute
+    * over the post-CDC fact, so the hash match IS the proof that
+    * delta-apply ≡ recompute — including the null-sum bookkeeping
+    * (rows with l_partkey%97=0 carry NULL price, so `nn_` non-null
+    * counts are exercised, not just asserted). Scale shape: one
+    * delta-sized shuffle + one view-sized join; the fact table is
+    * touched only to SYNTHESIZE the demo's base/delta split.
+    */
+  private def q85IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_suppkey"), col("l_returnflag"), col("l_orderkey"),
+      when(pmod(col("l_partkey"), lit(97)) =!= 0,
+        cents(col("l_extendedprice"))).as("price_cents"))
+    val keys = Seq("l_suppkey", "l_returnflag")
+    val m = pmod(col("l_orderkey"), lit(100))
+    val base = li.filter(m =!= 7)
+    val view = graft.operators.IncrementalAgg.init(base, keys, Seq("price_cents"))
+    val updated = base.filter(m === 21)
+    val delta = li.filter(m === 7).withColumn("_op", lit("insert"))
+      .unionByName(base.filter(m === 13).withColumn("_op", lit("delete")))
+      .unionByName(updated.withColumn("_op", lit("delete")))
+      .unionByName(updated
+        .withColumn("price_cents", col("price_cents") + 100)
+        .withColumn("_op", lit("insert")))
+    graft.operators.IncrementalAgg.applyDelta(view, delta, keys, Seq("price_cents"))
+      .transform(sorted1(_, col("l_suppkey"), col("l_returnflag")))
+  }
+
+  /** q86: per-node degree + triangle counts over the part
+    * co-purchase graph (canonical partkey pairs within an order, 1/5
+    * of orders) — operators/GraphMetrics, degree-ordered-orientation
+    * triangle enumeration (O(m^1.5) wedge volume regardless of hub
+    * skew). The oracle counts the same triangles with the simpler
+    * id-ordered a<b<c self-join — counts are orientation-invariant,
+    * so exact agreement is the cross-check that the oriented
+    * algorithm enumerates each triangle exactly once.
+    */
+  /** The part co-purchase edge list q86 runs over (also DumpPlans's
+    * input for the lazy plan-evidence variant).
+    */
+  private[graft] def q86Edges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("x").join(li.as("y"),
+      col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+  }
+
+  private def q86GraphMetrics(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphMetrics.nodeMetrics(q86Edges(s, dir), "src", "dst")
+      .select(col("node").as("part_id"), col("degree"), col("triangles"))
+      .transform(sorted1(_, col("part_id")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1847,7 +1907,9 @@ object SparkEntry {
     "q81_cube" -> (q81Cube _),
     "q82_cluster_sample" -> (q82ClusterSample _),
     "q83_gif_pixels" -> (q83GifPixels _),
-    "q84_window_funnel" -> (q84WindowFunnel _))
+    "q84_window_funnel" -> (q84WindowFunnel _),
+    "q85_incremental_agg" -> (q85IncrementalAgg _),
+    "q86_graph_metrics" -> (q86GraphMetrics _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

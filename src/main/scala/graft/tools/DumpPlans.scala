@@ -53,7 +53,23 @@ object DumpPlans {
     "q79_span_removal" ->
       "Span removal: window hashes explode map-side (fixed-width rows), keeper election is an aggregate on the per-doc-deduped (id, hash) pairs, and the island/cut arithmetic windows over loser positions only — the document text is read in the final projection stage, never shuffled.",
     "q84_window_funnel" ->
-      "Windowed funnel: ObjectHashAggregate pair around ONE hash exchange on the entity key (partial collect map-side); the anchors-array fold and depth count are codegen'd higher-order projection arithmetic above it — the windowed variant adds zero shuffles over q73's unwindowed automaton.")
+      "Windowed funnel: ObjectHashAggregate pair around ONE hash exchange on the entity key (partial collect map-side); the anchors-array fold and depth count are codegen'd higher-order projection arithmetic above it — the windowed variant adds zero shuffles over q73's unwindowed automaton.",
+    "q85_incremental_agg" ->
+      "Incremental view maintenance: the delta side is a HashAggregate pair (map-side partial) so the exchange carries one row per touched key, not the delta rows; the view joins it with ONE shuffle (zero under B15 bucketing) and the base fact is absent from the maintenance subtree entirely — the only fact scans in this demo plan SYNTHESIZE the base/delta split.",
+    "q86_graph_metrics" ->
+      "Triangle counting (lazy nodeMetricsPlan shown — executed nodeMetrics caches canon/degrees/oriented so its visible plan is just the checkpoint scan): every step is a key-shuffle join — edges exchange on u for wedge enumeration, wedges exchange on (v1, v2) for the closing-edge left-semi; no broadcast (the edge set is unbounded at corpus scale) and the degree-ordered orientation caps any node's wedge fan-out at O(sqrt m) regardless of hub degree.")
+
+  /** Queries whose executed form is eager (Exec.withCached): dump a
+    * lazy equivalent so the plan shows the operator tree, not the
+    * checkpoint scan.
+    */
+  private def lazyOverride(name: String, spark: org.apache.spark.sql.SparkSession,
+                           sf: String): Option[org.apache.spark.sql.DataFrame] =
+    name match {
+      case "q86_graph_metrics" => Some(graft.operators.GraphMetrics
+        .nodeMetricsPlan(SparkEntry.q86Edges(spark, sf), "src", "dst"))
+      case _ => None
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
@@ -63,7 +79,8 @@ object DumpPlans {
     sb.append("Formatted plans at sf0.001 for the queries whose *shape* is the\n")
     sb.append("scale argument. Regenerate after plan-affecting changes.\n")
     Notes.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, sf)
+      val df = lazyOverride(name, spark, sf)
+        .getOrElse(SparkEntry.queries(name)(spark, sf))
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       // keep the operator tree + scan details; drop the verbose field lists

@@ -45,6 +45,21 @@ class ExecSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(prior.orNull)
   }
 
+  test("withCachedChain releases every intermediate and computes through the chain") {
+    val a = (1L to 50L).toDF("v")
+    val b = a.filter(col("v") % 2 === 0)
+    val c = b.withColumn("w", col("v") * 10)
+    val out = Exec.withCachedChain(Seq(a, b, c)) {
+      // f references MULTIPLE chain members, like GraphMetrics's
+      // deg-join-triangles shape
+      c.join(b, "v").agg(sum(col("w")).as("s"))
+    }
+    assert(out.as[Long].head() === (2L to 50L by 2).map(_ * 10).sum)
+    for (df <- Seq(a, b, c))
+      assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+        "chain cache leaked past withCachedChain")
+  }
+
   test("with a checkpoint dir set, the result is a RELIABLE checkpoint") {
     val dir = Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** GraphMetrics — degree-ordered triangle counts vs hand counts and
+  * a brute-force reference; input canonicalization invariances.
+  */
+class GraphMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metrics(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    GraphMetrics.nodeMetrics(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("known graphs: triangle, square, square with diagonal, star") {
+    assert(metrics(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)) ===
+      Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L))))
+    // C4 has no triangles
+    assert(metrics(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+      .values.forall(_._2 === 0L))
+    // diagonal 1-3 creates two triangles sharing it
+    assert(metrics(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L)) ===
+      Map(1L -> ((3L, 2L)), 2L -> ((2L, 1L)), 3L -> ((3L, 2L)), 4L -> ((2L, 1L))))
+    // a star is triangle-free no matter the hub degree
+    val star = metrics((2L to 9L).map(i => 1L -> i))
+    assert(star(1L) === ((8L, 0L)) && star.values.forall(_._2 === 0L))
+  }
+
+  test("matches a brute-force count on a deterministic random graph") {
+    // md5-deterministic edge set on 24 nodes
+    val edges = (for {
+      a <- 1L to 24L; b <- (a + 1) to 24L
+      if java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a/$b".getBytes("UTF-8"))(0).toInt % 3 == 0
+    } yield (a, b)).toSeq
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupMap(_._1)(_._2)
+      .view.mapValues(_.toSet).toMap
+    val brute = adj.keys.map { n =>
+      val nb = adj(n).toSeq
+      val tris = (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size
+      n -> ((adj(n).size.toLong, tris.toLong))
+    }.toMap
+    assert(metrics(edges) === brute)
+  }
+
+  test("invariant to edge direction, duplicates, and self-loops") {
+    val base = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    val messy = base.map(_.swap) ++ base ++ Seq(2L -> 2L, 1L -> 2L)
+    assert(metrics(messy) === metrics(base))
+  }
+
+  test("wedge volume is bounded by orientation: hub out-degree stays O(√m)") {
+    // star + one far edge: the hub (degree 9) must orient OUTWARD
+    // only toward higher-(degree,id) nodes — its oriented out-degree
+    // collapses, so no d² wedge blowup at hubs
+    val star = (2L to 10L).map(i => 1L -> i) :+ (11L -> 12L)
+    val canon = GraphMetrics.canonical(star.toDF("s", "d"), "s", "d")
+    val deg = GraphMetrics.degrees(canon)
+    val outDeg = GraphMetrics.orient(canon, deg)
+      .groupBy("u").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // leaves (degree 1) orient INTO the hub: the hub sources nothing
+    assert(!outDeg.contains(1L))
+  }
+}
