@@ -1330,5 +1330,38 @@ object OracleSql {
         |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri) GROUP BY 1)
         |SELECT d.node AS part_id, d.degree, coalesce(t.triangles, 0) AS triangles
-        |FROM deg d LEFT JOIN tcnt t ON d.node = t.node ORDER BY 1""".stripMargin)
+        |FROM deg d LEFT JOIN tcnt t ON d.node = t.node ORDER BY 1""".stripMargin,
+
+    // BM25 retrieval (odds-ratio idf variant — see Bm25.scala): the
+    // score is a pure + × ÷ double composition with the association
+    // order mirrored operator-for-operator ((1.2 + 1.0), (1.0 - 0.75)
+    // are COMPUTED, not folded to 2.2/0.25 — Scala's k1+1.0 is not
+    // the double literal 2.2), and the per-doc sum is a token-ordered
+    // left fold (the q27 dot-product pattern) — so the hash match is
+    // bit-exact.
+    "q87_bm25" ->
+      """WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+        |  FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),(2,'merge'),(2,'batch'),
+        |               (3,'vector'),(3,'scan'),(3,'slow'),(3,'data')) t(query_id, term)),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_term FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(n_term) AS BIGINT) AS n_doc_tokens FROM tc GROUP BY 1),
+        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS nd,
+        |       CAST((SELECT sum(n_doc_tokens) FROM dl) AS DOUBLE) AS tot),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tc
+        |  WHERE token IN (SELECT term FROM q) GROUP BY 1),
+        |c AS (SELECT q.query_id, tc.doc_id, tc.token,
+        |    ((nd - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+        |    * ((CAST(tc.n_term AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(tc.n_term AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |          + (0.75 * CAST(dl.n_doc_tokens AS DOUBLE)) / (tot / nd)))) AS contrib
+        |  FROM q JOIN tc ON tc.token = q.term
+        |  JOIN dl USING (doc_id) JOIN df ON df.token = tc.token CROSS JOIN st),
+        |s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY token)),
+        |      (acc, v) -> acc + v) AS score
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
+        |SELECT query_id, rank, doc_id, n_hit_terms, score
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 }

@@ -1823,6 +1823,25 @@ object SparkEntry {
       .select(col("node").as("part_id"), col("degree"), col("triangles"))
       .transform(sorted1(_, col("part_id")))
 
+  /** q87: BM25 top-10 retrieval over `documents` for three fixed
+    * multi-term queries (functions/Bm25 — odds-ratio idf variant so
+    * every score is a mirrored IEEE + × ÷ composition, bit-exact vs
+    * the DuckDB twin; see Bm25's Scaladoc for the deviation
+    * rationale). Exercises corpus df/avgdl statistics, length
+    * normalization, the token-ordered deterministic score fold, and
+    * per-query top-k ranking with id tiebreak.
+    */
+  private def q87Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "hash"), (1L, "join"),
+      (2L, "window"), (2L, "merge"), (2L, "batch"),
+      (3L, "vector"), (3L, "scan"), (3L, "slow"), (3L, "data"))
+      .toDF("query_id", "term")
+    graft.functions.Bm25.topK(fanOut(s, Tables.documents(s, dir)), queries, k = 10)
+      .transform(sorted1(_, col("query_id"), col("rank")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1909,7 +1928,8 @@ object SparkEntry {
     "q83_gif_pixels" -> (q83GifPixels _),
     "q84_window_funnel" -> (q84WindowFunnel _),
     "q85_incremental_agg" -> (q85IncrementalAgg _),
-    "q86_graph_metrics" -> (q86GraphMetrics _))
+    "q86_graph_metrics" -> (q86GraphMetrics _),
+    "q87_bm25" -> (q87Bm25 _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -61,13 +61,13 @@ object StreamingCdc {
   private def markerPath(snapDir: String, n: Long) =
     new org.apache.hadoop.fs.Path(snapDir, s"_COMMITTED_$n")
 
-  private def markCommitted(spark: SparkSession, snapDir: String, n: Long): Unit = {
+  private[streaming] def markCommitted(spark: SparkSession, snapDir: String, n: Long): Unit = {
     val p = markerPath(snapDir, n)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(p, true).close()
   }
 
-  private def committedBatches(spark: SparkSession, snapDir: String): Seq[Long] = {
+  private[streaming] def committedBatches(spark: SparkSession, snapDir: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(snapDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
