@@ -1363,5 +1363,26 @@ object OracleSql {
         |  FROM c GROUP BY 1, 2),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
         |SELECT query_id, rank, doc_id, n_hit_terms, score
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Z-order curve math (ZOrderLayout.morton2/zBucket): the 5-step
+    // shift-mask bit spread mirrored constant-for-constant — pure
+    // BIGINT & | << arithmetic, trivially bit-exact.
+    "q88_zorder" -> {
+      def spread(v: String): String = {
+        val a = s"($v & 65535)"
+        val b = s"(($a | ($a << 8)) & 16711935)"
+        val c = s"(($b | ($b << 4)) & 252645135)"
+        val d = s"(($c | ($c << 2)) & 858993459)"
+        s"(($d | ($d << 1)) & 1431655765)"
+      }
+      val z = s"(${spread("x")} | (${spread("y")} << 1))"
+      s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+         |  l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+         | FROM lineitem WHERE l_orderkey % 50 = 0),
+         |m AS (SELECT l_orderkey, l_partkey, l_suppkey, CAST($z AS BIGINT) AS zval FROM li)
+         |SELECT l_orderkey, l_partkey, l_suppkey, zval,
+         |  CAST(zval >> 26 AS BIGINT) AS z_cell
+         |FROM m ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin
+    })
 }

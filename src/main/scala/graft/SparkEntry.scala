@@ -1842,6 +1842,27 @@ object SparkEntry {
       .transform(sorted1(_, col("query_id"), col("rank")))
   }
 
+  /** q88: Z-order (Morton) values + layout cells over the
+    * (partkey, suppkey) plane (sources/ZOrderLayout) — the
+    * multi-dimensional data-skipping curve, as pure 64-bit integer
+    * shift-mask arithmetic mirrored operator-for-operator in the
+    * DuckDB twin. The layout write + 2D-box pruning evidence lives
+    * in ZOrderLayoutSpec (scan-metrics asserted); this query pins
+    * the curve math itself bit-exactly.
+    */
+  private def q88Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZOrderLayout
+    Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey"), lit(50)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        pmod(col("l_partkey"), lit(65536)).as("x"),
+        pmod(col("l_suppkey"), lit(65536)).as("y"))
+      .withColumn("zval", ZOrderLayout.morton2(col("x"), col("y")))
+      .withColumn("z_cell", ZOrderLayout.zBucket(col("zval"), prefixBits = 3))
+      .drop("x", "y")
+      .transform(sorted1(_, col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1929,7 +1950,8 @@ object SparkEntry {
     "q84_window_funnel" -> (q84WindowFunnel _),
     "q85_incremental_agg" -> (q85IncrementalAgg _),
     "q86_graph_metrics" -> (q86GraphMetrics _),
-    "q87_bm25" -> (q87Bm25 _))
+    "q87_bm25" -> (q87Bm25 _),
+    "q88_zorder" -> (q88Zorder _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

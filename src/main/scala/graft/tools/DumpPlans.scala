@@ -56,6 +56,8 @@ object DumpPlans {
       "Windowed funnel: ObjectHashAggregate pair around ONE hash exchange on the entity key (partial collect map-side); the anchors-array fold and depth count are codegen'd higher-order projection arithmetic above it — the windowed variant adds zero shuffles over q73's unwindowed automaton.",
     "q85_incremental_agg" ->
       "Incremental view maintenance: the delta side is a HashAggregate pair (map-side partial) so the exchange carries one row per touched key, not the delta rows; the view joins it with ONE shuffle (zero under B15 bucketing) and the base fact is absent from the maintenance subtree entirely — the only fact scans in this demo plan SYNTHESIZE the base/delta split.",
+    "q87_bm25" ->
+      "BM25 retrieval: the (doc, token) count exchange is built once and REUSED by its three consumers (doc lengths, query-term df, contribution join — AQE ReusedExchange); the query-term and df sides are broadcasts, the corpus stats are a one-row broadcast cross join, and the only corpus-scale exchanges are the (doc, token) partial-agg pair and the per-(query, doc) score fold.",
     "q86_graph_metrics" ->
       "Triangle counting (lazy nodeMetricsPlan shown — executed nodeMetrics caches canon/degrees/oriented so its visible plan is just the checkpoint scan): every step is a key-shuffle join — edges exchange on u for wedge enumeration, wedges exchange on (v1, v2) for the closing-edge left-semi; no broadcast (the edge set is unbounded at corpus scale) and the degree-ordered orientation caps any node's wedge fan-out at O(sqrt m) regardless of hub degree.")
 

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** ZOrderLayout — shift-mask interleave vs a bit-by-bit reference,
+  * the prefix/cell identity `zBucket(morton(x,y)) == morton(x>>s,
+  * y>>s)`, and the layout's partition pruning asserted on scan
+  * metrics with result parity against an unpartitioned filter.
+  */
+class ZOrderLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)) }
+
+  test("column morton2, driver mortonLong, and the bit-by-bit reference agree") {
+    // md5-deterministic sample of the 16-bit × 16-bit domain + corners
+    val pts = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      (1 to 200).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"zorder/$i".getBytes("UTF-8"))
+        def u16(o: Int) = ((h(o) & 0xffL) << 8) | (h(o + 1) & 0xffL)
+        (u16(0), u16(2))
+      }
+    val out = pts.toDF("x", "y")
+      .withColumn("z", ZOrderLayout.morton2(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((x, y, z) <- out) {
+      assert(z === mortonRef(x, y), s"column morton2 mismatch at ($x,$y)")
+      assert(z === ZOrderLayout.mortonLong(x, y), s"driver twin mismatch at ($x,$y)")
+    }
+  }
+
+  test("cell identity: zBucket(morton(x,y)) == morton of the prefixes") {
+    val p = 3
+    val s = 16 - p
+    for ((x, y) <- Seq((12345L, 54321L), (0L, 65535L), (40000L, 1L))) {
+      val bucket = ZOrderLayout.mortonLong(x, y) >> (2 * s)
+      assert(bucket === ZOrderLayout.mortonLong(x >> s, y >> s))
+    }
+  }
+
+  test("a 2D box reads only its intersecting cells; results match a plain filter") {
+    // 64 × 64 deterministic grid of points, both dims uniform
+    val rows = (0L until 4096L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pt/$i".getBytes("UTF-8"))
+      def u16(o: Int) = ((h(o) & 0xffL) << 8) | (h(o + 1) & 0xffL)
+      (i, u16(0), u16(2))
+    }
+    val df = rows.toDF("id", "x", "y")
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/t"
+    val p = 3
+    ZOrderLayout.write(df, "x", "y", dir, p)
+
+    // thin slice in x, full range in y: a LINEAR x-sorted layout
+    // serves this well but a LINEAR y-sorted one reads everything —
+    // z-order serves both; this box touches 2 of 64 cells per row of
+    // the x-strip = 2 * 8 cells
+    val (x0, x1, y0, y1) = (8192L, 24575L, 0L, 65535L)
+    val buckets = ZOrderLayout.boxBuckets(x0, x1, y0, y1, p)
+    assert(buckets.size === 16, s"8192..24575 spans 2 x-prefixes × 8 y-prefixes: $buckets")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (got, scan) = try {
+      val q = ZOrderLayout.readBox(spark, dir, "x", "y", x0, x1, y0, y1, p)
+      val res = q.select("id").as[Long].collect().toSet
+      val sc = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }
+        .getOrElse(fail("no FileSourceScanExec in plan"))
+      (res, sc)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    val expected = rows.filter(r => r._2 >= x0 && r._2 <= x1 && r._3 >= y0 && r._3 <= y1)
+      .map(_._1).toSet
+    assert(got === expected, "pruned read must return exactly the box")
+    assert(expected.nonEmpty, "degenerate box — test data broken")
+
+    assert(scan.partitionFilters.nonEmpty, "bucket IN-filter must prune at listing")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+      .getOrElse(fail("no numPartitions metric"))
+    assert(partsRead <= buckets.size.toLong,
+      s"read $partsRead cells for a ${buckets.size}-cell box")
+    val totalParts = spark.read.parquet(dir).select("z_bucket").distinct().count()
+    assert(partsRead < totalParts,
+      s"no pruning: $partsRead of $totalParts cells read")
+  }
+}
