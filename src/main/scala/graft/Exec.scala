@@ -46,19 +46,25 @@ object Exec {
     }
   }
 
-  /** `withCached` for a CHAIN of intermediates (each may derive from
-    * the previous): caches all of them, materializes in order (later
-    * actions reuse earlier cache entries), runs `f`, and checkpoints
-    * the result ONCE — nesting `withCached` would re-checkpoint the
-    * result at every level. Same contract as `withCached`: the
-    * result must be much smaller than the cached inputs, and all
-    * cache entries are released before returning.
+  /** `withCached` for a CHAIN of intermediates, each an ANCESTOR of
+    * the last (that is the caller's contract): caches all of them but
+    * materializes with ONE action on the last — computing it fills
+    * every ancestor's cache in the same job, where counting each
+    * separately would pay one full pass per chain member. Runs `f`
+    * against the cached chain and checkpoints the result ONCE —
+    * nesting `withCached` would re-checkpoint the result at every
+    * level. Same contract as `withCached` otherwise: the result must
+    * be much smaller than the cached inputs, and all cache entries
+    * are released before returning. (A non-ancestor chain member
+    * would merely miss eager materialization — `f`'s first touch
+    * fills it then, with at worst benign duplicate partition compute
+    * if two branches race.)
     */
   def withCachedChain(dfs: Seq[DataFrame])(f: => DataFrame): DataFrame = {
     require(dfs.nonEmpty, "need at least one intermediate")
     dfs.foreach(_.persist())
     try {
-      dfs.foreach(_.count())
+      dfs.last.count()
       materialize(f)
     } finally {
       dfs.reverse.foreach(_.unpersist())

@@ -109,6 +109,48 @@ object GraphMetrics {
     joinMetrics(deg, orient(canon, deg))
   }
 
+  /** The k-CORE: nodes of the maximal subgraph in which every node
+    * has degree ≥ k (with their within-core degree) — the classic
+    * density filter above triangles (spam farms and tight communities
+    * survive high-k cores; tendrils and link chains peel away). The
+    * k-core is UNIQUE, so the result is peel-order-independent and a
+    * driver-side reference peel must agree exactly (spec).
+    *
+    * Iterative peeling: drop all nodes of degree < k, recompute
+    * degrees, repeat to fixpoint. Each round is one degree aggregate
+    * + two anti-joins on the edge list (all key shuffles, nothing
+    * broadcast, nothing data-sized on the driver — one emptiness
+    * probe per round), with `localCheckpoint` lineage truncation per
+    * round (the ConnectedComponents pattern). Round count is bounded
+    * by the peel depth, data-dependent but small for power-law
+    * graphs; `maxIter` fail-fasts rather than returning a partially
+    * peeled (NOT-a-core) subgraph — a k=2 peel of a long path needs
+    * length/2 rounds, so chain-heavy graphs may need a higher cap.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    var canon = canonical(edges, srcCol, dstCol).localCheckpoint()
+    var iter = 0
+    while (iter < maxIter) {
+      val deg = degrees(canon)
+      val losers = deg.filter(col("degree") < k).select(col("node"))
+      if (losers.isEmpty) return deg
+      canon = canon
+        .join(losers.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+        .join(losers.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+        .localCheckpoint()
+      iter += 1
+    }
+    // one fixpoint check after the last allowed peel
+    val deg = degrees(canon)
+    if (deg.filter(col("degree") < k).isEmpty) deg
+    else throw new IllegalStateException(
+      s"kCore(k=$k) did not reach the fixpoint after $maxIter peel rounds — " +
+        "returning now would yield a subgraph that is NOT the k-core. Raise " +
+        "maxIter (rounds are peel-depth-bounded).")
+  }
+
   private def joinMetrics(deg: DataFrame, oriented: DataFrame): DataFrame = {
     val tri = trianglesOriented(oriented)
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))

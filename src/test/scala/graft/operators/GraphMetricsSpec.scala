@@ -54,6 +54,54 @@ class GraphMetricsSpec extends SparkSpec {
     assert(metrics(messy) === metrics(base))
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int, maxIter: Int = 50): Map[Long, Long] =
+    GraphMetrics.kCore(edges.toDF("s", "d"), "s", "d", k, maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference peel: repeatedly drop degree-<k nodes. */
+  private def bruteCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges.map(e => (e._1 min e._2) -> (e._1 max e._2))
+      .filter(e => e._1 != e._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("k-core: clique survives, tails and paths peel away") {
+    // K4 (nodes 1-4) with a pendant chain 4-5-6
+    val g = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L)
+    assert(core(g, 3) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "3-core is exactly the K4, with WITHIN-core degrees")
+    // a path needs length/2 peel rounds and 2-cores to nothing
+    val path = (1L to 9L).sliding(2).map(s => s.head -> s.last).toSeq
+    assert(core(path, 2).isEmpty)
+    // the same path under k=1 is untouched
+    assert(core(path, 1).keySet === (1L to 9L).toSet)
+  }
+
+  test("k-core matches the reference peel on a deterministic random graph") {
+    val edges = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+      if java.security.MessageDigest.getInstance("MD5")
+        .digest(s"core/$a/$b".getBytes("UTF-8"))(0).toInt % 4 == 0
+    } yield (a, b)).toSeq
+    for (k <- Seq(2, 3, 4))
+      assert(core(edges, k) === bruteCore(edges, k), s"k=$k diverged")
+  }
+
+  test("k-core fail-fasts instead of returning a partial peel") {
+    val path = (1L to 9L).sliding(2).map(s => s.head -> s.last).toSeq
+    val e = intercept[IllegalStateException](core(path, 2, maxIter = 1))
+    assert(e.getMessage.contains("NOT the k-core"))
+  }
+
   test("wedge volume is bounded by orientation: hub out-degree stays O(√m)") {
     // star + one far edge: the hub (degree 9) must orient OUTWARD
     // only toward higher-(degree,id) nodes — its oriented out-degree
