@@ -99,6 +99,28 @@ object ZOrderLayout {
     } yield mortonLong(xb, yb)
   }
 
+  /** Map a wide-domain numeric column to `1 << bits` RANK buckets
+    * (bits ≤ 8) — the producer of z-order dimensions from raw values
+    * (the OPTIMIZE ZORDER range-id convention: z-order on ranks, not
+    * values, so skewed domains still spread across the grid).
+    * Boundaries come from `approxQuantile` (sketch-sized driver
+    * fetch, `relErr` accuracy — boundary placement error moves rows
+    * between ADJACENT buckets only, which z-locality tolerates by
+    * design); assignment is a map-side codegen'd fold over the
+    * ≤ 255-element literal boundary array: bucket = #boundaries ≤ v.
+    * Appends `<col>_bucket`.
+    */
+  def rankBuckets(df: DataFrame, colName: String, bits: Int,
+                  relErr: Double = 0.001): DataFrame = {
+    require(bits >= 1 && bits <= 8, s"bits in [1,8]: $bits")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(colName, probs, relErr)
+    val arr = array(bounds.map(lit(_)): _*)
+    df.withColumn(s"${colName}_bucket",
+      size(filter(arr, b => b <= col(colName).cast("double"))).cast("long"))
+  }
+
   /** Read the box from a `write` layout: partition IN-filter on the
     * intersecting cells + residual per-dimension predicates. The
     * non-intersecting cells are pruned at partition listing (spec

@@ -44,6 +44,28 @@ class ZOrderLayoutSpec extends SparkSpec {
     }
   }
 
+  test("rankBuckets: monotone, in range, near-even on skewed data, morton-compatible") {
+    // heavy skew: 90% of values in [0, 100), long tail to 10^6
+    val vals = (0L until 2000L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rb/$i".getBytes("UTF-8"))
+      val u = ((h(0) & 0xffL) << 8) | (h(1) & 0xffL)
+      if (i % 10 != 0) u % 100L else u * 15L
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = ZOrderLayout.rankBuckets(df, "v", bits = 4)
+      .select("v", "v_bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (_, b) => b >= 0L && b <= 15L })
+    assert(out.map(_._2).max === 15L, "top bucket must be populated")
+    // monotone: sort by value, buckets never decrease
+    val sorted = out.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // near-even despite skew: no bucket holds more than 4x its share
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).values
+    assert(sizes.max <= 4 * (2000 / 16), s"skewed bucket sizes: $sizes")
+    assert(out.map(_._2).max < 65536L, "bucket ids must be valid morton dims")
+  }
+
   test("a 2D box reads only its intersecting cells; results match a plain filter") {
     // 64 × 64 deterministic grid of points, both dims uniform
     val rows = (0L until 4096L).map { i =>

@@ -94,6 +94,29 @@ class StreamingMaterializedViewSpec extends SparkSpec {
         s"view version $n diverged from its snapshot twin")
   }
 
+  test("view history is vacuumable with the shared versioned-dir layout") {
+    val in = Files.createTempDirectory("graft_mv3_in").toString
+    val snapDir = Files.createTempDirectory("graft_mv3_sn").toString + "/snap"
+    val viewDir = Files.createTempDirectory("graft_mv3_vw").toString + "/view"
+    val cp = Files.createTempDirectory("graft_mv3_cp").toString
+
+    StreamingMaterializedView.init(base, snapDir, viewDir, Seq("s"), Seq("v"))
+    Files.writeString(java.nio.file.Paths.get(in, "b1.jsonl"),
+      jsonl(Seq((10L, 1L, Option(11L), "x", false))))
+    StreamingMaterializedView.start(spark, in, snapDir, viewDir, cp, Seq("s"), Seq("v"))
+      .awaitTermination(120000)
+
+    val current = snap(StreamingMaterializedView.view(spark, viewDir))
+    // the view dir shares the batch_no + marker layout, so the CDC
+    // vacuum applies verbatim
+    assert(StreamingCdc.vacuum(spark, viewDir, keepLast = 1) === Seq(-1L))
+    assert(snap(StreamingMaterializedView.view(spark, viewDir)) === current,
+      "vacuum must keep the current view")
+    intercept[IllegalArgumentException] {
+      StreamingMaterializedView.viewAt(spark, viewDir, -1L)
+    }
+  }
+
   test("a delete of an absent key is a no-op for both states") {
     val in = Files.createTempDirectory("graft_mv2_in").toString
     val snapDir = Files.createTempDirectory("graft_mv2_sn").toString + "/snap"
