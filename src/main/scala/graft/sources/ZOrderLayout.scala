@@ -99,27 +99,42 @@ object ZOrderLayout {
     } yield mortonLong(xb, yb)
   }
 
-  /** Map a wide-domain numeric column to `1 << bits` RANK buckets
-    * (bits ≤ 8) — the producer of z-order dimensions from raw values
-    * (the OPTIMIZE ZORDER range-id convention: z-order on ranks, not
-    * values, so skewed domains still spread across the grid).
-    * Boundaries come from `approxQuantile` (sketch-sized driver
-    * fetch, `relErr` accuracy — boundary placement error moves rows
-    * between ADJACENT buckets only, which z-locality tolerates by
-    * design); assignment is a map-side codegen'd fold over the
-    * ≤ 255-element literal boundary array: bucket = #boundaries ≤ v.
-    * Appends `<col>_bucket`.
+  /** Rank-bucket BOUNDARIES for a wide-domain numeric column:
+    * `(1 << bits) − 1` split points from `approxQuantile`
+    * (sketch-sized driver fetch; placement error within `relErr`
+    * moves rows between ADJACENT buckets only, which z-locality
+    * tolerates by design). The boundaries are a LAYOUT ARTIFACT:
+    * persist them next to the data — readers need the same array to
+    * translate raw box coordinates into bucket space for `readBox`,
+    * and bucket assignment is partition-invariant only GIVEN a fixed
+    * array (the quantile sketch itself merges in partition order, so
+    * recomputing boundaries under a different partitioning may shift
+    * them within relErr).
     */
-  def rankBuckets(df: DataFrame, colName: String, bits: Int,
-                  relErr: Double = 0.001): DataFrame = {
+  def rankBoundaries(df: DataFrame, colName: String, bits: Int,
+                     relErr: Double = 0.001): Array[Double] = {
     require(bits >= 1 && bits <= 8, s"bits in [1,8]: $bits")
     val n = 1 << bits
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    val bounds = df.stat.approxQuantile(colName, probs, relErr)
+    df.stat.approxQuantile(colName, (1 until n).map(_.toDouble / n).toArray, relErr)
+  }
+
+  /** Deterministic bucket assignment against a FIXED boundary array:
+    * bucket = #boundaries ≤ v, a map-side codegen'd fold over the
+    * ≤ 255-element literal array. Appends `<col>_bucket`.
+    */
+  def applyBuckets(df: DataFrame, colName: String, bounds: Array[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds.length <= 255, s"1..255 boundaries: ${bounds.length}")
     val arr = array(bounds.map(lit(_)): _*)
     df.withColumn(s"${colName}_bucket",
       size(filter(arr, b => b <= col(colName).cast("double"))).cast("long"))
   }
+
+  /** `rankBoundaries` + `applyBuckets` in one call, for one-shot
+    * jobs that do not need to re-read the layout later.
+    */
+  def rankBuckets(df: DataFrame, colName: String, bits: Int,
+                  relErr: Double = 0.001): DataFrame =
+    applyBuckets(df, colName, rankBoundaries(df, colName, bits, relErr))
 
   /** Read the box from a `write` layout: partition IN-filter on the
     * intersecting cells + residual per-dimension predicates. The

@@ -64,4 +64,37 @@ class PartitionInvarianceSpec extends SparkSpec {
     inv("merge")(e => operators.Upsert.merge(
       e.groupBy("k").agg(max("v").as("v"), max("et").as("s")), upd, Seq("k")))
   }
+
+  test("incremental agg, graph metrics, k-core, bloom join, bm25, z-buckets are partitioning-invariant") {
+    val fact = (1L to 60L).map(i => (i % 7, if (i % 11 == 0) None else Some(i)))
+      .toDF("k", "v")
+    def inv(name: String, base: DataFrame)(op: DataFrame => DataFrame): Unit = {
+      val a = op(base.repartition(7)).collect().map(_.toString).sorted
+      val b = op(base.repartition(2, col(base.columns.head))).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$name: output depends on input partitioning")
+    }
+    inv("incrementalAgg", fact) { f =>
+      val delta = Seq((1L, Option(100L), "insert"), (2L, Option(2L), "delete"))
+        .toDF("k", "v", "_op")
+      operators.IncrementalAgg.applyDelta(
+        operators.IncrementalAgg.init(f, Seq("k"), Seq("v")), delta, Seq("k"), Seq("v"))
+    }
+    val edges = (for { a <- 1L to 15L; b <- (a + 1) to 15L if (a * 31 + b) % 3 == 0 }
+      yield (a, b)).toDF("s", "d")
+    inv("nodeMetrics", edges)(e => operators.GraphMetrics.nodeMetrics(e, "s", "d"))
+    inv("kCore", edges)(e => operators.GraphMetrics.kCore(e, "s", "d", k = 3))
+    inv("bloomJoin", fact) { f =>
+      val dim = Seq((1L, "a"), (3L, "b")).toDF("k", "attr")
+      operators.BloomPrunedJoin.inner(f, dim, "k")
+    }
+    inv("bm25", docs) { d =>
+      val q = Seq((1L, "alpha"), (1L, "two"), (2L, "fox")).toDF("query_id", "term")
+      functions.Bm25.topK(d, q, k = 5)
+    }
+    // z-bucket assignment is invariant GIVEN a fixed boundary array
+    // (the artifact contract — boundaries persist with the layout)
+    inv("applyBuckets", fact.filter(col("v").isNotNull)) { f =>
+      sources.ZOrderLayout.applyBuckets(f, "v", Array(15.0, 30.0, 45.0))
+    }
+  }
 }
