@@ -146,4 +146,51 @@ object ZOrderLayout {
     spark.read.parquet(dir)
       .filter(col("z_bucket").isin(boxBuckets(x0, x1, y0, y1, prefixBits): _*))
       .filter(col(xCol).between(x0, x1) && col(yCol).between(y0, y1))
+
+  /** End-to-end layout over RAW wide-domain dimensions: compute rank
+    * boundaries for both, bucket, z-order on the bucket ranks, and
+    * return the two boundary arrays — THE artifact the caller must
+    * persist with the layout (readRawBox needs it to translate raw
+    * predicates into bucket space).
+    */
+  def writeRanked(df: DataFrame, xCol: String, yCol: String, dir: String,
+                  bits: Int = 8, prefixBits: Int = 3,
+                  relErr: Double = 0.001): (Array[Double], Array[Double]) = {
+    require(prefixBits <= bits, s"grid ($prefixBits bits) coarser than ranks ($bits)")
+    val bx = rankBoundaries(df, xCol, bits, relErr)
+    val by = rankBoundaries(df, yCol, bits, relErr)
+    // scale bucket ranks into the 16-bit dim domain so the z-cell
+    // prefix (the TOP bits) is the rank's own prefix — unscaled
+    // low-bit ranks would all share prefix 0 and nothing would prune
+    val s = 16 - bits
+    val bucketed = applyBuckets(applyBuckets(df, xCol, bx), yCol, by)
+      .withColumn(s"${xCol}_rank16", shiftleft(col(s"${xCol}_bucket"), s))
+      .withColumn(s"${yCol}_rank16", shiftleft(col(s"${yCol}_bucket"), s))
+    write(bucketed, s"${xCol}_rank16", s"${yCol}_rank16", dir, prefixBits)
+    (bx, by)
+  }
+
+  /** Raw-coordinate box read against a `writeRanked` layout: the raw
+    * bounds translate to bucket space with the SAME #boundaries-≤-v
+    * rule applyBuckets used (driver-side scalar math over the stored
+    * arrays — conservative by construction: a raw bound always lands
+    * in the bucket containing it), cells prune via boxBuckets, and
+    * the raw per-dimension predicates remain as residual filters.
+    */
+  def readRawBox(spark: SparkSession, dir: String, xCol: String, yCol: String,
+                 x0: Double, x1: Double, y0: Double, y1: Double,
+                 boundsX: Array[Double], boundsY: Array[Double],
+                 prefixBits: Int = 3): DataFrame = {
+    // bits is recoverable from the artifact: |bounds| = 2^bits − 1
+    def bitsOf(bounds: Array[Double]): Int =
+      java.lang.Integer.numberOfTrailingZeros(bounds.length + 1)
+    def rank16(v: Double, bounds: Array[Double]): Long =
+      bounds.count(_ <= v).toLong << (16 - bitsOf(bounds))
+    val cells = boxBuckets(rank16(x0, boundsX), rank16(x1, boundsX),
+      rank16(y0, boundsY), rank16(y1, boundsY), prefixBits)
+    spark.read.parquet(dir)
+      .filter(col("z_bucket").isin(cells: _*))
+      .filter(col(xCol).cast("double").between(x0, x1) &&
+        col(yCol).cast("double").between(y0, y1))
+  }
 }

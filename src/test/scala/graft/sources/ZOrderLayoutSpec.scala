@@ -66,6 +66,37 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(out.map(_._2).max < 65536L, "bucket ids must be valid morton dims")
   }
 
+  test("writeRanked/readRawBox: raw skewed dims end-to-end, pruned and exact") {
+    // x skewed (90% small, long tail), y uniform — raw domains far
+    // beyond 16 bits
+    val rows = (0L until 3000L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rr/$i".getBytes("UTF-8"))
+      def u16(o: Int) = ((h(o) & 0xffL) << 8) | (h(o + 1) & 0xffL)
+      val x = if (i % 10 != 0) u16(0) % 500L else u16(0) * 1000L
+      (i, x, u16(2) * 3L)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val dir = Files.createTempDirectory("graft_zranked").toString + "/t"
+    val (bx, by) = ZOrderLayout.writeRanked(df, "x", "y", dir, bits = 6, prefixBits = 3)
+    assert(bx.length === 63 && by.length === 63)
+
+    val (x0, x1, y0, y1) = (0.0, 400.0, 30000.0, 90000.0)
+    val got = ZOrderLayout.readRawBox(spark, dir, "x", "y", x0, x1, y0, y1, bx, by)
+      .select("id").as[Long].collect().toSet
+    val expected = rows.filter(r => r._2 <= 400L && r._3 >= 30000L && r._3 <= 90000L)
+      .map(_._1).toSet
+    assert(got === expected, "raw-coordinate read must return exactly the box")
+    assert(expected.size > 100, "degenerate box — test data broken")
+
+    // pruning: the skewed-x slice is dense in rank space but still
+    // bounded; the read must not touch every cell
+    val totalCells = spark.read.parquet(dir).select("z_bucket").distinct().count()
+    val readCells = ZOrderLayout.readRawBox(spark, dir, "x", "y", x0, x1, y0, y1, bx, by)
+      .select("z_bucket").distinct().count()
+    assert(readCells < totalCells, s"no pruning: $readCells of $totalCells cells")
+  }
+
   test("a 2D box reads only its intersecting cells; results match a plain filter") {
     // 64 × 64 deterministic grid of points, both dims uniform
     val rows = (0L until 4096L).map { i =>
