@@ -1384,5 +1384,15 @@ object OracleSql {
          |SELECT l_orderkey, l_partkey, l_suppkey, zval,
          |  CAST(zval >> 26 AS BIGINT) AS z_cell
          |FROM m ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin
-    })
+    },
+
+    // The bloom pre-filter is semantically transparent (false
+    // positives die in the real join, false negatives impossible), so
+    // the oracle is the PLAIN selective join.
+    "q89_bloom_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1863,6 +1863,25 @@ object SparkEntry {
       .transform(sorted1(_, col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
   }
 
+  /** q89: bloom-pruned selective join (operators/BloomPrunedJoin) —
+    * lineitem × the ~2% of parts with p_size = 1, the fact side
+    * filtered MAP-SIDE by the dim keys' broadcast bloom before its
+    * shuffle. The bloom is semantically transparent (the real join
+    * decides), so the oracle is the PLAIN join — the hash match is
+    * the exactness proof, while the spec pins the reduction bounds.
+    */
+  private def q89BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_extendedprice"))
+    val dim = Tables.part(s, dir).filter(col("p_size") === 1)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.operators.BloomPrunedJoin.inner(big, dim, "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+      .transform(sorted1(_, col("p_brand")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1951,7 +1970,8 @@ object SparkEntry {
     "q85_incremental_agg" -> (q85IncrementalAgg _),
     "q86_graph_metrics" -> (q86GraphMetrics _),
     "q87_bm25" -> (q87Bm25 _),
-    "q88_zorder" -> (q88Zorder _))
+    "q88_zorder" -> (q88Zorder _),
+    "q89_bloom_join" -> (q89BloomJoin _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

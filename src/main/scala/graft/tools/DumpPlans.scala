@@ -56,6 +56,8 @@ object DumpPlans {
       "Windowed funnel: ObjectHashAggregate pair around ONE hash exchange on the entity key (partial collect map-side); the anchors-array fold and depth count are codegen'd higher-order projection arithmetic above it — the windowed variant adds zero shuffles over q73's unwindowed automaton.",
     "q85_incremental_agg" ->
       "Incremental view maintenance: the delta side is a HashAggregate pair (map-side partial) so the exchange carries one row per touched key, not the delta rows; the view joins it with ONE shuffle (zero under B15 bucketing) and the base fact is absent from the maintenance subtree entirely — the only fact scans in this demo plan SYNTHESIZE the base/delta split.",
+    "q89_bloom_join" ->
+      "Bloom-pruned join: the dim side collapses to distinct bloom positions broadcast as longs; the fact side passes k map-side BroadcastHashJoins + the membership filter BEFORE its exchange, so the join's shuffle carries only rows whose key MIGHT match (~selectivity of the dim filter); the real join above still decides, keeping results exactly the plain join's. (At this SF the 38-row dim is itself broadcastable so the deciding join is a BroadcastHashJoin; the operator's target regime is a dim ABOVE the broadcast threshold, where the deciding join is a shuffle join over the bloom-thinned fact — the m-bounded position broadcast stays small either way.)",
     "q87_bm25" ->
       "BM25 retrieval: the (doc, token) count exchange is built once and REUSED by its three consumers (doc lengths, query-term df, contribution join — AQE ReusedExchange); the query-term and df sides are broadcasts, the corpus stats are a one-row broadcast cross join, and the only corpus-scale exchanges are the (doc, token) partial-agg pair and the per-(query, doc) score fold.",
     "q86_graph_metrics" ->
