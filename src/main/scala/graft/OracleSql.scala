@@ -1394,5 +1394,35 @@ object OracleSql {
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_size = 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // JPEG pixel stats: flat 8×8 blocks are DC-only with all-ones
+    // quant tables, so the hand-rolled decode (Huffman → dequant →
+    // IDCT → fixed-point YCbCr→RGB) is EXACT integer arithmetic the
+    // oracle mirrors constant-for-constant (91881/22554/46802/116130
+    // over 2^16; /65536.0 is a power-of-two division, so floor() is
+    // bit-exact, matching the decoder's arithmetic >> 16).
+    "q90_jpeg_pixels" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh FROM documents),
+        |pby AS (SELECT doc_id, bw, bh, unnest(range(0, bh)) AS by FROM p),
+        |pbx AS (SELECT doc_id, bw, bh, by, unnest(range(0, bw)) AS bx FROM pby),
+        |ycc AS (SELECT doc_id, bw, bh,
+        |  (17*bx + 29*by + doc_id) % 256 AS y,
+        |  ((11*bx + 7*by + 3*doc_id) % 97) - 48 AS cb,
+        |  ((13*bx + 5*by + 7*doc_id) % 89) - 44 AS cr
+        | FROM pbx),
+        |rgb AS (SELECT doc_id, bw, bh,
+        |  least(greatest(y + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS r,
+        |  least(greatest(y + CAST(floor((-22554*cb - 46802*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS g,
+        |  least(greatest(y + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT), 0), 255) AS b
+        | FROM ycc),
+        |s AS (SELECT doc_id, any_value(bw) AS bw, any_value(bh) AS bh,
+        |  CAST(64*sum(r) AS BIGINT) AS sum_r,
+        |  CAST(64*sum(g) AS BIGINT) AS sum_g,
+        |  CAST(64*sum(b) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS peak
+        | FROM rgb GROUP BY doc_id)
+        |SELECT doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -1882,6 +1882,39 @@ object SparkEntry {
       .transform(sorted1(_, col("p_brand")))
   }
 
+  /** C11e — REAL baseline JPEG pixel decode (multimodal.Jpeg +
+    * Multimodal.imagePixelStats routing on the SOI magic): each doc
+    * gets a genuine baseline JPEG — a doc_id-keyed grid of flat 8×8
+    * YCbCr blocks through the DC-only synthesis encoder — and the
+    * hand-rolled decoder runs the SAME general path as any camera
+    * JPEG: marker walk, canonical Huffman tables, dequantization,
+    * IDCT, fixed-point YCbCr→RGB. Flat blocks are DC-only with
+    * all-ones quant tables, so decode is EXACT and the oracle
+    * rebuilds the stats from the synthesis arithmetic (q83's
+    * pattern), mirroring the decoder's 16-bit fixed-point color
+    * convert constant-for-constant; JpegSpec additionally
+    * cross-checks the decoder against the JDK's JPEG reader on
+    * JDK-encoded 4:2:0 and grayscale images.
+    */
+  private def q90JpegPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jpg = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bw = (1 + id % 4).toInt; val bh = (1 + id % 3).toInt
+        val bytes = graft.multimodal.Jpeg.encodeFlatBlocks(bw, bh, (bx, by) =>
+          (((17 * bx + 29 * by + id) % 256).toInt,
+            (128 + ((11 * bx + 7 * by + 3 * id) % 97) - 48).toInt,
+            (128 + ((13 * bx + 5 * by + 7 * id) % 89) - 44).toInt))
+        (id, bytes)
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.imagePixelStats(jpg).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("peak").cast("long").as("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -1971,7 +2004,8 @@ object SparkEntry {
     "q86_graph_metrics" -> (q86GraphMetrics _),
     "q87_bm25" -> (q87Bm25 _),
     "q88_zorder" -> (q88Zorder _),
-    "q89_bloom_join" -> (q89BloomJoin _))
+    "q89_bloom_join" -> (q89BloomJoin _),
+    "q90_jpeg_pixels" -> (q90JpegPixels _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *  - RESIZE IS REAL for JDK-decodable payloads: full `ImageIO`
   *    decode + bilinear `Graphics2D` rescale + PNG re-encode; only
   *    non-JDK formats fall back to the byte-stride stub.
-  *  - PIXEL DECODE IS REAL for every non-lossy image format:
-  *    BMP ([[Bmp]]), PNG ([[Png]] — inflate + all five filters), GIF
-  *    ([[Gif]] — LZW + palette walk); `imagePixelStats` routes by
-  *    magic bytes. Only lossy JPEG stays header-only.
+  *  - PIXEL DECODE IS REAL for every image format the testbed can
+  *    produce: BMP ([[Bmp]]), PNG ([[Png]] — inflate + all five
+  *    filters), GIF ([[Gif]] — LZW + palette walk), and baseline
+  *    JPEG ([[Jpeg]] — Huffman + IDCT + 4:2:0 upsampling);
+  *    `imagePixelStats` routes by magic bytes.
   *  - AUDIO DECODE IS REAL for WAV/PCM payloads ([[Wav]]: RIFF chunk
   *    walk + exact integer sample statistics — `audioFeatures`);
   *    native-codec formats (MP3/AAC/opus) are out of scope.
@@ -265,10 +266,11 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        // magic-byte routing between the three real pixel decoders:
+        // magic-byte routing between the four real pixel decoders:
         // PNG signature → hand-rolled inflate+unfilter (Png); GIF →
-        // hand-rolled LZW + palette walk (Gif); else BMP (Bmp.decode
-        // returns invalid for anything that isn't BM)
+        // hand-rolled LZW + palette walk (Gif); JPEG SOI → hand-rolled
+        // baseline Huffman+IDCT (Jpeg); else BMP (Bmp.decode returns
+        // invalid for anything that isn't BM)
         if (bytes != null && bytes.length > 0 && (bytes(0) & 0xff) == 0x89) {
           val p = Png.decode(bytes)
           PixelMeta(id, p.width, p.height, p.sumR, p.sumG, p.sumB, p.peak, p.valid)
@@ -276,6 +278,10 @@ object Multimodal {
           bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
           val g = Gif.decode(bytes)
           PixelMeta(id, g.width, g.height, g.sumR, g.sumG, g.sumB, g.peak, g.valid)
+        } else if (bytes != null && bytes.length > 1 &&
+          (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+          val j = Jpeg.decode(bytes)
+          PixelMeta(id, j.width, j.height, j.sumR, j.sumG, j.sumB, j.peak, j.valid)
         } else {
           val b = Bmp.decode(bytes)
           PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)

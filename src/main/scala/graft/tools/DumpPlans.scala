@@ -56,6 +56,8 @@ object DumpPlans {
       "Windowed funnel: ObjectHashAggregate pair around ONE hash exchange on the entity key (partial collect map-side); the anchors-array fold and depth count are codegen'd higher-order projection arithmetic above it — the windowed variant adds zero shuffles over q73's unwindowed automaton.",
     "q85_incremental_agg" ->
       "Incremental view maintenance: the delta side is a HashAggregate pair (map-side partial) so the exchange carries one row per touched key, not the delta rows; the view joins it with ONE shuffle (zero under B15 bucketing) and the base fact is absent from the maintenance subtree entirely — the only fact scans in this demo plan SYNTHESIZE the base/delta split.",
+    "q90_jpeg_pixels" ->
+      "JPEG pixel decode: map-only — synthesis and decode both live in one mapPartitions pass over documents (no shuffle until the final harness sort), the canonical shape of a CPU-bound decode stage: throughput scales linearly with executors and the only exchange is the deterministic-output sort.",
     "q89_bloom_join" ->
       "Bloom-pruned join: the dim side collapses to distinct bloom positions broadcast as longs; the fact side passes k map-side BroadcastHashJoins + the membership filter BEFORE its exchange, so the join's shuffle carries only rows whose key MIGHT match (~selectivity of the dim filter); the real join above still decides, keeping results exactly the plain join's. (At this SF the 38-row dim is itself broadcastable so the deciding join is a BroadcastHashJoin; the operator's target regime is a dim ABOVE the broadcast threshold, where the deciding join is a shuffle join over the bloom-thinned fact — the m-bounded position broadcast stays small either way.)",
     "q87_bm25" ->
