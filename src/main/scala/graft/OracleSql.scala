@@ -40,6 +40,46 @@ object OracleSql {
     * mirrors Spark's conv(substring(md5(e), 1, chars), 16, 10)
     * (chars ≤ 15 keeps the fold inside 60 bits, BIGINT-safe).
     */
+  /** q91's full BPE training loop as k generated CTE layers — each
+    * layer mirrors one BpeTrainer round: overlapping pair counts
+    * weighted by word frequency, argmax with (count DESC, lhs, rhs)
+    * tie-break, then greedy left-to-right merge application as a
+    * list_reduce fold over singleton lists (DuckDB's reduce keeps the
+    * accumulator in the element type, hence the list-of-lists lift;
+    * the fold is exactly BpeTrainer.applyMerge's aggregate()).
+    */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |    list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents)
+        |  GROUP BY word),
+        |""".stripMargin)
+    for (i <- 0 until k) {
+      sb.append(
+        s"""p$i AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z, cnt FROM w$i)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+           |""".stripMargin)
+      if (i < k - 1) sb.append(
+        s"""w${i + 1} AS (SELECT word, cnt,
+           |    list_reduce(list_transform(syms, x -> [x]),
+           |      (a, b) -> CASE WHEN len(a) > 0 AND a[len(a)] = b$i.l AND b[1] = b$i.r
+           |                THEN list_append(a[1:len(a)-1], b$i.l || b$i.r)
+           |                ELSE list_append(a, b[1]) END) AS syms
+           |  FROM w$i CROSS JOIN b$i),
+           |""".stripMargin)
+    }
+    sb.append("sel AS (")
+    sb.append((0 until k).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString(" UNION ALL "))
+    sb.append(") SELECT * FROM sel ORDER BY merge_rank")
+    sb.toString
+  }
+
   private def md5fold(expr: String, chars: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split(substring(md5($expr), 1, $chars), ''), " +
@@ -1424,5 +1464,9 @@ object OracleSql {
         | FROM rgb GROUP BY doc_id)
         |SELECT doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
         |  sum_r, sum_g, sum_b, peak, true AS valid
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // BPE training: the oracle replays all 6 rounds (pair counting,
+    // argmax tie-break, greedy merge application) — see bpeOracle.
+    "q91_bpe_train" -> bpeOracle(6))
 }

@@ -1915,6 +1915,19 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C46 — distributed BPE tokenizer TRAINING (operators.BpeTrainer):
+    * 6 merge rounds over the documents corpus — one corpus-scale
+    * word-count shuffle, then vocab-scale rounds whose argmax reaches
+    * the driver as ONE row each (TakeOrderedAndProject). The oracle
+    * replays the whole loop in SQL (6 generated CTE layers with a
+    * list_reduce greedy fold), so the hash match proves every round's
+    * pair counting, tie-break, AND greedy re-segmentation.
+    */
+  private def q91BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.merges(
+        Tables.documents(s, dir).select(col("text")), "text", k = 6)
+      .transform(sorted1(_, col("merge_rank")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2005,7 +2018,8 @@ object SparkEntry {
     "q87_bm25" -> (q87Bm25 _),
     "q88_zorder" -> (q88Zorder _),
     "q89_bloom_join" -> (q89BloomJoin _),
-    "q90_jpeg_pixels" -> (q90JpegPixels _))
+    "q90_jpeg_pixels" -> (q90JpegPixels _),
+    "q91_bpe_train" -> (q91BpeTrain _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -56,6 +56,8 @@ object DumpPlans {
       "Windowed funnel: ObjectHashAggregate pair around ONE hash exchange on the entity key (partial collect map-side); the anchors-array fold and depth count are codegen'd higher-order projection arithmetic above it — the windowed variant adds zero shuffles over q73's unwindowed automaton.",
     "q85_incremental_agg" ->
       "Incremental view maintenance: the delta side is a HashAggregate pair (map-side partial) so the exchange carries one row per touched key, not the delta rows; the view joins it with ONE shuffle (zero under B15 bucketing) and the base fact is absent from the maintenance subtree entirely — the only fact scans in this demo plan SYNTHESIZE the base/delta split.",
+    "q91_bpe_train" ->
+      "BPE training (round-1 plan shown): the ONLY corpus-scale stage is the word explode + HashAggregate pair (map-side partial counts) feeding one exchange; pair counting re-aggregates the vocab-scale word table and the argmax is TakeOrderedAndProject — per-partition top-1, ONE row to the driver, no global sort. Later rounds reuse this shape on the checkpointed vocab, corpus never re-read.",
     "q90_jpeg_pixels" ->
       "JPEG pixel decode: map-only — synthesis and decode both live in one mapPartitions pass over documents (no shuffle until the final harness sort), the canonical shape of a CPU-bound decode stage: throughput scales linearly with executors and the only exchange is the deterministic-output sort.",
     "q89_bloom_join" ->
@@ -74,6 +76,8 @@ object DumpPlans {
     name match {
       case "q86_graph_metrics" => Some(graft.operators.GraphMetrics
         .nodeMetricsPlan(SparkEntry.q86Edges(spark, sf), "src", "dst"))
+      case "q91_bpe_train" => Some(graft.operators.BpeTrainer.round1Plan(
+        graft.Tables.documents(spark, sf).select("text"), "text"))
       case _ => None
     }
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BpeTrainer — hand-computed merge tables on tiny corpora, greedy
+  * overlap semantics, count tie-breaks, the segment (encode) path
+  * against the trainer's own final state, and partition invariance.
+  */
+class BpeTrainerSpec extends SparkSpec {
+
+  private def corpus(texts: String*) = {
+    import spark.implicits._
+    texts.toDF("text")
+  }
+
+  test("hand-computed merges on a tiny corpus (overlap counting included)") {
+    // word counts: the×5(+that? no: 'that' separate)... worked by hand:
+    //   "the cat sat on the mat" / "the cats eat the fat rat" /
+    //   "that cat is the best cat" / "aaaa aaa aa a"
+    // round 1: (a,t) appears in cat(3x? cat appears in d1, d3 twice, cats)...
+    // reference python implementation agrees with these values:
+    val df = corpus(
+      "the cat sat on the mat",
+      "the cats eat the fat rat",
+      "that cat is the best cat",
+      "aaaa aaa aa a")
+    val got = BpeTrainer.train(df, "text", 4).map(m => (m.lhs, m.rhs, m.pair_count))
+    assert(got === Seq(("a", "t", 10L), ("a", "a", 6L), ("t", "h", 6L), ("th", "e", 5L)))
+  }
+
+  test("greedy left-to-right application: aaaa segments to [aa, aa], not [aa, a, a]") {
+    // overlapping pairs all COUNT (aaaa -> 3 x (a,a)), but application
+    // is greedy non-overlapping; round 2 must see (aa,aa) from 'aaaa'
+    val df = corpus("aaaa", "aaaa", "aaaa")
+    val got = BpeTrainer.train(df, "text", 2)
+    assert(got.map(m => (m.lhs, m.rhs, m.pair_count)) ===
+      Seq(("a", "a", 9L), ("aa", "aa", 3L)))
+  }
+
+  test("count ties break on the lexicographically smallest (lhs, rhs)") {
+    val df = corpus("zy zy", "ab ab") // (z,y) and (a,b) both count 2
+    val got = BpeTrainer.train(df, "text", 1)
+    assert(got.head.lhs === "a" && got.head.rhs === "b" && got.head.pair_count === 2L)
+  }
+
+  test("early stop when the vocabulary runs out of pairs") {
+    val df = corpus("a b c a b") // single-char words only: one round of... none
+    val got = BpeTrainer.train(df, "text", 5)
+    assert(got.isEmpty) // no adjacent pairs inside any word
+  }
+
+  test("segment (encode) reproduces the trainer's final segmentation") {
+    val df = corpus(
+      "the cat sat on the mat",
+      "the cats eat the fat rat",
+      "that cat is the best cat")
+    val merges = BpeTrainer.train(df, "text", 5)
+    // apply the learned merges to a probe text and check against a
+    // direct re-derivation: training on the probe ALONE would diverge,
+    // but segmenting with the corpus merges must equal the greedy fold
+    val seg = BpeTrainer.segment(corpus("the cat chat"), "text", merges)
+      .select("bpe_tokens").collect()(0).getSeq[String](0)
+    // replay the merges by hand over ["the", "cat", "chat"]
+    def fold(word: String): Seq[String] =
+      merges.sortBy(_.merge_rank).foldLeft(word.map(_.toString)) { (s, m) =>
+        s.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == m.lhs && x == m.rhs)
+            acc.init :+ (m.lhs + m.rhs)
+          else acc :+ x
+        }
+      }
+    assert(seg === Seq("the", "cat", "chat").flatMap(fold))
+  }
+
+  test("merges are partition-invariant") {
+    val texts = (0 until 64).map(i => s"doc $i the quick brown fox jumps over lazy dog$i")
+    val df1 = corpus(texts: _*).repartition(1)
+    val df7 = corpus(texts: _*).repartition(7)
+    assert(BpeTrainer.train(df1, "text", 4) === BpeTrainer.train(df7, "text", 4))
+  }
+}
