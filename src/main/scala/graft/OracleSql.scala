@@ -48,7 +48,7 @@ object OracleSql {
     * accumulator in the element type, hence the list-of-lists lift;
     * the fold is exactly BpeTrainer.applyMerge's aggregate()).
     */
-  private def bpeOracle(k: Int): String = {
+  private def bpeTrainCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
@@ -72,12 +72,42 @@ object OracleSql {
            |  FROM w$i CROSS JOIN b$i),
            |""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder(bpeTrainCtes(k))
     sb.append("sel AS (")
     sb.append((0 until k).map(i =>
       s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
       .mkString(" UNION ALL "))
     sb.append(") SELECT * FROM sel ORDER BY merge_rank")
     sb.toString
+  }
+
+  /** q92's encode: the same k training layers, then every document's
+    * words run through the k merge folds IN RANK ORDER — the fold
+    * nests k lifted list_reduce levels (innermost = merge 1), exactly
+    * BpeTrainer.segment's chained aggregate() expression, so the hash
+    * match proves the map-only inference path reproduces training's
+    * greedy semantics end-to-end.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    var fold = "list_transform(range(1, length(w)+1), i -> w[i:i])"
+    for (i <- 0 until k) fold =
+      s"""list_reduce(list_transform($fold, x -> [x]),
+         |      (a, b) -> CASE WHEN len(a) > 0 AND a[len(a)] = b$i.l AND b[1] = b$i.r
+         |                THEN list_append(a[1:len(a)-1], b$i.l || b$i.r)
+         |                ELSE list_append(a, b[1]) END)""".stripMargin
+    val crossJoins = (0 until k).map(i => s"CROSS JOIN b$i").mkString(" ")
+    bpeTrainCtes(k) +
+      s"""enc AS (SELECT doc_id,
+         |    flatten(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> $fold)) AS toks
+         |  FROM documents $crossJoins)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+         |  array_to_string(toks[1:12], ' ') AS head
+         |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   private def md5fold(expr: String, chars: Int): String =
@@ -1468,5 +1498,9 @@ object OracleSql {
 
     // BPE training: the oracle replays all 6 rounds (pair counting,
     // argmax tie-break, greedy merge application) — see bpeOracle.
-    "q91_bpe_train" -> bpeOracle(6))
+    "q91_bpe_train" -> bpeOracle(6),
+
+    // BPE encode: training replayed, then per-doc nested merge folds
+    // in rank order — see bpeEncodeOracle.
+    "q92_bpe_encode" -> bpeEncodeOracle(6))
 }

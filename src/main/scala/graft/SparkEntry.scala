@@ -1928,6 +1928,27 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("text")), "text", k = 6)
       .transform(sorted1(_, col("merge_rank")))
 
+  /** C46b — BPE ENCODE at corpus scale (BpeTrainer.segmentFast): the
+    * inference side of q91's trained vocabulary. The merge table is
+    * driver-held (k rows) and compiled into a memoized per-partition
+    * encoder — MAP-ONLY at any corpus size, no join, no shuffle, each
+    * DISTINCT word per partition pays the merge fold once (Zipf's law
+    * makes the cache hit rate the whole game). The declarative twin
+    * (BpeTrainer.segment, k chained aggregate() folds) is spec-pinned
+    * bit-identical, so the oracle — which replays training + the same
+    * nested fold per document — covers both paths.
+    */
+  private def q92BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.BpeTrainer.train(docs.select(col("text")), "text", k = 6)
+    graft.operators.BpeTrainer.segmentFast(docs, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_tokens"),
+        size(array_distinct(col("bpe_tokens"))).cast("long").as("n_unique"),
+        array_join(slice(col("bpe_tokens"), 1, 12), " ").as("head"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2019,7 +2040,8 @@ object SparkEntry {
     "q88_zorder" -> (q88Zorder _),
     "q89_bloom_join" -> (q89BloomJoin _),
     "q90_jpeg_pixels" -> (q90JpegPixels _),
-    "q91_bpe_train" -> (q91BpeTrain _))
+    "q91_bpe_train" -> (q91BpeTrain _),
+    "q92_bpe_encode" -> (q92BpeEncode _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

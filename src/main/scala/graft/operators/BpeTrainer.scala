@@ -137,4 +137,59 @@ object BpeTrainer {
     df.withColumn(outCol, expr(
       s"flatten(transform(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), w -> $foldSql))"))
   }
+
+  /** [[segment]] with the per-word fold compiled and MEMOIZED — the
+    * production encode path. The declarative fold above re-runs k
+    * interpreted lambda levels for EVERY word occurrence (higher-order
+    * functions stay outside whole-stage codegen), which is wasteful
+    * under a Zipfian corpus where a tiny distinct-word set covers most
+    * occurrences. This variant does what every real tokenizer does:
+    * a per-partition word→tokens cache, so each DISTINCT word per
+    * partition pays the k-merge fold once and every repeat is a hash
+    * lookup. Still map-only — no shuffle, no broadcast, cache size is
+    * per-partition-vocabulary-bounded. Output is BIT-IDENTICAL to
+    * [[segment]] (spec-pinned), so q92's oracle covers both paths.
+    */
+  def segmentFast(df: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge], outCol: String = "bpe_tokens"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.sortBy(_.merge_rank).map(m => (m.lhs, m.rhs)).toArray
+    val word = java.util.regex.Pattern.compile("[a-z0-9]+")
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Array[String]]()
+        def encodeWord(w: String): Array[String] = {
+          var s = w.split("")
+          var i = 0
+          while (i < ms.length) {
+            val (l, r) = ms(i)
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var j = 0
+            while (j < s.length) {
+              if (out.nonEmpty && out.last == l && s(j) == r)
+                out(out.length - 1) = l + r
+              else out += s(j)
+              j += 1
+            }
+            s = out.toArray
+            i += 1
+          }
+          s
+        }
+        it.map { case (id, text) =>
+          val m = word.matcher(
+            if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+          val toks = Seq.newBuilder[String]
+          while (m.find()) {
+            val w = m.group()
+            var enc = cache.get(w)
+            if (enc == null) { enc = encodeWord(w); cache.put(w, enc) }
+            toks ++= enc
+          }
+          (id, toks.result())
+        }
+      }.toDF(idCol, outCol)
+  }
 }

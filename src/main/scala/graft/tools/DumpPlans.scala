@@ -58,6 +58,8 @@ object DumpPlans {
       "Incremental view maintenance: the delta side is a HashAggregate pair (map-side partial) so the exchange carries one row per touched key, not the delta rows; the view joins it with ONE shuffle (zero under B15 bucketing) and the base fact is absent from the maintenance subtree entirely — the only fact scans in this demo plan SYNTHESIZE the base/delta split.",
     "q91_bpe_train" ->
       "BPE training (round-1 plan shown): the ONLY corpus-scale stage is the word explode + HashAggregate pair (map-side partial counts) feeding one exchange; pair counting re-aggregates the vocab-scale word table and the argmax is TakeOrderedAndProject — per-partition top-1, ONE row to the driver, no global sort. Later rounds reuse this shape on the checkpointed vocab, corpus never re-read.",
+    "q92_bpe_encode" ->
+      "BPE encode (inference): the driver-held merge table is compiled into a memoized per-partition encoder (MapPartitions between the codegen'd deserialize/serialize spans — the multimodal-decode kernel shape), so the corpus pass is MAP-ONLY: no join, no broadcast, no exchange until the harness sort, and each DISTINCT word per partition pays the merge fold once (Zipf makes repeats ~free). The declarative aggregate()-fold twin is spec-pinned bit-identical; tokenizer application at 100 TB is exactly this shape — throughput scales linearly with executors and the model ships inside the closure.",
     "q90_jpeg_pixels" ->
       "JPEG pixel decode: map-only — synthesis and decode both live in one mapPartitions pass over documents (no shuffle until the final harness sort), the canonical shape of a CPU-bound decode stage: throughput scales linearly with executors and the only exchange is the deterministic-output sort.",
     "q89_bloom_join" ->

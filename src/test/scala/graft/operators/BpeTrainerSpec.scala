@@ -72,6 +72,31 @@ class BpeTrainerSpec extends SparkSpec {
     assert(seg === Seq("the", "cat", "chat").flatMap(fold))
   }
 
+  test("segmentFast is bit-identical to the declarative segment fold") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "the cat sat on the mat the cat the cat",  // repeats exercise the cache
+      "aaaa abab banana bandana",                // greedy + overlap shapes
+      "MIXED Case 123 and-punct! the'end",       // lowercasing + non-word chars
+      "")                                        // empty doc -> empty tokens
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, r) =>
+        import spark.implicits._
+        val row = Seq(r).toDF("doc_id", "text")
+        Some(acc.fold(row)(_.union(row)))
+      }.get
+    val merges = BpeTrainer.train(df, "text", 5)
+    val slow = BpeTrainer.segment(df, "text", merges)
+      .select(col("doc_id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // cache is per-partition: input layout must not matter
+    val fast = BpeTrainer.segmentFast(df.repartition(3), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast === slow)
+    assert(fast(3L) === Seq.empty)
+  }
+
   test("merges are partition-invariant") {
     val texts = (0 until 64).map(i => s"doc $i the quick brown fox jumps over lazy dog$i")
     val df1 = corpus(texts: _*).repartition(1)
