@@ -1502,5 +1502,69 @@ object OracleSql {
 
     // BPE encode: training replayed, then per-doc nested merge folds
     // in rank order — see bpeEncodeOracle.
-    "q92_bpe_encode" -> bpeEncodeOracle(6))
+    "q92_bpe_encode" -> bpeEncodeOracle(6),
+
+    // Blocklist: per-pattern non-overlapping counts via string_split —
+    // the exact semantics of the Aho-Corasick greedy keep (q93's
+    // scaladoc); dominant-pattern ties break on min(p).
+    "q93_blocklist" -> {
+      val pats = graft.functions.Blocklist.defaultPatterns
+        .map(p => s"'$p'").mkString(", ")
+      s"""WITH pats AS (SELECT unnest([$pats]) AS p),
+         |h AS (SELECT doc_id, p,
+         |    CAST(len(string_split(lower(text), p)) - 1 AS BIGINT) AS c
+         |  FROM documents CROSS JOIN pats),
+         |m AS (SELECT doc_id, max(c) AS mx FROM h GROUP BY doc_id)
+         |SELECT h.doc_id,
+         |  CAST(sum(h.c) AS BIGINT) AS total_hits,
+         |  CAST(count(CASE WHEN h.c > 0 THEN 1 END) AS BIGINT) AS n_matched,
+         |  coalesce(min(CASE WHEN h.c = m.mx AND h.c > 0 THEN h.p END), '') AS top_pattern
+         |FROM h JOIN m USING (doc_id)
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+    },
+
+    // OCR: the classifier must recover the rendered snippet exactly
+    // (font separation ≥ 3 makes one-flip recovery provable), and its
+    // reported template distance is exactly one per non-space glyph —
+    // both reconstructible from the synthesis arithmetic alone.
+    "q94_ocr" ->
+      """WITH s AS (SELECT doc_id,
+        |    coalesce(nullif(substr(regexp_replace(lower(coalesce(text, '')),
+        |      '[^a-z0-9 ]', '', 'g'), 1, 16), ''), ' ') AS snip
+        |  FROM documents)
+        |SELECT doc_id, snip AS ocr_text,
+        |  CAST(length(snip) AS BIGINT) AS n_chars,
+        |  CAST(length(replace(snip, ' ', '')) AS BIGINT) AS sum_dist,
+        |  TRUE AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Bigram LM: adjacent pairs via DuckDB's positional zip of two
+    // unnested list slices (head, tail-shift), then the same
+    // aggregate tree as the Spark side — doc-pair counts, corpus
+    // pair counts, context totals, per-doc integer evidence. ln-based
+    // score is pruned on both engines (q60's libm tradeoff).
+    "q95_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bgl AS (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks),
+        |dbt AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+        |  FROM bgl GROUP BY doc_id, w1, w2),
+        |bg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cnt FROM dbt GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM bg GROUP BY w1),
+        |per AS (SELECT dbt.doc_id AS doc_id,
+        |  CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(k * cnt) AS BIGINT) AS sum_cnt,
+        |  min(cnt) AS min_cnt,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN k ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(k * ctx) AS BIGINT) AS sum_ctx
+        | FROM dbt JOIN bg USING (w1, w2) JOIN ctx USING (w1) GROUP BY dbt.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sum_cnt, 0) AS sum_cnt,
+        |  coalesce(min_cnt, 0) AS min_cnt,
+        |  coalesce(n_hapax, 0) AS n_hapax,
+        |  coalesce(sum_ctx, 0) AS sum_ctx
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 }

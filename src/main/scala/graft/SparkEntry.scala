@@ -1949,6 +1949,63 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C47 — multi-pattern BLOCKLIST screening (functions.Blocklist):
+    * one Aho-Corasick automaton pass per document matches the whole
+    * phrase list at once — O(text + matches) per doc regardless of
+    * list size, vs O(text × patterns) for per-pattern scans. The
+    * automaton is driver-built and rides the task closure: MAP-ONLY,
+    * no join, no shuffle. Counts are per-pattern non-overlapping
+    * (indexOf stepping == DuckDB string_split), so the oracle is
+    * exact; ties for the dominant pattern break lexicographically.
+    */
+  private def q93Blocklist(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Blocklist.annotate(Tables.documents(s, dir), "doc_id", "text")
+      .transform(sorted1(_, col("doc_id")))
+
+  /** C11f — REAL template-matching OCR (multimodal.Ocr): each doc's
+    * text is reduced to a renderable [a-z0-9 ] snippet, rendered as
+    * fixed-pitch 5×7 dot-matrix bitmap text WITH one flipped noise
+    * pixel per glyph, and recovered by the nearest-template Hamming
+    * classifier — recognition, not inverse rendering: the font's
+    * ≥3-pixel pairwise separation (asserted at init) is what makes
+    * one-flip recovery provable. The oracle checks bit-exact text
+    * recovery from the synthesis arithmetic plus the classifier's own
+    * reported noise distance (= one per non-space glyph). Map-only:
+    * render and recognize live in one pass, templates in the closure.
+    */
+  private def q94Ocr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snip = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 16).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("snippet"))
+    val imgs = snip.as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.multimodal.Ocr.render(text, seed = id))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Ocr.extractText(imgs, "doc_id", "payload")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C48 — corpus BIGRAM-LM scoring (BigramLm.score): the
+    * conditional-probability upgrade of q60 — p(w2|w1) scores
+    * adjacency structure, catching word-salad text whose individual
+    * tokens are all common. The scoring join is keyed on the BIGRAM,
+    * whose vocabulary grows with the corpus: the canonical
+    * never-broadcastable shuffle-join LM shape (doc pairs collapse to
+    * distinct counts before the join; context totals attach at
+    * bigram-vocab scale so the corpus-scale join runs once). Exact
+    * integer evidence here; ln-based avg_neg_logp spec-checked
+    * (q60's libm tradeoff).
+    */
+  private def q95BigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.functions.BigramLm.score(fanOut(s, Tables.documents(s, dir)))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_cnt"),
+        col("min_cnt"), col("n_hapax"), col("sum_ctx"))
+      .transform(sorted1(_, col("doc_id")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2041,7 +2098,10 @@ object SparkEntry {
     "q89_bloom_join" -> (q89BloomJoin _),
     "q90_jpeg_pixels" -> (q90JpegPixels _),
     "q91_bpe_train" -> (q91BpeTrain _),
-    "q92_bpe_encode" -> (q92BpeEncode _))
+    "q92_bpe_encode" -> (q92BpeEncode _),
+    "q93_blocklist" -> (q93Blocklist _),
+    "q94_ocr" -> (q94Ocr _),
+    "q95_bigram_lm" -> (q95BigramLm _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

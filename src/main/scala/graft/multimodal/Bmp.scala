@@ -101,4 +101,46 @@ object Bmp {
     }
     BmpInfo(width, height, sumR, sumG, sumB, peak, valid = true)
   }
+
+  /** Parse a BMP payload into top-down row-major RGB triplets (the
+    * inverse of `encode`) — the pixel-access tier the OCR kernel
+    * needs; None for anything outside the BI_RGB 24-bit bottom-up
+    * contract.
+    */
+  def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 54) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.get() != 'B'.toByte || buf.get() != 'M'.toByte) return None
+    buf.getInt; buf.getInt
+    val pixelOffset = buf.getInt
+    val dibSize = buf.getInt
+    if (dibSize < 40) return None
+    val width = buf.getInt
+    val height = buf.getInt
+    val planes = buf.getShort
+    val bpp = buf.getShort
+    val compression = buf.getInt
+    if (width <= 0 || height <= 0 || planes != 1 || bpp != 24 || compression != 0)
+      return None
+    val stride = rowStride(width)
+    if (pixelOffset < 54 || pixelOffset.toLong + stride.toLong * height > bytes.length)
+      return None
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) { // file rows are bottom-up; emit top-down
+      var pos = pixelOffset + y * stride
+      val row = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val p = (row * width + x) * 3
+        rgb(p) = bytes(pos + 2) // R
+        rgb(p + 1) = bytes(pos + 1) // G
+        rgb(p + 2) = bytes(pos) // B
+        pos += 3
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, rgb))
+  }
 }

@@ -60,6 +60,12 @@ object DumpPlans {
       "BPE training (round-1 plan shown): the ONLY corpus-scale stage is the word explode + HashAggregate pair (map-side partial counts) feeding one exchange; pair counting re-aggregates the vocab-scale word table and the argmax is TakeOrderedAndProject — per-partition top-1, ONE row to the driver, no global sort. Later rounds reuse this shape on the checkpointed vocab, corpus never re-read.",
     "q92_bpe_encode" ->
       "BPE encode (inference): the driver-held merge table is compiled into a memoized per-partition encoder (MapPartitions between the codegen'd deserialize/serialize spans — the multimodal-decode kernel shape), so the corpus pass is MAP-ONLY: no join, no broadcast, no exchange until the harness sort, and each DISTINCT word per partition pays the merge fold once (Zipf makes repeats ~free). The declarative aggregate()-fold twin is spec-pinned bit-identical; tokenizer application at 100 TB is exactly this shape — throughput scales linearly with executors and the model ships inside the closure.",
+    "q93_blocklist" ->
+      "Blocklist screening: one Aho-Corasick automaton pass matches the WHOLE phrase list per document — O(text + matches) regardless of list size, where per-pattern scans pay O(text × patterns). The driver-built automaton rides the task closure (MapPartitions between codegen'd serialize spans): MAP-ONLY, no join, no broadcast exchange, no shuffle until the harness sort — a thousand-entry blocklist at 100 TB costs the same single text pass.",
+    "q94_ocr" ->
+      "OCR: render and recognize live in one map-only pass (MapPartitions between codegen'd serialize spans) — the 36-template font is a driver-held constant inside the closure, recognition is O(pixels + cells·36 popcounts) per image, no join, no shuffle until the harness sort. The CPU-bound decode-stage shape (q90's contract): throughput scales linearly with executors.",
+    "q95_bigram_lm" ->
+      "Bigram-LM scoring: the scoring join is keyed on the BIGRAM — a vocabulary that grows with the corpus, so at 100 TB it exceeds any broadcast threshold and the join degrades gracefully to the shuffle join (the canonical LM shape). The plan below is the sf0.001 instance, where AQE correctly notices the model is tiny and broadcasts it — the scale argument is the AGGREGATE-BEFORE-JOIN structure, which is strategy-independent: the doc side collapses to distinct-(doc,w1,w2) counts and the model side to distinct-pair counts BEFORE any exchange (raw adjacent-pair streams never shuffle), and context totals attach at bigram-vocab scale first so the corpus-scale join happens exactly once, with AQE splitting hot-head pair skew when it does shuffle.",
     "q90_jpeg_pixels" ->
       "JPEG pixel decode: map-only — synthesis and decode both live in one mapPartitions pass over documents (no shuffle until the final harness sort), the canonical shape of a CPU-bound decode stage: throughput scales linearly with executors and the only exchange is the deterministic-output sort.",
     "q89_bloom_join" ->

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Ocr — font separation invariant, clean + one-flip round trips,
+  * adversarial two-flip behavior, malformed payloads, and the
+  * extractText DataFrame contract with partition invariance.
+  */
+class OcrSpec extends SparkSpec {
+
+  private val allChars = ('a' to 'z') ++ ('0' to '9')
+
+  test("font: 36 templates, min pairwise Hamming distance >= 3") {
+    assert(Ocr.templates.size === 36)
+    assert(Ocr.templates.map(_._1) === allChars.sorted)
+    assert(Ocr.minPairwiseDist >= 3)
+  }
+
+  test("clean render round-trips every glyph with zero distance") {
+    val text = allChars.mkString
+    // seed chosen irrelevant: render always flips one pixel per glyph,
+    // so render a noiseless image by hand from the templates
+    val w = Ocr.CellW * text.length
+    val rgb = Array.fill[Byte](w * Ocr.CellH * 3)(0xff.toByte)
+    for ((ch, i) <- text.zipWithIndex) {
+      val mask = Ocr.templates.find(_._1 == ch).get._2
+      for (b <- 0 until Ocr.GlyphBits) if ((mask & (1L << b)) != 0L) {
+        val x = i * Ocr.CellW + b % 5
+        val p = ((b / 5) * w + x) * 3
+        rgb(p) = 0; rgb(p + 1) = 0; rgb(p + 2) = 0
+      }
+    }
+    val r = Ocr.recognize(Bmp.encode(w, Ocr.CellH, rgb))
+    assert(r.valid && r.text === text && r.dist === 0L)
+  }
+
+  test("one flipped pixel per glyph: exact recovery, dist = non-spaces") {
+    for (seed <- Seq(0L, 1L, 17L, 9999L, -5L)) {
+      val text = "the quick brown fox 0123456789"
+      val r = Ocr.recognize(Ocr.render(text, seed))
+      assert(r.valid, s"seed $seed")
+      assert(r.text === text, s"seed $seed")
+      assert(r.dist === text.count(_ != ' ').toLong, s"seed $seed")
+    }
+  }
+
+  test("every glyph survives every possible single flip position") {
+    for (ch <- allChars; flip <- 0 until Ocr.GlyphBits) {
+      // one cell, flip at a chosen position: seed solves (seed % 35) == flip
+      val r = Ocr.recognize(Ocr.render(ch.toString, seed = flip.toLong))
+      assert(r.text === ch.toString && r.dist === 1L, s"char $ch flip $flip")
+    }
+  }
+
+  test("malformed payloads yield invalid rows, never exceptions") {
+    assert(!Ocr.recognize(null).valid)
+    assert(!Ocr.recognize(Array[Byte](1, 2, 3)).valid)
+    // wrong geometry (height != 7) is rejected, not misread
+    val bad = Bmp.encode(6, 5, Array.fill[Byte](6 * 5 * 3)(0))
+    assert(!Ocr.recognize(bad).valid)
+    // width not a multiple of the cell pitch
+    val off = Bmp.encode(7, 7, Array.fill[Byte](7 * 7 * 3)(0))
+    assert(!Ocr.recognize(off).valid)
+  }
+
+  test("extractText contract and partition invariance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Ocr.render("menu 42", 1L)),
+      (2L, Ocr.render(" ", 2L)),
+      (3L, Array[Byte](0, 0))
+    ).toDF("doc_id", "payload")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ocr.extractText(d, "doc_id", "payload")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+    val got = run(df)
+    assert(got === Seq(
+      (1L, "menu 42", 7L, 6L, true),
+      (2L, " ", 1L, 0L, true),
+      (3L, "", 0L, 0L, false)))
+    assert(run(df.repartition(4)) === got)
+  }
+}
