@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *                      domain-centrality prior from a link graph
   *                      (model-sized power iteration, broadcast join);
   *   2. FILTER        — quality/language/length gates + optional
-  *                      model-based classifier, LM-perplexity, and
-  *                      low-domain-rank gates (map-only);
+  *                      model-based classifier, banned-phrase
+  *                      blocklist (one-pass Aho-Corasick),
+  *                      LM-perplexity, and low-domain-rank gates
+  *                      (map-only);
   *   2b. SPAN DEDUP   (opt) — docs whose duplicated-span token mass
   *                      (vs the surviving corpus) exceeds a fraction
   *                      are filtered (hashed-window reduction);
@@ -62,6 +64,14 @@ object CorpusPipeline {
         * filter slot. None disables the gate.
         */
       maxAvgNegLogp: Option[Double] = None,
+      /** Optional blocklist gate: docs with more than
+        * `maxBlocklistHits` non-overlapping occurrences of ANY
+        * listed phrase (Blocklist's one-pass Aho-Corasick scan) are
+        * filtered with reason "blocklist" — the banned-phrase /
+        * policy-filter slot. None disables the gate.
+        */
+      blocklist: Option[Seq[String]] = None,
+      maxBlocklistHits: Long = 0L,
       /** Optional domain-centrality gate (needs `domainEdges`): docs
         * whose domain's PageRank falls below this are filtered with
         * reason "low_rank"; docs on domains absent from the graph are
@@ -157,14 +167,29 @@ object CorpusPipeline {
       case None => annotated1
     }
 
+    // 1d. blocklist hits (optional): one Aho-Corasick pass per doc —
+    // a map-only scan whose phrase automaton rides the task closure —
+    // joined back by id
+    val annotatedB = cfg.blocklist match {
+      case Some(pats) =>
+        val hits = graft.functions.Blocklist.annotate(
+            docs.select(col(idCol), col(textCol)), idCol, textCol, pats)
+          .select(col(idCol).as("_bid"), col("total_hits").as("block_hits"))
+        annotated.join(hits, col(idCol) === col("_bid"), "left").drop("_bid")
+          .withColumn("block_hits", coalesce(col("block_hits"), lit(0L)))
+      case None => annotated
+    }
+
     // 2. filter decisions (kept as a reason column, rows retained);
     // a doc on a domain with no link evidence is not rank-gated
-    val filtered0 = annotated.withColumn("filter_reason",
+    val filtered0 = annotatedB.withColumn("filter_reason",
       when(col("quality") < cfg.minQuality, "low_quality")
         .when(!col("lang").isin(cfg.allowedLangs: _*), "language")
         .when(col("n_tokens") < cfg.minTokens, "too_short")
         .when(cfg.minClassifierMargin
           .map(t => col("classifier_margin") < t).getOrElse(lit(false)), "classifier")
+        .when(cfg.blocklist
+          .map(_ => col("block_hits") > cfg.maxBlocklistHits).getOrElse(lit(false)), "blocklist")
         .when(cfg.maxAvgNegLogp
           .map(t => col("avg_neg_logp") > t).getOrElse(lit(false)), "lm_perplexity")
         .when(cfg.minDomainRank

@@ -56,6 +56,22 @@ class CorpusPipelineSpec extends SparkSpec {
       "earlier gates still take precedence over the classifier gate")
   }
 
+  test("blocklist gate: banned phrases filter with reason, hits annotate") {
+    val gated = CorpusPipeline.curate(docs, CorpusPipeline.Config(dedupJaccard = 0.6,
+      minhash = graft.dedup.MinHashLsh.Config(bands = 8),
+      blocklist = Some(Seq("lazy dog", "quick")), maxBlocklistHits = 6L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1/2 repeat the phrases 6x each -> 12 hits > 6: blocked
+    assert(gated(1L).getAs[Long]("block_hits") === 12L)
+    assert(gated(1L).getAs[String]("filter_reason") === "blocklist")
+    assert(!gated(1L).getAs[Boolean]("keep"))
+    // clean docs annotate zero hits; earlier gates still win
+    assert(gated(3L).getAs[Long]("block_hits") === 0L)
+    assert(gated(3L).getAs[String]("filter_reason") === "language")
+    // default config: stage off, no block_hits column
+    assert(!curated(1L).schema.fieldNames.contains("block_hits"))
+  }
+
   test("full recipe: decontaminate + temperature-mix + pack") {
     // deterministic split membership first, so a test→train leak can
     // be planted knowingly
