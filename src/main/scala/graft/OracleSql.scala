@@ -1566,5 +1566,51 @@ object OracleSql {
         |  coalesce(min_cnt, 0) AS min_cnt,
         |  coalesce(n_hapax, 0) AS n_hapax,
         |  coalesce(sum_ctx, 0) AS sum_ctx
-        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Largest-remainder apportionment: the whole Hamilton arithmetic
+    // replayed in integer SQL — floor shares via //, remainder rank
+    // with the same (rem DESC, key ASC) tie-break.
+    "q96_apportion" ->
+      """WITH m AS (SELECT source AS key,
+        |    CAST(sum(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0))) AS BIGINT) AS mass
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(mass) AS BIGINT) AS M FROM m),
+        |b AS (SELECT key, mass,
+        |    CAST(mass * 1000000 // M AS BIGINT) AS base_quota,
+        |    CAST(mass * 1000000 % M AS BIGINT) AS rem
+        |  FROM m, t),
+        |r AS (SELECT CAST(1000000 - sum(base_quota) AS BIGINT) AS xt FROM b),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, key) AS rn FROM b)
+        |SELECT key, mass, base_quota,
+        |  CAST(CASE WHEN rn <= xt THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base_quota + CASE WHEN rn <= xt THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM rk, r ORDER BY key""".stripMargin,
+
+    // Link graph: identical HTML synthesis, the same anchor-href
+    // regex, the q61 host + registered-domain chain on the hrefs,
+    // external-scheme filter, then the weighted edge aggregate.
+    "q98_link_graph" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><body><a href="https://www.example' || ((doc_id + 1) % 10) || '.com/a/' || doc_id || '?utm_source=f&id=' || doc_id || '">one</a>' ||
+        |  '<p>filler</p><a class="x" href="http://blog.example' || ((doc_id + 2) % 10) || '.co.uk/post/' || doc_id || '">two</a>' ||
+        |  '<a href="https://www.example' || ((doc_id + 1) % 10) || '.com/a/' || doc_id || '?utm_source=f&id=' || doc_id || '">dup</a>' ||
+        |  '<a href="/rel/' || doc_id || '">rel</a>' ||
+        |  '<a href="mailto:u@example.com">mail</a></body></html>' AS html,
+        |  'example' || (doc_id % 10) || '.com' AS src
+        | FROM documents),
+        |l AS (SELECT src, unnest(regexp_extract_all(html, '<a [^>]*href="([^"]*)"', 1)) AS href FROM h),
+        |e AS (SELECT src,
+        |    lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#]+)', 2)) AS host
+        |  FROM l
+        |  WHERE lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) IN ('http', 'https')),
+        |r AS (SELECT src, host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM e),
+        |rd AS (SELECT src,
+        |  CASE WHEN n >= 3 AND ls[n-1] IN ('co','com','org','net','ac','gov') THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+        |       WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
+        |       ELSE host END AS dst
+        | FROM r)
+        |SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+        |FROM rd GROUP BY src, dst ORDER BY src, dst""".stripMargin)
 }

@@ -2006,6 +2006,69 @@ object SparkEntry {
         col("min_cnt"), col("n_hapax"), col("sum_ctx"))
       .transform(sorted1(_, col("doc_id")))
 
+  /** C49 — exact integer budget apportionment (Apportion
+    * .largestRemainder): per-source token masses (one corpus-scale
+    * aggregate) apportion a 1M-token budget with Hamilton's method —
+    * quotas sum EXACTLY to the budget, each within one token of its
+    * proportional share, remainder ties to the smaller key. The
+    * mixture-application arithmetic every data card implies; all
+    * integer, oracle-replayed bit-for-bit.
+    */
+  private def q96Apportion(s: SparkSession, dir: String): DataFrame = {
+    val masses = fanOut(s, Tables.documents(s, dir))
+      .groupBy(col("source").as("key"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(lower(col("text"))).cast("long"))
+        .as("mass"))
+    graft.functions.Apportion.largestRemainder(masses, "key", "mass", budget = 1000000L)
+      .transform(sorted1(_, col("key")))
+  }
+
+  /** C50 — deflate compressibility (Compressibility.signal): the
+    * zlib-ratio quality signal (Dolma's per-doc zlib field; the
+    * Gopher/RefinedWeb repetition family's model-free cousin) —
+    * template/boilerplate text compresses hard, binary junk doesn't
+    * compress at all, prose sits between. ROWS-ONLY BY DESIGN: no
+    * SQL engine exposes deflate, so cross-engine exactness evidence
+    * lives in CompressibilitySpec (driver-side java.util.zip parity,
+    * partition invariance, ordering properties) — the q23/q25 class.
+    */
+  private def q97Compressibility(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Compressibility.signal(
+        fanOut(s, Tables.documents(s, dir)), "doc_id", "text")
+      .transform(sorted1(_, col("doc_id")))
+
+  /** C51 — LINK-GRAPH EXTRACTION from markup (UrlFunctions
+    * .anchorHrefs + registeredDomain): the stage between raw HTML
+    * and the PageRank quality prior — anchors pulled from per-doc
+    * synthesized pages (external http/https only; relative and
+    * mailto links excluded), hrefs reduced to registered domains,
+    * aggregated to a weighted (src, dst, n_links) edge list — the
+    * exact input `CorpusPipeline.curate`'s domainEdges parameter
+    * consumes. One extract pass + one group-scale aggregate; the
+    * edge table is domain²-bounded, not corpus-scale.
+    */
+  private def q98LinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val html = concat(
+      lit("<html><body><a href=\"https://www.example"), pmod(d + 1, lit(10)),
+      lit(".com/a/"), d, lit("?utm_source=f&id="), d, lit("\">one</a>"),
+      lit("<p>filler</p><a class=\"x\" href=\"http://blog.example"), pmod(d + 2, lit(10)),
+      lit(".co.uk/post/"), d, lit("\">two</a>"),
+      lit("<a href=\"https://www.example"), pmod(d + 1, lit(10)),
+      lit(".com/a/"), d, lit("?utm_source=f&id="), d, lit("\">dup</a>"),
+      lit("<a href=\"/rel/"), d, lit("\">rel</a>"),
+      lit("<a href=\"mailto:u@example.com\">mail</a></body></html>"))
+    val src = concat(lit("example"), pmod(d, lit(10)), lit(".com"))
+    fanOut(s, Tables.documents(s, dir))
+      .select(d, src.as("src"),
+        explode(graft.functions.UrlFunctions.anchorHrefs(html)).as("href"))
+      .filter(graft.functions.UrlFunctions.scheme(col("href")).isin("http", "https"))
+      .select(col("src"),
+        graft.functions.UrlFunctions.registeredDomain(col("href")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_links"))
+      .transform(sorted1(_, col("src"), col("dst")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2101,7 +2164,10 @@ object SparkEntry {
     "q92_bpe_encode" -> (q92BpeEncode _),
     "q93_blocklist" -> (q93Blocklist _),
     "q94_ocr" -> (q94Ocr _),
-    "q95_bigram_lm" -> (q95BigramLm _))
+    "q95_bigram_lm" -> (q95BigramLm _),
+    "q96_apportion" -> (q96Apportion _),
+    "q97_compressibility" -> (q97Compressibility _),
+    "q98_link_graph" -> (q98LinkGraph _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

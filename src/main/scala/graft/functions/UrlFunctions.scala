@@ -22,6 +22,15 @@ object UrlFunctions {
   /** Lowercased scheme ("" when absent). */
   def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
 
+  /** All href targets of `<a>` anchors in normalized markup
+    * (double-quoted attributes, lowercase tag/attr — the contract of
+    * the stripMarkup synthesis tier): the extraction side of the
+    * link graph, whose registered domains feed PageRank. RE2-safe
+    * pattern, oracle-mirrorable.
+    */
+  def anchorHrefs(html: Column): Column =
+    regexp_extract_all(html, lit("<a [^>]*href=\"([^\"]*)\""), lit(1))
+
   /** Lowercased host: after scheme and optional userinfo, up to the
     * first of port / path / query / fragment.
     */

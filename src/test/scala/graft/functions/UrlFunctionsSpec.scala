@@ -77,4 +77,15 @@ class UrlFunctionsSpec extends SparkSpec {
       fields("https://a.example.com/p?ref=nav&x=1&fbclid=k&y=2")
     assert(canon === "https://a.example.com/p?x=1&y=2")
   }
+
+  test("anchorHrefs: every href in document order, attrs before href, none missed") {
+    val html = """<html><body><a href="https://x.com/1">a</a>""" +
+      """<a class="c" id="i" href="/rel">b</a><a>no-href</a>""" +
+      """<p href="https://not-an-anchor.com">p</p>""" +
+      """<a href="mailto:u@x.com">m</a><a href="">empty</a></body></html>"""
+    val got = Seq(html).toDF("h")
+      .select(UrlFunctions.anchorHrefs(col("h")).as("hrefs"))
+      .head().getSeq[String](0)
+    assert(got === Seq("https://x.com/1", "/rel", "mailto:u@x.com", ""))
+  }
 }
