@@ -1612,5 +1612,20 @@ object OracleSql {
         |       ELSE host END AS dst
         | FROM r)
         |SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
-        |FROM rd GROUP BY src, dst ORDER BY src, dst""".stripMargin)
+        |FROM rd GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+
+    // MP3 frame-header walk: every output reconstructed from the
+    // synthesis arithmetic — the published MPEG-1 Layer III bitrate/
+    // samplerate tables as 1-based list lookups, sample-exact
+    // duration, the id3-presence cadence.
+    "q99_mp3_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 13 AS BIGINT) AS n_frames,
+        |  CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 AS INT) + 1] AS BIGINT) AS bitrate_kbps,
+        |  CAST(([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS BIGINT) AS sample_rate,
+        |  CAST((8 + doc_id % 13) * 1152 * 1000
+        |    // ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 10 + (doc_id % 5) * 7 END AS BIGINT) AS id3_bytes,
+        |  TRUE AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -2069,6 +2069,40 @@ object SparkEntry {
       .transform(sorted1(_, col("src"), col("dst")))
   }
 
+  /** C11g — MP3 FRAME-HEADER walk (multimodal.Mp3): the container-
+    * metadata tier for the audio format whose sample decode is
+    * genuinely native-bound — ID3v2 syncsafe skip, 0xFFE sync,
+    * MPEG-1 Layer III bitrate/samplerate table lookups, exact
+    * frame-length stepping (144·bitrate/rate + padding), sample-
+    * exact duration (1152/frame). Payloads synthesize real headers
+    * from doc_id (bitrate indices 1–14, all three sample rates,
+    * padding cadence, ID3 present on 3 of 4 docs) and the oracle
+    * rebuilds every output from the same arithmetic. Map-only.
+    */
+  private def q99Mp3Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bIdx = (1 + id % 14).toInt
+        val rIdx = (id % 3).toInt
+        val frames = (8 + id % 13).toInt
+        val parts = Seq.newBuilder[Array[Byte]]
+        if (id % 4 != 0) parts += graft.multimodal.Mp3.id3((id % 5).toInt * 7)
+        for (i <- 0 until frames)
+          parts += graft.multimodal.Mp3.frame(bIdx, rIdx, padded = (i + id) % 3 == 0)
+        (id, parts.result().reduce(_ ++ _))
+      }).toDF("doc_id", "payload")
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = graft.multimodal.Mp3.parse(bytes)
+        (id, m.nFrames, m.bitrateKbps.toLong, m.sampleRate.toLong,
+          m.durationMs, m.id3Bytes, m.valid)
+      })
+      .toDF("doc_id", "n_frames", "bitrate_kbps", "sample_rate",
+        "duration_ms", "id3_bytes", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2167,7 +2201,8 @@ object SparkEntry {
     "q95_bigram_lm" -> (q95BigramLm _),
     "q96_apportion" -> (q96Apportion _),
     "q97_compressibility" -> (q97Compressibility _),
-    "q98_link_graph" -> (q98LinkGraph _))
+    "q98_link_graph" -> (q98LinkGraph _),
+    "q99_mp3_meta" -> (q99Mp3Meta _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

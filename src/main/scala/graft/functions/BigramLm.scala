@@ -38,6 +38,16 @@ object BigramLm {
   /** (doc, w1, w2, k): distinct doc-bigram counts — the one explode
     * pass everything else re-aggregates. Docs with < 2 tokens yield
     * no rows (they score null downstream).
+    *
+    * The isNotNull pins on w1/w2 matter for PLAN REUSE, not
+    * semantics (tokens are never null): the downstream joins infer
+    * isnotnull(w1, w2) on the pair-keyed branches but only
+    * isnotnull(w1) on the context branch, which would make the three
+    * branches' exchange subtrees canonically different and defeat
+    * AQE stage reuse — pinning both here keeps every branch
+    * byte-identical up to this aggregation, so the corpus is
+    * exploded once, not once per branch (UnigramLm's documented
+    * shape).
     */
   def docBigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.filter(col(idCol).isNotNull)
@@ -48,6 +58,7 @@ object BigramLm {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
 
   /** Corpus bigram table (w1, w2, cnt) — distinct-pair scale. */
@@ -64,7 +75,7 @@ object BigramLm {
     */
   def score(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val docBg = docBigramCounts(docs, idCol, textCol)
-    val bg = counts(docs, idCol, textCol) // same exchange subtree → reused
+    val bg = docBg.groupBy("w1", "w2").agg(sum(col("k")).as("cnt")) // literally shared subtree
     val ctx = bg.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
     // context totals attach at bigram-vocab scale so the corpus-scale
     // (w1, w2) join happens exactly once

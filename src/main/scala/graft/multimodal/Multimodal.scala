@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *    `imagePixelStats` routes by magic bytes.
   *  - AUDIO DECODE IS REAL for WAV/PCM payloads ([[Wav]]: RIFF chunk
   *    walk + exact integer sample statistics — `audioFeatures`);
-  *    native-codec formats (MP3/AAC/opus) are out of scope.
+  *    native-codec formats keep a real container-metadata tier where
+  *    the container is public arithmetic (`Mp3` frame-header walk:
+  *    frame count / bitrate / sample-exact duration) while their
+  *    SAMPLE decode (MP3 filterbank+IMDCT, AAC, opus) stays out of
+  *    scope.
   *  - OCR, feature-extract and video-frame kernels remain
   *    DETERMINISTIC STUBS (=== STUB ... ===); the Spark-side contract
   *    — schema, binary transport, partition-batched execution, output

@@ -7,7 +7,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * public formats; parsing them needs only little-endian arithmetic).
   * This is the audio leg of the multimodal surface: where images get
   * header-dims + ImageIO resize, audio gets container parse + sample
-  * statistics, leaving only genuinely-native codecs (MP3/AAC/opus) as
+  * statistics, leaving only genuinely-native codec SAMPLE decode
+  * (MP3 — whose frame-header/duration tier is real, see `Mp3` —
+  * plus AAC/opus) as
   * declared stubs.
   *
   * Decode walks the chunk list (fmt /data may be preceded by LIST or

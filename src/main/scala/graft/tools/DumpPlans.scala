@@ -65,7 +65,7 @@ object DumpPlans {
     "q94_ocr" ->
       "OCR: render and recognize live in one map-only pass (MapPartitions between codegen'd serialize spans) — the 36-template font is a driver-held constant inside the closure, recognition is O(pixels + cells·36 popcounts) per image, no join, no shuffle until the harness sort. The CPU-bound decode-stage shape (q90's contract): throughput scales linearly with executors.",
     "q95_bigram_lm" ->
-      "Bigram-LM scoring: the scoring join is keyed on the BIGRAM — a vocabulary that grows with the corpus, so at 100 TB it exceeds any broadcast threshold and the join degrades gracefully to the shuffle join (the canonical LM shape). The plan below is the sf0.001 instance, where AQE correctly notices the model is tiny and broadcasts it — the scale argument is the AGGREGATE-BEFORE-JOIN structure, which is strategy-independent: the doc side collapses to distinct-(doc,w1,w2) counts and the model side to distinct-pair counts BEFORE any exchange (raw adjacent-pair streams never shuffle), and context totals attach at bigram-vocab scale first so the corpus-scale join happens exactly once, with AQE splitting hot-head pair skew when it does shuffle.",
+      "Bigram-LM scoring: the scoring join is keyed on the BIGRAM — a vocabulary that grows with the corpus, so at 100 TB it exceeds any broadcast threshold and the join degrades gracefully to the shuffle join (the canonical LM shape). The plan below is the sf0.001 instance, where AQE correctly notices the model is tiny and broadcasts it — the scale argument is the AGGREGATE-BEFORE-JOIN structure, which is strategy-independent: the doc side collapses to distinct-(doc,w1,w2) counts and the model side to distinct-pair counts BEFORE any exchange (raw adjacent-pair streams never shuffle), and context totals attach at bigram-vocab scale first so the corpus-scale join happens exactly once, with AQE splitting hot-head pair skew when it does shuffle. The isNotNull(w1,w2) pin in BigramLm.docBigramCounts keeps all three branches' first-stage subtrees canonically identical (the downstream joins would otherwise push DIFFERENT inferred filters into them), so AQE stage reuse executes the explode+partial-agg once, not once per branch — measured 1.25 s -> 0.73 s at sf0.01 when the pin landed (the initial plan below still prints three subtrees; reuse happens at stage materialization).",
     "q90_jpeg_pixels" ->
       "JPEG pixel decode: map-only — synthesis and decode both live in one mapPartitions pass over documents (no shuffle until the final harness sort), the canonical shape of a CPU-bound decode stage: throughput scales linearly with executors and the only exchange is the deterministic-output sort.",
     "q89_bloom_join" ->
