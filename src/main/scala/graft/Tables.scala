@@ -20,16 +20,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as Long and convert with exact integer
-    * division (a double division would round ns-epoch values to
-    * multiples of 256ns).
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark handles
+    * differently across 4.x point releases: some reject it from the
+    * vectorized reader unless `nanosAsLong` maps it to Long, newer
+    * ones read it natively as TIMESTAMP_NTZ truncated to micros.
+    * Branch on the schema Spark actually produced and normalize both
+    * to a session-TZ (UTC) TimestampType at microsecond precision —
+    * identical values either way (integer DIV, never a double
+    * division, which would round ns-epoch values to multiples of
+    * 256ns; the NTZ cast is wall-clock-preserving under the UTC
+    * session TZ every entry point pins).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
