@@ -1627,5 +1627,57 @@ object OracleSql {
         |    // ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS BIGINT) AS duration_ms,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 10 + (doc_id % 5) * 7 END AS BIGINT) AS id3_bytes,
         |  TRUE AS valid
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact set-similarity join: the oracle is the FULL brute-force
+    // word-3-gram-shingle self-join — a hash match proves the Spark
+    // side's prefix filtering pruned without losing a single pair.
+    // Threshold τ = 1/2 as integer cross-multiplication on both
+    // sides; jaccard is the one final division.
+    "q100_setsim_join" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n WHERE norm <> ''),
+        |t AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+        |      FROM w, unnest(range(1, len(ws) - 1)) AS r(i)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, inter,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // BFS hop distances: independent declarative formulation — a
+    // recursive fixpoint enumerating (node, depth) pairs with a depth
+    // cap (97 nodes bounds every shortest path), then min-over-paths.
+    // Agreement with the Spark frontier algorithm cross-checks
+    // settle-at-first-visit == shortest hop, incl. unreachable = -1.
+    "q101_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 3 + 1) % 97 AS dst FROM documents
+        |  UNION
+        |  SELECT doc_id % 97, (doc_id * 5 + 2) % 97 FROM documents),
+        |r AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 97),
+        |m AS (SELECT id, min(d) AS dist FROM r GROUP BY id),
+        |nodes AS (SELECT DISTINCT doc_id % 97 AS id FROM documents)
+        |SELECT n.id, coalesce(m.dist, CAST(-1 AS BIGINT)) AS dist
+        |FROM nodes n LEFT JOIN m ON m.id = n.id
+        |ORDER BY n.id""".stripMargin,
+
+    // Frequent pairs: brute-force pair counting with NO A-priori
+    // pruning — agreement proves the Spark side's downward-closure
+    // candidate cut is lossless on real data.
+    "q102_frequent_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |f AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY it),
+        |p AS (SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS support
+        |      FROM i a JOIN i b ON a.b = b.b AND a.it < b.it GROUP BY 1, 2)
+        |SELECT item_a, item_b, fa.n AS n_a, fb.n AS n_b, support
+        |FROM p JOIN f fa ON fa.it = item_a JOIN f fb ON fb.it = item_b
+        |WHERE support >= 3
+        |ORDER BY item_a, item_b""".stripMargin)
 }

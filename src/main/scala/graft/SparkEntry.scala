@@ -2103,6 +2103,60 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C52 — EXACT set-similarity self-join (dedup.SetSimJoin): every
+    * document pair with word-3-gram-shingle Jaccard ≥ 1/2, found by
+    * prefix filtering under a rarest-first global token order — the
+    * deterministic, auditable complement to MinHash LSH (q25): LSH
+    * trades recall for speed, this returns exactly the brute-force
+    * answer while pruning candidates. The oracle IS the brute force
+    * (full shingle self-join), so a hash match proves the pruning
+    * lost nothing on this corpus. Thresholds are integer
+    * cross-multiplications (τ = 1/2 rational) — no doubles near any
+    * decision; the output jaccard is one mirrored final division.
+    */
+  private def q100SetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    graft.dedup.SetSimJoin.join(d, "doc_id", "sh", 1, 2)
+      .transform(sorted1(_, col("id_a"), col("id_b")))
+  }
+
+  /** B32 — BFS HOP DISTANCES (operators.Bfs): multi-round frontier
+    * expansion over a deterministic functional graph on the node
+    * space doc_id mod 97 (two arithmetic out-edges per doc), source
+    * node 0, unreachable nodes published as −1. The oracle is an
+    * independent formulation — DuckDB's WITH RECURSIVE fixpoint with
+    * a depth cap and min-over-paths aggregation — so agreement
+    * cross-checks the frontier algorithm (settle-at-first-visit)
+    * against the declarative shortest-hop definition, including
+    * exactly which nodes are unreachable.
+    */
+  private def q101Bfs(s: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(s, Tables.documents(s, dir))
+    val m = lit(97L)
+    val nid = pmod(col("doc_id"), m)
+    val edges = docs.select(nid.as("src"), pmod(col("doc_id") * 3 + 1, m).as("dst"))
+      .union(docs.select(nid.as("src"), pmod(col("doc_id") * 5 + 2, m).as("dst")))
+      .distinct()
+    val sources = s.range(1).select(lit(0L).as("id"))
+    val nodes = docs.select(nid.as("id")).distinct()
+    nodes.join(graft.operators.Bfs.hopDistances(edges, sources), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .transform(sorted1(_, col("id")))
+  }
+
+  /** B33 — FREQUENT PAIR MINING (operators.FrequentItemsets):
+    * parts co-ordered in ≥ 3 orders, via A-priori pruned pair
+    * generation (pass 1 item supports, pass 2 pairs among frequent
+    * items only). The oracle twin counts pairs with NO pruning, so a
+    * hash match is a data-level proof that downward closure lost no
+    * pair. Item supports ride along for confidence/lift downstream.
+    */
+  private def q102FrequentPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FrequentItemsets.frequentPairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3L)
+      .transform(sorted1(_, col("item_a"), col("item_b")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2202,7 +2256,10 @@ object SparkEntry {
     "q96_apportion" -> (q96Apportion _),
     "q97_compressibility" -> (q97Compressibility _),
     "q98_link_graph" -> (q98LinkGraph _),
-    "q99_mp3_meta" -> (q99Mp3Meta _))
+    "q99_mp3_meta" -> (q99Mp3Meta _),
+    "q100_setsim_join" -> (q100SetSimJoin _),
+    "q101_bfs" -> (q101Bfs _),
+    "q102_frequent_pairs" -> (q102FrequentPairs _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -1,0 +1,114 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join (all pairs with Jaccard ≥ τ) via
+  * prefix filtering — the deterministic complement to MinHashLsh:
+  * LSH trades recall for speed (bucket collisions are probabilistic,
+  * oversized buckets are dropped), this operator returns EXACTLY the
+  * brute-force answer while still pruning the candidate space, so it
+  * is the right tool when a dedup decision must be auditable
+  * (compliance holds, eval-set guarantees) rather than best-effort.
+  *
+  * Reference context: the reference pipeline dedups menu documents by
+  * exact content hash only (restaurant_etl/transformers/
+  * deduplicator.py:1); the similarity tier here is the mandated
+  * training-data extension.
+  *
+  * Algorithm (Bayardo et al., "Scaling Up All Pairs Similarity
+  * Search", WWW'07 — prefix filtering under a global token order):
+  *  1. token doc-frequencies over the corpus (one token-scale agg);
+  *  2. each record's token set is ordered rarest-first (ascending
+  *     (df, token) — deterministic, ties broken by token value);
+  *  3. the τ-prefix of a size-n set is its first n − ⌈τn⌉ + 1 tokens.
+  *     THEOREM: J(A,B) ≥ τ ⇒ the τ-prefixes of A and B share a
+  *     token. Proof: suppose not, and let m be the smallest (in the
+  *     global order) token of A∩B. m is outside at least one prefix,
+  *     say A's, so m sits among A's last ⌈τ|A|⌉ − 1 tokens; every
+  *     token of A∩B is ≥ m, hence also among those, so
+  *     |A∩B| ≤ ⌈τ|A|⌉ − 1 < τ|A| ≤ τ|A∪B| ≤ |A∩B| — contradiction.
+  *  4. candidate pairs = prefix-token self-join (id_a < id_b) with
+  *     the length filter den·min(n_a,n_b) ≥ num·max(n_a,n_b)
+  *     (J ≥ τ forces τ·max ≤ |A∩B| ≤ min);
+  *  5. exact verification: array_intersect on the full (distinct)
+  *     sets, integer threshold den·i ≥ num·(n_a + n_b − i).
+  *
+  * Scale shape: the only corpus-scale shuffles are the token-df agg,
+  * the rank join, and the per-record re-group — all keyed shuffles
+  * with partial aggregation, never all-pairs. Candidate-bucket size
+  * for token t is the number of records whose τ-PREFIX retains t;
+  * rarest-first ordering pushes high-df tokens out of prefixes
+  * wherever a rarer token exists, which is exactly what bounds hot
+  * buckets (the WWW'07 result). Exactness forbids the LSH-style
+  * bucket drop, so there is no silent cap: `assertMaxBucket` (specs,
+  * canaries) fails fast instead if a prefix bucket exceeds the bound
+  * — the remedies at 100 TB are a higher τ or a coarser token space
+  * (e.g. longer shingles), both of which shrink prefixes without
+  * costing exactness at the chosen τ.
+  *
+  * τ is a rational num/den so every threshold comparison is integer
+  * cross-multiplication — no double rounding anywhere near the
+  * decision, and a SQL oracle can mirror it bit-for-bit.
+  */
+object SetSimJoin {
+
+  /** All unordered pairs (id_a < id_b) with Jaccard(set_a, set_b) ≥
+    * num/den. `setCol` is an array column; sets are de-duplicated
+    * internally. Output: (id_a, id_b, n_a, n_b, inter, jaccard) with
+    * exact integer sizes and jaccard produced by one final division.
+    *
+    * @param assertMaxBucket when Some(k), fail fast if any prefix
+    *   bucket exceeds k records (diagnostic guard — exactness means
+    *   buckets must never be silently dropped).
+    */
+  def join(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int,
+      assertMaxBucket: Option[Int] = None): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"need 0 < num/den <= 1, got $num/$den")
+
+    val sets = df
+      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+
+    val tok = sets.select(col("id"), col("n"), explode(col("toks")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // Rarest-first order per record; τ-prefix = first n − ⌈τn⌉ + 1.
+    val plen = (col("n") - floor((col("n") * num + (den - 1)) / den) + 1).cast("int")
+    val prefix = tok.join(freq, "tok")
+      .groupBy("id", "n")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id"), col("n"),
+        explode(slice(col("ord.tok"), lit(1), plen)).as("ptok"))
+
+    assertMaxBucket.foreach { k =>
+      val worst = prefix.groupBy("ptok").agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      require(worst <= k,
+        s"prefix bucket of $worst records exceeds $k — raise τ or coarsen the token space")
+    }
+
+    val a = prefix.select(col("id").as("id_a"), col("n").as("n_a"), col("ptok"))
+    val b = prefix.select(col("id").as("id_b"), col("n").as("n_b"), col("ptok"))
+    val cand = a.join(b, "ptok")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) * den >= greatest(col("n_a"), col("n_b")) * num)
+      .select("id_a", "id_b").distinct()
+
+    val fa = sets.select(col("id").as("id_a"), col("toks").as("_ta"), col("n").as("n_a"))
+    val fb = sets.select(col("id").as("id_b"), col("toks").as("_tb"), col("n").as("n_b"))
+    cand.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("inter", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .filter(col("inter") * den >= (col("n_a") + col("n_b") - col("inter")) * num)
+      .select(col("id_a"), col("id_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("inter"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+}
