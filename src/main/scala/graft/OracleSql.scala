@@ -1679,5 +1679,16 @@ object OracleSql {
         |SELECT item_a, item_b, fa.n AS n_a, fb.n AS n_b, support
         |FROM p JOIN f fa ON fa.it = item_a JOIN f fb ON fb.it = item_b
         |WHERE support >= 3
-        |ORDER BY item_a, item_b""".stripMargin)
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // HLL distinct: the oracle owns the exact side and asserts the
+    // certificate column is TRUE — the q66 pattern (sketch internals
+    // never reach the output, the bound does).
+    "q103_hll_distinct" ->
+      """WITH tt AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |t AS (SELECT lang, tok FROM tt WHERE tok <> ''),
+        |g AS (SELECT lang AS grp, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM t GROUP BY 1
+        |      UNION ALL
+        |      SELECT 'ALL', CAST(count(DISTINCT tok) AS BIGINT) FROM t)
+        |SELECT grp, exact_distinct, TRUE AS within_bound FROM g ORDER BY grp""".stripMargin)
 }

@@ -2157,6 +2157,35 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3L)
       .transform(sorted1(_, col("item_a"), col("item_b")))
 
+  /** C53 — PORTABLE HYPERLOGLOG distinct counts (functions
+    * .HyperLogLog): per-language vocabulary estimates plus the
+    * all-corpus union, with the exact tier alongside and a 5σ
+    * certificate (|est − exact|·1000 ≤ 82·exact for p=12, σ =
+    * 1.04/√4096 ≈ 1.63%) asserted on every row — the q66 pattern:
+    * the sketch's internal estimate never reaches the output, the
+    * BOUND does, and the oracle re-derives exact counts so a hash
+    * match certifies the estimator on real data. The ALL row runs
+    * through the same aggregate over the union, exercising sketch
+    * merge at query time.
+    */
+  private def q103HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HyperLogLog.register(s)
+    val toks = fanOut(s, Tables.documents(s, dir))
+      .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+    val byLang = toks.groupBy(col("lang").as("grp")).agg(
+      countDistinct(col("tok")).as("exact_distinct"),
+      graft.functions.HyperLogLog.hllDistinct(col("tok"), 12).as("_est"))
+    val all = toks.agg(
+      countDistinct(col("tok")).as("exact_distinct"),
+      graft.functions.HyperLogLog.hllDistinct(col("tok"), 12).as("_est"))
+      .select(lit("ALL").as("grp"), col("exact_distinct"), col("_est"))
+    byLang.unionByName(all)
+      .select(col("grp"), col("exact_distinct"),
+        (abs(col("_est") - col("exact_distinct")) * 1000 <= col("exact_distinct") * 82)
+          .as("within_bound"))
+      .transform(sorted1(_, col("grp")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2259,7 +2288,8 @@ object SparkEntry {
     "q99_mp3_meta" -> (q99Mp3Meta _),
     "q100_setsim_join" -> (q100SetSimJoin _),
     "q101_bfs" -> (q101Bfs _),
-    "q102_frequent_pairs" -> (q102FrequentPairs _))
+    "q102_frequent_pairs" -> (q102FrequentPairs _),
+    "q103_hll_distinct" -> (q103HllDistinct _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
