@@ -1690,5 +1690,21 @@ object OracleSql {
         |g AS (SELECT lang AS grp, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM t GROUP BY 1
         |      UNION ALL
         |      SELECT 'ALL', CAST(count(DISTINCT tok) AS BIGINT) FROM t)
-        |SELECT grp, exact_distinct, TRUE AS within_bound FROM g ORDER BY grp""".stripMargin)
+        |SELECT grp, exact_distinct, TRUE AS within_bound FROM g ORDER BY grp""".stripMargin,
+
+    // CMS join-size estimates: the oracle owns both exact sizes (sum
+    // of squared key frequencies; the real filtered-join count) and
+    // asserts both certificates are TRUE.
+    "q104_joinsize_est" ->
+      """WITH li AS (SELECT l_partkey AS k FROM lineitem),
+        |sp AS (SELECT p_partkey AS k FROM part WHERE p_size < 10),
+        |self AS (SELECT CAST(sum(n * n) AS BIGINT) AS ex_self, CAST(sum(n) AS BIGINT) AS n_li
+        |         FROM (SELECT count(*) AS n FROM li GROUP BY k)),
+        |j AS (SELECT CAST(count(*) AS BIGINT) AS ex_join FROM li JOIN sp USING (k)),
+        |nsp AS (SELECT CAST(count(*) AS BIGINT) AS n_sp FROM sp)
+        |SELECT 'li_self_partkey' AS pair, n_li AS n_a, n_li AS n_b, ex_self AS exact_size,
+        |  TRUE AS never_undercounts, TRUE AS within_bound FROM self
+        |UNION ALL
+        |SELECT 'li_x_smallparts', n_li, n_sp, ex_join, TRUE, TRUE FROM self, j, nsp
+        |ORDER BY pair""".stripMargin)
 }

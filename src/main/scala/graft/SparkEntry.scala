@@ -2186,6 +2186,51 @@ object SparkEntry {
       .transform(sorted1(_, col("grp")))
   }
 
+  /** C54 — CMS JOIN-SIZE ESTIMATION (CountMinTableAgg + joinSizeEst):
+    * the query-planning primitive — |A ⋈ B| ≈ min over rows of the
+    * inner product of the two sides' Count-Min tables, each built in
+    * one pass and 512 KB regardless of side cardinality. Two
+    * estimates: the l_partkey SELF-join size (Σ f², the classic
+    * skew/planning statistic) and lineitem × a filtered part dim.
+    * The q66 certificate pattern: the oracle owns both EXACT sizes
+    * (Σ count² and the real join count), and the output publishes
+    * never_undercounts (CMS inner products share the one-sided
+    * guarantee — collisions only add) and the ~8·N_A·N_B/width
+    * overcount bound, both of which must be TRUE for the hash match.
+    * The inner product itself is plan-side column arithmetic
+    * (zip_with/aggregate over one row) — no table leaves the plan.
+    */
+  private def q104JoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    CountMin.registerTable(s)
+    val d = 4; val w = 16384
+    val li = Tables.lineitem(s, dir).select(col("l_partkey").cast("string").as("k"))
+    val sp = Tables.part(s, dir).filter(col("p_size") < 10)
+      .select(col("p_partkey").cast("string").as("k"))
+    val sa = li.agg(CountMin.cmsTable(col("k"), d, w).as("sa"))
+    val sb = sp.agg(CountMin.cmsTable(col("k"), d, w).as("sb"))
+    val exSelf = li.groupBy("k").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).cast("long").as("ex_self"),
+        sum(col("n")).cast("long").as("n_li"))
+    val exJoin = li.join(sp, "k").agg(count(lit(1)).cast("long").as("ex_join"))
+    val nSp = sp.agg(count(lit(1)).cast("long").as("n_sp"))
+    sa.crossJoin(sb).crossJoin(exSelf).crossJoin(exJoin).crossJoin(nSp)
+      .withColumn("est_self", CountMin.joinSizeEst(col("sa.table"), col("sa.table"), d, w))
+      .withColumn("est_join", CountMin.joinSizeEst(col("sa.table"), col("sb.table"), d, w))
+      .select(explode(array(
+        struct(lit("li_self_partkey").as("pair"), col("n_li").as("n_a"),
+          col("n_li").as("n_b"), col("ex_self").as("exact_size"), col("est_self").as("est")),
+        struct(lit("li_x_smallparts").as("pair"), col("n_li").as("n_a"),
+          col("n_sp").as("n_b"), col("ex_join").as("exact_size"), col("est_join").as("est"))))
+        .as("r"))
+      .select(col("r.pair").as("pair"), col("r.n_a").as("n_a"), col("r.n_b").as("n_b"),
+        col("r.exact_size").as("exact_size"),
+        (col("r.est") >= col("r.exact_size")).as("never_undercounts"),
+        (col("r.est") <= col("r.exact_size") + expr(s"(r.n_a * r.n_b * 8) div $w") + 1L)
+          .as("within_bound"))
+      .transform(sorted1(_, col("pair")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2289,7 +2334,8 @@ object SparkEntry {
     "q100_setsim_join" -> (q100SetSimJoin _),
     "q101_bfs" -> (q101Bfs _),
     "q102_frequent_pairs" -> (q102FrequentPairs _),
-    "q103_hll_distinct" -> (q103HllDistinct _))
+    "q103_hll_distinct" -> (q103HllDistinct _),
+    "q104_joinsize_est" -> (q104JoinSizeEst _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

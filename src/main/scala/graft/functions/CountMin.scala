@@ -32,6 +32,33 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * bound must ALWAYS hold, the upper bound within the documented
   * slack.
   */
+/** Shared CMS position derivation — one definition so every CMS
+  * aggregate (probe estimates, raw-table export) lands identical
+  * keys in identical cells, which is what makes independently
+  * computed sketches algebraically compatible (mergeable by
+  * elementwise add, inner-product-able for join-size estimates).
+  */
+private[functions] object CmsHash {
+  // FNV-1a 64 fingerprint of the key bytes, then a row-keyed 64-bit
+  // mix (splitmix64-style finalizer over f + row constant). Internal
+  // to the engine — oracles check BOUNDS, never positions.
+  def fingerprint(key: UTF8String): Long = {
+    val b = key.getBytes
+    var f = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { f ^= b(i) & 0xffL; f *= 0x100000001b3L; i += 1 }
+    f
+  }
+
+  @inline def pos(f: Long, row: Int, width: Int): Int = {
+    var h = f + (row + 1) * 0x9e3779b97f4a7c15L
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^= h >>> 31
+    (h & (width - 1)).toInt
+  }
+}
+
 case class CountMinSketchAgg(
     child: Expression,
     probes: Seq[UTF8String],
@@ -53,25 +80,9 @@ case class CountMinSketchAgg(
   override def createAggregationBuffer(): CountMinSketchAgg.Buffer =
     new CountMinSketchAgg.Buffer(new Array[Long](depth * width), 0L)
 
-  // Per-row position: FNV-1a 64 fingerprint of the key bytes, then a
-  // row-keyed 64-bit mix (splitmix64-style finalizer over f + row
-  // constant). Internal to the engine — the oracle checks the
-  // BOUNDS, never the positions.
-  private def fingerprint(key: UTF8String): Long = {
-    val b = key.getBytes
-    var f = 0xcbf29ce484222325L
-    var i = 0
-    while (i < b.length) { f ^= b(i) & 0xffL; f *= 0x100000001b3L; i += 1 }
-    f
-  }
+  private def fingerprint(key: UTF8String): Long = CmsHash.fingerprint(key)
 
-  @inline private def pos(f: Long, row: Int): Int = {
-    var h = f + (row + 1) * 0x9e3779b97f4a7c15L
-    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
-    h ^= h >>> 27; h *= 0x94d049bb133111ebL
-    h ^= h >>> 31
-    (h & (width - 1)).toInt
-  }
+  @inline private def pos(f: Long, row: Int): Int = CmsHash.pos(f, row, width)
 
   override def update(buf: CountMinSketchAgg.Buffer, input: InternalRow): CountMinSketchAgg.Buffer = {
     val v = child.eval(input)
@@ -137,6 +148,86 @@ object CountMinSketchAgg {
   final class Buffer(val table: Array[Long], var n: Long)
 }
 
+/** The same CMS, exported RAW: `cms_table(col, depth, width)` returns
+  * struct(n, table[depth·width]) — the counter matrix itself, in row-
+  * major order. This is what makes the sketch PORTABLE (persist a
+  * corpus's key-frequency summary as one array row; merge later by
+  * elementwise add) and COMPOSABLE: the inner product of two tables'
+  * matching rows, min'd across rows, is the classic Count-Min
+  * JOIN-SIZE estimate (Σ_k f_A(k)·f_B(k); Cormode & Muthukrishnan
+  * §4.2) with the same one-sided guarantee as point estimates —
+  * never an undercount, overcount ≤ ~N_A·N_B/width per row. Both
+  * certified in q104 against the exact join size. Positions come
+  * from CmsHash, so tables from either aggregate are compatible.
+  */
+case class CountMinTableAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMinSketchAgg.Buffer] {
+
+  require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+  require(width >= 16 && (width & (width - 1)) == 0, s"width must be a power of two: $width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType),
+    StructField("table", ArrayType(LongType))))
+
+  override def createAggregationBuffer(): CountMinSketchAgg.Buffer =
+    new CountMinSketchAgg.Buffer(new Array[Long](depth * width), 0L)
+
+  override def update(buf: CountMinSketchAgg.Buffer, input: InternalRow): CountMinSketchAgg.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val f = CmsHash.fingerprint(v.asInstanceOf[UTF8String])
+      var r = 0
+      while (r < depth) { buf.table(r * width + CmsHash.pos(f, r, width)) += 1L; r += 1 }
+      buf.n += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: CountMinSketchAgg.Buffer, other: CountMinSketchAgg.Buffer): CountMinSketchAgg.Buffer = {
+    var i = 0
+    while (i < buf.table.length) { buf.table(i) += other.table(i); i += 1 }
+    buf.n += other.n
+    buf
+  }
+
+  override def eval(buf: CountMinSketchAgg.Buffer): Any =
+    InternalRow(buf.n, new GenericArrayData(buf.table.map(Long.box).toArray[Any]))
+
+  override def serialize(buf: CountMinSketchAgg.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    var i = 0
+    while (i < buf.table.length) { out.writeLong(buf.table(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketchAgg.Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val table = new Array[Long](depth * width)
+    var i = 0
+    while (i < table.length) { table(i) = in.readLong(); i += 1 }
+    new CountMinSketchAgg.Buffer(table, n)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinTableAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinTableAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): CountMinTableAgg =
+    copy(child = cs.head)
+}
+
 object CountMin {
 
   def register(spark: SparkSession): Unit =
@@ -155,5 +246,39 @@ object CountMin {
   def cmsEstimates(c: Column, probes: Seq[String], depth: Int, width: Int): Column = {
     import org.apache.spark.sql.functions._
     call_function("cms_estimates", c, array(probes.map(lit): _*), lit(depth), lit(width))
+  }
+
+  def registerTable(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_table",
+      es => CountMinTableAgg(
+        es.head,
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "scala_udf")
+
+  /** Aggregate column: struct(n, table) — the raw depth×width counter
+    * matrix, row-major. Requires registerTable(spark) once per
+    * session.
+    */
+  def cmsTable(c: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    call_function("cms_table", c, lit(depth), lit(width))
+  }
+
+  /** Join-size estimate from two raw tables of identical (depth,
+    * width) geometry: min over rows of the per-row inner product —
+    * pure column arithmetic (codegen'd higher-order functions), no
+    * data leaves the plan.
+    */
+  def joinSizeEst(tableA: Column, tableB: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    array_min(transform(sequence(lit(0), lit(depth - 1)), r =>
+      aggregate(
+        zip_with(
+          slice(tableA, r * lit(width) + 1, lit(width)),
+          slice(tableB, r * lit(width) + 1, lit(width)),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)))
   }
 }

@@ -52,4 +52,41 @@ class CountMinSpec extends SparkSpec {
     val n = toks(50, 2).count()
     assert(est <= n * 8 / 2048 + 1)
   }
+
+  test("raw table agrees with probe estimates cell-for-cell") {
+    CountMin.register(spark); CountMin.registerTable(spark)
+    val df = toks(20, 3)
+    val probes = (0 until 20).map(i => s"tok$i")
+    val ests = df.agg(CountMin.cmsEstimates(col("tok"), probes, 4, 256).as("c"))
+      .select(col("c.ests")).head().getSeq[Long](0)
+    val table = df.agg(CountMin.cmsTable(col("tok"), 4, 256).as("c"))
+      .select(col("c.table")).head().getSeq[Long](0)
+    // re-derive each probe's min-over-rows from the exported table
+    val fromTable = probes.map { p =>
+      val f = CmsHash.fingerprint(org.apache.spark.unsafe.types.UTF8String.fromString(p))
+      (0 until 4).map(r => table(r * 256 + CmsHash.pos(f, r, 256))).min
+    }
+    assert(fromTable == ests)
+  }
+
+  test("join-size inner product never undercounts and is exact at generous width") {
+    CountMin.registerTable(spark)
+    import spark.implicits._
+    // A: key i appears i+1 times (i<10); B: even keys once each
+    val a = (0 until 10).flatMap(i => Seq.fill(i + 1)(s"k$i")).toDF("k")
+    val b = (0 until 10).collect { case i if i % 2 == 0 => s"k$i" }.toDF("k")
+    val exact = (0 until 10).collect { case i if i % 2 == 0 => (i + 1).toLong }.sum
+    val sa = a.agg(CountMin.cmsTable(col("k"), 4, 4096).as("sa"))
+    val sb = b.agg(CountMin.cmsTable(col("k"), 4, 4096).as("sb"))
+    val est = sa.crossJoin(sb)
+      .select(CountMin.joinSizeEst(col("sa.table"), col("sb.table"), 4, 4096).as("e"))
+      .head().getLong(0)
+    assert(est >= exact)
+    assert(est == exact, s"collision at width 4096: $est != $exact")
+    // self-join estimate >= sum of squared frequencies
+    val selfExact = (0 until 10).map(i => (i + 1).toLong * (i + 1)).sum
+    val selfEst = sa.select(CountMin.joinSizeEst(col("sa.table"), col("sa.table"), 4, 4096).as("e"))
+      .head().getLong(0)
+    assert(selfEst == selfExact)
+  }
 }
