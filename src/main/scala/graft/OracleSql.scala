@@ -1706,5 +1706,31 @@ object OracleSql {
         |  TRUE AS never_undercounts, TRUE AS within_bound FROM self
         |UNION ALL
         |SELECT 'li_x_smallparts', n_li, n_sp, ex_join, TRUE, TRUE FROM self, j, nsp
-        |ORDER BY pair""".stripMargin)
+        |ORDER BY pair""".stripMargin,
+
+    // G.711 decode: every statistic reconstructed by mirroring the
+    // CCITT expansion formulas per synthesized sample byte — μ-law
+    // (u = ~b: bias 132, mantissa<<3, 2^exponent; sign bit set =
+    // negative) and A-law (a = b xor 0x55: mantissa<<4, segment
+    // offsets 8/0x108, 2^(seg-1); sign bit set = POSITIVE).
+    "q105_g711_audio" ->
+      """WITH d AS (SELECT doc_id, 300 + (doc_id % 40) * 5 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |b AS (SELECT doc_id, n, (doc_id * 7 + i * 13) % 256 AS byv FROM s),
+        |v AS (SELECT doc_id, n,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE WHEN (255 - byv) >= 128
+        |      THEN 132 - (((255 - byv) % 16) * 8 + 132) * ([1,2,4,8,16,32,64,128])[CAST(((255 - byv) // 16) % 8 AS INT) + 1]
+        |      ELSE (((255 - byv) % 16) * 8 + 132) * ([1,2,4,8,16,32,64,128])[CAST(((255 - byv) // 16) % 8 AS INT) + 1] - 132 END
+        |  ELSE
+        |    (CASE WHEN xor(byv, 85) >= 128 THEN 1 ELSE -1 END) *
+        |    (CASE WHEN ((xor(byv, 85) // 16) % 8) = 0 THEN (xor(byv, 85) % 16) * 16 + 8
+        |          WHEN ((xor(byv, 85) // 16) % 8) = 1 THEN (xor(byv, 85) % 16) * 16 + 264
+        |          ELSE ((xor(byv, 85) % 16) * 16 + 264) * ([1,2,4,8,16,32,64])[CAST((xor(byv, 85) // 16) % 8 AS INT)] END)
+        |  END AS v FROM b)
+        |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+        |  CAST(n AS BIGINT) AS n_samples, CAST(n // 8 AS BIGINT) AS duration_ms,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq, CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  TRUE AS valid
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
 }

@@ -2231,6 +2231,35 @@ object SparkEntry {
       .transform(sorted1(_, col("pair")))
   }
 
+  /** C11h — G.711 μ-LAW / A-LAW SAMPLE DECODE (multimodal.G711 via
+    * the Wav container walk, audioFormat 7/6): the first LOSSY audio
+    * codecs in the real-decode tier — logarithmic 8-bit companding
+    * expanded to linear PCM with the published CCITT integer
+    * formulas (shift/add/xor only, no native code, no libm). Per-doc
+    * payloads synthesize all 256 byte values across the corpus
+    * (byte_i = (id·7 + i·13) mod 256, codec alternating by id), and
+    * the oracle re-derives every statistic by mirroring the decode
+    * arithmetic per sample in SQL — a bit-for-bit certificate over
+    * the full companding curve of both codecs. The audio stub tier
+    * shrinks to transform-coded codecs (MP3/AAC sample decode).
+    */
+  private def q105G711Audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (300 + (id % 40) * 5).toInt
+        val data = Array.tabulate(n)(i => ((id * 7 + i * 13) % 256).toByte)
+        val fmt = if (id % 2 == 0) 7 else 6
+        (id, if (id % 2 == 0) "ulaw" else "alaw",
+          graft.multimodal.Wav.encodeG711(8000, data, fmt))
+      }).toDF("doc_id", "codec", "payload")
+    wav.as[(Long, String, Array[Byte])].mapPartitions(_.map { case (id, codec, bytes) =>
+      val w = graft.multimodal.Wav.decode(bytes)
+      (id, codec, w.nSamples, w.durationMs, w.sumSq, w.peakAbs, w.valid)
+    }).toDF("doc_id", "codec", "n_samples", "duration_ms", "sum_sq", "peak_abs", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2335,7 +2364,8 @@ object SparkEntry {
     "q101_bfs" -> (q101Bfs _),
     "q102_frequent_pairs" -> (q102FrequentPairs _),
     "q103_hll_distinct" -> (q103HllDistinct _),
-    "q104_joinsize_est" -> (q104JoinSizeEst _))
+    "q104_joinsize_est" -> (q104JoinSizeEst _),
+    "q105_g711_audio" -> (q105G711Audio _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

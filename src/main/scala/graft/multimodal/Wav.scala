@@ -50,7 +50,31 @@ object Wav {
     buf.array()
   }
 
-  /** Parse a WAV payload into exact integer statistics. */
+  /** Encode G.711 companded bytes (audioFormat 7 = μ-law, 6 = A-law)
+    * as a standard WAV: 8 bits per sample, block align 1.
+    */
+  def encodeG711(sampleRate: Int, samples: Array[Byte], audioFormat: Int): Array[Byte] = {
+    require(audioFormat == 6 || audioFormat == 7, s"not a G.711 format: $audioFormat")
+    val buf = ByteBuffer.allocate(44 + samples.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(audioFormat.toShort)
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate (1 byte/sample)
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+    buf.put(samples)
+    buf.array()
+  }
+
+  /** Parse a WAV payload into exact integer statistics. PCM 16-bit
+    * (format 1) samples fold directly; G.711 μ-law/A-law (formats
+    * 7/6, 8-bit) expand through `G711` first, so the statistics are
+    * over the DECODED linear samples.
+    */
   def decode(bytes: Array[Byte]): WavInfo = {
     if (bytes == null || bytes.length < 44) return Invalid
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -61,6 +85,7 @@ object Wav {
     buf.getInt // declared riff size; trust actual array bounds instead
     if (tag() != "WAVE") return Invalid
     var sampleRate = 0; var channels = 0; var bits = 0
+    var audioFmt = 0
     var fmtSeen = false
     // walk chunks until the data chunk (fmt may be preceded by LIST/fact)
     while (buf.remaining() >= 8) {
@@ -76,17 +101,25 @@ object Wav {
           sampleRate = buf.getInt
           buf.getInt; buf.getShort // byte rate, block align
           bits = buf.getShort.toInt
-          if (audioFormat != 1 || bits != 16 || channels < 1 || sampleRate <= 0)
-            return Invalid // PCM 16-bit only; others are declared out of scope
+          val okFmt = (audioFormat == 1 && bits == 16) ||
+            ((audioFormat == 6 || audioFormat == 7) && bits == 8)
+          if (!okFmt || channels < 1 || sampleRate <= 0)
+            return Invalid // PCM16 + G.711; others are declared out of scope
+          audioFmt = audioFormat
           fmtSeen = true
           buf.position(p0 + size + (size & 1)) // chunks are word-aligned
         case "data" =>
           if (!fmtSeen) return Invalid
-          val n = (size / 2).toLong // 16-bit samples across all channels
+          val bytesPerSample = if (audioFmt == 1) 2 else 1
+          val n = (size / bytesPerSample).toLong // samples across all channels
           var sumSq = 0L; var peak = 0L
           var i = 0L
           while (i < n) {
-            val s = buf.getShort.toLong
+            val s: Long = audioFmt match {
+              case 1 => buf.getShort.toLong
+              case 7 => G711.ulaw2linear(buf.get()).toLong
+              case _ => G711.alaw2linear(buf.get()).toLong
+            }
             sumSq += s * s
             val a = math.abs(s)
             if (a > peak) peak = a

@@ -62,4 +62,35 @@ class WavSpec extends SparkSpec {
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putInt(40, Int.MaxValue)
     assert(!Wav.decode(b).valid)
   }
+
+  test("g711 expansions hit the published reference points") {
+    // μ-law: 0xFF is +0, 0x7F is -0, 0x00 is the negative rail -32124
+    assert(G711.ulaw2linear(0xFF.toByte) == 0)
+    assert(G711.ulaw2linear(0x7F.toByte) == 0)
+    assert(G711.ulaw2linear(0x00.toByte) == -32124)
+    assert(G711.ulaw2linear(0x80.toByte) == 32124)
+    // A-law: no zero code — 0x55 decodes to -8, 0xD5 to +8; rails ±32256
+    assert(G711.alaw2linear(0x55.toByte) == -8)
+    assert(G711.alaw2linear(0xD5.toByte) == 8)
+    assert(G711.alaw2linear(0x2A.toByte) == -32256)
+    assert(G711.alaw2linear(0xAA.toByte) == 32256)
+    // both decoders are odd functions across the sign bit
+    for (v <- 0 until 128) {
+      assert(G711.ulaw2linear(v.toByte) == -G711.ulaw2linear((v | 0x80).toByte))
+      assert(G711.alaw2linear(v.toByte) == -G711.alaw2linear((v | 0x80).toByte))
+    }
+  }
+
+  test("g711 wav containers decode stats over the expanded samples") {
+    val data = Array.tabulate(256)(i => i.toByte) // every code point once
+    for ((fmt, dec) <- Seq(7 -> G711.ulaw2linear _, 6 -> G711.alaw2linear _)) {
+      val info = Wav.decode(Wav.encodeG711(8000, data, fmt))
+      assert(info.valid && info.bitsPerSample == 8 && info.nSamples == 256)
+      assert(info.durationMs == 256 * 1000L / 8000)
+      val lin = data.map(dec)
+      assert(info.sumSq == lin.map(v => v.toLong * v).sum)
+      assert(info.peakAbs == lin.map(v => math.abs(v).toLong).max)
+    }
+    intercept[IllegalArgumentException](Wav.encodeG711(8000, Array[Byte](1), 1))
+  }
 }
