@@ -47,6 +47,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries heavy-hitter candidates (item, min_count)"),
       (es: Seq[Expression]) => HeavyHittersSketch(es.head,
         es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("py_title"),
+      info("py_title", "py_title(text) - CPython str.title() semantics incl. one-to-many case mappings"),
+      (es: Seq[Expression]) => PyTitle(es.head)))
+    ext.injectFunction((FunctionIdentifier("cms_estimates"),
+      info("cms_estimates", "cms_estimates(col, probes, depth, width) - Count-Min frequency estimates per probe"),
+      (es: Seq[Expression]) => CountMinSketchAgg(es.head,
+        es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).toSeq,
+        es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("cms_table"),
+      info("cms_table", "cms_table(col, depth, width) - raw Count-Min counter matrix, row-major"),
+      (es: Seq[Expression]) => CountMinTableAgg(es.head,
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hll_distinct"),
+      info("hll_distinct", "hll_distinct(col, p) - HyperLogLog distinct-count estimate with 2^p registers"),
+      (es: Seq[Expression]) => HllAgg(es.head, es(1).eval().asInstanceOf[Int])
+        .toAggregateExpression()))
   }
 }
 
@@ -57,5 +77,9 @@ object GraftExtensions {
     ShingleFunctions.register(spark)
     VectorExpressions.register(spark)
     HeavyHitters.register(spark)
+    PyTitleFunctions.register(spark)
+    CountMin.register(spark)
+    CountMin.registerTable(spark)
+    HyperLogLog.register(spark)
   }
 }

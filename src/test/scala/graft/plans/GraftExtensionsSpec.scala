@@ -24,4 +24,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("d") == 11.0)
   }
 
+  test("scalar py_title and the sketch aggregates work from SQL") {
+    GraftExtensions.registerAll(spark)
+    (0 until 100).map(i => s"tok${i % 25}").toDF("tok").createOrReplaceTempView("toks")
+    val r = spark.sql(
+      """SELECT py_title('ǆenan one') AS t,
+        |       hll_distinct(tok, 12) AS hll,
+        |       cms_estimates(tok, array('tok0', 'absent'), 4, 1024) AS cms,
+        |       cms_table(tok, 4, 64) AS tbl
+        |FROM toks""".stripMargin).head()
+    assert(r.getAs[String]("t") == "ǅenan One") // one-to-many titlecase mapping
+    assert(math.abs(r.getAs[Long]("hll") - 25L) <= 3L) // linear counting, register collisions allowed
+    val cms = r.getStruct(r.fieldIndex("cms"))
+    assert(cms.getAs[Long]("n") == 100L)
+    assert(cms.getSeq[Long](cms.fieldIndex("ests")).head == 4L)
+    val tbl = r.getStruct(r.fieldIndex("tbl"))
+    assert(tbl.getAs[Long]("n") == 100L)
+    assert(tbl.getSeq[Long](tbl.fieldIndex("table")).sum == 400L) // 100 rows x 4 depth
+  }
 }
