@@ -71,6 +71,9 @@ object EventStreams extends Serializable {
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+  case class AnomalyState(n: Long, s: Long, q: Long)
+  case class AnomalyVerdict(user_id: Long, event_id: Long, n_before: Long,
+                            cents: Long, is_anomaly: Boolean)
 
   /** Timestamp ↔ epoch-microseconds, exact: `Timestamp.getTime` alone
     * is millisecond-truncated, which would make streaming session
@@ -262,5 +265,54 @@ object EventStreams extends Serializable {
     }
 
     events.groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** D16 — live per-key anomaly flagging in O(1) state: each event is
+    * judged against the distribution of that key's PRIOR events (a
+    * k·σ z-test on cent-scaled values), then folded into the state.
+    * State is three longs per key — count, Σcents, Σcents² — exact
+    * integer moments regardless of stream length, so the derived
+    * mean/variance carry no accumulation drift: every double in the
+    * flag decision is produced by the same short expression chain the
+    * batch twin uses over prefix sums, making streaming ≡ batch
+    * bit-for-bit (spec-pinned) rather than approximately.
+    *
+    * Verdict semantics are HISTORY-SEEN-SO-FAR (arrival order): the
+    * judging population is exactly the events that preceded this one
+    * into the operator — the live-monitoring contract. Within a
+    * micro-batch, events are folded in (ts, event_id) order so a
+    * batch's verdicts are deterministic under Spark's unordered group
+    * iterator; on an event-time-ordered stream the whole history is
+    * therefore event-time-ordered and equals the batch formulation
+    * over unbounded-preceding window frames. The first `minN` events
+    * of a key are never flagged (no population to judge against).
+    */
+  def anomalies(events: Dataset[Event], k: Int = 3, minN: Long = 5): Dataset[AnomalyVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).longValue
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[AnomalyState]): Iterator[AnomalyVerdict] = {
+      var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+      val out = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+        val x = cents(e.value)
+        val flag = st.n >= minN && {
+          val m = st.s.toDouble / st.n
+          val variance = st.q.toDouble / st.n - m * m
+          val d = x - m
+          d * d > (k.toLong * k) * variance
+        }
+        val v = AnomalyVerdict(userId, e.event_id, st.n, x, flag)
+        st = AnomalyState(st.n + 1L, st.s + x, st.q + x * x)
+        v
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
   }
 }
