@@ -1732,5 +1732,22 @@ object OracleSql {
         |  CAST(n AS BIGINT) AS n_samples, CAST(n // 8 AS BIGINT) AS duration_ms,
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq, CAST(max(abs(v)) AS BIGINT) AS peak_abs,
         |  TRUE AS valid
-        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // Batch anomaly flagging: exact integer prefix moments per user,
+    // then the identical short double chain for the 3-sigma decision.
+    "q106_anomaly" ->
+      """WITH c AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |p AS (SELECT event_id, user_id, cents,
+        |  count(*) OVER w AS n_before,
+        |  coalesce(sum(cents) OVER w, 0) AS s_prev,
+        |  coalesce(sum(cents * cents) OVER w, 0) AS q_prev
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, CAST(n_before AS BIGINT) AS n_before, cents,
+        |  CASE WHEN n_before < 5 THEN FALSE ELSE
+        |    (cents - CAST(s_prev AS DOUBLE) / n_before) * (cents - CAST(s_prev AS DOUBLE) / n_before) >
+        |      9 * (CAST(q_prev AS DOUBLE) / n_before - (CAST(s_prev AS DOUBLE) / n_before) * (CAST(s_prev AS DOUBLE) / n_before))
+        |  END AS is_anomaly
+        |FROM p ORDER BY event_id""".stripMargin)
 }

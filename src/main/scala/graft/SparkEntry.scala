@@ -2260,6 +2260,33 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** B34 — batch ANOMALY FLAGGING over event history (the oracle
+    * face of D16): each event z-tested against its user's prior
+    * value distribution via exact integer prefix moments (count,
+    * Σcents, Σcents² over an unbounded-preceding window) and one
+    * short mirrored double chain for the k=3σ decision —
+    * `when`-guarded so warm-up rows (< 5 priors) never divide by
+    * zero and never flag. Chained to D16 by StreamingAnomalySpec
+    * (streaming ≡ this formulation bit-for-bit), so the oracle here
+    * transitively certifies the streaming operator: oracle → batch
+    * twin → stream.
+    */
+  private def q106Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = col("s_prev") / col("n_before")
+    Tables.events(s, dir)
+      .withColumn("cents", cents(col("value")))
+      .withColumn("n_before", count(lit(1)).over(w))
+      .withColumn("s_prev", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("q_prev", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .select(col("event_id"), col("user_id"), col("n_before"), col("cents"),
+        when(col("n_before") < 5, lit(false)).otherwise(
+          (col("cents") - m) * (col("cents") - m) >
+            lit(9L) * (col("q_prev") / col("n_before") - m * m)).as("is_anomaly"))
+      .transform(sorted1(_, col("event_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2365,7 +2392,8 @@ object SparkEntry {
     "q102_frequent_pairs" -> (q102FrequentPairs _),
     "q103_hll_distinct" -> (q103HllDistinct _),
     "q104_joinsize_est" -> (q104JoinSizeEst _),
-    "q105_g711_audio" -> (q105G711Audio _))
+    "q105_g711_audio" -> (q105G711Audio _),
+    "q106_anomaly" -> (q106Anomaly _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
