@@ -1749,5 +1749,36 @@ object OracleSql {
         |    (cents - CAST(s_prev AS DOUBLE) / n_before) * (cents - CAST(s_prev AS DOUBLE) / n_before) >
         |      9 * (CAST(q_prev AS DOUBLE) / n_before - (CAST(s_prev AS DOUBLE) / n_before) * (CAST(s_prev AS DOUBLE) / n_before))
         |  END AS is_anomaly
-        |FROM p ORDER BY event_id""".stripMargin)
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    // IMA ADPCM: the oracle replays the predictor recurrence itself —
+    // a recursive CTE steps (pred, idx, sumsq, peak) over every
+    // nibble position (low nibble first), with the published step
+    // table as a list literal, int16/index clamps via least/greatest,
+    // and the shift-approximated diff as floor divisions.
+    "q107_adpcm_audio" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, 60 + doc_id % 16 AS nbytes,
+        |    (doc_id * 37) % 4000 - 2000 AS pred0, doc_id % 89 AS idx0 FROM documents),
+        |r AS (
+        |  SELECT doc_id, nbytes, 0 AS t, pred0 AS pred, idx0 AS idx,
+        |         pred0 * pred0 AS sumsq, abs(pred0) AS peak FROM d
+        |  UNION ALL
+        |  SELECT doc_id, nbytes, t + 1, np, ni, sumsq + np * np, greatest(peak, abs(np))
+        |  FROM (
+        |    SELECT doc_id, nbytes, t, sumsq, peak,
+        |      least(32767, greatest(-32768,
+        |        CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)) AS np,
+        |      least(88, greatest(0, idx + ([-1,-1,-1,-1,2,4,6,8])[CAST(nib % 8 AS INT) + 1])) AS ni
+        |    FROM (
+        |      SELECT *, (step // 8) + (nib % 2) * (step // 4) + ((nib // 2) % 2) * (step // 2) + ((nib // 4) % 2) * step AS diff
+        |      FROM (
+        |        SELECT doc_id, nbytes, t, pred, idx, sumsq, peak,
+        |          CASE WHEN t % 2 = 0 THEN ((doc_id * 11 + (t // 2) * 29) % 256) % 16
+        |               ELSE ((doc_id * 11 + (t // 2) * 29) % 256) // 16 END AS nib,
+        |          ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[CAST(idx AS INT) + 1] AS step
+        |        FROM r WHERE t < 2 * nbytes) s1) s2) s3)
+        |SELECT doc_id, CAST(1 + 2 * nbytes AS BIGINT) AS n_samples,
+        |  CAST((1 + 2 * nbytes) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(sumsq AS BIGINT) AS sum_sq, CAST(peak AS BIGINT) AS peak_abs, TRUE AS valid
+        |FROM r WHERE t = 2 * nbytes ORDER BY doc_id""".stripMargin)
 }

@@ -2287,6 +2287,37 @@ object SparkEntry {
       .transform(sorted1(_, col("event_id")))
   }
 
+  /** C11i — IMA ADPCM SAMPLE DECODE (multimodal.Adpcm via the Wav
+    * chunk walk, audioFormat 17): the first PREDICTIVE codec in the
+    * real-decode tier — every 4-bit nibble is a step-scaled delta
+    * against a running predictor with an adaptive step index, i.e. a
+    * stateful recurrence rather than G.711's per-sample map. All
+    * integer shift/add with the published IMA tables, so the oracle
+    * REPLAYS the recurrence itself: a recursive CTE steps the
+    * (predictor, index, Σsq, peak) state over every nibble position
+    * of every doc — the corpus statistics certify the entire state
+    * machine bit-for-bit, not just a summary. Payload synthesis
+    * sweeps predictor seeds, all 89 step indices, and all byte
+    * values; one full block per doc (multi-block and short-final-
+    * block paths are spec-covered).
+    */
+  private def q107AdpcmAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nbytes = (60 + id % 16).toInt
+        val data = Array.tabulate(nbytes)(j => ((id * 11 + j * 29) % 256).toByte)
+        val pred0 = ((id * 37) % 4000 - 2000).toInt
+        val idx0 = (id % 89).toInt
+        (id, graft.multimodal.Wav.encodeAdpcm(8000, Seq((pred0, idx0, data)), 4 + nbytes))
+      }).toDF("doc_id", "payload")
+    wav.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+      val w = graft.multimodal.Wav.decode(bytes)
+      (id, w.nSamples, w.durationMs, w.sumSq, w.peakAbs, w.valid)
+    }).toDF("doc_id", "n_samples", "duration_ms", "sum_sq", "peak_abs", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2393,7 +2424,8 @@ object SparkEntry {
     "q103_hll_distinct" -> (q103HllDistinct _),
     "q104_joinsize_est" -> (q104JoinSizeEst _),
     "q105_g711_audio" -> (q105G711Audio _),
-    "q106_anomaly" -> (q106Anomaly _))
+    "q106_anomaly" -> (q106Anomaly _),
+    "q107_adpcm_audio" -> (q107AdpcmAudio _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

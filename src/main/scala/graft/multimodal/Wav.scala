@@ -70,10 +70,42 @@ object Wav {
     buf.array()
   }
 
+  /** Encode IMA ADPCM blocks (audioFormat 17, mono) as a standard
+    * WAV: each block is (predictor₀, stepIndex₀, nibble bytes); the
+    * fmt chunk carries the conventional cbSize=2 + samplesPerBlock
+    * extension. All blocks must have blockAlign−4 data bytes except
+    * optionally the last (short final block).
+    */
+  def encodeAdpcm(sampleRate: Int, blocks: Seq[(Int, Int, Array[Byte])], blockAlign: Int): Array[Byte] = {
+    require(blockAlign >= 5, s"blockAlign too small: $blockAlign")
+    blocks.dropRight(1).foreach(b =>
+      require(b._3.length == blockAlign - 4, "non-final block must fill blockAlign"))
+    val dataLen = blocks.map(4 + _._3.length).sum
+    val buf = ByteBuffer.allocate(48 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17) // IMA ADPCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4) // bits per sample
+      .putShort(2) // cbSize
+      .putShort(samplesPerBlock.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    blocks.foreach { case (pred0, idx0, data) =>
+      buf.putShort(pred0.toShort).put(idx0.toByte).put(0.toByte).put(data)
+    }
+    buf.array()
+  }
+
   /** Parse a WAV payload into exact integer statistics. PCM 16-bit
     * (format 1) samples fold directly; G.711 μ-law/A-law (formats
     * 7/6, 8-bit) expand through `G711` first, so the statistics are
-    * over the DECODED linear samples.
+    * over the DECODED linear samples; IMA ADPCM (format 17) replays
+    * the predictor recurrence per block.
     */
   def decode(bytes: Array[Byte]): WavInfo = {
     if (bytes == null || bytes.length < 44) return Invalid
@@ -86,6 +118,7 @@ object Wav {
     if (tag() != "WAVE") return Invalid
     var sampleRate = 0; var channels = 0; var bits = 0
     var audioFmt = 0
+    var blockAlign = 0
     var fmtSeen = false
     // walk chunks until the data chunk (fmt may be preceded by LIST/fact)
     while (buf.remaining() >= 8) {
@@ -99,31 +132,65 @@ object Wav {
           val audioFormat = buf.getShort
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
-          buf.getInt; buf.getShort // byte rate, block align
+          buf.getInt // byte rate
+          blockAlign = buf.getShort.toInt
           bits = buf.getShort.toInt
           val okFmt = (audioFormat == 1 && bits == 16) ||
-            ((audioFormat == 6 || audioFormat == 7) && bits == 8)
+            ((audioFormat == 6 || audioFormat == 7) && bits == 8) ||
+            (audioFormat == 17 && bits == 4 && channels == 1 && blockAlign >= 5)
           if (!okFmt || channels < 1 || sampleRate <= 0)
-            return Invalid // PCM16 + G.711; others are declared out of scope
+            return Invalid // PCM16 + G.711 + mono IMA ADPCM; others declared out of scope
           audioFmt = audioFormat
           fmtSeen = true
           buf.position(p0 + size + (size & 1)) // chunks are word-aligned
         case "data" =>
           if (!fmtSeen) return Invalid
-          val bytesPerSample = if (audioFmt == 1) 2 else 1
-          val n = (size / bytesPerSample).toLong // samples across all channels
           var sumSq = 0L; var peak = 0L
-          var i = 0L
-          while (i < n) {
-            val s: Long = audioFmt match {
-              case 1 => buf.getShort.toLong
-              case 7 => G711.ulaw2linear(buf.get()).toLong
-              case _ => G711.alaw2linear(buf.get()).toLong
-            }
+          var n = 0L
+          def fold(s: Long): Unit = {
             sumSq += s * s
             val a = math.abs(s)
             if (a > peak) peak = a
-            i += 1
+            n += 1
+          }
+          if (audioFmt == 17) {
+            // IMA ADPCM: consecutive blockAlign-sized blocks, each a
+            // 4-byte header (predictor int16, step index, reserved —
+            // the header IS sample 0) + two nibbles per data byte,
+            // low nibble first. A short final block decodes with the
+            // bytes it has.
+            var off = 0
+            while (off + 4 <= size) {
+              var pred = buf.getShort.toInt
+              var idx = buf.get() & 0xff
+              buf.get() // reserved
+              if (idx > 88) return Invalid
+              fold(pred.toLong)
+              val dataBytes = math.min(blockAlign, size - off) - 4
+              var j = 0
+              while (j < dataBytes) {
+                val b = buf.get() & 0xff
+                val (p1, i1) = Adpcm.step(pred, idx, b & 0xf)
+                fold(p1.toLong)
+                val (p2, i2) = Adpcm.step(p1, i1, b >> 4)
+                fold(p2.toLong)
+                pred = p2; idx = i2
+                j += 1
+              }
+              off += 4 + dataBytes
+            }
+          } else {
+            val bytesPerSample = if (audioFmt == 1) 2 else 1
+            val total = (size / bytesPerSample).toLong
+            var i = 0L
+            while (i < total) {
+              fold(audioFmt match {
+                case 1 => buf.getShort.toLong
+                case 7 => G711.ulaw2linear(buf.get()).toLong
+                case _ => G711.alaw2linear(buf.get()).toLong
+              })
+              i += 1
+            }
           }
           val frames = n / channels
           return WavInfo(sampleRate, channels, bits,

@@ -93,4 +93,47 @@ class WavSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](Wav.encodeG711(8000, Array[Byte](1), 1))
   }
+
+  test("adpcm predictor step hits the reference points") {
+    // nib 0 at index 0: step 7, diff 7>>3 = 0 — predictor unchanged, index clamps at 0
+    assert(Adpcm.step(100, 0, 0) == ((100, 0)))
+    // max magnitude at index 88: diff = 4095+8191+16383+32767 = 61436 → clamps both rails
+    assert(Adpcm.step(0, 88, 7)._1 == 32767)
+    assert(Adpcm.step(0, 88, 15)._1 == -32768)
+    // index adjustments: low nibbles walk down, high mantissas jump up, clamped to [0, 88]
+    assert(Adpcm.step(0, 5, 0)._2 == 4)
+    assert(Adpcm.step(0, 5, 7)._2 == 13)
+    assert(Adpcm.step(0, 88, 4)._2 == 88)
+    // sign bit mirrors the delta exactly when no clamp engages
+    for (nib <- 0 until 8; idx <- Seq(0, 10, 40)) {
+      val up = Adpcm.step(0, idx, nib)
+      val dn = Adpcm.step(0, idx, nib | 8)
+      assert(up._1 == -dn._1 && up._2 == dn._2)
+    }
+  }
+
+  test("adpcm wav containers replay the recurrence across blocks") {
+    // two full blocks + a short final block; decode must equal a
+    // manual replay through Adpcm.step with per-block header resets
+    val blocks = Seq(
+      (1000, 20, Array.tabulate(8)(i => (i * 37 % 256).toByte)),
+      (-2000, 60, Array.tabulate(8)(i => (255 - i * 11 % 256).toByte)),
+      (123, 0, Array.tabulate(3)(i => (i * 91 % 256).toByte)))
+    val info = Wav.decode(Wav.encodeAdpcm(8000, blocks, 12))
+    assert(info.valid && info.bitsPerSample == 4)
+    var sumSq = 0L; var peak = 0L; var n = 0L
+    blocks.foreach { case (p0, i0, data) =>
+      var pred = p0; var idx = i0
+      def fold(v: Int): Unit = { sumSq += v.toLong * v; peak = math.max(peak, math.abs(v).toLong); n += 1 }
+      fold(pred)
+      data.foreach { b =>
+        val (p1, i1) = Adpcm.step(pred, idx, b & 0xf); fold(p1)
+        val (p2, i2) = Adpcm.step(p1, i1, (b & 0xff) >> 4); fold(p2)
+        pred = p2; idx = i2
+      }
+    }
+    assert(info.nSamples == n && info.sumSq == sumSq && info.peakAbs == peak)
+    // a corrupt step index is rejected, not decoded
+    assert(!Wav.decode(Wav.encodeAdpcm(8000, Seq((0, 89, Array[Byte](1, 2))), 6)).valid)
+  }
 }
