@@ -1780,5 +1780,17 @@ object OracleSql {
         |SELECT doc_id, CAST(1 + 2 * nbytes AS BIGINT) AS n_samples,
         |  CAST((1 + 2 * nbytes) * 1000 // 8000 AS BIGINT) AS duration_ms,
         |  CAST(sumsq AS BIGINT) AS sum_sq, CAST(peak AS BIGINT) AS peak_abs, TRUE AS valid
-        |FROM r WHERE t = 2 * nbytes ORDER BY doc_id""".stripMargin)
+        |FROM r WHERE t = 2 * nbytes ORDER BY doc_id""".stripMargin,
+
+    // Sorted-neighborhood blocking: the same (key, id) order from a
+    // row_number window, pairs within 3 ranks — rank assignment,
+    // window semantics, and key equality all pinned by the hash.
+    "q108_sorted_neighborhood" ->
+      """WITH n AS (SELECT doc_id, substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 16) AS k FROM documents),
+        |r AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rnk FROM n)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(b.rnk - a.rnk AS BIGINT) AS rank_distance,
+        |  a.k = b.k AS same_key
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -2318,6 +2318,26 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C55 — SORTED-NEIGHBORHOOD blocking (dedup.SortedNeighborhood):
+    * merge/purge candidate generation — every pair within 3
+    * positions of the global (16-char-normalized-prefix, id) sort
+    * order, the fixed-budget third blocking family next to LSH
+    * (probabilistic) and prefix filtering (exact-threshold). The
+    * order is a distributed range sort + zipWithIndex ranks (no
+    * single-partition funnel); pairing is bucket-keyed, never an
+    * all-pairs join. Oracle re-derives the identical pair set from a
+    * row_number window over the same binary-collated key, so the
+    * hash match pins the whole rank assignment, the window
+    * semantics, and the key-equality evidence column.
+    */
+  private def q108SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(TextFunctions.normalized(col("text")), 1, 16).as("k"))
+    graft.dedup.SortedNeighborhood.candidates(d, "doc_id", "k", window = 3)
+      .transform(sorted1(_, col("id_a"), col("id_b")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2425,7 +2445,8 @@ object SparkEntry {
     "q104_joinsize_est" -> (q104JoinSizeEst _),
     "q105_g711_audio" -> (q105G711Audio _),
     "q106_anomaly" -> (q106Anomaly _),
-    "q107_adpcm_audio" -> (q107AdpcmAudio _))
+    "q107_adpcm_audio" -> (q107AdpcmAudio _),
+    "q108_sorted_neighborhood" -> (q108SortedNeighborhood _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
