@@ -46,6 +46,11 @@ object Bfs {
       idCol: String = "id",
       maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")).persist()
+    // Each round's frontier frame is localCheckpoint'ed ONCE; the
+    // settled set is a union over those cached frames, so it needs no
+    // re-checkpoint of its own (every leaf is already materialized —
+    // the lineage stays flat and no round ever replays a prior one).
+    // Per round that is one materializing job + one cache-read count.
     var dist = sources.select(col(idCol).as("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist.select("id")
@@ -59,7 +64,7 @@ object Bfs {
         .withColumn("dist", lit(round.toLong))
         .localCheckpoint()
       frontier = next.select("id")
-      dist = dist.union(next).localCheckpoint()
+      dist = dist.union(next)
       frontierN = frontier.count()
     }
     e.unpersist()
