@@ -1792,5 +1792,16 @@ object OracleSql {
         |  CAST(b.rnk - a.rnk AS BIGINT) AS rank_distance,
         |  a.k = b.k AS same_key
         |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Equi-depth histogram: same rank order, same integer bucket
+    // assignment, from a row_number formulation.
+    "q109_equidepth" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |             l_orderkey AS o, l_linenumber AS l FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, o, l) - 1 AS rnk,
+        |             count(*) OVER () AS n FROM c)
+        |SELECT CAST(rnk * 16 // n AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(v) AS lo_cents, max(v) AS hi_cents, CAST(sum(v) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 }

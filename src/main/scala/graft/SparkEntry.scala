@@ -2338,6 +2338,22 @@ object SparkEntry {
       .transform(sorted1(_, col("id_a"), col("id_b")))
   }
 
+  /** B35 — exact EQUI-DEPTH histogram (Stats.equiDepthHistogram):
+    * 16 near-equal-population buckets over extended-price cents —
+    * the skew-robust complement to q62's fixed-range equi-width
+    * bars. Ranks come from a distributed range sort + zipWithIndex
+    * (no single-partition window), bucket = ⌊rank·b/n⌋ in pure
+    * integer `div` arithmetic with (cents, orderkey, linenumber) as
+    * the deterministic total order; the oracle mirrors the same
+    * assignment from a row_number formulation, so the hash match
+    * pins rank order, bucket math, and every per-bucket statistic.
+    */
+  private def q109EquiDepth(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Stats.equiDepthHistogram(
+        Tables.lineitem(s, dir), cents(col("l_extendedprice")),
+        Seq(col("l_orderkey"), col("l_linenumber")), nBuckets = 16)
+      .transform(sorted1(_, col("bucket")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2446,7 +2462,8 @@ object SparkEntry {
     "q105_g711_audio" -> (q105G711Audio _),
     "q106_anomaly" -> (q106Anomaly _),
     "q107_adpcm_audio" -> (q107AdpcmAudio _),
-    "q108_sorted_neighborhood" -> (q108SortedNeighborhood _))
+    "q108_sorted_neighborhood" -> (q108SortedNeighborhood _),
+    "q109_equidepth" -> (q109EquiDepth _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

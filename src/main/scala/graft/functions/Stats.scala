@@ -22,6 +22,43 @@ object Stats {
     * backfill is a driver-side array_join against `sequence()`, not a
     * data pass).
     */
+  /** Exact EQUI-DEPTH histogram: `nBuckets` buckets of near-equal
+    * population (sizes differ by at most one — bucket of the rank-r
+    * value is ⌊r·b/n⌋), with true min/max/sum per bucket — the
+    * histogram query optimizers and data-quality dashboards want
+    * when the distribution is skewed and equi-width (above) piles
+    * everything into one bar. Two corpus passes: a distributed range
+    * sort + `zipWithIndex` contiguous ranks (driver sees only
+    * per-partition counts, never data — the SortedNeighborhood rank
+    * technique), then one map-side-combined groupBy on the derived
+    * bucket id; the total count rides a one-row cross join, so no
+    * driver scalar enters the plan. Deterministic under value ties
+    * via the caller's tie-break columns; all bucket math is integer
+    * (`div`), mirrored bit-for-bit by the oracle's row_number
+    * formulation.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCents: Column, tieBreaks: Seq[Column],
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = valueCents.cast("long").as("_v") +:
+      tieBreaks.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }
+    val orderCols = col("_v") +: tieBreaks.indices.map(i => col(s"_t$i"))
+    val ranked = df.select(cols: _*)
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .rdd.zipWithIndex()
+      .map { case (row, r) => (row.getLong(0), r) }
+      .toDF("_v", "_r")
+    val tot = ranked.agg(count(lit(1)).cast("long").as("_n"))
+    ranked.crossJoin(tot)
+      .withColumn("bucket", expr(s"_r * $nBuckets div _n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo_cents"),
+        max(col("_v")).as("hi_cents"), sum(col("_v")).as("sum_cents"))
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCents: Column,
                          loCents: Long, hiCents: Long, nBuckets: Int): DataFrame = {
     require(hiCents > loCents && nBuckets > 0, "need hi > lo and n > 0")

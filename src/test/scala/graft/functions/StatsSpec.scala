@@ -84,4 +84,34 @@ class StatsSpec extends SparkSpec {
     assert(h(499L).getAs[Long]("lo_cents") === edge)
     assert(h(498L).getAs[Long]("hi_cents") === edge)
   }
+
+  test("equi-depth: near-equal populations, brute rank parity, tie determinism") {
+    import spark.implicits._
+    def run(values: Seq[Long], b: Int, parts: Int = 4): Map[Long, (Long, Long, Long, Long)] =
+      Stats.equiDepthHistogram(
+          values.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id").repartition(parts),
+          col("v"), Seq(col("id")), b)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def brute(values: Seq[Long], b: Int): Map[Long, (Long, Long, Long, Long)] =
+      values.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy(identity).zipWithIndex
+        .groupBy { case (_, r) => r.toLong * b / values.size }
+        .map { case (k, rows) =>
+          val vs = rows.map(_._1._1)
+          k -> (vs.size.toLong, vs.min, vs.max, vs.sum)
+        }
+    // 10 values, 3 buckets: floor-rank split gives sizes 4/3/3
+    val tenv = Seq(5L, 1L, 9L, 3L, 7L, 2L, 8L, 4L, 6L, 10L)
+    val got = run(tenv, 3)
+    assert(got == brute(tenv, 3))
+    assert(got.values.map(_._1).toSeq.sorted == Seq(3L, 3L, 4L))
+    // heavy ties: equal values split across buckets deterministically by id
+    val ties = Seq.fill(9)(7L) ++ Seq(1L, 2L, 3L)
+    assert(run(ties, 4) == brute(ties, 4))
+    // partition invariance and more buckets than rows
+    assert(run(tenv, 3, parts = 1) == run(tenv, 3, parts = 8))
+    assert(run(Seq(5L, 6L), 16).values.map(_._1).sum == 2L)
+    intercept[IllegalArgumentException](run(tenv, 0))
+  }
 }
