@@ -1803,5 +1803,37 @@ object OracleSql {
         |             count(*) OVER () AS n FROM c)
         |SELECT CAST(rnk * 16 // n AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
         |  min(v) AS lo_cents, max(v) AS hi_cents, CAST(sum(v) AS BIGINT) AS sum_cents
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Entity resolution: blocking + levenshtein verification mirrored
+    // from q49, clusters via a recursive transitive closure (an
+    // independent formulation of the CC fixpoint), then the same
+    // golden-record election.
+    "q110_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+        |           FROM part WHERE p_partkey % 20 = 0),
+        |o AS (SELECT p_partkey AS id, p_name AS name, pc FROM p),
+        |cc AS (SELECT p_partkey + 1000000 AS id,
+        |        substring(p_name, 1, CAST(p_partkey % (length(p_name) - 1) AS INT)) ||
+        |        substring(p_name, CAST(p_partkey % (length(p_name) - 1) AS INT) + 2) AS name,
+        |        pc - 150 AS pc FROM p),
+        |a AS (SELECT * FROM o UNION ALL SELECT * FROM cc),
+        |ab AS (SELECT id, name, pc,
+        |         substring(regexp_replace(lower(trim(name)), '\s+', ' ', 'g'), 1, 2) AS blk FROM a),
+        |pr AS (SELECT x.id AS ia, y.id AS ib FROM ab x JOIN ab y USING (blk)
+        |       WHERE x.id < y.id AND abs(length(x.name) - length(y.name)) <= 1
+        |         AND levenshtein(x.name, y.name) <= 1),
+        |e AS (SELECT ia AS s, ib AS t FROM pr UNION SELECT ib, ia FROM pr),
+        |reach AS (SELECT s, t FROM e
+        |          UNION
+        |          SELECT r.s, e2.t FROM reach r JOIN e e2 ON e2.s = r.t),
+        |comp AS (SELECT s AS id, min(t) AS mn FROM reach GROUP BY s),
+        |wc AS (SELECT a.id, a.name, a.pc,
+        |         CASE WHEN comp.mn IS NULL OR a.id < comp.mn THEN a.id ELSE comp.mn END AS comp
+        |       FROM a LEFT JOIN comp ON comp.id = a.id),
+        |g AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members, max(pc) AS max_price_cents
+        |      FROM wc GROUP BY comp)
+        |SELECT g.comp, a2.name AS canonical_name, g.n_members, g.max_price_cents
+        |FROM g JOIN a a2 ON a2.id = g.comp
+        |ORDER BY g.comp""".stripMargin)
 }

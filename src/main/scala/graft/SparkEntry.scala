@@ -2354,6 +2354,44 @@ object SparkEntry {
         Seq(col("l_orderkey"), col("l_linenumber")), nBuckets = 16)
       .transform(sorted1(_, col("bucket")))
 
+  /** C56 — ENTITY RESOLUTION end-to-end (the capstone composition
+    * of the linkage stack): blocking (FuzzyMatch prefix blocks) →
+    * pairwise verification (levenshtein ≤ 1 with length-band prune)
+    * → clustering (ConnectedComponents over the match graph, so
+    * transitive matches collapse) → GOLDEN RECORD election per
+    * cluster (canonical id = min member, canonical name = that
+    * record's, max price across members, member count). Input is
+    * every 20th part plus a one-char-deleted copy at id+1e6 (the q49
+    * corruption); copies whose deletion touches the 2-char block key
+    * stay singletons — the documented prefix-blocking recall
+    * tradeoff, visible in the output. The oracle replays blocking
+    * and verification in SQL and resolves clusters with a recursive
+    * transitive closure — an independent formulation of the CC
+    * fixpoint — so the hash match pins every stage including
+    * election.
+    */
+  private def q110EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(pmod(col("p_partkey"), lit(20)) === 0)
+    val originals = p.select(col("p_partkey").as("id"), col("p_name").as("name"),
+      cents(col("p_retailprice")).as("price_cents"))
+    val copies = p.select((col("p_partkey") + 1000000L).as("id"),
+      concat(expr("substring(p_name, 1, (p_partkey % (length(p_name) - 1)))"),
+        expr("substring(p_name, (p_partkey % (length(p_name) - 1)) + 2)")).as("name"),
+      (cents(col("p_retailprice")) - 150L).as("price_cents"))
+    val all = fanOut(s, originals.unionByName(copies))
+    val pairs = graft.dedup.FuzzyMatch.fuzzyPairs(all, all, maxDist = 1)
+      .filter(col("id_l") < col("id_r"))
+    val comps = graft.dedup.ConnectedComponents.components(pairs, "id_l", "id_r")
+    val withComp = all.join(comps, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+    withComp.groupBy("comp").agg(
+        count(lit(1)).as("n_members"),
+        max(col("price_cents")).as("max_price_cents"))
+      .join(all.select(col("id").as("comp"), col("name").as("canonical_name")), "comp")
+      .select(col("comp"), col("canonical_name"), col("n_members"), col("max_price_cents"))
+      .transform(sorted1(_, col("comp")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2463,7 +2501,8 @@ object SparkEntry {
     "q106_anomaly" -> (q106Anomaly _),
     "q107_adpcm_audio" -> (q107AdpcmAudio _),
     "q108_sorted_neighborhood" -> (q108SortedNeighborhood _),
-    "q109_equidepth" -> (q109EquiDepth _))
+    "q109_equidepth" -> (q109EquiDepth _),
+    "q110_entity_resolution" -> (q110EntityResolution _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
