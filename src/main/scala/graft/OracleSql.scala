@@ -1835,5 +1835,28 @@ object OracleSql {
         |      FROM wc GROUP BY comp)
         |SELECT g.comp, a2.name AS canonical_name, g.n_members, g.max_price_cents
         |FROM g JOIN a a2 ON a2.id = g.comp
-        |ORDER BY g.comp""".stripMargin)
+        |ORDER BY g.comp""".stripMargin,
+
+    // Interval coalescing: the identical gaps-and-islands window
+    // chain (running max of prior ends, strict-exceed opens).
+    "q111_interval_coalesce" ->
+      """WITH iv AS (SELECT l_suppkey AS key,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s0,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + CAST(l_quantity AS BIGINT) % 5 + 1 AS e0
+        |  FROM lineitem),
+        |w AS (SELECT key, s0, e0,
+        |    max(e0) OVER (PARTITION BY key ORDER BY s0, e0
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |o AS (SELECT key, s0, e0,
+        |    CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS op FROM w),
+        |i AS (SELECT key, s0, e0,
+        |    sum(op) OVER (PARTITION BY key ORDER BY s0, e0
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM o)
+        |SELECT key, min(s0) AS island_start, max(e0) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM i GROUP BY key, island
+        |ORDER BY key, island_start""".stripMargin)
 }

@@ -2392,6 +2392,25 @@ object SparkEntry {
       .transform(sorted1(_, col("comp")))
   }
 
+  /** B36 — INTERVAL COALESCING (operators.Intervals): per-supplier
+    * shipment windows ([shipdate, shipdate + quantity-scaled days]
+    * in integer epoch days) merged into maximal islands with the
+    * single-window gaps-and-islands algorithm (running max of prior
+    * ends, strict-exceed opens an island) — no quadratic overlap
+    * self-join, O(1) window state per row. All integer day
+    * arithmetic; the oracle replays the identical window chain.
+    */
+  private def q111IntervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+    val iv = Tables.lineitem(s, dir).select(
+      col("l_suppkey").as("key"),
+      days.cast("long").as("s0"),
+      (days.cast("long") + pmod(col("l_quantity").cast("long"), lit(5L)) + 1L).as("e0"))
+    graft.operators.Intervals.coalesceIntervals(iv, "key", "s0", "e0")
+      .select(col("key"), col("island_start"), col("island_end"), col("n_intervals"))
+      .transform(sorted1(_, col("key"), col("island_start")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2502,7 +2521,8 @@ object SparkEntry {
     "q107_adpcm_audio" -> (q107AdpcmAudio _),
     "q108_sorted_neighborhood" -> (q108SortedNeighborhood _),
     "q109_equidepth" -> (q109EquiDepth _),
-    "q110_entity_resolution" -> (q110EntityResolution _))
+    "q110_entity_resolution" -> (q110EntityResolution _),
+    "q111_interval_coalesce" -> (q111IntervalCoalesce _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
