@@ -1858,5 +1858,16 @@ object OracleSql {
         |SELECT key, min(s0) AS island_start, max(e0) AS island_end,
         |  CAST(count(*) AS BIGINT) AS n_intervals
         |FROM i GROUP BY key, island
-        |ORDER BY key, island_start""".stripMargin)
+        |ORDER BY key, island_start""".stripMargin,
+
+    // Skyline: the declarative NOT EXISTS dominator formulation —
+    // agreement proves the distributed two-phase scan exact.
+    "q112_skyline" ->
+      """WITH p AS (SELECT p_partkey AS id, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |             CAST(p_size AS BIGINT) AS size FROM part)
+        |SELECT id, price_cents, size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.size <= a.size
+        |    AND (b.price_cents < a.price_cents OR b.size < a.size))
+        |ORDER BY id""".stripMargin)
 }

@@ -2411,6 +2411,24 @@ object SparkEntry {
       .transform(sorted1(_, col("key"), col("island_start")))
   }
 
+  /** B37 — SKYLINE / Pareto frontier (operators.Skyline): parts not
+    * dominated on (price cents, size), minimize-both — the
+    * multi-criteria shortlist no single ORDER BY expresses. Two
+    * distributive phases: per-partition imperative dominance scans,
+    * then the same scan over the union of local frontiers (small by
+    * the anti-chain argument). The oracle is the declarative NOT
+    * EXISTS dominator formulation — agreement proves the two-phase
+    * cut exact, including all-dimension ties kept on both sides.
+    */
+  private def q112Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = fanOut(s, Tables.part(s, dir))
+      .select(col("p_partkey").as("id"),
+        cents(col("p_retailprice")).as("price_cents"),
+        col("p_size").cast("long").as("size"))
+    graft.operators.Skyline.skyline(p, "id", Seq("price_cents", "size"))
+      .transform(sorted1(_, col("id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2522,7 +2540,8 @@ object SparkEntry {
     "q108_sorted_neighborhood" -> (q108SortedNeighborhood _),
     "q109_equidepth" -> (q109EquiDepth _),
     "q110_entity_resolution" -> (q110EntityResolution _),
-    "q111_interval_coalesce" -> (q111IntervalCoalesce _))
+    "q111_interval_coalesce" -> (q111IntervalCoalesce _),
+    "q112_skyline" -> (q112Skyline _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
