@@ -73,7 +73,21 @@ object DumpPlans {
     "q87_bm25" ->
       "BM25 retrieval: the (doc, token) count exchange is built once and REUSED by its three consumers (doc lengths, query-term df, contribution join — AQE ReusedExchange); the query-term and df sides are broadcasts, the corpus stats are a one-row broadcast cross join, and the only corpus-scale exchanges are the (doc, token) partial-agg pair and the per-(query, doc) score fold.",
     "q86_graph_metrics" ->
-      "Triangle counting (lazy nodeMetricsPlan shown — executed nodeMetrics caches canon/degrees/oriented so its visible plan is just the checkpoint scan): every step is a key-shuffle join — edges exchange on u for wedge enumeration, wedges exchange on (v1, v2) for the closing-edge left-semi; no broadcast (the edge set is unbounded at corpus scale) and the degree-ordered orientation caps any node's wedge fan-out at O(sqrt m) regardless of hub degree.")
+      "Triangle counting (lazy nodeMetricsPlan shown — executed nodeMetrics caches canon/degrees/oriented so its visible plan is just the checkpoint scan): every step is a key-shuffle join — edges exchange on u for wedge enumeration, wedges exchange on (v1, v2) for the closing-edge left-semi; no broadcast (the edge set is unbounded at corpus scale) and the degree-ordered orientation caps any node's wedge fan-out at O(sqrt m) regardless of hub degree.",
+    "q100_setsim_join" ->
+      "Exact set-similarity join: the corpus-scale stages are the token-df HashAggregate pair, the rank join, and the per-record re-group — all keyed exchanges with map-side partials, NEVER an all-pairs product; the candidate self-join is keyed on PREFIX tokens only (rarest-first order pushes hot tokens out of prefixes — the WWW'07 bound on bucket sizes), and verification joins fetch the distinct-token arrays for candidate ids only. (At this SF the prefix/freq sides sit under the broadcast threshold so AQE broadcasts them; the scale regime degrades each to the keyed shuffle join with the same aggregate-before-join structure.)",
+    "q102_frequent_pairs" ->
+      "A-priori frequent pairs: item supports are a HashAggregate pair (map-side partial); the frequent-item cut is a left-semi join AQE resolves to broadcast when the frequent set is small (the A-priori expectation) and to a keyed shuffle when it is not — no driver collect either way; pair generation self-joins on the BASKET key so fan-out is k_frequent^2 per basket, and the pair-count aggregate partial-aggregates map-side before its exchange.",
+    "q104_joinsize_est" ->
+      "CMS join-size estimation: each side collapses to ONE 512 KB sketch row behind an ObjectHashAggregate pair (map-side merge — the exchange carries serialized sketches, never keys); the estimate is zip_with/aggregate column arithmetic over a one-row cross join of the two sketch rows, and the exact tiers (Σf² aggregate, filtered join count) run beside it as ordinary keyed aggregates.",
+    "q106_anomaly" ->
+      "Anomaly flagging: ONE hash exchange on user_id feeds a single Window node computing all three prefix moments (count, Σcents, Σcents²) in one sweep; the 3σ decision is pure projection arithmetic above it — per-event verdicts over any history length cost one shuffle + one window pass.",
+    "q108_sorted_neighborhood" ->
+      "Sorted-neighborhood blocking: the global order is a RANGE exchange + within-partition sort (Spark's distributed sort — no single-partition funnel; zipWithIndex adds per-partition offset arithmetic only); pairing exchanges on the rank-BUCKET key with each row mirrored into its predecessor bucket, so the join is hash-keyed with ≤ 3w rows per bucket — O(w·n) candidate work however large the corpus.",
+    "q109_equidepth" ->
+      "Equi-depth histogram: one RANGE exchange + partition-local sort produces the global value order; bucket ids are integer projection arithmetic over zipWithIndex ranks with the total count riding a one-row broadcast cross join, and the final per-bucket stats are a HashAggregate pair (map-side partial) — two corpus passes total, no single-partition window anywhere.",
+    "q112_skyline" ->
+      "Skyline: phase 1 is a map-only per-partition dominance scan (MapPartitions between codegen'd serialize spans — each partition emits only its local Pareto frontier); phase 2 re-runs the same scan over the union of frontiers in one partition, which is small BY THE ANTI-CHAIN ARGUMENT (the operator's output, not the input, bounds it) — the corpus is never self-joined and never globally sorted.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
