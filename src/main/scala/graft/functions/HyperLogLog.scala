@@ -53,17 +53,7 @@ case class HllAgg(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
-  private def hash(key: UTF8String): Long = {
-    val b = key.getBytes
-    var f = 0xcbf29ce484222325L
-    var i = 0
-    while (i < b.length) { f ^= b(i) & 0xffL; f *= 0x100000001b3L; i += 1 }
-    // splitmix64 finalizer decorrelates FNV's weak low bits
-    f += 0x9e3779b97f4a7c15L
-    f = (f ^ (f >>> 30)) * 0xbf58476d1ce4e5b9L
-    f = (f ^ (f >>> 27)) * 0x94d049bb133111ebL
-    f ^ (f >>> 31)
-  }
+  private def hash(key: UTF8String): Long = HllAgg.hashBytes(key.getBytes)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
@@ -98,6 +88,37 @@ case class HllAgg(
 }
 
 object HllAgg {
+
+  /** Fold one string value into a register array in place — the same
+    * hash/rank path the aggregate uses, exposed so OTHER state
+    * holders (streaming mapGroupsWithState, persisted daily sketches)
+    * build registers that are bit-compatible with query-time
+    * aggregation: merge-is-union then makes streaming state ≡ a
+    * batch sketch of the same values, exactly.
+    */
+  def add(registers: Array[Byte], value: String, p: Int): Unit = {
+    val h = hashString(value)
+    val m = 1 << p
+    val j = (h & (m - 1)).toInt
+    val w = h >>> p
+    val rank = (if (w == 0) 64 - p else java.lang.Long.numberOfLeadingZeros(w) - p) + 1
+    if (rank > (registers(j) & 0xff)) registers(j) = rank.toByte
+  }
+
+  private def hashString(value: String): Long =
+    hashBytes(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  // FNV-1a 64 + splitmix64 finalizer (decorrelates FNV's weak low bits)
+  private[functions] def hashBytes(b: Array[Byte]): Long = {
+    var f = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { f ^= b(i) & 0xffL; f *= 0x100000001b3L; i += 1 }
+    f += 0x9e3779b97f4a7c15L
+    f = (f ^ (f >>> 30)) * 0xbf58476d1ce4e5b9L
+    f = (f ^ (f >>> 27)) * 0x94d049bb133111ebL
+    f ^ (f >>> 31)
+  }
+
   /** Estimate from a register array — exposed so persisted sketches
     * can be evaluated (and unioned: elementwise max) outside a query.
     */
