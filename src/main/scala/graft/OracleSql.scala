@@ -1869,5 +1869,23 @@ object OracleSql {
         |WHERE NOT EXISTS (SELECT 1 FROM p b
         |  WHERE b.price_cents <= a.price_cents AND b.size <= a.size
         |    AND (b.price_cents < a.price_cents OR b.size < a.size))
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin,
+
+    // PMI collocations: counts, marginals, and both integer
+    // certificates replayed exactly — no floats anywhere.
+    "q113_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bgl AS (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgl GROUP BY w1, w2),
+        |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_total FROM bg),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+        |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2)
+        |SELECT w1, w2, c12, c1, c2, n_total,
+        |  c12 * n_total > c1 * c2 AS pmi_positive,
+        |  CAST((c12 * n_total * 1000) // (c1 * c2) AS BIGINT) AS lift_x1000
+        |FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |WHERE c12 >= 5
+        |ORDER BY w1, w2""".stripMargin)
 }

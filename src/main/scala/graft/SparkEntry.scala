@@ -2429,6 +2429,30 @@ object SparkEntry {
       .transform(sorted1(_, col("id")))
   }
 
+  /** C57 — PMI COLLOCATION EXTRACTION (on BigramLm.counts): the
+    * association-mining face of the bigram table — for every pair
+    * seen ≥ 5 times, left/right marginals in the bigram-occurrence
+    * probability space and two EXACT integer certificates replacing
+    * the libm PMI value: pmi_positive ⟺ c12·N > c1·c2 (cross-
+    * multiplied — the sign of PMI with zero float involvement) and
+    * lift_x1000 = ⌊1000·c12·N / (c1·c2)⌋ (the monotone PMI proxy,
+    * integer div). The oracle replays counts, marginals, and both
+    * certificates bit-for-bit.
+    */
+  private def q113PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bg = graft.functions.BigramLm.counts(fanOut(s, Tables.documents(s, dir)))
+    val n = bg.agg(sum(col("cnt")).cast("long").as("n_total"))
+    val left = bg.groupBy("w1").agg(sum(col("cnt")).as("c1"))
+    val right = bg.groupBy("w2").agg(sum(col("cnt")).as("c2"))
+    bg.filter(col("cnt") >= 5)
+      .join(left, "w1").join(right, "w2").crossJoin(n)
+      .select(col("w1"), col("w2"), col("cnt").as("c12"), col("c1"), col("c2"),
+        col("n_total"),
+        (col("cnt") * col("n_total") > col("c1") * col("c2")).as("pmi_positive"),
+        expr("(cnt * n_total * 1000) div (c1 * c2)").as("lift_x1000"))
+      .transform(sorted1(_, col("w1"), col("w2")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2541,7 +2565,8 @@ object SparkEntry {
     "q109_equidepth" -> (q109EquiDepth _),
     "q110_entity_resolution" -> (q110EntityResolution _),
     "q111_interval_coalesce" -> (q111IntervalCoalesce _),
-    "q112_skyline" -> (q112Skyline _))
+    "q112_skyline" -> (q112Skyline _),
+    "q113_pmi_collocations" -> (q113PmiCollocations _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
