@@ -2453,6 +2453,27 @@ object SparkEntry {
       .transform(sorted1(_, col("w1"), col("w2")))
   }
 
+  /** C58 — PRODUCT-QUANTIZED ANN (similarity.ProductQuantizer):
+    * compressed-domain search — 64-dim embeddings factor into m=8
+    * subspaces with k=16-centroid codebooks (8 bytes per vector vs
+    * 256), queries scored against CODES via asymmetric distance, all
+    * as map-only column arithmetic (codebooks are literals; queries
+    * never collect). ROWS-ONLY BY DESIGN: codebook training averages
+    * doubles (the q29 coarse-quantizer class — not portably
+    * reproducible in SQL); guarantees live in ProductQuantizerSpec
+    * (identical-vector code identity, partition invariance, ADC
+    * self-vs-far ordering, recall@k vs exact cosine).
+    */
+  private def q114AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.ProductQuantizer
+    val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
+    val model = ProductQuantizer.train(e, dim = 64, m = 8, k = 16)
+    val encoded = graft.Exec.withCached(ProductQuantizer.encode(e, model))(identity)
+    val queries = e.filter(col("vec_id") < 3).select(
+      col("vec_id").as("query_id"), col("embedding"))
+    ProductQuantizer.search(encoded, model, queries, k = 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2566,7 +2587,8 @@ object SparkEntry {
     "q110_entity_resolution" -> (q110EntityResolution _),
     "q111_interval_coalesce" -> (q111IntervalCoalesce _),
     "q112_skyline" -> (q112Skyline _),
-    "q113_pmi_collocations" -> (q113PmiCollocations _))
+    "q113_pmi_collocations" -> (q113PmiCollocations _),
+    "q114_ann_pq" -> (q114AnnPq _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

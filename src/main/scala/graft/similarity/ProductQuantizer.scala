@@ -1,0 +1,113 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", PAMI 2011) — the vector-COMPRESSION leg
+  * of the ANN suite: the D-dim space factors into `m` orthogonal
+  * subspaces of D/m dims, each with its own k-centroid codebook, so
+  * a vector compresses to m small codes (m·log₂k bits — 8 bytes
+  * instead of 256 for D=64, m=8, k=16 float32) while distances
+  * remain computable FROM THE CODES via asymmetric distance (ADC):
+  * ‖q−x‖² ≈ Σ_s ‖q_s − c_{s,code_s(x)}‖². This is what makes
+  * billion-vector serving fit in memory; composed with IvfIndex
+  * bucket routing it is the standard IVF-PQ layout.
+  *
+  * Training reuses the IVF machinery per subspace (seeded average +
+  * Lloyd refinement over SLICED vectors — each subspace's training is
+  * the same one-narrow-shuffle-per-round shape). Encoding is a
+  * map-only pass: the codebooks are model-sized literals inside
+  * nearest-centroid expressions (no join, no shuffle, no UDF).
+  * ADC scoring is likewise pure column arithmetic: the code SELECTS
+  * the centroid from a literal array, FloatDotFold supplies the
+  * cross term, and per-centroid norms ride as literal lookups —
+  * queries are never collected to the driver.
+  *
+  * Like the IVF coarse quantizer (q29), codebook training averages
+  * doubles — not portably reproducible across engines — so the q114
+  * surface is rows-only by declared design with the guarantees
+  * spec-pinned instead: identical vectors encode identically, codes
+  * are partition-invariant, ADC self-distance beats planted-far
+  * distance, and recall@k against exact cosine on clustered data.
+  */
+object ProductQuantizer {
+
+  /** Trained codebooks: `books(s)` holds subspace s's k centroids
+    * (each of dim/m components).
+    */
+  case class Model(dim: Int, m: Int, k: Int, books: Array[IvfIndex.Model]) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim: Int = dim / m
+
+    private def sub(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
+
+    /** m nearest-sub-centroid codes for a vector column (map-only). */
+    def encodeExpr(vec: Column): Column =
+      array((0 until m).map(s => books(s).assignExpr(sub(vec, s))): _*)
+
+    /** ADC distance ‖q − decode(code)‖² as pure column arithmetic:
+      * Σ_s (‖q_s‖² − 2·q_s·c + ‖c‖²) with the centroid c selected
+      * from a literal codebook array by code_s.
+      */
+    def adcDistExpr(queryVec: Column, codeCol: Column): Column = {
+      val terms = (0 until m).map { s =>
+        // dense cid-indexed table: a Lloyd round can drop a cluster,
+        // leaving a cid gap — codes only ever take LIVE cids, so gap
+        // fillers are inert, but positions must stay cid-aligned.
+        val byCid = books(s).centroids.map { case (cid, v) => cid -> v }.toMap
+        val maxCid = books(s).centroids.map(_._1).max
+        val cents = (0 to maxCid).map(cid =>
+          byCid.getOrElse(cid, Array.fill(subDim)(0.0)).map(_.toFloat))
+        val bookLit = typedLit(cents.map(_.toSeq))
+        val normLit = typedLit(cents.map(c => c.map(x => x.toDouble * x.toDouble).sum))
+        val code = element_at(codeCol, s + 1)
+        val chosen = element_at(bookLit, code + 1)
+        val qs = sub(queryVec, s)
+        VectorFunctions.dotNative(qs, qs) -
+          lit(2.0) * VectorFunctions.dotNative(qs, chosen) +
+          element_at(normLit, code + 1)
+      }
+      terms.reduce(_ + _)
+    }
+  }
+
+  /** Train m per-subspace codebooks of k centroids each. */
+  def train(vectors: DataFrame, dim: Int, m: Int, k: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            refinements: Int = 1): Model = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      IvfIndex.trainCentroids(
+        vectors.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
+        subDim, k, idCol, "_sub", refinements)
+    }.toArray
+    Model(dim, m, k, books)
+  }
+
+  /** Corpus with a `pq_code` column (map-only pass). */
+  def encode(vectors: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    vectors.withColumn("pq_code", model.encodeExpr(col(vecCol)))
+  }
+
+  /** Top-k per query by ADC distance over the ENCODED corpus — the
+    * compressed-domain search (compose with IvfIndex routing for the
+    * IVF-PQ bucket-pruned layout; this is the scoring tier).
+    */
+  def search(encoded: DataFrame, model: Model, queries: DataFrame, k: Int,
+             qidCol: String = "query_id", idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val rankW = Window.partitionBy(col(qidCol)).orderBy(col("adc_dist").asc, col(idCol))
+    queries.select(col(qidCol), col(vecCol).as("_qvec"))
+      .crossJoin(encoded.select(col(idCol), col("pq_code")))
+      .withColumn("adc_dist", model.adcDistExpr(col("_qvec"), col("pq_code")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("adc_dist"))
+  }
+}

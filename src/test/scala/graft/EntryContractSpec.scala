@@ -13,7 +13,10 @@ class EntryContractSpec extends SparkSpec {
     "q23_langid", "q25_minhash_lsh", "q29_ann_ivf", "q33_embed_lsh",
     // q97: no SQL engine exposes deflate — exactness evidence lives
     // in CompressibilitySpec (driver-side java.util.zip parity)
-    "q97_compressibility")
+    "q97_compressibility",
+    // q114: PQ codebook training averages doubles (the q29 coarse-
+    // quantizer class); guarantees spec-pinned in ProductQuantizerSpec
+    "q114_ann_pq")
 
   test("every oracleSql key has a queries entry") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -1,0 +1,77 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ProductQuantizer: code identity for identical vectors, partition
+  * invariance, ADC ordering on planted structure, recall@k against
+  * exact cosine on clustered data, compression geometry.
+  */
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated cluster anchors in 8-dim space; 15 members each
+  // with a small deterministic per-member nudge on one component.
+  private val Dim = 8
+  private lazy val clustered: Seq[(Long, Seq[Float])] = {
+    val anchors = Seq(
+      Seq(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 10f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 0f, 0f, 10f, 0f))
+    for (c <- 0 until 4; i <- 0 until 15) yield {
+      val id = (c * 15 + i).toLong
+      val v = anchors(c).zipWithIndex.map { case (x, d) =>
+        x + (if (d == (i % Dim)) 0.3f * ((i % 3) - 1) else 0f)
+      }
+      (id, v)
+    }
+  }
+
+  private lazy val df = clustered.toDF("vec_id", "embedding")
+  private lazy val model = ProductQuantizer.train(df, Dim, m = 4, k = 4, refinements = 2)
+
+  test("identical vectors encode identically; codes are partition-invariant") {
+    val twice = df.union(df.withColumn("vec_id", col("vec_id") + 1000L))
+    val codes = ProductQuantizer.encode(twice, model)
+      .select(col("vec_id"), col("pq_code")).as[(Long, Seq[Int])].collect().toMap
+    (0L until 60L).foreach(id => assert(codes(id) == codes(id + 1000L)))
+    val p1 = ProductQuantizer.encode(df.repartition(1), model)
+      .as[(Long, Seq[Float], Seq[Int])].collect().map(r => r._1 -> r._3).toMap
+    val p8 = ProductQuantizer.encode(df.repartition(8), model)
+      .as[(Long, Seq[Float], Seq[Int])].collect().map(r => r._1 -> r._3).toMap
+    assert(p1 == p8)
+    assert(p1.values.forall(_.size == 4)) // m codes per vector
+  }
+
+  test("ADC: own-cluster codes score closer than far-cluster codes") {
+    val enc = ProductQuantizer.encode(df, model)
+    val q = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = ProductQuantizer.search(enc, model, q, k = 15)
+      .select("vec_id").as[Long].collect().toSet
+    // all of cluster 0 (ids 0-14) should rank above any other cluster
+    assert(top == (0L until 15L).toSet)
+  }
+
+  test("top-5 by ADC stays inside the query's cluster for every cluster") {
+    // quantization collapses within-cluster nudges (members share
+    // codes, ADC ties break by id) — the PQ-level guarantee is
+    // cluster-membership recall, not exact-rank agreement
+    val enc = ProductQuantizer.encode(df, model)
+    val queries = df.filter(col("vec_id").isin(0L, 15L, 30L, 45L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val pq = ProductQuantizer.search(enc, model, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((qid, got) <- pq) {
+      val cluster = ((qid / 15) * 15 until (qid / 15) * 15 + 15).toSet
+      assert(got.subsetOf(cluster), s"query $qid escaped its cluster: $got")
+      assert(got.size == 5)
+    }
+  }
+
+  test("geometry contracts fail fast") {
+    intercept[IllegalArgumentException](ProductQuantizer.train(df, Dim, m = 3, k = 4))
+  }
+}
