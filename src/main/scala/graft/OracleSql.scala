@@ -1887,5 +1887,16 @@ object OracleSql {
         |  CAST((c12 * n_total * 1000) // (c1 * c2) AS BIGINT) AS lift_x1000
         |FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
         |WHERE c12 >= 5
-        |ORDER BY w1, w2""".stripMargin)
+        |ORDER BY w1, w2""".stripMargin,
+
+    // Inverted index: probe-term postings + term stats re-derived
+    // directly from token counts.
+    "q115_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS term FROM documents),
+        |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY term, doc_id),
+        |stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM post GROUP BY term)
+        |SELECT term, doc_id, tf, df, total_tf
+        |FROM post JOIN stats USING (term)
+        |WHERE term IN ('column','filter','hash','join','merge','order','scan','window')
+        |ORDER BY term, doc_id""".stripMargin)
 }

@@ -2474,6 +2474,27 @@ object SparkEntry {
     ProductQuantizer.search(encoded, model, queries, k = 5)
   }
 
+  /** C59 — INVERTED-INDEX build (functions.InvertedIndex): the
+    * persisted serving layout behind retrieval — postings (term,
+    * doc_id, tf) + term stats (df, total_tf) built in two map-side-
+    * combined keyed aggregates; `save` partitions postings by an
+    * md5-derived term bucket so query-time reads prune to the
+    * queried terms' buckets (spec-asserted on scan metrics). The
+    * driver query surfaces the 8 q66 probe terms' postings joined
+    * with their stats — exact integer rows the oracle re-derives
+    * directly.
+    */
+  private def q115InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.InvertedIndex
+    val probes = Seq("column", "filter", "hash", "join", "merge", "order", "scan", "window")
+    val post = InvertedIndex.postings(fanOut(s, Tables.documents(s, dir)), "doc_id", "text")
+    val stats = InvertedIndex.termStats(post)
+    post.filter(col("term").isin(probes: _*))
+      .join(stats, "term")
+      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("total_tf"))
+      .transform(sorted1(_, col("term"), col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2588,7 +2609,8 @@ object SparkEntry {
     "q111_interval_coalesce" -> (q111IntervalCoalesce _),
     "q112_skyline" -> (q112Skyline _),
     "q113_pmi_collocations" -> (q113PmiCollocations _),
-    "q114_ann_pq" -> (q114AnnPq _))
+    "q114_ann_pq" -> (q114AnnPq _),
+    "q115_inverted_index" -> (q115InvertedIndex _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
