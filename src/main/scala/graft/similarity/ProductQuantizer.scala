@@ -74,18 +74,34 @@ object ProductQuantizer {
     }
   }
 
-  /** Train m per-subspace codebooks of k centroids each. */
+  /** Train m per-subspace codebooks of k centroids each. The slim
+    * (id, vec) projection is cached for the duration (each subspace
+    * reads it 1 + refinements times) and the m independent trainings
+    * submit their Spark jobs CONCURRENTLY from driver threads — the
+    * scheduler interleaves them, so wall-clock is a few job rounds
+    * instead of m × (1 + refinements) sequential rounds.
+    */
   def train(vectors: DataFrame, dim: Int, m: Int, k: Int,
             idCol: String = "vec_id", vecCol: String = "embedding",
             refinements: Int = 1): Model = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val books = (0 until m).map { s =>
-      IvfIndex.trainCentroids(
-        vectors.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
-        subDim, k, idCol, "_sub", refinements)
-    }.toArray
-    Model(dim, m, k, books)
+    val slim = vectors.select(col(idCol), col(vecCol)).persist()
+    try {
+      slim.count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books = Await.result(
+        Future.sequence((0 until m).map(s => Future {
+          IvfIndex.trainCentroids(
+            slim.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
+            subDim, k, idCol, "_sub", refinements)
+        })), scala.concurrent.duration.Duration.Inf).toArray
+      Model(dim, m, k, books)
+    } finally {
+      slim.unpersist()
+      ()
+    }
   }
 
   /** Corpus with a `pq_code` column (map-only pass). */
