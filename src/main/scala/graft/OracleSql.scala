@@ -1898,5 +1898,39 @@ object OracleSql {
         |SELECT term, doc_id, tf, df, total_tf
         |FROM post JOIN stats USING (term)
         |WHERE term IN ('column','filter','hash','join','merge','order','scan','window')
-        |ORDER BY term, doc_id""".stripMargin)
+        |ORDER BY term, doc_id""".stripMargin,
+
+    // Soundex: the identical translate + portable-regexp chain (no
+    // backreferences — RE2-safe), mirrored stage for stage.
+    "q116_soundex" ->
+      """WITH w0 AS (SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+        |w1 AS (SELECT w FROM w0 WHERE length(w) > 0),
+        |s1 AS (SELECT w, regexp_replace(upper(w), '[^A-Z]', '', 'g') AS letters FROM w1),
+        |s2 AS (SELECT w, letters,
+        |         substr(letters, 1, 1) || regexp_replace(substr(letters, 2), '[HW]', '', 'g') AS hw
+        |       FROM s1),
+        |s3 AS (SELECT w, letters,
+        |         translate(hw, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202') AS digits
+        |       FROM s2),
+        |s4 AS (SELECT w, letters, digits,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           digits, '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+        |           '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS collapsed
+        |       FROM s3),
+        |s5 AS (SELECT w, letters, digits,
+        |         regexp_replace(collapsed, '0', '', 'g') AS nz FROM s4),
+        |s6 AS (SELECT w, letters,
+        |         CASE WHEN substr(digits, 1, 1) = '0' THEN nz ELSE substr(nz, 2) END AS tl
+        |       FROM s5),
+        |sx AS (SELECT w,
+        |         CASE WHEN length(letters) = 0 THEN NULL
+        |              ELSE substr(letters, 1, 1) || rpad(substr(tl, 1, 3), 3, '0') END AS code
+        |       FROM s6),
+        |g AS (SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(count(DISTINCT w) AS BIGINT) AS n_distinct, min(w) AS sample_word
+        |      FROM sx GROUP BY code)
+        |SELECT code, n_words, n_distinct, sample_word,
+        |  n_words * (n_words - 1) // 2 AS block_pairs
+        |FROM g WHERE n_words >= 20
+        |ORDER BY code""".stripMargin)
 }

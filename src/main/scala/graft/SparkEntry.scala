@@ -2495,6 +2495,32 @@ object SparkEntry {
       .transform(sorted1(_, col("term"), col("doc_id")))
   }
 
+  /** C60 — SOUNDEX PHONETIC BLOCKING (functions.Phonetic): American
+    * Soundex as a pure translate + portable-regexp column chain (no
+    * UDF, no backreferences — the Java∩RE2 subset, so the oracle
+    * mirrors it verbatim), computed per part-name word; output =
+    * per-code blocks with member counts and the FuzzyMatch
+    * candidate-budget evidence (Σ pairs per block) — the phonetic
+    * blocking function entity resolution unions with q110's prefix
+    * blocks and q108's rank windows. Tricky rules pinned by spec
+    * vectors: H/W do not separate same-coded consonants, the first
+    * letter's own code collapses, vowel-initial names keep their
+    * digits.
+    */
+  private def q116Soundex(s: SparkSession, dir: String): DataFrame = {
+    val words = fanOut(s, Tables.part(s, dir))
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    words.groupBy(graft.functions.Phonetic.soundex(col("w")).as("code"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("w")).as("n_distinct"),
+        min(col("w")).as("sample_word"))
+      .filter(col("n_words") >= 20)
+      .select(col("code"), col("n_words"), col("n_distinct"), col("sample_word"),
+        expr("n_words * (n_words - 1) div 2").as("block_pairs"))
+      .transform(sorted1(_, col("code")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2610,7 +2636,8 @@ object SparkEntry {
     "q112_skyline" -> (q112Skyline _),
     "q113_pmi_collocations" -> (q113PmiCollocations _),
     "q114_ann_pq" -> (q114AnnPq _),
-    "q115_inverted_index" -> (q115InvertedIndex _))
+    "q115_inverted_index" -> (q115InvertedIndex _),
+    "q116_soundex" -> (q116Soundex _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
