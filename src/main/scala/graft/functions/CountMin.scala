@@ -230,6 +230,33 @@ case class CountMinTableAgg(
 
 object CountMin {
 
+  /** Fold one string occurrence into a row-major depth×width counter
+    * table in place — the same CmsHash path the aggregates use, so
+    * OTHER state holders (streaming mapGroupsWithState, persisted
+    * daily sketches) build tables bit-compatible with query-time
+    * aggregation: merge is elementwise add, so streaming state after
+    * any micro-batch sequence equals a batch sketch of the same
+    * occurrences exactly.
+    */
+  def add(table: Array[Long], value: String, depth: Int, width: Int): Unit = {
+    val f = CmsHash.fingerprint(UTF8String.fromString(value))
+    var r = 0
+    while (r < depth) { table(r * width + CmsHash.pos(f, r, width)) += 1L; r += 1 }
+  }
+
+  /** Min-over-rows point estimate from a raw table. */
+  def estimate(table: Array[Long], probe: String, depth: Int, width: Int): Long = {
+    val f = CmsHash.fingerprint(UTF8String.fromString(probe))
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = table(r * width + CmsHash.pos(f, r, width))
+      if (c < min) min = c
+      r += 1
+    }
+    min
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimates",
