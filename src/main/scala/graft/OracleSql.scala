@@ -1932,5 +1932,21 @@ object OracleSql {
         |SELECT code, n_words, n_distinct, sample_word,
         |  n_words * (n_words - 1) // 2 AS block_pairs
         |FROM g WHERE n_words >= 20
-        |ORDER BY code""".stripMargin)
+        |ORDER BY code""".stripMargin,
+
+    // BOM explosion: the oracle enumerates EVERY root path with a
+    // recursive CTE, carrying the quantity product and path length —
+    // sum of products and max length per node independently
+    // reproduce the level-synchronous sweep.
+    "q117_bom_explode" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey AS i FROM part WHERE p_partkey >= 1),
+        |e0 AS (SELECT i // 3 AS parent, i AS child, i % 3 + 1 AS qty FROM p
+        |       UNION ALL
+        |       SELECT i // 7, i, i % 5 + 1 FROM p WHERE i // 7 <> i // 3),
+        |e AS (SELECT parent, child, CAST(sum(qty) AS BIGINT) AS q FROM e0 GROUP BY parent, child),
+        |r AS (SELECT CAST(0 AS BIGINT) AS node, CAST(1 AS BIGINT) AS mult, CAST(0 AS BIGINT) AS len
+        |      UNION ALL
+        |      SELECT e.child, r.mult * e.q, r.len + 1 FROM r JOIN e ON e.parent = r.node)
+        |SELECT node, max(len) AS level, CAST(sum(mult) AS BIGINT) AS total_qty
+        |FROM r GROUP BY node ORDER BY node""".stripMargin)
 }

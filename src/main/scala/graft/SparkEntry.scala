@@ -2521,6 +2521,29 @@ object SparkEntry {
       .transform(sorted1(_, col("code")))
   }
 
+  /** B38 — HIERARCHICAL BOM EXPLOSION (operators.Hierarchy):
+    * recursive AGGREGATION over a DAG — total requirement of every
+    * part reachable from root 0 = Σ over paths of Π edge quantities,
+    * with level = longest path (the completion ordering). A
+    * different recursion class from q101's BFS: every path
+    * contributes a multiplicative weight, none is discarded. The
+    * deterministic two-parent DAG (i div 3, i div 7) gives real
+    * diamond fan-in, so path multiplicities genuinely accumulate;
+    * the oracle ENUMERATES all root paths with a recursive CTE and
+    * aggregates products — an independent formulation of the
+    * level-synchronous sweep.
+    */
+  private def q117BomExplode(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey").as("i")).filter(col("i") >= 1)
+    val e1 = p.select(expr("i div 3").as("parent"), col("i").as("child"),
+      (pmod(col("i"), lit(3)) + 1).as("qty"))
+    val e2 = p.filter(expr("i div 7") =!= expr("i div 3"))
+      .select(expr("i div 7").as("parent"), col("i").as("child"),
+        (pmod(col("i"), lit(5)) + 1).as("qty"))
+    graft.operators.Hierarchy.bomExplode(e1.unionByName(e2), rootId = 0L)
+      .transform(sorted1(_, col("node")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2637,7 +2660,8 @@ object SparkEntry {
     "q113_pmi_collocations" -> (q113PmiCollocations _),
     "q114_ann_pq" -> (q114AnnPq _),
     "q115_inverted_index" -> (q115InvertedIndex _),
-    "q116_soundex" -> (q116Soundex _))
+    "q116_soundex" -> (q116Soundex _),
+    "q117_bom_explode" -> (q117BomExplode _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs
