@@ -1948,5 +1948,31 @@ object OracleSql {
         |      UNION ALL
         |      SELECT e.child, r.mult * e.q, r.len + 1 FROM r JOIN e ON e.parent = r.node)
         |SELECT node, max(len) AS level, CAST(sum(mult) AS BIGINT) AS total_qty
-        |FROM r GROUP BY node ORDER BY node""".stripMargin)
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    // PDF text extraction: the oracle rebuilds the expected extracted
+    // text from the raw source column with pure string SQL — the same
+    // sanitize + 40-char-chunk + 2-lines-per-page derivation the Spark
+    // side typesets into real PDF bytes and decodes back. The hash
+    // match therefore proves the whole xref/inflate/text-operator
+    // chain, across both compression variants and all three operator
+    // styles (which must extract identically).
+    "q118_pdf_text" ->
+      """WITH s AS (SELECT doc_id,
+        |             substr(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 120) AS p
+        |           FROM documents),
+        |x AS (SELECT doc_id, p,
+        |        nullif(substr(p, 1, 40), '') AS l1,
+        |        nullif(substr(p, 41, 40), '') AS l2,
+        |        nullif(substr(p, 81, 40), '') AS l3
+        |      FROM s),
+        |y AS (SELECT doc_id,
+        |        CAST(ceil(length(p) / 40.0) AS BIGINT) AS n_lines,
+        |        concat_ws(chr(10), l1, l2, l3) AS extracted
+        |      FROM x)
+        |SELECT doc_id,
+        |  greatest(CAST(1 AS BIGINT), CAST(ceil(n_lines / 2.0) AS BIGINT)) AS n_pages,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars,
+        |  extracted, true AS valid
+        |FROM y ORDER BY doc_id""".stripMargin)
 }

@@ -2544,6 +2544,38 @@ object SparkEntry {
       .transform(sorted1(_, col("node")))
   }
 
+  /** C61 — PDF TEXT-LAYER EXTRACTION (multimodal.Pdf): the
+    * reference's PRIMARY input path (pdf_extractor.py:28 extract_text
+    * via pdfplumber), now REAL pure-JDK decode. Each document's
+    * sanitized text prefix is typeset into a synthesized PDF by our
+    * own writer — classic xref table, 40-char lines, two lines per
+    * page, FlateDecode on even ids, three distinct text-operator
+    * styles by id%3 (Tj / kerned TJ / ') — and the engine recovers
+    * it through the full public-format chain: xref walk → object
+    * graph → page tree → JDK Inflater → BT/Tj/TJ/' operators. The
+    * oracle rebuilds the expected text from the source column with
+    * pure string SQL (never sees a PDF byte), so the hash match
+    * proves decode correctness end to end, compression and operator
+    * variants included. Map-only at any corpus scale — the canonical
+    * decode stage: no shuffle, CPU-bound, linear in executors.
+    */
+  private def q118PdfText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"), regexp_replace(col("text"), "[^A-Za-z0-9 ]", "").as("t"))
+      .as[(Long, String)]
+    val pdfs = docs.mapPartitions(_.map { case (id, t) =>
+      val prefix = Option(t).getOrElse("").take(120)
+      val lines = prefix.grouped(40).toSeq.filter(_.nonEmpty)
+      val pages = if (lines.isEmpty) Seq(Seq.empty[String]) else lines.grouped(2).toSeq
+      (id, graft.multimodal.Pdf.encode(pages, flate = id % 2 == 0, opMode = (id % 3).toInt))
+    }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.pdfTextStats(pdfs).toDF()
+      .select(col("doc_id"), col("n_pages").cast("long").as("n_pages"),
+        col("n_chars"), col("text").as("extracted"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2661,7 +2693,8 @@ object SparkEntry {
     "q114_ann_pq" -> (q114AnnPq _),
     "q115_inverted_index" -> (q115InvertedIndex _),
     "q116_soundex" -> (q116Soundex _),
-    "q117_bom_explode" -> (q117BomExplode _))
+    "q117_bom_explode" -> (q117BomExplode _),
+    "q118_pdf_text" -> (q118PdfText _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

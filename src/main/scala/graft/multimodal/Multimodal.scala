@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *    filters), GIF ([[Gif]] — LZW + palette walk), and baseline
   *    JPEG ([[Jpeg]] — Huffman + IDCT + 4:2:0 upsampling);
   *    `imagePixelStats` routes by magic bytes.
+  *  - PDF TEXT-LAYER EXTRACTION IS REAL ([[Pdf]] — classic xref walk,
+  *    object grammar, FlateDecode via JDK `Inflater`, page tree,
+  *    BT/ET + Tj/TJ/'/" text operators): the reference's PRIMARY
+  *    input path (pdf_extractor.py:28 extract_text / pdfplumber) —
+  *    `pdfTextStats` routes by `%PDF` magic.
   *  - AUDIO DECODE IS REAL for WAV/PCM payloads ([[Wav]]: RIFF chunk
   *    walk + exact integer sample statistics — `audioFeatures`);
   *    native-codec formats keep a real container-metadata tier where
@@ -290,6 +295,27 @@ object Multimodal {
           val b = Bmp.decode(bytes)
           PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)
         }
+      })
+  }
+
+  case class PdfMeta(doc_id: Long, n_pages: Int, n_chars: Long, text: String, valid: Boolean)
+
+  /** REAL PDF text-layer extraction (`Pdf.decode` — classic xref →
+    * object graph → page tree → FlateDecode → text operators; the
+    * reference's primary input path, pdf_extractor.py:28): the
+    * document twin of `audioFeatures`/`imagePixelStats`. `%PDF`
+    * magic routes; anything else (and any unsupported PDF feature —
+    * xref streams, encryption, non-Flate filters) yields a
+    * `valid=false` row, never an exception.
+    */
+  def pdfTextStats(df: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload"): Dataset[PdfMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val p = Pdf.decode(bytes)
+        PdfMeta(id, p.nPages, p.nChars, p.text, p.valid)
       })
   }
 

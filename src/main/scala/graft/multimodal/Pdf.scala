@@ -1,0 +1,588 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal PDF text-layer extractor — REAL decode for the reference's
+  * PRIMARY input format (restaurant_etl/extractors/pdf_extractor.py:28
+  * `extract_text` via pdfplumber) with zero native dependencies: the
+  * classic cross-reference table, the object grammar (dicts, arrays,
+  * literal/hex strings, names, numbers, indirect references), stream
+  * objects with `/Filter /FlateDecode` (JDK `java.util.zip.Inflater`),
+  * the page tree walk (`/Root → /Pages → /Kids`, nested `/Pages`
+  * nodes, `/Contents` as a single stream or an array), and the text
+  * operators of the content-stream language (`BT/ET`, `Tj`, `TJ`,
+  * `'`, `"`, `Td/TD/T*`) are all fully specified public formats
+  * (ISO 32000-1).
+  *
+  * Extraction semantics (layout-free, the pdfplumber `extract_text`
+  * class of output): shown strings accumulate in reading order; a
+  * line-break operator (`T*`, `'`, `"`, or `Td`/`TD` with a non-zero
+  * vertical displacement) emits ONE newline before the next shown
+  * string (consecutive breaks collapse; a break before any text on
+  * the page is ignored — it is the initial cursor placement). Page
+  * texts join with a newline. String bytes decode as Latin-1, which
+  * agrees with `/WinAnsiEncoding` on the printable-ASCII range this
+  * engine's corpus uses; CID fonts / `/ToUnicode` CMaps are out of
+  * scope and simply yield the raw bytes.
+  *
+  * Scope boundaries (→ `valid=false`, never an exception — the
+  * crawl-scale contract shared by every decoder in this package):
+  * PDF 1.5+ cross-reference STREAMS and object streams, encryption,
+  * filters other than FlateDecode. Incremental updates via `/Prev`
+  * xref chains ARE followed.
+  *
+  * The [[encode]] side is the established oracle pattern (q70/q80/q83/
+  * q90/q94): synthesize documents with our own writer — uncompressed
+  * or Flate content streams, three distinct text-operator styles —
+  * whose extracted text an SQL oracle reconstructs from the source
+  * column without ever seeing a PDF byte, so the q118 hash match
+  * proves the xref walk, inflate, and operator handling end to end.
+  */
+object Pdf {
+
+  /** `valid=false` rows carry zeros/empty (malformed payloads yield a
+    * row, never an exception).
+    */
+  final case class PdfText(nPages: Int, nChars: Long, text: String, valid: Boolean)
+
+  private val Invalid = PdfText(0, 0L, "", valid = false)
+
+  // ------------------------------------------------------------------
+  // Writer (fixture/synthesis side)
+  // ------------------------------------------------------------------
+
+  /** Escape a PDF literal string: `\ ( )` are the only specials for
+    * the printable-ASCII payloads this engine synthesizes. */
+  private[multimodal] def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 4)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '('  => sb.append("\\(")
+      case ')'  => sb.append("\\)")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** One page's content stream. `opMode` exercises distinct operator
+    * shapes that must extract identically:
+    *  0 — `(line) Tj` with explicit `0 -14 Td` breaks;
+    *  1 — `[(a) -120 (b)] TJ` kerned arrays (numbers are horizontal
+    *      adjustments, NOT breaks — the decoder must skip them);
+    *  2 — first line `Tj`, then `(line) '` (move-and-show).
+    */
+  private def contentStream(lines: Seq[String], opMode: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (ln, j) =>
+      if (j > 0 && opMode != 2) sb.append("0 -14 Td\n")
+      opMode match {
+        case 1 =>
+          val (a, b) = ln.splitAt(ln.length / 2)
+          sb.append(s"[(${esc(a)}) -120 (${esc(b)})] TJ\n")
+        case 2 =>
+          if (j == 0) sb.append(s"(${esc(ln)}) Tj\n")
+          else sb.append(s"(${esc(ln)}) '\n")
+        case _ =>
+          sb.append(s"(${esc(ln)}) Tj\n")
+      }
+    }
+    sb.append("ET\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private[multimodal] def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](math.max(256, data.length + 64))
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) { val n = d.deflate(buf); bos.write(buf, 0, n) }
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Build a complete classic-xref PDF: one content stream per page
+    * (optionally FlateDecode-compressed), a shared Type1 font, a
+    * correct byte-offset xref table and trailer.
+    */
+  def encode(pages: Seq[Seq[String]], flate: Boolean, opMode: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val nPages = pages.size
+    val nObjs = 3 + 2 * nPages // 1 catalog, 2 page-tree root, 3 font, then (page, content) pairs
+    val offsets = new Array[Long](nObjs + 1)
+    w("%PDF-1.4\n")
+    // conventional binary-content marker comment
+    out.write(Array[Byte]('%', 0xE2.toByte, 0xE3.toByte, 0xCF.toByte, 0xD3.toByte, '\n'))
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets(n) = out.size().toLong; w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj(2) { w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n") }
+    obj(3) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\n") }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
+      obj(pageObj) {
+        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contObj 0 R >>\n")
+      }
+      val raw = contentStream(lines, opMode)
+      val data = if (flate) deflate(raw) else raw
+      obj(contObj) {
+        w(s"<< /Length ${data.length}" +
+          (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${nObjs + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to nObjs).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Object grammar
+  // ------------------------------------------------------------------
+
+  private sealed trait PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PName(v: String) extends PVal
+  private final case class PStr(v: String) extends PVal
+  private final case class PArr(v: Vector[PVal]) extends PVal
+  private final case class PDict(v: Map[String, PVal]) extends PVal
+  private final case class PRef(num: Int) extends PVal
+  private final case class PBool(v: Boolean) extends PVal
+  private case object PNull extends PVal
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Byte-level tokenizer/parser over one region of the file. */
+  private final class Lexer(val b: Array[Byte], var p: Int) {
+    def eof: Boolean = p >= b.length
+    def peek: Int = if (eof) -1 else b(p) & 0xff
+
+    def ws(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = peek
+        if (isWs(c)) p += 1
+        else if (c == '%') { while (!eof && peek != '\n' && peek != '\r') p += 1 }
+        else go = false
+      }
+    }
+
+    /** Regular-character run (operator / keyword / number token). */
+    def keyword(): String = {
+      ws()
+      val s = p
+      while (!eof && !isWs(peek) && !isDelim(peek)) p += 1
+      new String(b, s, p - s, ISO_8859_1)
+    }
+
+    def expect(k: String): Unit = {
+      val got = keyword()
+      if (got != k) throw new IllegalArgumentException(s"expected '$k', got '$got'")
+    }
+
+    def name(): String = {
+      // caller consumed '/'
+      val s = p
+      while (!eof && !isWs(peek) && !isDelim(peek)) p += 1
+      val raw = new String(b, s, p - s, ISO_8859_1)
+      // #xx hex escapes in names
+      if (!raw.contains('#')) raw
+      else {
+        val sb = new StringBuilder; var i = 0
+        while (i < raw.length) {
+          if (raw(i) == '#' && i + 2 < raw.length) {
+            sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar); i += 3
+          } else { sb.append(raw(i)); i += 1 }
+        }
+        sb.toString
+      }
+    }
+
+    def literalString(): String = {
+      // caller consumed '('
+      val sb = new StringBuilder
+      var depth = 1
+      while (depth > 0) {
+        if (eof) throw new IllegalArgumentException("unterminated string")
+        val c = b(p) & 0xff; p += 1
+        c match {
+          case '\\' =>
+            if (eof) throw new IllegalArgumentException("dangling escape")
+            val e = b(p) & 0xff; p += 1
+            e match {
+              case 'n' => sb.append('\n')
+              case 'r' => sb.append('\r')
+              case 't' => sb.append('\t')
+              case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f')
+              case '(' => sb.append('(')
+              case ')' => sb.append(')')
+              case '\\' => sb.append('\\')
+              case '\r' => if (!eof && peek == '\n') p += 1 // line continuation
+              case '\n' => ()
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'; var k = 0
+                while (k < 2 && !eof && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (b(p) - '0'); p += 1; k += 1
+                }
+                sb.append((v & 0xff).toChar)
+              case other => sb.append(other.toChar)
+            }
+          case '(' => depth += 1; sb.append('(')
+          case ')' => depth -= 1; if (depth > 0) sb.append(')')
+          case other => sb.append(other.toChar)
+        }
+      }
+      sb.toString
+    }
+
+    def hexString(): String = {
+      // caller consumed '<'
+      val sb = new StringBuilder
+      val hex = new StringBuilder
+      var done = false
+      while (!done) {
+        if (eof) throw new IllegalArgumentException("unterminated hex string")
+        val c = b(p) & 0xff; p += 1
+        if (c == '>') done = true
+        else if (!isWs(c)) hex.append(c.toChar)
+      }
+      if (hex.length % 2 == 1) hex.append('0')
+      var i = 0
+      while (i < hex.length) {
+        sb.append(Integer.parseInt(hex.substring(i, i + 2), 16).toChar); i += 2
+      }
+      sb.toString
+    }
+
+    def value(): PVal = {
+      ws()
+      if (eof) throw new IllegalArgumentException("eof in value")
+      val c = peek
+      if (c == '<') {
+        if (p + 1 < b.length && (b(p + 1) & 0xff) == '<') {
+          p += 2
+          var m = Map.empty[String, PVal]
+          var done = false
+          while (!done) {
+            ws()
+            if (peek == '>') { p += 2; done = true }
+            else if (peek == '/') { p += 1; val k = name(); m += (k -> value()) }
+            else throw new IllegalArgumentException(s"bad dict entry at $p")
+          }
+          PDict(m)
+        } else { p += 1; PStr(hexString()) }
+      } else if (c == '(') { p += 1; PStr(literalString()) }
+      else if (c == '/') { p += 1; PName(name()) }
+      else if (c == '[') {
+        p += 1
+        val xs = Vector.newBuilder[PVal]
+        var done = false
+        while (!done) {
+          ws()
+          if (peek == ']') { p += 1; done = true } else xs += value()
+        }
+        PArr(xs.result())
+      } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        val save = p
+        val tok = keyword()
+        val n = tok.toDouble
+        // "num gen R" lookahead → indirect reference
+        if (n >= 0 && n == n.floor) {
+          val save2 = p
+          try {
+            ws()
+            val g = keyword()
+            ws()
+            if (g.nonEmpty && g.forall(_.isDigit) && peek == 'R') {
+              val save3 = p
+              val r = keyword()
+              if (r == "R") return PRef(n.toInt) else { p = save3 }
+            }
+            p = save2
+          } catch { case _: Exception => p = save2 }
+        }
+        val _ = save
+        PNum(n)
+      } else {
+        keyword() match {
+          case "true"  => PBool(true)
+          case "false" => PBool(false)
+          case "null"  => PNull
+          case other   => throw new IllegalArgumentException(s"bad token '$other'")
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Document structure
+  // ------------------------------------------------------------------
+
+  private final class Doc(bytes: Array[Byte], offsets: Map[Int, Int]) {
+    private val cache = scala.collection.mutable.Map.empty[Int, (PVal, Option[Array[Byte]])]
+
+    def resolve(v: PVal): PVal = v match {
+      case PRef(n) => obj(n)._1
+      case other   => other
+    }
+
+    /** Parse object n: its value and, for stream objects, the RAW
+      * (still-encoded) stream bytes. */
+    def obj(n: Int): (PVal, Option[Array[Byte]]) = cache.getOrElseUpdate(n, {
+      val off = offsets.getOrElse(n, throw new IllegalArgumentException(s"no xref entry for obj $n"))
+      val lex = new Lexer(bytes, off)
+      val num = lex.keyword()
+      if (num.toInt != n) throw new IllegalArgumentException(s"xref points obj $n at obj $num")
+      lex.keyword() // generation number
+      lex.expect("obj")
+      val v = lex.value()
+      lex.ws()
+      val save = lex.p
+      val kw = lex.keyword()
+      if (kw == "stream") {
+        // EOL after 'stream': CRLF or LF
+        if (lex.peek == '\r') lex.p += 1
+        if (lex.peek == '\n') lex.p += 1
+        val len = resolve(v.asInstanceOf[PDict].v.getOrElse("Length",
+          throw new IllegalArgumentException("stream without /Length"))) match {
+          case PNum(x) => x.toInt
+          case other   => throw new IllegalArgumentException(s"bad /Length $other")
+        }
+        if (len < 0 || lex.p + len > bytes.length)
+          throw new IllegalArgumentException("stream overruns file")
+        val data = java.util.Arrays.copyOfRange(bytes, lex.p, lex.p + len)
+        (v, Some(data))
+      } else {
+        lex.p = save
+        (v, None)
+      }
+    })
+
+    /** Decoded stream payload of object n, applying /Filter. */
+    def streamData(n: Int): Array[Byte] = {
+      val (v, raw) = obj(n)
+      val data = raw.getOrElse(throw new IllegalArgumentException(s"obj $n is not a stream"))
+      val dict = v.asInstanceOf[PDict].v
+      dict.get("Filter").map(resolve) match {
+        case None => data
+        case Some(PName("FlateDecode")) => inflate(data)
+        case Some(PArr(Vector(PName("FlateDecode")))) => inflate(data)
+        case Some(other) => throw new IllegalArgumentException(s"unsupported filter $other")
+      }
+    }
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val buf = new Array[Byte](8192)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated deflate stream")
+      bos.write(buf, 0, n)
+    }
+    inf.end()
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Cross-reference table
+  // ------------------------------------------------------------------
+
+  /** Parse the classic xref chain starting at `startxref`; returns
+    * (object → byte offset, trailer of the NEWEST section — whose
+    * /Root wins, per the incremental-update rules). */
+  private def readXref(bytes: Array[Byte], startOff: Int): (Map[Int, Int], Map[String, PVal]) = {
+    var offsets = Map.empty[Int, Int]
+    var trailer0: Option[Map[String, PVal]] = None
+    var next: Option[Int] = Some(startOff)
+    var hops = 0
+    while (next.isDefined) {
+      hops += 1
+      if (hops > 32) throw new IllegalArgumentException("xref /Prev chain too deep")
+      val lex = new Lexer(bytes, next.get)
+      lex.expect("xref") // PDF 1.5 xref STREAMS put an int here → error → invalid (out of scope)
+      var inSections = true
+      while (inSections) {
+        lex.ws()
+        val save = lex.p
+        val tok = lex.keyword()
+        if (tok == "trailer") inSections = false
+        else {
+          val start = tok.toInt
+          val count = lex.keyword().toInt
+          if (count < 0 || count > 1000000) throw new IllegalArgumentException("absurd xref section")
+          var i = 0
+          while (i < count) {
+            val off = lex.keyword().toInt
+            val gen = lex.keyword(); val _ = gen
+            val typ = lex.keyword()
+            // newest section wins: earlier hops are NEWER (we follow /Prev backwards)
+            if (typ == "n" && !offsets.contains(start + i)) offsets += ((start + i) -> off)
+            i += 1
+          }
+          val _ = save
+        }
+      }
+      val tr = new Lexer(bytes, lex.p).value() match {
+        case PDict(m) => m
+        case other    => throw new IllegalArgumentException(s"bad trailer $other")
+      }
+      if (trailer0.isEmpty) trailer0 = Some(tr)
+      next = tr.get("Prev") match {
+        case Some(PNum(x)) => Some(x.toInt)
+        case _             => None
+      }
+    }
+    (offsets, trailer0.getOrElse(throw new IllegalArgumentException("no trailer")))
+  }
+
+  // ------------------------------------------------------------------
+  // Content-stream text extraction
+  // ------------------------------------------------------------------
+
+  /** Extract shown text from one page's (concatenated) content stream.
+    * See the class scaladoc for the break-collapsing semantics. */
+  private[multimodal] def extractText(content: Array[Byte]): String = {
+    val lex = new Lexer(content, 0)
+    val sb = new StringBuilder
+    var pendingBreak = false
+    var shown = false
+    val stack = ArrayBuffer.empty[PVal]
+
+    def break(): Unit = if (shown) pendingBreak = true
+    def show(s: String): Unit = {
+      if (pendingBreak) { sb.append('\n'); pendingBreak = false }
+      sb.append(s); shown = true
+    }
+    def popStr(): String = stack.reverseIterator.collectFirst { case PStr(s) => s }.getOrElse("")
+    def arg(idxFromEnd: Int): Option[PVal] =
+      if (stack.length > idxFromEnd) Some(stack(stack.length - 1 - idxFromEnd)) else None
+
+    while ({ lex.ws(); !lex.eof }) {
+      val c = lex.peek
+      if (c == '(' || c == '<' || c == '[' || c == '/' ||
+          c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        // operand (value); '<' also covers inline dicts (e.g. BDC properties)
+        stack += lex.value()
+      } else if (c == ']' || c == '>' || c == ')' || c == '{' || c == '}') {
+        lex.p += 1 // stray delimiter: skip defensively
+      } else {
+        lex.keyword() match {
+          case "Tj" => show(popStr()); stack.clear()
+          case "TJ" =>
+            stack.reverseIterator.collectFirst { case PArr(xs) => xs } match {
+              case Some(xs) =>
+                val s = xs.collect { case PStr(x) => x }.mkString
+                show(s)
+              case None => ()
+            }
+            stack.clear()
+          case "'" => break(); show(popStr()); stack.clear()
+          case "\"" => break(); show(popStr()); stack.clear()
+          case "Td" | "TD" =>
+            arg(0) match {
+              case Some(PNum(ty)) if ty != 0 => break()
+              case _                         => ()
+            }
+            stack.clear()
+          case "T*" => break(); stack.clear()
+          case ""   => if (!lex.eof) lex.p += 1 // safety: never stall
+          case _    => stack.clear() // any other operator consumes its operands
+        }
+      }
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
+  // Top-level decode
+  // ------------------------------------------------------------------
+
+  /** Parse a PDF payload into its extracted text layer. */
+  def decode(bytes: Array[Byte]): PdfText = {
+    try decodeOrThrow(bytes)
+    catch { case _: Exception => Invalid }
+  }
+
+  private def decodeOrThrow(bytes: Array[Byte]): PdfText = {
+    if (bytes == null || bytes.length < 32) return Invalid
+    if (!(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F')) return Invalid
+
+    // locate the LAST 'startxref' keyword near the end of the file
+    val tailStart = math.max(0, bytes.length - 2048)
+    val tail = new String(bytes, tailStart, bytes.length - tailStart, ISO_8859_1)
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return Invalid
+    val sxLex = new Lexer(bytes, tailStart + sx)
+    sxLex.expect("startxref")
+    val xrefOff = sxLex.keyword().toInt
+    if (xrefOff < 0 || xrefOff >= bytes.length) return Invalid
+
+    val (offsets, trailer) = readXref(bytes, xrefOff)
+    val doc = new Doc(bytes, offsets)
+
+    val rootRef = trailer.getOrElse("Root",
+      throw new IllegalArgumentException("trailer without /Root")) match {
+      case PRef(n) => n
+      case other   => throw new IllegalArgumentException(s"bad /Root $other")
+    }
+    val catalog = doc.obj(rootRef)._1.asInstanceOf[PDict].v
+    val pagesRoot = doc.resolve(catalog.getOrElse("Pages",
+      throw new IllegalArgumentException("catalog without /Pages")))
+
+    // page-tree walk: nested /Pages nodes, in /Kids order
+    val pages = ArrayBuffer.empty[Map[String, PVal]]
+    def walk(node: PVal, depth: Int): Unit = {
+      if (depth > 64) throw new IllegalArgumentException("page tree too deep")
+      val d = doc.resolve(node).asInstanceOf[PDict].v
+      d.get("Type").map(doc.resolve) match {
+        case Some(PName("Pages")) =>
+          doc.resolve(d.getOrElse("Kids", PArr(Vector.empty))) match {
+            case PArr(kids) => kids.foreach(walk(_, depth + 1))
+            case other      => throw new IllegalArgumentException(s"bad /Kids $other")
+          }
+        case Some(PName("Page")) => pages += d
+        case other               => throw new IllegalArgumentException(s"bad page node $other")
+      }
+    }
+    walk(pagesRoot, 0)
+    if (pages.isEmpty) return Invalid
+
+    val pageTexts = pages.map { page =>
+      val contents = page.get("Contents").map {
+        case PRef(n)  => Vector(n)
+        case PArr(xs) => xs.collect { case PRef(n) => n }
+        case _        => Vector.empty[Int]
+      }.getOrElse(Vector.empty)
+      if (contents.isEmpty) ""
+      else {
+        // array streams concatenate with intervening whitespace
+        val joined = new java.io.ByteArrayOutputStream()
+        contents.zipWithIndex.foreach { case (n, i) =>
+          if (i > 0) joined.write('\n')
+          joined.write(doc.streamData(n))
+        }
+        extractText(joined.toByteArray)
+      }
+    }
+    val text = pageTexts.mkString("\n")
+    PdfText(pages.length, text.length.toLong, text, valid = true)
+  }
+}

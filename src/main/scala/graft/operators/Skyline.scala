@@ -32,12 +32,16 @@ object Skyline {
 
   /** Rows of (id, dims...) not dominated under minimize-all
     * semantics. Dimension columns are cast to long — exact integer
-    * comparisons only (scale doubles to cents upstream).
+    * comparisons only (scale doubles to cents upstream). Rows with a
+    * null dimension (including a failed cast, e.g. a non-numeric
+    * string) are DROPPED before the scan: null has no place in a
+    * dominance order, and the alternative is an opaque NPE mid-scan.
     */
   def skyline(df: DataFrame, idCol: String, dimCols: Seq[String]): DataFrame = {
     require(dimCols.nonEmpty, "need at least one dimension")
     val slim = df.select(
       (col(idCol).cast("long").as("id") +: dimCols.map(c => col(c).cast("long").as(c))): _*)
+      .na.drop("any", dimCols)
     val nd = dimCols.size
 
     def pass(d: DataFrame): DataFrame = {

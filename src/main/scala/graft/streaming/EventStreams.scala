@@ -305,7 +305,13 @@ object EventStreams extends Serializable {
           d * d > (k.toLong * k) * variance
         }
         val v = AnomalyVerdict(userId, e.event_id, st.n, x, flag)
-        st = AnomalyState(st.n + 1L, st.s + x, st.q + x * x)
+        // sum-of-squares in a Long overflows near |cents| ~ 3e9 (a
+        // single $30M value) or very long high-value histories; the
+        // batch twin (q106) would wrap silently while the DuckDB
+        // oracle sums in HUGEINT — fail fast here instead of
+        // diverging silently (supported range: Σx² < 2^63).
+        st = AnomalyState(st.n + 1L, Math.addExact(st.s, x),
+          Math.addExact(st.q, Math.multiplyExact(x, x)))
         v
       }
       state.update(st)

@@ -32,6 +32,10 @@ object StreamingFrequency {
   def frequencies(tokens: Dataset[KeyedToken], probes: Seq[String],
                   depth: Int = 4, width: Int = 1024): Dataset[FrequencyUpdate] = {
     require(depth >= 1 && width >= 16, s"bad sketch geometry: $depth x $width")
+    // CmsHash.pos masks with (width-1): a non-power-of-two width would
+    // silently alias cells and break cell-identity with the batch
+    // CountMinSketchAgg/CountMinTableAgg (which carry the same check).
+    require((width & (width - 1)) == 0, s"width must be a power of two: $width")
     val spark = tokens.sparkSession
     import spark.implicits._
 

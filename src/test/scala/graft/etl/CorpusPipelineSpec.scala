@@ -139,7 +139,7 @@ class CorpusPipelineSpec extends SparkSpec {
       "stones remember every footstep taken beneath the autumn sky while " +
       "birds gather softly before dusk"
     val rare = ("whosoever bramble thicket yonder lantern cobbled harbinger sundry " +
-      "alabaster vellum quill parchment sconce turret rampart portcullis bailey " +
+      "gossamer alembic tallow flagon ewer bulwark parapet buttress cloister " +
       "moreover thereupon hitherto notwithstanding forsooth albeit whence thither")
     val corpus =
       (10L to 40L).map(id => (id, enDoc(id))) ++ Seq(

@@ -1,0 +1,235 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Pdf — writer/decoder round-trips across compression and operator
+  * modes; hand-assembled fixtures for string escapes, hex strings,
+  * TJ kerning, nested page trees, /Contents arrays, indirect /Length
+  * and incremental-update /Prev chains; malformed inputs.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------------
+  // writer round-trips
+  // ------------------------------------------------------------------
+
+  test("encode/decode round-trips: every opMode x compression") {
+    val pages = Seq(Seq("hello world", "second line"), Seq("page two"))
+    val want = "hello world\nsecond line\npage two"
+    for (flate <- Seq(false, true); op <- 0 to 2) {
+      val got = Pdf.decode(Pdf.encode(pages, flate, op))
+      assert(got.valid, s"flate=$flate op=$op")
+      assert(got.nPages === 2, s"flate=$flate op=$op")
+      assert(got.text === want, s"flate=$flate op=$op")
+      assert(got.nChars === want.length.toLong)
+    }
+  }
+
+  test("single empty page: 1 page, empty text") {
+    val got = Pdf.decode(Pdf.encode(Seq(Seq.empty), flate = true))
+    assert(got.valid && got.nPages === 1 && got.text === "" && got.nChars === 0L)
+  }
+
+  test("special characters survive literal-string escaping") {
+    val line = """a(b)c\d (nested (parens)) end"""
+    val got = Pdf.decode(Pdf.encode(Seq(Seq(line)), flate = false))
+    assert(got.valid && got.text === line)
+    val gotF = Pdf.decode(Pdf.encode(Seq(Seq(line)), flate = true, opMode = 1))
+    assert(gotF.valid && gotF.text === line)
+  }
+
+  test("many pages walk in /Kids order") {
+    val pages = (1 to 7).map(i => Seq(s"p$i"))
+    val got = Pdf.decode(Pdf.encode(pages, flate = true))
+    assert(got.valid && got.nPages === 7)
+    assert(got.text === (1 to 7).map(i => s"p$i").mkString("\n"))
+  }
+
+  // ------------------------------------------------------------------
+  // hand-assembled fixtures (decoder features the writer doesn't emit)
+  // ------------------------------------------------------------------
+
+  /** Assemble a classic-xref PDF from raw object bodies. objs(i) is
+    * the body of object i+1 (between "N 0 obj\n" and "endobj\n"). */
+  private def buildPdf(objs: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = objs.zipWithIndex.map { case (body, i) =>
+      val off = out.size()
+      w(s"${i + 1} 0 obj\n"); out.write(body); w("\nendobj\n")
+      off
+    }
+    val xref = out.size()
+    w(s"xref\n0 ${objs.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def stream(dict: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"<< /Length ${data.length} $dict >>\nstream\n".getBytes(ISO_8859_1))
+    bos.write(data)
+    bos.write("\nendstream".getBytes(ISO_8859_1))
+    bos.toByteArray
+  }
+
+  private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+
+  test("hex strings, octal escapes, \" operator, comments, T* collapse") {
+    val content =
+      "BT % a comment the lexer must skip\n" +
+        "/F1 12 Tf 14 TL 72 720 Td\n" +
+        "<48656C6C6F> Tj\n" +          // "Hello" as a hex string
+        "T* T* T*\n" +                  // consecutive breaks collapse to ONE newline
+        "(\\101\\102\\103) Tj\n" +      // octal escapes: "ABC"
+        "1 2 (quoted) \"\n"             // " = break + show (operands aw ac string)
+    val pdf = buildPdf(Seq(
+      b("<< /Type /Catalog /Pages 2 0 R >>"),
+      b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      stream("", b(content))))
+    val got = Pdf.decode(pdf)
+    assert(got.valid)
+    assert(got.text === "Hello\nABC\nquoted")
+  }
+
+  test("TJ arrays concatenate strings and skip kern numbers") {
+    val content = "BT [(He) -120 (llo) 50 ( wo) -3.5 (rld)] TJ ET"
+    val pdf = buildPdf(Seq(
+      b("<< /Type /Catalog /Pages 2 0 R >>"),
+      b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      stream("", b(content))))
+    assert(Pdf.decode(pdf).text === "Hello world")
+  }
+
+  test("nested /Pages tree, /Contents array, indirect /Length") {
+    // page tree: root Pages -> [Pages -> [page A], page B]
+    val contentA1 = b("BT (A-one) Tj ET")
+    val contentA2 = b("BT (A-two) Tj ET")
+    val contentB = b("BT (B) Tj ET")
+    val pdf = buildPdf(Seq(
+      /* 1 */ b("<< /Type /Catalog /Pages 2 0 R >>"),
+      /* 2 */ b("<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"),
+      /* 3 */ b("<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+      /* 4 */ b("<< /Type /Page /Parent 3 0 R /Contents [6 0 R 7 0 R] >>"),
+      /* 5 */ b("<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>"),
+      /* 6 */ stream("", contentA1),
+      /* 7 */ stream("", contentA2),
+      /* 8 */ {
+        // indirect /Length: points at object 9
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(s"<< /Length 9 0 R >>\nstream\n".getBytes(ISO_8859_1))
+        bos.write(contentB)
+        bos.write("\nendstream".getBytes(ISO_8859_1))
+        bos.toByteArray
+      },
+      /* 9 */ b(s"${contentB.length}")))
+    val got = Pdf.decode(pdf)
+    assert(got.valid && got.nPages === 2)
+    // array streams concatenate; the A2 stream's text follows A1's
+    // with no break operator between, so they join on one line
+    assert(got.text === "A-oneA-two\nB")
+  }
+
+  test("incremental update: /Prev chain, newest xref section wins") {
+    // base document
+    val base = buildPdf(Seq(
+      b("<< /Type /Catalog /Pages 2 0 R >>"),
+      b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      stream("", b("BT (OLD) Tj ET"))))
+    // NB: lastIndexOf("xref") would match inside "startxref"
+    val baseXref = new String(base, ISO_8859_1).lastIndexOf("\nxref\n") + 1
+    // append a replacement object 4 + an update xref section
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val newObjOff = out.size()
+    out.write("4 0 obj\n".getBytes(ISO_8859_1))
+    out.write(stream("", b("BT (NEW) Tj ET")))
+    out.write("\nendobj\n".getBytes(ISO_8859_1))
+    val newXref = out.size()
+    out.write(
+      (s"xref\n4 1\n" + f"$newObjOff%010d 00000 n \n" +
+        s"trailer\n<< /Size 5 /Root 1 0 R /Prev $baseXref >>\nstartxref\n$newXref\n%%EOF\n")
+        .getBytes(ISO_8859_1))
+    val got = Pdf.decode(out.toByteArray)
+    assert(got.valid && got.text === "NEW")
+  }
+
+  test("leading position Td does not emit a newline; mid-page zero Td does not break") {
+    val content = "BT 72 720 Td (x) Tj 10 0 Td (y) Tj 0 -14 Td (z) Tj ET"
+    val pdf = buildPdf(Seq(
+      b("<< /Type /Catalog /Pages 2 0 R >>"),
+      b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      stream("", b(content))))
+    // horizontal-only Td (10 0) is not a line break
+    assert(Pdf.decode(pdf).text === "xy\nz")
+  }
+
+  // ------------------------------------------------------------------
+  // malformed / out-of-scope inputs
+  // ------------------------------------------------------------------
+
+  test("malformed payloads yield valid=false, never an exception") {
+    val good = Pdf.encode(Seq(Seq("hello")), flate = true)
+    val cases = Seq[Array[Byte]](
+      null,
+      Array.emptyByteArray,
+      b("not a pdf at all, just text that is long enough to pass the length gate"),
+      good.take(good.length / 2),                      // truncated mid-file
+      good.take(40),                                   // truncated before xref
+      {
+        val s = new String(good, ISO_8859_1)
+        // corrupt the startxref offset
+        b(s.replaceAll("startxref\n\\d+", "startxref\n999999999"))
+      },
+      {
+        // unsupported filter
+        buildPdf(Seq(
+          b("<< /Type /Catalog /Pages 2 0 R >>"),
+          b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+          b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+          stream("/Filter /LZWDecode", b("BT (x) Tj ET"))))
+      },
+      {
+        // PDF 1.5 xref STREAM (startxref points at an object, not 'xref') — declared out of scope
+        val s = new String(good, ISO_8859_1)
+        b(s.replaceAll("startxref\n\\d+", "startxref\n9"))
+      })
+    cases.foreach { c =>
+      val got = Pdf.decode(c)
+      assert(!got.valid && got.nPages === 0 && got.text === "")
+    }
+  }
+
+  test("flate stream with corrupted bytes is invalid, not an exception") {
+    val good = Pdf.encode(Seq(Seq("hello world line one", "and line two")), flate = true)
+    // zero out a span in the middle of the file (lands in the deflate data)
+    val sIdx = new String(good, ISO_8859_1).indexOf("stream\n") + 7
+    val bad = good.clone()
+    (sIdx + 2 until sIdx + 10).foreach(i => bad(i) = 0)
+    assert(!Pdf.decode(bad).valid)
+  }
+
+  test("q118 synthesis shape: sanitized prefix chunks round-trip through the pdf layer") {
+    // mirrors the q118 derivation exactly (40-char lines, 2 lines/page)
+    val texts = Seq(
+      "", "short", "x" * 40, "y" * 41,
+      "The quick brown fox jumps over the lazy dog repeatedly and then some more words",
+      "a" * 120 + " beyond the prefix cap")
+    texts.zipWithIndex.foreach { case (t0, i) =>
+      val t = t0.replaceAll("[^A-Za-z0-9 ]", "").take(120)
+      val lines = t.grouped(40).toSeq.filter(_.nonEmpty)
+      val pages = if (lines.isEmpty) Seq(Seq.empty[String]) else lines.grouped(2).toSeq
+      val got = Pdf.decode(Pdf.encode(pages, flate = i % 2 == 0, opMode = i % 3))
+      val want = lines.mkString("\n")
+      assert(got.valid && got.text === want, s"case $i")
+      assert(got.nPages === math.max(1, (lines.size + 1) / 2))
+    }
+  }
+}
