@@ -69,6 +69,33 @@ object Bench {
     val QSpinIters = 10000000
     val qSpinBase = spinPre / 4.0
 
+    // External-CPU sentinel (round-9 fix): the r8 artifact published
+    // q10 at 6.4x its true time with a CLEAN spin and TIGHT spread —
+    // 4-6 external busy cores slow a 32-thread query uniformly, which
+    // a single-thread spin cannot see and a spread ratio cannot see
+    // (all iterations equally slowed). /proc/stat can: busy jiffies
+    // across all cpus minus THIS process's own jiffies, divided by
+    // wall time, is the number of cores someone else was burning
+    // during the batch — measured exactly over the batch window, no
+    // loadavg decay lag. > ~1 external core => rerun + flag.
+    def cpuJiffies(): (Long, Long) = {
+      val sysBusy = try {
+        val line = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+          .findFirst().orElse("")
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        // busy = total - idle - iowait
+        f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
+      } catch { case _: Throwable => -1L }
+      val own = try {
+        val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+        // fields after the comm "(...)": state is field 3, utime 14, stime 15
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong
+      } catch { case _: Throwable => -1L }
+      (sysBusy, own)
+    }
+    val UserHz = 100.0 // USER_HZ: 100 on every mainstream linux
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -107,23 +134,37 @@ object Bench {
     //    pre-batch spin, so spin ratio published ~0.95× and the 2×
     //    trigger never fired. With brackets, a window overlapping any
     //    iteration also overlaps an adjacent spin.
+    // returns (spins, times, externalCores) — externalCores measured
+    // over the whole batch window via /proc/stat (see cpuJiffies)
     def spinBracketedBatch(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-    : (Seq[Double], Seq[Double]) = {
+    : (Seq[Double], Seq[Double], Double) = {
+      val (sys0, own0) = cpuJiffies()
+      val t0 = System.nanoTime()
       val pairs = (1 to iters).map(_ => (spinMs(QSpinIters), runOnce(name, fn)))
-      (pairs.map(_._1) :+ spinMs(QSpinIters), pairs.map(_._2))
+      val spins = pairs.map(_._1) :+ spinMs(QSpinIters)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (sys1, own1) = cpuJiffies()
+      val ext =
+        if (sys0 < 0 || own0 < 0 || sys1 < 0 || own1 < 0 || wall <= 0) -1.0
+        else math.max(0.0, ((sys1 - sys0) - (own1 - own0)) / UserHz / wall)
+      (spins, pairs.map(_._2), ext)
     }
     val results = queries.map { case (name, fn) =>
-      val (spins1, first) = spinBracketedBatch(name, fn)
+      val (spins1, first, ext1) = spinBracketedBatch(name, fn)
       val spreadNoisy = iters > 1 && first.max > 0.25 && first.max / math.max(first.min, 1e-9) > 3.0
-      val loadNoisy = spins1.max > qSpinBase * 2.0
-      val noisy = spreadNoisy || loadNoisy
-      val (spins, times) = if (noisy) {
+      val spinNoisy = spins1.max > qSpinBase * 2.0
+      // external-CPU trigger: someone else burned >1 core during the
+      // batch AND the batch was long enough for jiffy granularity to
+      // be signal (a 0.1 s batch is ~10 jiffies/core — too coarse)
+      val extNoisy = ext1 > 1.0 && first.sum > 0.2
+      val noisy = spreadNoisy || spinNoisy || extNoisy
+      val (spins, times, exts) = if (noisy) {
         System.err.println(f"[bench] $name spread ${first.min}%.3f-${first.max}%.3f s spin max ${spins1.max}%.1f ms " +
-          f"(spread>3x=$spreadNoisy load>2x=$loadNoisy) — re-running")
-        val (spins2, second) = spinBracketedBatch(name, fn)
-        (spins1 ++ spins2, first ++ second)
-      } else (spins1, first)
-      (name, median(times), times.min, times.max, noisy, spins.max)
+          f"ext $ext1%.2f cores (spread>3x=$spreadNoisy spin>2x=$spinNoisy ext>1=$extNoisy) — re-running")
+        val (spins2, second, ext2) = spinBracketedBatch(name, fn)
+        (spins1 ++ spins2, first ++ second, Seq(ext1, ext2))
+      } else (spins1, first, Seq(ext1))
+      (name, median(times), times.min, times.max, noisy, spins.max, exts.max)
     }
     val spinPost = spinMs()
 
@@ -159,7 +200,7 @@ object Bench {
       if (digits.nonEmpty) digits else name
     }
     val useShort = results.map(r => shortKey(r._1)).distinct.size == results.size
-    val qs = results.map { case (k, med, _, _, _, _) =>
+    val qs = results.map { case (k, med, _, _, _, _, _) =>
       "\"" + (if (useShort) shortKey(k) else k) + "\":" + r2t(med)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -171,18 +212,19 @@ object Bench {
     // in bench_result.json) — every byte counts against the ~2000-char
     // harness capture window now that the suite is 75+ queries
     val loadPost = load1()
+    val extMax = results.map(_._7).max
     val sentinel = s""""spin":[${math.round(spinPre)},${math.round(spinPost)}],""" +
-      s""""load":[${r1(loadPre)},${r1(loadPost)}],"reruns":${results.count(_._5)}"""
+      s""""load":[${r1(loadPre)},${r1(loadPost)}],"ext":${r1(extMax)},"reruns":${results.count(_._5)}"""
     val sentinelFull = s""""spin":[${r1(spinPre)},${r1(spinPost)}],""" +
-      s""""load":[${r1(loadPre)},${r1(loadPost)}],"reruns":${results.count(_._5)}"""
+      s""""load":[${r1(loadPre)},${r1(loadPost)}],"ext_cores_max":${r2(extMax)},"reruns":${results.count(_._5)}"""
     // sf as basename on stdout (full path in bench_result.json)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$sentinel,"sf":"$sfName"}"""
-    val qsFull = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
+    val qsFull = results.map { case (k, med, _, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx, rerun, qSpin) =>
+    val spread = results.map { case (k, _, mn, mx, rerun, qSpin, ext) =>
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"rerun\":" + rerun +
-        ",\"spin_ms\":" + r1(qSpin) + "}"
+        ",\"spin_ms\":" + r1(qSpin) + ",\"ext_cores\":" + r2(ext) + "}"
     }.mkString("{", ",", "}")
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spread,"iters":$iters,$sentinelFull,"qspin_base_ms":${r1(qSpinBase)},"sf":"$sfDir"}"""
     // Clean line on raw stdout (build.sbt routes fork output through

@@ -1974,5 +1974,47 @@ object OracleSql {
         |  greatest(CAST(1 AS BIGINT), CAST(ceil(n_lines / 2.0) AS BIGINT)) AS n_pages,
         |  CAST(length(extracted) AS BIGINT) AS n_chars,
         |  extracted, true AS valid
-        |FROM y ORDER BY doc_id""".stripMargin)
+        |FROM y ORDER BY doc_id""".stripMargin,
+
+    // PQ scoring tier: the oracle replays nearest-sub-centroid
+    // assignment (min over (dist, cid) — Spark's array_min struct
+    // order) and the ADC distance chain with the SAME sequential
+    // double folds the engine's FloatDotFold uses (list_reduce in
+    // index order; centroid components are integer-valued doubles so
+    // their norms are exact), then ranks by (adc_dist, vec_id).
+    "q119_pq_scoring" ->
+      """WITH cents AS (
+        |  SELECT list_transform(range(0,8), s ->
+        |           list_transform(range(0,4), c ->
+        |             list_transform(range(0,8), j -> CAST((s + 2*c + 3*j) % 5 - 2 AS DOUBLE)))) AS cb),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |sd AS (SELECT e.vec_id, s.s AS s, c.c AS c,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> cb[s.s+1][c.c+1][j] * cb[s.s+1][c.c+1][j])),
+        |           (a,v) -> a + v)
+        |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> CAST(e.embedding[s.s*8 + j] AS DOUBLE) * cb[s.s+1][c.c+1][j])),
+        |           (a,v) -> a + v) AS d
+        |       FROM e CROSS JOIN cents CROSS JOIN range(0,8) s(s) CROSS JOIN range(0,4) c(c)),
+        |codes AS (SELECT vec_id, s, c AS code FROM
+        |            (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM sd) z
+        |          WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |tm AS (SELECT q.query_id, cd.vec_id, cd.s,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> CAST(q.qe[cd.s*8 + j] AS DOUBLE) * CAST(q.qe[cd.s*8 + j] AS DOUBLE))),
+        |           (a,v) -> a + v)
+        |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> CAST(q.qe[cd.s*8 + j] AS DOUBLE) * cb[cd.s+1][cd.code+1][j])),
+        |           (a,v) -> a + v)
+        |         + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> cb[cd.s+1][cd.code+1][j] * cb[cd.s+1][cd.code+1][j])),
+        |           (a,v) -> a + v) AS t
+        |       FROM q CROSS JOIN codes cd CROSS JOIN cents),
+        |adc AS (SELECT query_id, vec_id,
+        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY s)), (a,v) -> a + v) AS adc_dist
+        |        FROM tm GROUP BY query_id, vec_id),
+        |r AS (SELECT query_id, vec_id, adc_dist,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rk FROM adc)
+        |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
 }

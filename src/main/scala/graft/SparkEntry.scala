@@ -2576,6 +2576,37 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C58b — PQ SCORING TIER, oracle-eligible (the q40 move applied
+    * to product quantization): q114's training averages doubles (the
+    * declared rows-only class), but ENCODE + ADC SEARCH are
+    * model-independent given a codebook — so this entry fixes a
+    * deterministic integer codebook (cent(s)(c)(j) = (s+2c+3j)%5 − 2;
+    * integer-valued doubles are exact in both engines) and runs the
+    * REAL library path: Model.encodeExpr nearest-sub-centroid
+    * assignment (array_min over (dist, cid) structs) and
+    * Model.adcDistExpr ADC ranking, both pure codegen'd column
+    * arithmetic. The oracle replays assignment and the ADC chain
+    * with the same sequential float-dot folds (bit-identical
+    * doubles), so the hash match proves the scoring tier exactly —
+    * C58's rows-only asterisk now covers training only.
+    */
+  private def q119PqScoring(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{IvfIndex, ProductQuantizer}
+    val books = (0 until 8).map { sub =>
+      IvfIndex.Model(8, (0 until 4).map(c =>
+        c -> Array.tabulate(8)(j => ((sub + 2 * c + 3 * j) % 5 - 2).toDouble)).toArray)
+    }
+    val model = ProductQuantizer.Model(dim = 64, m = 8, k = 4, books = books.toArray)
+    val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
+    val encoded = ProductQuantizer.encode(e, model)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    ProductQuantizer.search(encoded, model, queries, k = 5)
+      .withColumn("rk", col("rank").cast("long")).drop("rank")
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .transform(sorted1(_, col("query_id"), col("rk")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2694,7 +2725,8 @@ object SparkEntry {
     "q115_inverted_index" -> (q115InvertedIndex _),
     "q116_soundex" -> (q116Soundex _),
     "q117_bom_explode" -> (q117BomExplode _),
-    "q118_pdf_text" -> (q118PdfText _))
+    "q118_pdf_text" -> (q118PdfText _),
+    "q119_pq_scoring" -> (q119PqScoring _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -58,9 +58,11 @@ object SetSimJoin {
     * internally. Output: (id_a, id_b, n_a, n_b, inter, jaccard) with
     * exact integer sizes and jaccard produced by one final division.
     *
-    * @param assertMaxBucket when Some(k), fail fast if any prefix
+    * @param assertMaxBucket when Some(k), fail the job if any prefix
     *   bucket exceeds k records (diagnostic guard — exactness means
-    *   buckets must never be silently dropped).
+    *   buckets must never be silently dropped). Plan-folded: a
+    *   windowed count + raise_error riding the join's own ptok
+    *   shuffle, not a separate eager pass.
     */
   def join(
       df: DataFrame,
@@ -89,18 +91,29 @@ object SetSimJoin {
     // Rarest-first order per record; τ-prefix = first n − ⌈τn⌉ + 1.
     // Positions ride along for the PPJoin candidate bound below.
     val plen = (col("n") - floor((col("n") * num + (den - 1)) / den) + 1).cast("int")
-    val prefix = tok.join(freq, "tok")
+    val prefix0 = tok.join(freq, "tok")
       .groupBy("id", "n")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("id"), col("n"),
         posexplode(slice(col("ord.tok"), lit(1), plen)))
       .select(col("id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("ptok"))
 
-    assertMaxBucket.foreach { k =>
-      val worst = prefix.groupBy("ptok").agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head().getLong(0)
-      require(worst <= k,
-        s"prefix bucket of $worst records exceeds $k — raise τ or coarsen the token space")
+    // Plan-folded guard (r8 design note: the old eager head() here
+    // cost a separate corpus-scale job): a windowed bucket count over
+    // ptok — the same key the candidate join shuffles on anyway — and
+    // any oversized bucket poisons its own rows with raise_error, so
+    // the check fires inside the join stage for free and still fails
+    // the whole job before any silently-wrong output can commit.
+    val prefix = assertMaxBucket.fold(prefix0) { k =>
+      val bc = count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ptok"))
+      prefix0.withColumn("_bc", bc)
+        .withColumn("ptok",
+          when(col("_bc") <= k, col("ptok"))
+            .otherwise(raise_error(concat(
+              lit("prefix bucket of "), col("_bc").cast("string"),
+              lit(s" records exceeds $k — raise τ or coarsen the token space")))))
+        .drop("_bc")
     }
 
     val a = prefix.select(col("id").as("id_a"), col("n").as("n_a"),

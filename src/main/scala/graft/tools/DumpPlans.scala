@@ -87,7 +87,25 @@ object DumpPlans {
     "q109_equidepth" ->
       "Equi-depth histogram: one RANGE exchange + partition-local sort produces the global value order; bucket ids are integer projection arithmetic over zipWithIndex ranks with the total count riding a one-row broadcast cross join, and the final per-bucket stats are a HashAggregate pair (map-side partial) — two corpus passes total, no single-partition window anywhere.",
     "q112_skyline" ->
-      "Skyline: phase 1 is a map-only per-partition dominance scan (MapPartitions between codegen'd serialize spans — each partition emits only its local Pareto frontier); phase 2 re-runs the same scan over the union of frontiers in one partition, which is small BY THE ANTI-CHAIN ARGUMENT (the operator's output, not the input, bounds it) — the corpus is never self-joined and never globally sorted.")
+      "Skyline: phase 1 is a map-only per-partition dominance scan (MapPartitions between codegen'd serialize spans — each partition emits only its local Pareto frontier); phase 2 re-runs the same scan over the union of frontiers in one partition, which is small BY THE ANTI-CHAIN ARGUMENT (the operator's output, not the input, bounds it) — the corpus is never self-joined and never globally sorted.",
+    "q101_bfs" ->
+      "BFS hop distances: a driver-paced level-synchronous loop whose PER-ROUND plan is one keyed shuffle join (frontier ⋈ edges on src) + an anti-join against the settled set, localCheckpoint-truncated so round R's plan stays flat rather than R-deep; the frontier is NEVER broadcast (mid-traversal frontiers are corpus-sized on web graphs) and the only driver value per round is the new-node count scalar. The loop runs eagerly, so the dump below shows the FINAL distance join over the checkpointed settled table — the per-round shape is the same keyed join at every depth (the operator's scaladoc documents the round contract; cost is diameter-bound, not data-bound).",
+    "q110_entity_resolution" ->
+      "ER capstone (block → verify → CC → golden record): candidate pairs come from a BLOCK-key equi-join (never all-pairs — the plan's pair join is keyed on the prefix block), verification is the codegen'd length-band + levenshtein filter INSIDE that join's projection, components is the q43 per-round keyed-shuffle operator (eager, checkpoint-backed), and the golden-record stage is two keyed joins on component id behind a HashAggregate pair. No corpus-scale broadcast, no cartesian anywhere (PlanShapeSpec-asserted).",
+    "q111_interval_coalesce" ->
+      "Interval coalescing: ONE hash exchange on the key + within-partition sort feeds a single Window sweep whose frame carries ONE value (the running max of ends) — island ids are a prefix sum above it, and the per-island collapse is a HashAggregate pair (map-side partial). Any key's chain length costs one shuffle + one window pass; the naive quadratic overlap self-join never appears.",
+    "q113_pmi_collocations" ->
+      "PMI collocations: the (w1,w2) bigram-count table materializes ONCE behind a map-side-combined HashAggregate pair and is reused by all three consumers (w1 marginals, w2 marginals, the filtered scoring join — AQE stage reuse); marginals are bigram-vocab-scale aggregates, the corpus total rides a one-row broadcast cross join, and the collocation decision is an integer cross-multiplication (cnt·N > c1·c2) — no doubles near the gate, no corpus-scale second pass.",
+    "q114_ann_pq" ->
+      "Product quantization: training fetches only model-sized centroid tables to the driver (m=8 subspace codebooks over ONE cached slim projection); encode is MAP-ONLY (8-byte codes per vector, codebooks ride the closure as literals), and ADC search is a codes-scan + per-query top-k — the corpus pass has no join and no shuffle; at serving scale the scan prunes further under the IVF composition (q29/q40's partition-pruned buckets).",
+    "q115_inverted_index" ->
+      "Inverted index: build is explode → (term, doc) HashAggregate pair → term-level aggregate — the raw token stream partial-aggregates map-side before its ONLY exchange, and termStats re-aggregates the postings table (postings-scale, not corpus-scale). The serving layout partitions postings by md5 term bucket, so a k-term query READS ≤ k buckets via partition pruning (LayoutSpec/PlanShapeSpec-asserted) instead of scanning corpus-scale postings.",
+    "q116_soundex" ->
+      "Soundex blocking: the phonetic code is a chain of codegen'd translate/regexp projections (no UDF), so block assignment is map-side; the plan's only corpus exchange is the code-keyed HashAggregate pair (partial counts first). The blocking-key histogram it produces is exactly the Σ n_b² bound on downstream ER candidate work.",
+    "q117_bom_explode" ->
+      "BOM explosion: a driver-paced level-synchronous sweep — each round is one keyed join (current level ⋈ edges on parent) + a map-side-combined fold into per-node totals, localCheckpoint-truncated at a stride so deep BOMs keep flat per-round plans (depth-200 spec-asserted); rounds are DEPTH-bound, not data-bound, and the only driver value per round is the next-level row count. The loop runs eagerly, so the dump below shows the final aggregate over the accumulated contributions.",
+    "q118_pdf_text" ->
+      "PDF text extraction: synthesis AND the full decode chain (xref walk → object graph → FlateDecode/Inflater → BT/Tj/TJ text operators) run inside one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical CPU-bound decode-stage shape (q90's contract): throughput scales linearly with executors and the decoder rides the task closure.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

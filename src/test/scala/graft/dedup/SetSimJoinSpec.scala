@@ -81,8 +81,12 @@ class SetSimJoinSpec extends SparkSpec {
 
   test("prefix-bucket guard fails fast on a hot bucket, passes when sized") {
     val clones = (0L until 6L).map(id => (id, corpus.head._2)) // 6 identical docs
-    val e = intercept[IllegalArgumentException](run(clones, 1, 2, guard = Some(3)))
-    assert(e.getMessage.contains("prefix bucket"))
+    // plan-folded raise_error surfaces wrapped in the job failure —
+    // walk the cause chain for the guard's message
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val e = intercept[Exception](run(clones, 1, 2, guard = Some(3)))
+    assert(chain(e).contains("prefix bucket"))
     assert(run(clones, 1, 2, guard = Some(6)).size == 15) // all C(6,2) pairs
   }
 

@@ -51,4 +51,27 @@ class HierarchySpec extends SparkSpec {
     val edges = (1L until 40L).map(i => (i / 3, i, i % 4 + 1))
     assert(run(edges, parts = 1) == run(edges, parts = 8))
   }
+
+  test("depth-200 chain: pruned pending + stride checkpoints keep the sweep flat") {
+    // 0→1→2→…→200, qty 1 everywhere except every 50th edge (×2):
+    // level(i) = i, total(i) = 2^(i div 50) — products stay small.
+    val n = 200
+    val edges = (0 until n).map(i =>
+      (i.toLong, i + 1L, if ((i + 1) % 50 == 0) 2L else 1L))
+    val df = Hierarchy.bomExplode(
+      edges.toDF("parent", "child", "qty").repartition(4), rootId = 0L, maxIter = 210)
+    // the assembled output plan must stay LOG-depth in the BOM depth
+    // (a left-fold union would nest 200 deep and every optimizer pass
+    // would walk it) — the balanced union keeps it ≤ ~2·log2(201)+k
+    def planDepth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      if (p.children.isEmpty) 1
+      else 1 + p.children.map(c => planDepth(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max
+    assert(planDepth(df.queryExecution.logical) <= 24,
+      s"output plan nests ${planDepth(df.queryExecution.logical)} deep — lineage is not flat")
+    val d = df.as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(d.size == n + 1)
+    (0 to n).foreach { i =>
+      assert(d(i.toLong) == (i.toLong, 1L << (i / 50)), s"node $i")
+    }
+  }
 }
