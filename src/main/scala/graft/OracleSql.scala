@@ -2016,5 +2016,35 @@ object OracleSql {
         |        FROM tm GROUP BY query_id, vec_id),
         |r AS (SELECT query_id, vec_id, adc_dist,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rk FROM adc)
-        |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+        |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Progressive JPEG: the q90 oracle pattern over the SOF2 path —
+    // flat DC-only blocks decode exactly, so the statistics rebuild
+    // from the synthesis arithmetic + the decoder's fixed-point
+    // YCbCr→RGB (JpegSpec pins progressive ≡ baseline ≡ this
+    // closed form, and the JDK multi-scan cross-check covers the
+    // general-coefficient path no SQL can express).
+    "q120_jpeg_progressive" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 4 AS bh FROM documents),
+        |pby AS (SELECT doc_id, bw, bh, unnest(range(0, bh)) AS by FROM p),
+        |pbx AS (SELECT doc_id, bw, bh, by, unnest(range(0, bw)) AS bx FROM pby),
+        |ycc AS (SELECT doc_id, bw, bh,
+        |  (19*bx + 23*by + doc_id) % 256 AS y,
+        |  ((7*bx + 13*by + 5*doc_id) % 91) - 45 AS cb,
+        |  ((3*bx + 17*by + 11*doc_id) % 83) - 41 AS cr
+        | FROM pbx),
+        |rgb AS (SELECT doc_id, bw, bh,
+        |  least(greatest(y + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS r,
+        |  least(greatest(y + CAST(floor((-22554*cb - 46802*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS g,
+        |  least(greatest(y + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT), 0), 255) AS b
+        | FROM ycc),
+        |s AS (SELECT doc_id, any_value(bw) AS bw, any_value(bh) AS bh,
+        |  CAST(64*sum(r) AS BIGINT) AS sum_r,
+        |  CAST(64*sum(g) AS BIGINT) AS sum_g,
+        |  CAST(64*sum(b) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS peak
+        | FROM rgb GROUP BY doc_id)
+        |SELECT doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -2607,6 +2607,38 @@ object SparkEntry {
       .transform(sorted1(_, col("query_id"), col("rk")))
   }
 
+  /** C11j — PROGRESSIVE JPEG pixel decode (multimodal.Jpeg SOF2):
+    * the most common crawl variant after baseline — spectral
+    * selection + successive approximation across 8 scans (DC
+    * first/refine interleaved, AC first/refine per component with
+    * EOB runs), coefficients reassembled across scans and IDCT'd at
+    * EOI. Synthesis uses flat DC-only blocks through the REAL
+    * progressive control path (JpegSpec pins progressive ≡ baseline
+    * ≡ closed-form arithmetic, and cross-checks the JDK's own
+    * multi-scan script with genuine AC refinements), so the oracle
+    * rebuilds the statistics from the synthesis arithmetic alone —
+    * the q90 contract extended to SOF2. Map-only like every decode
+    * kernel.
+    */
+  private def q120JpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jpg = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bw = (1 + id % 3).toInt; val bh = (1 + id % 4).toInt
+        val bytes = graft.multimodal.Jpeg.encodeFlatBlocksProgressive(bw, bh, (bx, by) =>
+          (((19 * bx + 23 * by + id) % 256).toInt,
+            (128 + ((7 * bx + 13 * by + 5 * id) % 91) - 45).toInt,
+            (128 + ((3 * bx + 17 * by + 11 * id) % 83) - 41).toInt))
+        (id, bytes)
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.imagePixelStats(jpg).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("peak").cast("long").as("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2726,7 +2758,8 @@ object SparkEntry {
     "q116_soundex" -> (q116Soundex _),
     "q117_bom_explode" -> (q117BomExplode _),
     "q118_pdf_text" -> (q118PdfText _),
-    "q119_pq_scoring" -> (q119PqScoring _))
+    "q119_pq_scoring" -> (q119PqScoring _),
+    "q120_jpeg_progressive" -> (q120JpegProgressive _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

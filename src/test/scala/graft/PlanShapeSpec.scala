@@ -175,6 +175,31 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q110: ER composition never degenerates to a cartesian or nested-loop join") {
+    // block → verify → CC → golden record: every join must stay
+    // keyed (the block-key candidate join, the component join, the
+    // canonical-name join) — an accidental corpus-scale cross
+    // product is exactly the regression this guards. CC runs eagerly
+    // at plan build; the surviving plan is the composition above it.
+    val plan = formatted("q110_entity_resolution")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the ER plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the ER plan:\n$plan")
+    assert(plan.contains("Join"), s"no join in:\n$plan")
+  }
+
+  test("q115: postings build partial-aggregates the token stream before its exchange") {
+    // explode → (term, doc) HashAggregate pair: the raw exploded
+    // token stream must combine map-side, never shuffle raw.
+    // (Bucket-pruned readTerms is metric-asserted in
+    // InvertedIndexSpec — partitionFilters + numPartitions.)
+    val plan = formatted("q115_inverted_index")
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate pair in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")

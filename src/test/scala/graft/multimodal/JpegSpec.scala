@@ -209,8 +209,9 @@ class JpegSpec extends AnyFunSuite {
     for (cut <- Seq(2, 4, 20, good.length / 2, good.length - 3)) {
       assert(!Jpeg.decode(java.util.Arrays.copyOf(good, cut)).valid, s"cut=$cut")
     }
-    // progressive rejection: flip SOF0 to SOF2 in a copy — parser must
-    // bail out cleanly rather than mis-decode
+    // a baseline stream RELABELED as SOF2 is malformed progressive
+    // (its scan header says Ss=0, Se=63 — not a valid DC band): the
+    // parser must bail out cleanly rather than mis-decode
     val prog = good.clone()
     var i = 2
     var patched = false
@@ -221,5 +222,70 @@ class JpegSpec extends AnyFunSuite {
       i += 1
     }
     if (patched) assert(!Jpeg.decode(prog).valid)
+  }
+
+  // ---- progressive (SOF2) ----------------------------------------------
+
+  /** Encode via the JDK writer in progressive mode (standard
+    * multi-scan script with successive approximation).
+    */
+  private def imageIoProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
+  test("JDK-encoded PROGRESSIVE JPEG decodes pixel-close to the JDK's own reader") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (37, 23), (64, 48))) {
+      val bytes = imageIoProgressive(gradient(w, h))
+      // confirm the fixture really is SOF2 (otherwise the test proves nothing)
+      val isProg = bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+      assert(isProg, s"${w}x$h: JDK writer did not emit SOF2")
+      val px = Jpeg.decodePixels(bytes)
+      assert(px != null, s"${w}x$h: progressive decode failed")
+      assert((px.width, px.height) === ((w, h)))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val mad = meanAbsDiff(px, ref)
+      assert(mad <= 3.0, s"${w}x$h: mean abs channel diff $mad vs JDK reader")
+    }
+  }
+
+  test("progressive flat-block synthesis decodes EXACTLY like the baseline encoder") {
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      def colors(bx: Int, by: Int): (Int, Int, Int) =
+        (((19 * bx + 23 * by + id) % 256).toInt,
+          (128 + ((7 * bx + 13 * by + 5 * id) % 91) - 45).toInt,
+          (128 + ((3 * bx + 17 * by + 11 * id) % 83) - 41).toInt)
+      val wB = (1 + id % 3).toInt; val hB = (1 + id % 4).toInt
+      val prog = Jpeg.decodePixels(Jpeg.encodeFlatBlocksProgressive(wB, hB, colors))
+      val base = Jpeg.decodePixels(Jpeg.encodeFlatBlocks(wB, hB, colors))
+      assert(prog != null && base != null, s"id=$id")
+      assert((prog.width, prog.height) === ((base.width, base.height)))
+      assert(java.util.Arrays.equals(prog.rgb, base.rgb),
+        s"id=$id: progressive and baseline decodes differ")
+      // and both equal the closed-form arithmetic (the q120 oracle)
+      for (y <- 0 until prog.height; x <- 0 until prog.width) {
+        val (yv, cb, cr) = colors(x / 8, y / 8)
+        val (er, eg, eb) = Jpeg.yccToRgb(yv, cb, cr)
+        val p = prog.rgb(y * prog.width + x)
+        assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) === ((er, eg, eb)),
+          s"id=$id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("truncated progressive streams are invalid, never exceptions") {
+    def colors(bx: Int, by: Int): (Int, Int, Int) = ((50 + 31 * bx + 11 * by) % 256, 128, 128)
+    val good = Jpeg.encodeFlatBlocksProgressive(3, 2, colors)
+    assert(Jpeg.decode(good).valid)
+    for (cut <- Seq(4, 30, good.length / 3, good.length / 2, good.length - 3))
+      assert(!Jpeg.decode(java.util.Arrays.copyOf(good, cut)).valid, s"cut=$cut")
   }
 }
