@@ -2548,11 +2548,14 @@ object SparkEntry {
     * reference's PRIMARY input path (pdf_extractor.py:28 extract_text
     * via pdfplumber), now REAL pure-JDK decode. Each document's
     * sanitized text prefix is typeset into a synthesized PDF by our
-    * own writer — classic xref table, 40-char lines, two lines per
-    * page, FlateDecode on even ids, three distinct text-operator
-    * styles by id%3 (Tj / kerned TJ / ') — and the engine recovers
-    * it through the full public-format chain: xref walk → object
-    * graph → page tree → JDK Inflater → BT/Tj/TJ/' operators. The
+    * own writer — 40-char lines, two lines per page, FlateDecode on
+    * even ids, three distinct text-operator styles by id%3 (Tj /
+    * kerned TJ / '), and BOTH cross-reference forms (classic table
+    * on id%4<2; PDF 1.5 xref STREAM + object stream with
+    * PNG-Up-predictor-coded rows on id%4>=2 — the modern-writer
+    * layout) — and the engine recovers it through the full
+    * public-format chain: xref walk → object graph → page tree →
+    * JDK Inflater → BT/Tj/TJ/' operators. The
     * oracle rebuilds the expected text from the source column with
     * pure string SQL (never sees a PDF byte), so the hash match
     * proves decode correctness end to end, compression and operator
@@ -2568,7 +2571,8 @@ object SparkEntry {
       val prefix = Option(t).getOrElse("").take(120)
       val lines = prefix.grouped(40).toSeq.filter(_.nonEmpty)
       val pages = if (lines.isEmpty) Seq(Seq.empty[String]) else lines.grouped(2).toSeq
-      (id, graft.multimodal.Pdf.encode(pages, flate = id % 2 == 0, opMode = (id % 3).toInt))
+      (id, graft.multimodal.Pdf.encode(pages, flate = id % 2 == 0, opMode = (id % 3).toInt,
+        xrefStream = id % 4 >= 2))
     }).toDF("doc_id", "payload")
     graft.multimodal.Multimodal.pdfTextStats(pdfs).toDF()
       .select(col("doc_id"), col("n_pages").cast("long").as("n_pages"),

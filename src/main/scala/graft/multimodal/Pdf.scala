@@ -26,11 +26,16 @@ import scala.collection.mutable.ArrayBuffer
   * engine's corpus uses; CID fonts / `/ToUnicode` CMaps are out of
   * scope and simply yield the raw bytes.
   *
-  * Scope boundaries (→ `valid=false`, never an exception — the
-  * crawl-scale contract shared by every decoder in this package):
-  * PDF 1.5+ cross-reference STREAMS and object streams, encryption,
-  * filters other than FlateDecode. Incremental updates via `/Prev`
-  * xref chains ARE followed.
+  * Both cross-reference forms are supported: the classic `xref`
+  * table AND PDF 1.5+ cross-reference STREAMS (/Type /XRef — W-field
+  * rows, /Index subsections, FlateDecode, PNG Up/None predictors via
+  * /DecodeParms) with OBJECT STREAMS (/Type /ObjStm — compressed
+  * non-stream objects addressed by type-2 entries), plus hybrid
+  * files (/XRefStm in a classic trailer). Incremental updates via
+  * `/Prev` chains are followed in both forms. Scope boundaries
+  * (→ `valid=false`, never an exception — the crawl-scale contract
+  * shared by every decoder in this package): encryption, filters
+  * other than FlateDecode.
   *
   * The [[encode]] side is the established oracle pattern (q70/q80/q83/
   * q90/q94): synthesize documents with our own writer — uncompressed
@@ -102,11 +107,20 @@ object Pdf {
     bos.toByteArray
   }
 
-  /** Build a complete classic-xref PDF: one content stream per page
-    * (optionally FlateDecode-compressed), a shared Type1 font, a
-    * correct byte-offset xref table and trailer.
+  /** Build a complete PDF: one content stream per page (optionally
+    * FlateDecode-compressed), a shared Type1 font, and either a
+    * classic byte-offset xref table + trailer or (xrefStream=true) a
+    * PDF 1.5 layout — the non-stream objects packed into an OBJECT
+    * STREAM addressed by type-2 entries of a cross-reference STREAM
+    * whose row data is FlateDecode + PNG-Up-predictor coded (the
+    * form modern writers emit).
     */
-  def encode(pages: Seq[Seq[String]], flate: Boolean, opMode: Int = 0): Array[Byte] = {
+  def encode(pages: Seq[Seq[String]], flate: Boolean, opMode: Int = 0,
+             xrefStream: Boolean = false): Array[Byte] =
+    if (xrefStream) encodeXrefStream(pages, flate, opMode)
+    else encodeClassic(pages, flate, opMode)
+
+  private def encodeClassic(pages: Seq[Seq[String]], flate: Boolean, opMode: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val nPages = pages.size
@@ -142,6 +156,100 @@ object Pdf {
     w("0000000000 65535 f \n")
     (1 to nObjs).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  private def encodeXrefStream(pages: Seq[Seq[String]], flate: Boolean, opMode: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val nPages = pages.size
+    val nObjs = 3 + 2 * nPages
+    val objStmNum = nObjs + 1
+    val xrefNum = nObjs + 2
+    val offsets = new Array[Long](nObjs + 3)
+    w("%PDF-1.5\n")
+    out.write(Array[Byte]('%', 0xE2.toByte, 0xE3.toByte, 0xCF.toByte, 0xD3.toByte, '\n'))
+
+    // content streams stay regular objects (streams may not live in
+    // an object stream)
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val contObj = 5 + 2 * i
+      val raw = contentStream(lines, opMode)
+      val data = if (flate) deflate(raw) else raw
+      offsets(contObj) = out.size().toLong
+      w(s"$contObj 0 obj\n<< /Length ${data.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+
+    // the catalog, page tree, font and page dicts go into ONE object stream
+    val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    val inStm: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>",
+        3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>") ++
+        (0 until nPages).map { i =>
+          (4 + 2 * i) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>")
+        }
+    val bodies = inStm.map(_._2 + "\n")
+    val bodyOffs = bodies.scanLeft(0)(_ + _.length)
+    val header = inStm.zip(bodyOffs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString).getBytes(ISO_8859_1)
+    val stmData = if (flate) deflate(payload) else payload
+    offsets(objStmNum) = out.size().toLong
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.size} /First ${header.length} " +
+      s"/Length ${stmData.length}" + (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+
+    // cross-reference stream: W [1 4 2], PNG Up predictor + Flate
+    val xrefOff = out.size()
+    offsets(xrefNum) = xrefOff.toLong
+    val size = nObjs + 3
+    val typ2 = inStm.map(_._1).zipWithIndex.toMap
+    val cols = 7 // 1 + 4 + 2
+    val rows = new Array[Byte](size * cols)
+    def putRow(n: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = n * cols
+      rows(o) = t.toByte
+      rows(o + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(o + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(o + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(o + 4) = (f2 & 0xff).toByte
+      rows(o + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(o + 6) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0L, 0xffff)
+    (1 until size).foreach { n =>
+      typ2.get(n) match {
+        case Some(idx) => putRow(n, 2, objStmNum.toLong, idx)
+        case None      => putRow(n, 1, offsets(n), 0)
+      }
+    }
+    // forward Up filter: row := row - previous row (mod 256)
+    val pred = new Array[Byte](size * (cols + 1))
+    var r = 0
+    while (r < size) {
+      pred(r * (cols + 1)) = 2 // Up
+      var i = 0
+      while (i < cols) {
+        val cur = rows(r * cols + i) & 0xff
+        val up = if (r > 0) rows((r - 1) * cols + i) & 0xff else 0
+        pred(r * (cols + 1) + 1 + i) = ((cur - up) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val xdata = deflate(pred)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xdata.length} >>\nstream\n")
+    out.write(xdata)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefOff\n")
     w("%%EOF\n")
     out.toByteArray
   }
@@ -333,8 +441,13 @@ object Pdf {
   // Document structure
   // ------------------------------------------------------------------
 
-  private final class Doc(bytes: Array[Byte], offsets: Map[Int, Int]) {
+  /** Xref entries: direct byte offsets + type-2 compressed locations
+    * (object → (containing object stream, index within it)). */
+  private final case class Xref(offsets: Map[Int, Int], compressed: Map[Int, (Int, Int)])
+
+  private final class Doc(bytes: Array[Byte], xref: Xref) {
     private val cache = scala.collection.mutable.Map.empty[Int, (PVal, Option[Array[Byte]])]
+    private val stmCache = scala.collection.mutable.Map.empty[Int, (Map[Int, Int], Array[Byte], Int)]
 
     def resolve(v: PVal): PVal = v match {
       case PRef(n) => obj(n)._1
@@ -342,49 +455,138 @@ object Pdf {
     }
 
     /** Parse object n: its value and, for stream objects, the RAW
-      * (still-encoded) stream bytes. */
+      * (still-encoded) stream bytes. Type-2 (object-stream) entries
+      * parse out of the decompressed container. */
     def obj(n: Int): (PVal, Option[Array[Byte]]) = cache.getOrElseUpdate(n, {
-      val off = offsets.getOrElse(n, throw new IllegalArgumentException(s"no xref entry for obj $n"))
-      val lex = new Lexer(bytes, off)
-      val num = lex.keyword()
-      if (num.toInt != n) throw new IllegalArgumentException(s"xref points obj $n at obj $num")
-      lex.keyword() // generation number
-      lex.expect("obj")
-      val v = lex.value()
-      lex.ws()
-      val save = lex.p
-      val kw = lex.keyword()
-      if (kw == "stream") {
-        // EOL after 'stream': CRLF or LF
-        if (lex.peek == '\r') lex.p += 1
-        if (lex.peek == '\n') lex.p += 1
-        val len = resolve(v.asInstanceOf[PDict].v.getOrElse("Length",
-          throw new IllegalArgumentException("stream without /Length"))) match {
-          case PNum(x) => x.toInt
-          case other   => throw new IllegalArgumentException(s"bad /Length $other")
-        }
-        if (len < 0 || lex.p + len > bytes.length)
-          throw new IllegalArgumentException("stream overruns file")
-        val data = java.util.Arrays.copyOfRange(bytes, lex.p, lex.p + len)
-        (v, Some(data))
-      } else {
-        lex.p = save
-        (v, None)
+      xref.offsets.get(n) match {
+        case Some(off) =>
+          val lex = new Lexer(bytes, off)
+          val num = lex.keyword()
+          if (num.toInt != n) throw new IllegalArgumentException(s"xref points obj $n at obj $num")
+          lex.keyword() // generation number
+          lex.expect("obj")
+          val v = lex.value()
+          lex.ws()
+          val save = lex.p
+          val kw = lex.keyword()
+          if (kw == "stream") {
+            // EOL after 'stream': CRLF or LF
+            if (lex.peek == '\r') lex.p += 1
+            if (lex.peek == '\n') lex.p += 1
+            val len = resolve(v.asInstanceOf[PDict].v.getOrElse("Length",
+              throw new IllegalArgumentException("stream without /Length"))) match {
+              case PNum(x) => x.toInt
+              case other   => throw new IllegalArgumentException(s"bad /Length $other")
+            }
+            if (len < 0 || lex.p + len > bytes.length)
+              throw new IllegalArgumentException("stream overruns file")
+            val data = java.util.Arrays.copyOfRange(bytes, lex.p, lex.p + len)
+            (v, Some(data))
+          } else {
+            lex.p = save
+            (v, None)
+          }
+        case None =>
+          val (stm, _) = xref.compressed.getOrElse(n,
+            throw new IllegalArgumentException(s"no xref entry for obj $n"))
+          val (index, data, first) = objStm(stm)
+          val off = index.getOrElse(n,
+            throw new IllegalArgumentException(s"obj $n not in objstm $stm"))
+          (new Lexer(data, first + off).value(), None)
       }
     })
 
-    /** Decoded stream payload of object n, applying /Filter. */
+    /** Load + cache an object stream: (objnum → offset, decoded data, /First). */
+    private def objStm(stm: Int): (Map[Int, Int], Array[Byte], Int) =
+      stmCache.getOrElseUpdate(stm, {
+        val dict = obj(stm)._1.asInstanceOf[PDict].v
+        if (resolve(dict.getOrElse("Type", PNull)) != PName("ObjStm"))
+          throw new IllegalArgumentException(s"obj $stm is not an object stream")
+        val n = resolve(dict.getOrElse("N", PNull)) match {
+          case PNum(x) => x.toInt; case o => throw new IllegalArgumentException(s"bad /N $o")
+        }
+        val first = resolve(dict.getOrElse("First", PNull)) match {
+          case PNum(x) => x.toInt; case o => throw new IllegalArgumentException(s"bad /First $o")
+        }
+        val data = streamData(stm)
+        val lex = new Lexer(data, 0)
+        val pairs = (0 until n).map { _ =>
+          val num = lex.keyword().toInt
+          val off = lex.keyword().toInt
+          num -> off
+        }.toMap
+        (pairs, data, first)
+      })
+
+    /** Decoded stream payload of object n, applying /Filter (and any
+      * /DecodeParms predictor). */
     def streamData(n: Int): Array[Byte] = {
       val (v, raw) = obj(n)
       val data = raw.getOrElse(throw new IllegalArgumentException(s"obj $n is not a stream"))
-      val dict = v.asInstanceOf[PDict].v
-      dict.get("Filter").map(resolve) match {
-        case None => data
-        case Some(PName("FlateDecode")) => inflate(data)
-        case Some(PArr(Vector(PName("FlateDecode")))) => inflate(data)
-        case Some(other) => throw new IllegalArgumentException(s"unsupported filter $other")
-      }
+      applyFilters(v.asInstanceOf[PDict].v, data, resolve)
     }
+  }
+
+  /** Apply /Filter (FlateDecode or none) + /DecodeParms predictor. */
+  private def applyFilters(dict: Map[String, PVal], data: Array[Byte],
+                           resolve: PVal => PVal): Array[Byte] = {
+    val inflated = dict.get("Filter").map(resolve) match {
+      case None => data
+      case Some(PName("FlateDecode")) => inflate(data)
+      case Some(PArr(Vector(PName("FlateDecode")))) => inflate(data)
+      case Some(other) => throw new IllegalArgumentException(s"unsupported filter $other")
+    }
+    val parms = dict.get("DecodeParms").map(resolve) match {
+      case Some(PDict(m)) => m
+      case Some(PArr(Vector(d))) => resolve(d) match {
+        case PDict(m) => m
+        case _        => Map.empty[String, PVal]
+      }
+      case _ => Map.empty[String, PVal]
+    }
+    val predictor = parms.get("Predictor").map(resolve) match {
+      case Some(PNum(x)) => x.toInt
+      case _             => 1
+    }
+    if (predictor <= 1) inflated
+    else if (predictor >= 10) {
+      // PNG predictors, bpp = 1 (Colors=1, BitsPerComponent=8 — the
+      // xref-stream case): each row = 1 filter byte + Columns bytes
+      val cols = parms.get("Columns").map(resolve) match {
+        case Some(PNum(x)) => x.toInt
+        case _             => 1
+      }
+      if (cols <= 0 || inflated.length % (cols + 1) != 0)
+        throw new IllegalArgumentException("bad predictor geometry")
+      val rows = inflated.length / (cols + 1)
+      val out = new Array[Byte](rows * cols)
+      var r = 0
+      while (r < rows) {
+        val ft = inflated(r * (cols + 1)) & 0xff
+        var i = 0
+        while (i < cols) {
+          val x = inflated(r * (cols + 1) + 1 + i) & 0xff
+          val left = if (i > 0) out(r * cols + i - 1) & 0xff else 0
+          val up = if (r > 0) out((r - 1) * cols + i) & 0xff else 0
+          val ul = if (r > 0 && i > 0) out((r - 1) * cols + i - 1) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + ((left + up) >> 1)
+            case 4 => // Paeth
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => throw new IllegalArgumentException(s"bad PNG filter $ft")
+          }
+          out(r * cols + i) = (v & 0xff).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    } else throw new IllegalArgumentException(s"unsupported predictor $predictor")
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -405,52 +607,131 @@ object Pdf {
   // Cross-reference table
   // ------------------------------------------------------------------
 
-  /** Parse the classic xref chain starting at `startxref`; returns
-    * (object → byte offset, trailer of the NEWEST section — whose
-    * /Root wins, per the incremental-update rules). */
-  private def readXref(bytes: Array[Byte], startOff: Int): (Map[Int, Int], Map[String, PVal]) = {
+  /** Parse the xref chain (classic tables, PDF 1.5 xref streams, or
+    * hybrid /XRefStm) starting at `startxref`; returns the merged
+    * entries and the trailer of the NEWEST section — whose /Root
+    * wins, per the incremental-update rules. First-seen entries win
+    * (we follow /Prev backwards, newest first). */
+  private def readXref(bytes: Array[Byte], startOff: Int): (Xref, Map[String, PVal]) = {
     var offsets = Map.empty[Int, Int]
+    var compressed = Map.empty[Int, (Int, Int)]
     var trailer0: Option[Map[String, PVal]] = None
     var next: Option[Int] = Some(startOff)
     var hops = 0
+
+    def add(n: Int, typ: Int, f2: Int, f3: Int): Unit =
+      if (!offsets.contains(n) && !compressed.contains(n)) {
+        if (typ == 1) offsets += (n -> f2)
+        else if (typ == 2) compressed += (n -> ((f2, f3)))
+        // type 0 = free: skip
+      }
+
+    /** XRef STREAM at `off`: parse the object inline (no Doc yet),
+      * decode W-field rows over the /Index subsections. Returns its
+      * dict (doubles as the trailer). */
+    def readXrefStream(off: Int): Map[String, PVal] = {
+      val lex = new Lexer(bytes, off)
+      lex.keyword(); lex.keyword(); lex.expect("obj")
+      val dict = lex.value() match {
+        case PDict(m) => m
+        case other    => throw new IllegalArgumentException(s"xref stream is $other")
+      }
+      lex.ws(); lex.expect("stream")
+      if (lex.peek == '\r') lex.p += 1
+      if (lex.peek == '\n') lex.p += 1
+      val len = dict.getOrElse("Length", PNull) match {
+        case PNum(x) => x.toInt // indirect /Length here is chicken-and-egg: unsupported
+        case other   => throw new IllegalArgumentException(s"bad xref-stream /Length $other")
+      }
+      if (len < 0 || lex.p + len > bytes.length)
+        throw new IllegalArgumentException("xref stream overruns file")
+      val data = applyFilters(dict,
+        java.util.Arrays.copyOfRange(bytes, lex.p, lex.p + len), identity)
+      val w = dict.getOrElse("W", PNull) match {
+        case PArr(xs) => xs.map { case PNum(x) => x.toInt; case o => throw new IllegalArgumentException(s"bad W $o") }
+        case other    => throw new IllegalArgumentException(s"bad /W $other")
+      }
+      if (w.size != 3 || w.exists(x => x < 0 || x > 4)) throw new IllegalArgumentException(s"bad /W $w")
+      val size = dict.getOrElse("Size", PNull) match {
+        case PNum(x) => x.toInt; case o => throw new IllegalArgumentException(s"bad /Size $o")
+      }
+      val index = dict.get("Index") match {
+        case Some(PArr(xs)) => xs.map { case PNum(x) => x.toInt; case o => throw new IllegalArgumentException(s"bad Index $o") }
+        case None           => Vector(0, size)
+        case Some(other)    => throw new IllegalArgumentException(s"bad /Index $other")
+      }
+      if (index.size % 2 != 0) throw new IllegalArgumentException("odd /Index")
+      val rowLen = w.sum
+      var pos = 0
+      def field(width: Int, dflt: Int): Int = {
+        if (width == 0) return dflt
+        var v = 0; var i = 0
+        while (i < width) { v = (v << 8) | (data(pos) & 0xff); pos += 1; i += 1 }
+        v
+      }
+      index.grouped(2).foreach { case Vector(start, count) =>
+        if (count < 0 || count > 1000000) throw new IllegalArgumentException("absurd xref section")
+        var i = 0
+        while (i < count) {
+          if (pos + rowLen > data.length) throw new IllegalArgumentException("xref stream truncated")
+          val typ = field(w(0), 1) // absent type field defaults to 1
+          val f2 = field(w(1), 0)
+          val f3 = field(w(2), 0)
+          add(start + i, typ, f2, f3)
+          i += 1
+        }
+      }
+      dict
+    }
+
     while (next.isDefined) {
       hops += 1
       if (hops > 32) throw new IllegalArgumentException("xref /Prev chain too deep")
-      val lex = new Lexer(bytes, next.get)
-      lex.expect("xref") // PDF 1.5 xref STREAMS put an int here → error → invalid (out of scope)
-      var inSections = true
-      while (inSections) {
-        lex.ws()
-        val save = lex.p
-        val tok = lex.keyword()
-        if (tok == "trailer") inSections = false
-        else {
-          val start = tok.toInt
-          val count = lex.keyword().toInt
-          if (count < 0 || count > 1000000) throw new IllegalArgumentException("absurd xref section")
-          var i = 0
-          while (i < count) {
-            val off = lex.keyword().toInt
-            val gen = lex.keyword(); val _ = gen
-            val typ = lex.keyword()
-            // newest section wins: earlier hops are NEWER (we follow /Prev backwards)
-            if (typ == "n" && !offsets.contains(start + i)) offsets += ((start + i) -> off)
-            i += 1
+      val probe = new Lexer(bytes, next.get)
+      probe.ws()
+      val isClassic = probe.peek == 'x'
+      val tr: Map[String, PVal] =
+        if (isClassic) {
+          val lex = new Lexer(bytes, next.get)
+          lex.expect("xref")
+          var inSections = true
+          while (inSections) {
+            lex.ws()
+            val tok = lex.keyword()
+            if (tok == "trailer") inSections = false
+            else {
+              val start = tok.toInt
+              val count = lex.keyword().toInt
+              if (count < 0 || count > 1000000) throw new IllegalArgumentException("absurd xref section")
+              var i = 0
+              while (i < count) {
+                val off = lex.keyword().toInt
+                lex.keyword() // generation
+                val typ = lex.keyword()
+                if (typ == "n") add(start + i, 1, off, 0)
+                i += 1
+              }
+            }
           }
-          val _ = save
-        }
-      }
-      val tr = new Lexer(bytes, lex.p).value() match {
-        case PDict(m) => m
-        case other    => throw new IllegalArgumentException(s"bad trailer $other")
-      }
+          val t = new Lexer(bytes, lex.p).value() match {
+            case PDict(m) => m
+            case other    => throw new IllegalArgumentException(s"bad trailer $other")
+          }
+          // hybrid file: the classic trailer points at a companion
+          // xref STREAM carrying the type-2 entries
+          t.get("XRefStm") match {
+            case Some(PNum(x)) => readXrefStream(x.toInt)
+            case _             => ()
+          }
+          t
+        } else readXrefStream(next.get)
       if (trailer0.isEmpty) trailer0 = Some(tr)
       next = tr.get("Prev") match {
         case Some(PNum(x)) => Some(x.toInt)
         case _             => None
       }
     }
-    (offsets, trailer0.getOrElse(throw new IllegalArgumentException("no trailer")))
+    (Xref(offsets, compressed), trailer0.getOrElse(throw new IllegalArgumentException("no trailer")))
   }
 
   // ------------------------------------------------------------------
@@ -535,8 +816,8 @@ object Pdf {
     val xrefOff = sxLex.keyword().toInt
     if (xrefOff < 0 || xrefOff >= bytes.length) return Invalid
 
-    val (offsets, trailer) = readXref(bytes, xrefOff)
-    val doc = new Doc(bytes, offsets)
+    val (xref, trailer) = readXref(bytes, xrefOff)
+    val doc = new Doc(bytes, xref)
 
     val rootRef = trailer.getOrElse("Root",
       throw new IllegalArgumentException("trailer without /Root")) match {

@@ -14,16 +14,34 @@ class PdfSpec extends AnyFunSuite {
   // writer round-trips
   // ------------------------------------------------------------------
 
-  test("encode/decode round-trips: every opMode x compression") {
+  test("encode/decode round-trips: every opMode x compression x xref form") {
     val pages = Seq(Seq("hello world", "second line"), Seq("page two"))
     val want = "hello world\nsecond line\npage two"
-    for (flate <- Seq(false, true); op <- 0 to 2) {
-      val got = Pdf.decode(Pdf.encode(pages, flate, op))
-      assert(got.valid, s"flate=$flate op=$op")
-      assert(got.nPages === 2, s"flate=$flate op=$op")
-      assert(got.text === want, s"flate=$flate op=$op")
+    for (flate <- Seq(false, true); op <- 0 to 2; xs <- Seq(false, true)) {
+      val got = Pdf.decode(Pdf.encode(pages, flate, op, xrefStream = xs))
+      assert(got.valid, s"flate=$flate op=$op xrefStream=$xs")
+      assert(got.nPages === 2, s"flate=$flate op=$op xrefStream=$xs")
+      assert(got.text === want, s"flate=$flate op=$op xrefStream=$xs")
       assert(got.nChars === want.length.toLong)
     }
+  }
+
+  test("xref-stream form really exercises ObjStm + predictor-coded XRef") {
+    val bytes = Pdf.encode(Seq(Seq("modern layout")), flate = true, xrefStream = true)
+    val s = new String(bytes, ISO_8859_1)
+    assert(s.contains("/Type /ObjStm"), "no object stream emitted")
+    assert(s.contains("/Type /XRef") && s.contains("/Predictor 12"),
+      "no predictor-coded xref stream emitted")
+    assert(!s.contains("trailer"), "classic trailer leaked into the 1.5 layout")
+    assert(Pdf.decode(bytes).text === "modern layout")
+  }
+
+  test("xref-stream /Index subsections and None predictor also decode") {
+    // hand-tweak: re-encode with flate=false so the ObjStm is raw,
+    // then verify the decoder's /W default-type and raw-stream paths
+    val got = Pdf.decode(Pdf.encode(Seq(Seq("raw objstm"), Seq("p2")), flate = false,
+      opMode = 1, xrefStream = true))
+    assert(got.valid && got.nPages === 2 && got.text === "raw objstm\np2")
   }
 
   test("single empty page: 1 page, empty text") {
