@@ -153,6 +153,39 @@ class PdfSpec extends AnyFunSuite {
     assert(got.text === "A-oneA-two\nB")
   }
 
+  test("hybrid file: classic trailer's /XRefStm supplies the missing entries") {
+    // objects 1-3 live in the classic table; the content stream (4)
+    // is addressed ONLY by a companion xref stream named via
+    // /XRefStm in the classic trailer — the hybrid-file layout.
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off = new Array[Int](6)
+    def obj(n: Int, body: Array[Byte]): Unit = {
+      off(n) = out.size(); w(s"$n 0 obj\n"); out.write(body); w("\nendobj\n")
+    }
+    obj(1, b("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2, b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    obj(3, b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"))
+    obj(4, stream("", b("BT (hybrid) Tj ET")))
+    // companion xref stream: entries for objects 4 and 5, W [1 2 1], no predictor
+    val xs = out.size()
+    val rows = Array[Byte](
+      1, ((off(4) >> 8) & 0xff).toByte, (off(4) & 0xff).toByte, 0,
+      1, ((xs >> 8) & 0xff).toByte, (xs & 0xff).toByte, 0)
+    w(s"5 0 obj\n<< /Type /XRef /Size 6 /W [1 2 1] /Index [4 2] /Root 1 0 R " +
+      s"/Length ${rows.length} >>\nstream\n")
+    out.write(rows)
+    w("\nendstream\nendobj\n")
+    // classic table covering 0-3 only; trailer points at the stream
+    val xref = out.size()
+    w("xref\n0 4\n0000000000 65535 f \n")
+    (1 to 3).foreach(n => w(f"${off(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /XRefStm $xs >>\nstartxref\n$xref\n%%EOF\n")
+    val got = Pdf.decode(out.toByteArray)
+    assert(got.valid && got.text === "hybrid")
+  }
+
   test("incremental update: /Prev chain, newest xref section wins") {
     // base document
     val base = buildPdf(Seq(
