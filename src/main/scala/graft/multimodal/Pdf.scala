@@ -21,10 +21,13 @@ import scala.collection.mutable.ArrayBuffer
   * vertical displacement) emits ONE newline before the next shown
   * string (consecutive breaks collapse; a break before any text on
   * the page is ignored — it is the initial cursor placement). Page
-  * texts join with a newline. String bytes decode as Latin-1, which
-  * agrees with `/WinAnsiEncoding` on the printable-ASCII range this
-  * engine's corpus uses; CID fonts / `/ToUnicode` CMaps are out of
-  * scope and simply yield the raw bytes.
+  * texts join with a newline. String bytes decode through the active
+  * font's `/ToUnicode` CMap when it has one (bfchar/bfrange sections,
+  * UTF-16BE destinations, tracked per `Tf` operator with /Resources
+  * inherited down the page tree — the subset-font case real PDF
+  * writers emit); fonts without one read as Latin-1, which agrees
+  * with `/WinAnsiEncoding` on the printable-ASCII range this
+  * engine's corpus uses.
   *
   * Both cross-reference forms are supported: the classic `xref`
   * table AND PDF 1.5+ cross-reference STREAMS (/Type /XRef — W-field
@@ -739,16 +742,28 @@ object Pdf {
   // ------------------------------------------------------------------
 
   /** Extract shown text from one page's (concatenated) content stream.
-    * See the class scaladoc for the break-collapsing semantics. */
-  private[multimodal] def extractText(content: Array[Byte]): String = {
+    * See the class scaladoc for the break-collapsing semantics.
+    * `fonts` maps a font resource name (the /F1 of a Tf operator) to
+    * its /ToUnicode code→text map; string bytes of a mapped font go
+    * through it, unmapped fonts read as Latin-1 (≈ WinAnsi on the
+    * printable-ASCII range).
+    */
+  private[multimodal] def extractText(content: Array[Byte],
+                                      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
     val lex = new Lexer(content, 0)
     val sb = new StringBuilder
     var pendingBreak = false
     var shown = false
+    var curMap: Option[Map[Int, String]] = None
     val stack = ArrayBuffer.empty[PVal]
 
     def break(): Unit = if (shown) pendingBreak = true
-    def show(s: String): Unit = {
+    def mapped(s: String): String = curMap match {
+      case None    => s
+      case Some(m) => s.flatMap(c => m.getOrElse(c.toInt, c.toString))
+    }
+    def show(s0: String): Unit = {
+      val s = mapped(s0)
       if (pendingBreak) { sb.append('\n'); pendingBreak = false }
       sb.append(s); shown = true
     }
@@ -784,12 +799,89 @@ object Pdf {
             }
             stack.clear()
           case "T*" => break(); stack.clear()
+          case "Tf" =>
+            // operands: /FontName size — switch the active code map
+            stack.reverseIterator.collectFirst { case PName(f) => f }
+              .foreach(f => curMap = fonts.get(f))
+            stack.clear()
           case ""   => if (!lex.eof) lex.p += 1 // safety: never stall
           case _    => stack.clear() // any other operator consumes its operands
         }
       }
     }
     sb.toString
+  }
+
+  /** Parse a /ToUnicode CMap stream: `beginbfchar`/`beginbfrange`
+    * sections (src codes 1–2 bytes; dst hex strings are UTF-16BE;
+    * bfrange third operand may be a destination array). Simple-font
+    * scope: codes fold to a single int, so 1-byte fonts map exactly
+    * and the 2-byte CID case degrades safely (codes just miss the
+    * map and pass through).
+    */
+  private[multimodal] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val lex = new Lexer(data, 0)
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    def codeOf(s: String): Int = s.foldLeft(0)((a, c) => ((a << 8) | (c & 0xff)) & 0xffffff)
+    def utf16(s: String): String = {
+      val n = s.length / 2 * 2
+      (0 until n by 2).map(i => (((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)).toChar).mkString
+    }
+    def hexOrNull(): Option[String] = {
+      lex.ws()
+      if (lex.peek == '<') lex.value() match {
+        case PStr(s) => Some(s)
+        case _       => None
+      } else None
+    }
+    while (!lex.eof) {
+      lex.ws()
+      if (!lex.eof) {
+        val c = lex.peek
+        if (isDelim(c) || c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+          try { lex.value(); () } catch { case _: Exception => lex.p += 1 }
+        } else lex.keyword() match {
+          case "beginbfchar" =>
+            var done = false
+            while (!done && !lex.eof && out.size < 65536) {
+              hexOrNull() match {
+                case Some(src) =>
+                  hexOrNull().foreach(dst => out(codeOf(src)) = utf16(dst))
+                case None => done = true // endbfchar (already consumed by ws+keyword next pass)
+              }
+              if (!done) { lex.ws(); if (lex.peek != '<') done = true }
+            }
+          case "beginbfrange" =>
+            var done = false
+            while (!done && !lex.eof && out.size < 65536) {
+              (hexOrNull(), hexOrNull()) match {
+                case (Some(lo0), Some(hi0)) =>
+                  val lo = codeOf(lo0); val hi = codeOf(hi0)
+                  lex.ws()
+                  if (lo <= hi && hi - lo < 65536) lex.value() match {
+                    case PStr(dst0) =>
+                      val dst = utf16(dst0)
+                      (lo to hi).foreach { code =>
+                        out(code) =
+                          if (dst.isEmpty) ""
+                          else dst.init + (dst.last + (code - lo)).toChar
+                      }
+                    case PArr(xs) =>
+                      xs.zipWithIndex.foreach {
+                        case (PStr(d), i) if lo + i <= hi => out(lo + i) = utf16(d)
+                        case _                            => ()
+                      }
+                    case _ => ()
+                  } else lex.value() // consume + ignore an absurd range's dst
+                case _ => done = true
+              }
+              if (!done) { lex.ws(); if (lex.peek != '<') done = true }
+            }
+          case _ => () // CMap boilerplate (begincmap, CIDSystemInfo, ...)
+        }
+      }
+    }
+    out.toMap
   }
 
   // ------------------------------------------------------------------
@@ -829,24 +921,48 @@ object Pdf {
       throw new IllegalArgumentException("catalog without /Pages")))
 
     // page-tree walk: nested /Pages nodes, in /Kids order
-    val pages = ArrayBuffer.empty[Map[String, PVal]]
-    def walk(node: PVal, depth: Int): Unit = {
+    // /Resources inherit down the page tree (T.81-era PDFs hang them
+    // on /Pages nodes); a page's own entry wins
+    val pages = ArrayBuffer.empty[(Map[String, PVal], Option[PVal])]
+    def walk(node: PVal, depth: Int, inhRes: Option[PVal]): Unit = {
       if (depth > 64) throw new IllegalArgumentException("page tree too deep")
       val d = doc.resolve(node).asInstanceOf[PDict].v
+      val res = d.get("Resources").orElse(inhRes)
       d.get("Type").map(doc.resolve) match {
         case Some(PName("Pages")) =>
           doc.resolve(d.getOrElse("Kids", PArr(Vector.empty))) match {
-            case PArr(kids) => kids.foreach(walk(_, depth + 1))
+            case PArr(kids) => kids.foreach(walk(_, depth + 1, res))
             case other      => throw new IllegalArgumentException(s"bad /Kids $other")
           }
-        case Some(PName("Page")) => pages += d
+        case Some(PName("Page")) => pages += ((d, res))
         case other               => throw new IllegalArgumentException(s"bad page node $other")
       }
     }
-    walk(pagesRoot, 0)
+    walk(pagesRoot, 0, None)
     if (pages.isEmpty) return Invalid
 
-    val pageTexts = pages.map { page =>
+    /** Font-resource-name → /ToUnicode code map for one page. */
+    def fontsOf(res: Option[PVal]): Map[String, Map[Int, String]] =
+      res.map(doc.resolve) match {
+        case Some(PDict(r)) => doc.resolve(r.getOrElse("Font", PNull)) match {
+          case PDict(fm) => fm.flatMap { case (name, fv) =>
+            doc.resolve(fv) match {
+              case PDict(fd) => fd.get("ToUnicode") match {
+                case Some(PRef(n)) =>
+                  try Some(name -> parseToUnicode(doc.streamData(n)))
+                  catch { case _: Exception => None } // bad CMap: font reads as Latin-1
+                case _ => None
+              }
+              case _ => None
+            }
+          }
+          case _ => Map.empty[String, Map[Int, String]]
+        }
+        case _ => Map.empty[String, Map[Int, String]]
+      }
+
+    val pageTexts = pages.map { case (page, res) =>
+      val fonts = fontsOf(res)
       val contents = page.get("Contents").map {
         case PRef(n)  => Vector(n)
         case PArr(xs) => xs.collect { case PRef(n) => n }
@@ -860,7 +976,7 @@ object Pdf {
           if (i > 0) joined.write('\n')
           joined.write(doc.streamData(n))
         }
-        extractText(joined.toByteArray)
+        extractText(joined.toByteArray, fonts)
       }
     }
     val text = pageTexts.mkString("\n")

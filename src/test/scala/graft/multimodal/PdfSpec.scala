@@ -186,6 +186,40 @@ class PdfSpec extends AnyFunSuite {
     assert(got.valid && got.text === "hybrid")
   }
 
+  test("/ToUnicode CMap: shifted-code font text maps back; unmapped font reads Latin-1") {
+    // font F1 stores each char as code+1; the CMap maps codes back.
+    // bfrange covers b..z stored as c..{ (dst increments from 'b');
+    // bfchar maps the stored codes for 'H' and ' ' explicitly.
+    // font F2 has no ToUnicode — passes through as Latin-1.
+    val cmap =
+      ("/CIDInit /ProcSet findresource begin\n" +
+        "begincmap\n" +
+        "1 begincodespacerange <00> <FF> endcodespacerange\n" +
+        "2 beginbfchar\n<49> <0048>\n<21> <0020>\nendbfchar\n" + // 'I'→H, '!'→' '
+        "1 beginbfrange\n<63> <7B> <0062>\nendbfrange\n" +       // 'c'..'{' → 'b'..'z'
+        "endcmap\nend").getBytes(ISO_8859_1)
+    // "Hello world" stored shifted: H→I, rest +1, space→'!'
+    def shift(s: String): String = s.map {
+      case 'H' => 'I'
+      case ' ' => '!'
+      case c   => (c + 1).toChar
+    }
+    val content = s"BT /F1 12 Tf (${shift("Hello world")}) Tj " +
+      s"0 -14 Td /F2 12 Tf (plain latin) Tj ET"
+    val pdf = buildPdf(Seq(
+      /* 1 */ b("<< /Type /Catalog /Pages 2 0 R >>"),
+      /* 2 */ b("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>"), // inherited resources
+      /* 3 */ b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      /* 4 */ stream("", b(content)),
+      /* 5 */ b("<< /Type /Font /Subtype /Type1 /BaseFont /Sub-AAA /ToUnicode 7 0 R >>"),
+      /* 6 */ b("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      /* 7 */ stream("", cmap)))
+    val got = Pdf.decode(pdf)
+    assert(got.valid, "ToUnicode fixture failed to decode")
+    assert(got.text === "Hello world\nplain latin")
+  }
+
   test("incremental update: /Prev chain, newest xref section wins") {
     // base document
     val base = buildPdf(Seq(
