@@ -2046,5 +2046,16 @@ object OracleSql {
         | FROM rgb GROUP BY doc_id)
         |SELECT doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
         |  sum_r, sum_g, sum_b, peak, true AS valid
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Proportional OCR: clean-render recognition is exact (init-
+    // asserted font invariants), so the oracle is the normalization
+    // chain itself — the hash match proves render → segmentation →
+    // classification recovered every character of every document.
+    "q121_ocr_proportional" ->
+      """WITH s AS (SELECT doc_id,
+        |  rtrim(substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40)) AS t
+        |FROM documents)
+        |SELECT doc_id, t AS ocr_text, CAST(length(t) AS BIGINT) AS n_chars, true AS valid
+        |FROM s WHERE length(t) > 0 ORDER BY doc_id""".stripMargin)
 }

