@@ -2057,5 +2057,48 @@ object OracleSql {
         |  rtrim(substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40)) AS t
         |FROM documents)
         |SELECT doc_id, t AS ocr_text, CAST(length(t) AS BIGINT) AS n_chars, true AS valid
-        |FROM s WHERE length(t) > 0 ORDER BY doc_id""".stripMargin)
+        |FROM s WHERE length(t) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Photographic OCR: the oracle rebuilds the source snippet (q94's
+    // normalization) — the hash match certifies exact recovery through
+    // grayscale antialiased render + quarter-pixel phase + max-provable
+    // sensor noise + SAD classification (the margin theorem in
+    // Ocr.scala is why equality always holds).
+    "q122_ocr_photographic" ->
+      """WITH s AS (SELECT doc_id,
+        |    coalesce(nullif(substr(regexp_replace(lower(coalesce(text, '')),
+        |      '[^a-z0-9 ]', '', 'g'), 1, 16), ''), ' ') AS snip
+        |  FROM documents)
+        |SELECT doc_id, snip AS ocr_text,
+        |  CAST(length(snip) AS BIGINT) AS n_chars,
+        |  TRUE AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // TIFF pixel stats: the oracle reconstructs the EXPECTED decode
+    // output from the same doc_id-keyed synthesis arithmetic the Spark
+    // side encodes into real TIFF bytes (our writer is lossless in
+    // every swept configuration — both byte orders, none/LZW/PackBits,
+    // multi-strip, predictor, both grayscale polarities) — a broken
+    // IFD walk, LZW table, predictor undo or polarity flip mismatches
+    // the integer sums.
+    "q123_tiff_pixels" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h FROM documents),
+        |py AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM p),
+        |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM py),
+        |v AS (SELECT doc_id, w, h,
+        |  (x*11 + y*5 + doc_id) % 256 AS r0,
+        |  CASE WHEN doc_id % 4 = 0 THEN (x*11 + y*5 + doc_id) % 256
+        |       ELSE (x*3 + y*13 + 2*doc_id) % 256 END AS g0,
+        |  CASE WHEN doc_id % 4 = 0 THEN (x*11 + y*5 + doc_id) % 256
+        |       ELSE (x*7 + y*9 + 3*doc_id) % 256 END AS b0
+        | FROM px),
+        |s AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |  CAST(sum(r0) AS BIGINT) AS sum_r,
+        |  CAST(sum(g0) AS BIGINT) AS sum_g,
+        |  CAST(sum(b0) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max(r0), max(g0), max(b0)) AS BIGINT) AS peak
+        | FROM v GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

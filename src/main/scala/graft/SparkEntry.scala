@@ -2672,6 +2672,93 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C11l — PHOTOGRAPHIC-tier OCR (multimodal.Ocr photographic
+    * tier): the rung q121's scaladoc declared out of scope, now a
+    * real kernel. Each doc's 16-char snippet is rendered the way a
+    * camera sees print — box-integrated grayscale antialiasing, a
+    * seed-derived quarter-pixel registration phase per glyph, and
+    * bounded per-pixel sensor noise at the LARGEST amplitude the
+    * font provably survives (ε = ⌊(margin−1)/96⌋, init-asserted
+    * ≥ 2) — and recognized by min-SAD over the 577-template
+    * (char × subpixel-phase + blank) grayscale bank. The oracle
+    * rebuilds the source snippet with pure SQL, so the hash match
+    * certifies exact text recovery THROUGH the gray render + noise +
+    * correlation classifier; the margin theorem in Ocr.scala is why
+    * that always holds. Map-only, ~110 KB closure — the q94 kernel
+    * contract. Skew/rotation stay the declared library tier.
+    */
+  private def q122OcrPhotographic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snip = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 16).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("snippet"))
+    val imgs = snip.as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.multimodal.Ocr.renderPhotographic(text, seed = id))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Ocr.extractTextPhotographic(imgs, "doc_id", "payload")
+      .select(col("doc_id"), col("ocr_text"), col("n_chars"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C11m — REAL TIFF pixel decode (multimodal.Tiff + the stats
+    * router's II*&#92;0 / MM&#92;0* magic): the LAST format on the
+    * reference's supported-input list (`UniversalExtractor` accepts
+    * .tiff/.tif, universal_extractor.py:16) that was still
+    * fake-routed. Each doc gets a genuine baseline TIFF through our
+    * own writer with the container knobs swept BY doc_id — byte
+    * order (TIFF is the one common raster format that's per-file
+    * endian), compression none/LZW/PackBits, multi-strip layout
+    * (RowsPerStrip 3), horizontal-differencing predictor on half the
+    * LZW files, and grayscale docs split across BOTH photometric
+    * polarities (BlackIsZero / WhiteIsZero). The oracle reconstructs
+    * the expected integer stats from the synthesis arithmetic alone,
+    * so the hash match certifies the IFD walk, both endian readers,
+    * both decompressors, the predictor undo and the polarity flip at
+    * once; TiffSpec cross-checks against the JDK's ImageIO TIFF
+    * plugin in both directions. Map-only — the q70 kernel contract.
+    */
+  private def q123TiffPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tif = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 8).toInt; val h = (6 + id % 5).toInt
+        val gray = id % 4 == 0
+        val spp = if (gray) 1 else 3
+        val px = new Array[Byte](w * h * spp)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if (gray) px(y * w + x) = ((x * 11 + y * 5 + id) % 256).toByte
+            else {
+              val p = (y * w + x) * 3
+              px(p) = ((x * 11 + y * 5 + id) % 256).toByte
+              px(p + 1) = ((x * 3 + y * 13 + 2 * id) % 256).toByte
+              px(p + 2) = ((x * 7 + y * 9 + 3 * id) % 256).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val comp = (id % 3) match { case 0 => 1; case 1 => 5; case _ => 32773 }
+        val bytes = graft.multimodal.Tiff.encode(w, h, px,
+          bigEndian = id % 2 == 0, compression = comp, rowsPerStrip = 3,
+          predictor = if (comp == 5 && id % 6 == 1) 2 else 1,
+          gray = gray, whiteIsZero = gray && id % 8 == 4)
+        (id, bytes)
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.imagePixelStats(tif).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("peak").cast("long").as("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2793,7 +2880,9 @@ object SparkEntry {
     "q118_pdf_text" -> (q118PdfText _),
     "q119_pq_scoring" -> (q119PqScoring _),
     "q120_jpeg_progressive" -> (q120JpegProgressive _),
-    "q121_ocr_proportional" -> (q121OcrProportional _))
+    "q121_ocr_proportional" -> (q121OcrProportional _),
+    "q122_ocr_photographic" -> (q122OcrPhotographic _),
+    "q123_tiff_pixels" -> (q123TiffPixels _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -93,7 +93,8 @@ object Multimodal {
                             lowTextThreshold: Int = 100): Column = {
     val magic = upper(hex(substring(payload, 1, 4)))
     val isImage = magic.startsWith("89504E47") || magic.startsWith("FFD8") ||
-      magic.startsWith("474946") || magic.startsWith("424D")
+      magic.startsWith("474946") || magic.startsWith("424D") ||
+      magic === "49492A00" || magic === "4D4D002A"
     when(nChars >= lowTextThreshold, "text")
       .when(isImage, "vision")
       .otherwise("ocr")
@@ -143,8 +144,9 @@ object Multimodal {
           val sha = digest.digest(data).map("%02x".format(_)).mkString
           val magic = sniffImageFormat(data)
           val dims = magic.flatMap(_ => readImageDims(data))
-          // Non-image payloads (and formats the JDK lacks — TIFF,
-          // video): STUB decode, deterministic fake dims from content.
+          // Non-image payloads (video, opaque bytes): STUB decode,
+          // deterministic fake dims from content. (TIFF pixel decode
+          // is real — `Tiff` — on the stats path below.)
           val h = java.util.Arrays.hashCode(data)
           MediaMeta(
             doc_id = id,
@@ -268,9 +270,10 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, peak: Int, valid: Boolean)
 
-  /** REAL image PIXEL decode for BMP, PNG and GIF payloads (`Bmp` /
-    * `Png` / `Gif` — every non-lossy image format, no codec library):
-    * the image twin of `audioFeatures`. Same batched map-only shape;
+  /** REAL image PIXEL decode for BMP, PNG, GIF, JPEG and TIFF
+    * payloads (`Bmp` / `Png` / `Gif` / `Jpeg` / `Tiff` — every format
+    * on the reference's supported-image list, no codec library): the
+    * image twin of `audioFeatures`. Same batched map-only shape;
     * malformed payloads yield `valid=false` rows, never exceptions.
     */
   def imagePixelStats(df: DataFrame, idCol: String = "doc_id",
@@ -279,11 +282,12 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        // magic-byte routing between the four real pixel decoders:
+        // magic-byte routing between the five real pixel decoders:
         // PNG signature → hand-rolled inflate+unfilter (Png); GIF →
         // hand-rolled LZW + palette walk (Gif); JPEG SOI → hand-rolled
-        // baseline Huffman+IDCT (Jpeg); else BMP (Bmp.decode returns
-        // invalid for anything that isn't BM)
+        // baseline Huffman+IDCT (Jpeg); II*\0 / MM\0* → hand-rolled
+        // IFD walk + PackBits/TIFF-LZW (Tiff); else BMP (Bmp.decode
+        // returns invalid for anything that isn't BM)
         if (bytes != null && bytes.length > 0 && (bytes(0) & 0xff) == 0x89) {
           val p = Png.decode(bytes)
           PixelMeta(id, p.width, p.height, p.sumR, p.sumG, p.sumB, p.peak, p.valid)
@@ -295,6 +299,11 @@ object Multimodal {
           (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
           val j = Jpeg.decode(bytes)
           PixelMeta(id, j.width, j.height, j.sumR, j.sumG, j.sumB, j.peak, j.valid)
+        } else if (bytes != null && bytes.length > 3 &&
+          ((bytes(0) == 'I' && bytes(1) == 'I' && (bytes(2) & 0xff) == 0x2a && bytes(3) == 0) ||
+            (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && (bytes(3) & 0xff) == 0x2a))) {
+          val t = Tiff.decode(bytes)
+          PixelMeta(id, t.width, t.height, t.sumR, t.sumG, t.sumB, t.peak, t.valid)
         } else {
           val b = Bmp.decode(bytes)
           PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)

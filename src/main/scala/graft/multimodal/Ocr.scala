@@ -301,6 +301,200 @@ object Ocr {
       .toDF(idCol, "ocr_text", "n_chars", "sum_dist", "valid")
   }
 
+  // ---- photographic tier -----------------------------------------------
+
+  /** PHOTOGRAPHIC-tier recognition — the third rung of the OCR
+    * ladder, and the one the scaladoc above used to declare out of
+    * scope. A photographed/scanned glyph differs from a clean bitmap
+    * in three ways this tier models and provably absorbs:
+    *
+    *  1. GRAYSCALE, not binary: ink coverage is fractional at glyph
+    *     edges (antialiasing / sensor integration). Rendering here
+    *     draws each glyph on a 4×4-subpixel grid and box-integrates
+    *     to 8-bit gray, so edge pixels take genuine intermediate
+    *     values — thresholding at 128 (the fixed-pitch tier's move)
+    *     would destroy exactly the evidence this tier classifies on.
+    *  2. SUBPIXEL REGISTRATION ERROR: the glyph sits at a
+    *     seed-derived quarter-pixel phase (dx,dy ∈ 0..3 subpixels),
+    *     so the same character yields 16 distinct pixel images.
+    *  3. ADDITIVE SENSOR NOISE: every pixel carries bounded
+    *     seed-derived noise of amplitude [[PhotoNoise]].
+    *
+    * The classifier is minimum sum-of-absolute-differences (SAD)
+    * against the full (char × phase) grayscale template bank plus a
+    * blank template. Correctness is an init-asserted THEOREM, not a
+    * hope: with M = min cross-char L1 template distance (any phase
+    * pair, blank included) and per-pixel noise ≤ ε, the true
+    * character's SAD is ≤ 48ε while every other character's is
+    * ≥ M − 48ε, so recognition is exact whenever 96ε < M.
+    * [[PhotoNoise]] is DERIVED from the measured margin as
+    * ⌊(M−1)/96⌋ and asserted ≥ 2 — the noise the driver query
+    * injects is the largest this font provably survives.
+    *
+    * The reference reaches photographic OCR through PaddleOCR
+    * (restaurant_etl/extractors/image_extractor.py:16); skew/rotation
+    * stay on that declared library tier.
+    */
+  val PhotoCellW = 6
+  val PhotoCellH = 8 // 7 glyph rows + 1 slack row for the dy phase shift
+  private val PhotoPx = PhotoCellW * PhotoCellH
+  private val Sub = 4 // subpixels per pixel per axis
+
+  /** Box-integrated grayscale cell for a glyph at subpixel phase
+    * (dx, dy): 48 values in [0, 255], 255 = paper.
+    */
+  private def grayCell(mask: Long, dx: Int, dy: Int): Array[Int] = {
+    val out = new Array[Int](PhotoPx)
+    var py = 0
+    while (py < PhotoCellH) {
+      var px = 0
+      while (px < PhotoCellW) {
+        var cov = 0
+        var sy = py * Sub
+        while (sy < (py + 1) * Sub) {
+          val gy = sy - dy
+          var sx = px * Sub
+          while (sx < (px + 1) * Sub) {
+            val gx = sx - dx
+            if (gx >= 0 && gy >= 0 && gx < 5 * Sub && gy < 7 * Sub &&
+              (mask & (1L << ((gy / Sub) * 5 + gx / Sub))) != 0L) cov += 1
+            sx += 1
+          }
+          sy += 1
+        }
+        out(py * PhotoCellW + px) = 255 - (cov * 255 + (Sub * Sub) / 2) / (Sub * Sub)
+        px += 1
+      }
+      py += 1
+    }
+    out
+  }
+
+  /** (char, phase-index dy*4+dx) → grayscale template; char order,
+    * phase-major — deterministic scan.
+    */
+  private val photoTemplates: IndexedSeq[(Char, Array[Int])] =
+    for {
+      (c, m) <- templates
+      dy <- 0 until Sub
+      dx <- 0 until Sub
+    } yield (c, grayCell(m, dx, dy))
+
+  private val photoBlank: Array[Int] = Array.fill(PhotoPx)(255)
+
+  private def l1(a: Array[Int], b: Array[Int]): Int = {
+    var d = 0
+    var i = 0
+    while (i < PhotoPx) { d += math.abs(a(i) - b(i)); i += 1 }
+    d
+  }
+
+  /** Measured min cross-char L1 margin over all phase pairs (blank
+    * included as a pseudo-char) — the quantity the exactness theorem
+    * runs on.
+    */
+  val photoMargin: Int = {
+    var m = Int.MaxValue
+    for ((c, t) <- photoTemplates) {
+      m = math.min(m, l1(t, photoBlank))
+      for ((c2, t2) <- photoTemplates if c2 != c)
+        m = math.min(m, l1(t, t2))
+    }
+    m
+  }
+
+  /** Largest per-pixel noise amplitude with provably exact recovery:
+    * 96·ε < margin (96 = 2 × 48 cell pixels).
+    */
+  val PhotoNoise: Int = (photoMargin - 1) / (2 * PhotoPx)
+  require(PhotoNoise >= 2,
+    s"photographic margin $photoMargin too small for meaningful noise (ε=$PhotoNoise)")
+
+  /** splitmix64-style hash → noise in [−PhotoNoise, PhotoNoise]. */
+  private def noiseAt(seed: Long, idx: Int): Int = {
+    var z = seed + 0x9e3779b97f4a7c15L * (idx + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    (((z % (2 * PhotoNoise + 1)) + (2 * PhotoNoise + 1)) % (2 * PhotoNoise + 1)).toInt - PhotoNoise
+  }
+
+  /** Render text as a photographed grayscale BMP: per-glyph
+    * quarter-pixel phase + box-integrated antialiasing + bounded
+    * per-pixel sensor noise (paper pixels included).
+    */
+  def renderPhotographic(text: String, seed: Long): Array[Byte] = {
+    require(text.nonEmpty && renderable(text), s"unrenderable: '$text'")
+    val w = PhotoCellW * text.length
+    val rgb = new Array[Byte](w * PhotoCellH * 3)
+    for ((ch, i) <- text.zipWithIndex) {
+      val phase = (((seed + 6271L * i) % 16 + 16) % 16).toInt
+      val cell =
+        if (ch == ' ') photoBlank
+        else grayCell(byChar(ch), phase % Sub, phase / Sub)
+      for (py <- 0 until PhotoCellH; px <- 0 until PhotoCellW) {
+        val x = i * PhotoCellW + px
+        val gi = py * w + x
+        val g0 = cell(py * PhotoCellW + px) + noiseAt(seed, gi)
+        val g = (math.max(0, math.min(255, g0))).toByte
+        rgb(gi * 3) = g; rgb(gi * 3 + 1) = g; rgb(gi * 3 + 2) = g
+      }
+    }
+    Bmp.encode(w, PhotoCellH, rgb)
+  }
+
+  /** Photographic recognition: per 6×8 cell, min-SAD over the
+    * 577-template grayscale bank (36 chars × 16 phases + blank);
+    * `dist` reports the winning residuals — the classifier's own
+    * noise-energy estimate.
+    */
+  def recognizePhotographic(payload: Array[Byte]): OcrResult =
+    Bmp.decodePixels(payload) match {
+      case Some((w, h, rgb)) if h == PhotoCellH && w > 0 && w % PhotoCellW == 0 =>
+        val n = w / PhotoCellW
+        val sb = new java.lang.StringBuilder(n)
+        var dist = 0L
+        val cell = new Array[Int](PhotoPx)
+        var i = 0
+        while (i < n) {
+          var p = 0
+          while (p < PhotoPx) {
+            val x = i * PhotoCellW + p % PhotoCellW
+            val y = p / PhotoCellW
+            cell(p) = rgb((y * w + x) * 3) & 0xff
+            p += 1
+          }
+          var bestC = ' '
+          var bestD = l1(cell, photoBlank)
+          var t = 0
+          while (t < photoTemplates.size) {
+            val d = l1(cell, photoTemplates(t)._2)
+            if (d < bestD) { bestD = d; bestC = photoTemplates(t)._1 }
+            t += 1
+          }
+          sb.append(bestC)
+          dist += bestD
+          i += 1
+        }
+        OcrResult(sb.toString, dist, valid = true)
+      case _ => InvalidR
+    }
+
+  /** Per-document photographic OCR over a binary payload column —
+    * map-only; the ~110 KB template bank rides the task closure.
+    */
+  def extractTextPhotographic(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val r = recognizePhotographic(payload)
+        (id, r.text, r.text.length.toLong, r.dist, r.valid)
+      })
+      .toDF(idCol, "ocr_text", "n_chars", "sum_dist", "valid")
+  }
+
   /** Per-document OCR over a binary payload column: recovered text,
     * its length, and the classifier's total template distance.
     * Map-only — the 36-template font rides the task closure.

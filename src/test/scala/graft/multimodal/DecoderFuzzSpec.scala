@@ -87,4 +87,14 @@ class DecoderFuzzSpec extends AnyFunSuite {
     fuzz("wav", Wav.decode, Seq(wav), "RIFF".getBytes)
     fuzz("mp3", Mp3.parse, Seq(mp3), Array(0xff.toByte, 0xfb.toByte))
   }
+
+  test("Tiff.decode survives garbage, truncation and bit flips") {
+    val rgb = Array.tabulate(12 * 9 * 3)(i => ((i * 53 + 7) % 256).toByte)
+    val valid = Seq(
+      Tiff.encode(12, 9, rgb, compression = 1, rowsPerStrip = 4),
+      Tiff.encode(12, 9, rgb, bigEndian = true, compression = 5, predictor = 2),
+      Tiff.encode(12, 9, rgb, compression = 32773, rowsPerStrip = 2))
+    fuzz("tiff", Tiff.decode, valid, Array[Byte]('I', 'I', 0x2a, 0))
+    fuzz("tiffMM", Tiff.decode, valid, Array[Byte]('M', 'M', 0, 0x2a))
+  }
 }

@@ -84,6 +84,86 @@ class OcrSpec extends SparkSpec {
     assert(!Ocr.recognizeProportional(null).valid)
   }
 
+  test("photographic: margin theorem holds and noise amplitude is meaningful") {
+    // the exactness proof runs on these two numbers: per-pixel noise
+    // ε and cross-char L1 margin M with 96ε < M
+    assert(Ocr.PhotoNoise >= 2)
+    assert(2 * 48 * Ocr.PhotoNoise < Ocr.photoMargin)
+  }
+
+  test("photographic: exact recovery of every glyph at every phase under max noise") {
+    // all 36 chars × several seeds — seeds drive both the per-glyph
+    // quarter-pixel phase and the pixel noise field
+    for (seed <- Seq(0L, 1L, 17L, 9999L, -5L)) {
+      val text = allChars.mkString
+      val r = Ocr.recognizePhotographic(Ocr.renderPhotographic(text, seed))
+      assert(r.valid, s"seed $seed")
+      assert(r.text === text, s"seed $seed")
+    }
+    // every phase value exercised explicitly: one glyph per seed in 0..15
+    for (ch <- Seq('i', 'm', 'q', '1'); seed <- 0L until 16L) {
+      val r = Ocr.recognizePhotographic(Ocr.renderPhotographic(ch.toString, seed))
+      assert(r.text === ch.toString, s"char $ch seed $seed")
+    }
+  }
+
+  test("photographic: renders are genuinely grayscale and genuinely noisy") {
+    val bytes = Ocr.renderPhotographic("antialias", seed = 7L)
+    val Some((w, h, rgb)) = Bmp.decodePixels(bytes)
+    assert(h === Ocr.PhotoCellH && w === 9 * Ocr.PhotoCellW)
+    val grays = (0 until w * h).map(i => rgb(i * 3) & 0xff).toSet
+    // a binary render has ≤2 levels; antialiased edges + noise must
+    // produce many intermediate sensor values
+    assert(grays.size > 10, s"only ${grays.size} gray levels — not photographic")
+    assert(grays.exists(g => g > 40 && g < 215), "no intermediate edge coverage values")
+    // spaces and malformed payloads behave
+    val sp = Ocr.recognizePhotographic(Ocr.renderPhotographic("a b", 3L))
+    assert(sp.text === "a b")
+    assert(!Ocr.recognizePhotographic(Array[Byte](9, 9)).valid)
+    assert(!Ocr.recognizePhotographic(null).valid)
+  }
+
+  test("photographic: binarizing at 128 would misread what SAD reads exactly") {
+    // the tier is real: for some seed, thresholding the photographic
+    // render and running the FIXED-pitch (binary Hamming) classifier
+    // on the re-binarized cells disagrees with the source text, while
+    // the SAD classifier recovers it — gray evidence matters
+    val text = allChars.mkString
+    val misread = (0L until 8L).exists { seed =>
+      val Some((w, h, rgb)) = Bmp.decodePixels(Ocr.renderPhotographic(text, seed))
+      // crop the 7 glyph rows back out and threshold
+      val bin = Array.fill[Byte](w * Ocr.CellH * 3)(0xff.toByte)
+      for (y <- 0 until Ocr.CellH; x <- 0 until w)
+        if ((rgb((y * w + x) * 3) & 0xff) < 128) {
+          val p = (y * w + x) * 3
+          bin(p) = 0; bin(p + 1) = 0; bin(p + 2) = 0
+        }
+      val r = Ocr.recognize(Bmp.encode(w, Ocr.CellH, bin))
+      r.text != text
+    }
+    assert(misread, "threshold+Hamming handled every phase — photographic tier not demonstrating gray evidence")
+  }
+
+  test("extractTextPhotographic DataFrame contract and partition invariance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Ocr.renderPhotographic("menu 42", 1L)),
+      (2L, Ocr.renderPhotographic(" ", 2L)),
+      (3L, Array[Byte](0, 0))
+    ).toDF("doc_id", "payload")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ocr.extractTextPhotographic(d, "doc_id", "payload")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+    val got = run(df)
+    assert(got === Seq(
+      (1L, "menu 42", 7L, true),
+      (2L, " ", 1L, true),
+      (3L, "", 0L, false)))
+    assert(run(df.repartition(4)) === got)
+  }
+
   test("extractText contract and partition invariance") {
     import spark.implicits._
     val df = Seq(
