@@ -2100,5 +2100,42 @@ object OracleSql {
         | FROM v GROUP BY doc_id)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  sum_r, sum_g, sum_b, peak, true AS valid
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Row-pattern matching (view+ click* purchase, longest-match,
+    // skip past last row): the oracle is the pattern's CLOSED FORM
+    // under these semantics — maximal same-type runs
+    // (gaps-and-islands), where a view-island + optional click-island
+    // + purchase-island matches from the view head to the FIRST
+    // purchase. Cross-validated against an independent NFA
+    // simulation; a Spark engine deviating in scan order, skip mode
+    // or greediness hash-mismatches.
+    "q124_sequence_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rnt
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, event_type, min(rn) AS srn, count(*) AS sz,
+        |    arg_min(event_id, rn) AS first_id
+        |  FROM e GROUP BY user_id, event_type, rn - rnt),
+        |ord AS (
+        |  SELECT user_id, event_type, srn, sz, first_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY srn) AS k
+        |  FROM isl),
+        |m AS (
+        |  SELECT v.user_id, v.srn, v.first_id AS start_id,
+        |    CASE WHEN c.event_type = 'click' AND p2.event_type = 'purchase' THEN p2.first_id
+        |         WHEN c.event_type = 'purchase' THEN c.first_id END AS end_id,
+        |    CASE WHEN c.event_type = 'click' AND p2.event_type = 'purchase' THEN v.sz + c.sz + 1
+        |         WHEN c.event_type = 'purchase' THEN v.sz + 1 END AS n_rows
+        |  FROM ord v
+        |  LEFT JOIN ord c ON c.user_id = v.user_id AND c.k = v.k + 1
+        |  LEFT JOIN ord p2 ON p2.user_id = v.user_id AND p2.k = v.k + 2
+        |  WHERE v.event_type = 'view')
+        |SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn) AS BIGINT) AS match_id,
+        |  start_id, end_id, CAST(n_rows AS BIGINT) AS n_rows
+        |FROM m WHERE end_id IS NOT NULL
+        |ORDER BY user_id, match_id""".stripMargin)
 }

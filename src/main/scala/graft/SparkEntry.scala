@@ -2759,6 +2759,30 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** B39 — ROW-PATTERN MATCHING (operators.SequenceMatch): the
+    * MATCH_RECOGNIZE class Spark OSS lacks — find every
+    * non-overlapping `view+ click* purchase` journey per user
+    * (greedy quantifiers, longest-match, AFTER MATCH SKIP PAST LAST
+    * ROW), one row per occurrence with its row span. The oracle is
+    * the pattern's closed form under these semantics: maximal
+    * same-type runs (gaps-and-islands) where a view-island followed
+    * by an optional click-island followed by a purchase-island
+    * matches from the view-island's head to the purchase-island's
+    * FIRST event — so the hash match proves the generic NFA engine
+    * implements exactly the declared scan/skip/greedy semantics, not
+    * an approximation of them. One keyed exchange; the NFA sees
+    * 20-byte (order, id, symbol) triples, never event payloads.
+    */
+  private def q124SequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SequenceMatch.{Step, One, Plus, Star}
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    graft.operators.SequenceMatch.matches(ev, "user_id", "event_id", "ts_us", "event_type",
+      Seq(Step("view", Plus), Step("click", Star), Step("purchase", One)))
+      .transform(sorted1(_, col("user_id"), col("match_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2882,7 +2906,8 @@ object SparkEntry {
     "q120_jpeg_progressive" -> (q120JpegProgressive _),
     "q121_ocr_proportional" -> (q121OcrProportional _),
     "q122_ocr_photographic" -> (q122OcrPhotographic _),
-    "q123_tiff_pixels" -> (q123TiffPixels _))
+    "q123_tiff_pixels" -> (q123TiffPixels _),
+    "q124_sequence_match" -> (q124SequenceMatch _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -105,7 +105,19 @@ object DumpPlans {
     "q117_bom_explode" ->
       "BOM explosion: a driver-paced level-synchronous sweep — each round is one keyed join (current level ⋈ edges on parent) + a map-side-combined fold into per-node totals, localCheckpoint-truncated at a stride so deep BOMs keep flat per-round plans (depth-200 spec-asserted); rounds are DEPTH-bound, not data-bound, and the only driver value per round is the next-level row count. The loop runs eagerly, so the dump below shows the final aggregate over the accumulated contributions.",
     "q118_pdf_text" ->
-      "PDF text extraction: synthesis AND the full decode chain (xref walk → object graph → FlateDecode/Inflater → BT/Tj/TJ text operators) run inside one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical CPU-bound decode-stage shape (q90's contract): throughput scales linearly with executors and the decoder rides the task closure.")
+      "PDF text extraction: synthesis AND the full decode chain (xref walk → object graph → FlateDecode/Inflater → BT/Tj/TJ text operators) run inside one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical CPU-bound decode-stage shape (q90's contract): throughput scales linearly with executors and the decoder rides the task closure.",
+    "q119_pq_scoring" ->
+      "PQ scoring tier (the oracled face of q114): the codebook is a LITERAL in the plan — encode (nearest-sub-centroid array_min folds) and ADC distance are codegen'd projection arithmetic over the embeddings scan, so the corpus pass is map-only with no join and no broadcast; the only exchange is the per-query top-k (TakeOrderedAndProject class — per-partition heads, k rows per query to the final stage). At serving scale this same projection rides the IVF-pruned partition reads.",
+    "q120_jpeg_progressive" ->
+      "Progressive JPEG decode: synthesis (8-scan stream assembly) and decode (cross-scan coefficient reassembly + IDCT) both live in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; same linear-in-executors decode-stage shape as baseline q90, the extra scans cost CPU inside the task, never a plan change.",
+    "q121_ocr_proportional" ->
+      "Proportional OCR: render → column-profile segmentation → form lookup all inside one map-only pass; the trimmed-glyph form table is a driver-held constant in the closure. No join, no exchange until the harness sort — segmentation being data-dependent (variable glyph widths) changes per-row CPU, not the plan.",
+    "q122_ocr_photographic" ->
+      "Photographic OCR: grayscale render (subpixel phase + noise) and min-SAD classification over the 577-template bank run in one map-only pass; the ~110 KB template bank rides the task closure (driver-held constant, NOT a broadcast join — model-sized constants belong in closures). No exchange until the harness sort; per-image cost is O(cells × 577 × 48) integer SADs, linear in executors.",
+    "q123_tiff_pixels" ->
+      "TIFF pixel decode: encode (full container-knob sweep) and decode (IFD walk → strip decompress → predictor undo → stats fold) are one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q90 decode-stage contract; per-file byte order/compression variance is task-local branching, invisible to the plan.",
+    "q124_sequence_match" ->
+      "Row-pattern matching: symbol classification is codegen'd projection arithmetic BEFORE the plan's single hash exchange on the key; the ObjectHashAggregate pair partial-collects (order, id, symbol) triples map-side — 20 bytes/event, the event payload never shuffles — and the NFA emits matches in the flatMap above it. Pattern state cannot cross keys, so one keyed exchange is the information-theoretic minimum for this operator; per-key memory is bounded by that key's own activity (the q73 funnel contract).")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
