@@ -2137,5 +2137,25 @@ object OracleSql {
         |SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn) AS BIGINT) AS match_id,
         |  start_id, end_id, CAST(n_rows AS BIGINT) AS n_rows
         |FROM m WHERE end_id IS NOT NULL
-        |ORDER BY user_id, match_id""".stripMargin)
+        |ORDER BY user_id, match_id""".stripMargin,
+
+    // FLAC lossless decode: the oracle computes the statistics from
+    // the PCM synthesis formulas directly and never sees a FLAC byte;
+    // agreement therefore certifies decode(encode(pcm)) == pcm sample-
+    // for-sample (with md5_ok carrying the decoder's own MD5 proof).
+    "q125_flac_audio" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS mode, 200 + (doc_id % 7) * 50 AS n FROM documents),
+        |s AS (SELECT doc_id, mode, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, mode, n,
+        |  CASE CAST(mode AS INT)
+        |    WHEN 0 THEN (doc_id * 13) % 4001 - 2000
+        |    WHEN 1 THEN (doc_id % 100) - 50 + ((doc_id % 11) - 5) * i
+        |    WHEN 2 THEN abs(((i + doc_id) % 256) - 128) * ((doc_id % 16) + 1) - 1000
+        |    ELSE (doc_id * 7 + i * 131) % 4001 - 2000 END AS v
+        |  FROM s)
+        |SELECT doc_id, CAST(mode AS BIGINT) AS mode, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n // 8 AS BIGINT) AS duration_ms,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq, CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  TRUE AS md5_ok, TRUE AS valid
+        |FROM v GROUP BY doc_id, mode, n ORDER BY doc_id""".stripMargin)
 }

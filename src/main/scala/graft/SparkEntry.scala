@@ -2783,6 +2783,47 @@ object SparkEntry {
       .transform(sorted1(_, col("user_id"), col("match_id")))
   }
 
+  /** C11n — REAL FLAC lossless audio decode (multimodal.Flac): the
+    * first format where the round trip is EXACT by the format's own
+    * definition — decode(encode(pcm)) must reproduce every sample
+    * bit-for-bit, and the stream itself carries the evidence the
+    * decoder verifies (per-frame-header CRC-8, per-frame CRC-16,
+    * whole-stream PCM MD5 in STREAMINFO). Each doc synthesizes one
+    * of four closed-form 16-bit signals by id%4 — constant /
+    * linear ramp / triangle wave / LCG-ish noise — chosen so the
+    * encoder's candidate search exercises CONSTANT, FIXED
+    * predictors, partitioned Rice, and the verbatim fallback on
+    * real data (FlacSpec pins LPC engagement on sinusoids). The
+    * oracle computes the statistics STRAIGHT from the synthesis
+    * formulas — it never sees a FLAC byte — so the hash match plus
+    * the in-row md5_ok=true certify the entire encode → bitstream →
+    * parse → reconstruct chain restored the exact samples. Map-only
+    * at any corpus scale: the canonical decode-kernel shape (no
+    * shuffle, CPU-bound, linear in executors).
+    */
+  private def q125FlacAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val mode = (id % 4).toInt
+        val n = (200 + (id % 7) * 50).toInt
+        val samples = Array.tabulate(n) { i =>
+          mode match {
+            case 0 => ((id * 13) % 4001 - 2000).toInt
+            case 1 => ((id % 100) - 50 + ((id % 11) - 5) * i).toInt
+            case 2 => (math.abs(((i + id) % 256) - 128) * ((id % 16) + 1) - 1000).toInt
+            case _ => ((id * 7 + i.toLong * 131) % 4001 - 2000).toInt
+          }
+        }
+        (id, mode.toLong, graft.multimodal.Flac.encode(8000, samples, blockSize = 256))
+      }).toDF("doc_id", "mode", "payload")
+    enc.as[(Long, Long, Array[Byte])].mapPartitions(_.map { case (id, mode, bytes) =>
+      val f = graft.multimodal.Flac.decode(bytes)
+      (id, mode, f.nSamples, f.durationMs, f.sumSq, f.peakAbs, f.md5Ok, f.valid)
+    }).toDF("doc_id", "mode", "n_samples", "duration_ms", "sum_sq", "peak_abs", "md5_ok", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2907,7 +2948,8 @@ object SparkEntry {
     "q121_ocr_proportional" -> (q121OcrProportional _),
     "q122_ocr_photographic" -> (q122OcrPhotographic _),
     "q123_tiff_pixels" -> (q123TiffPixels _),
-    "q124_sequence_match" -> (q124SequenceMatch _))
+    "q124_sequence_match" -> (q124SequenceMatch _),
+    "q125_flac_audio" -> (q125FlacAudio _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -249,11 +249,14 @@ object Multimodal {
       doc_id: Long, sample_rate: Int, n_samples: Long, duration_ms: Long,
       sum_sq: Long, peak_abs: Long, valid: Boolean)
 
-  /** REAL audio decode for WAV/PCM payloads (`Wav.decode` — RIFF chunk
-    * walk + exact integer sample statistics, no native codec needed):
-    * per-doc sample rate, frame count, duration, energy (Σ s²) and
-    * peak amplitude. Same batched map-only shape as the image path;
-    * malformed payloads yield `valid=false` rows, never exceptions.
+  /** REAL audio decode for WAV/PCM and FLAC payloads (`Wav.decode` —
+    * RIFF chunk walk; `Flac.decode` — lossless frame/subframe parse
+    * with CRC+MD5 verification; both exact integer sample statistics,
+    * no native codec needed): per-doc sample rate, frame count,
+    * duration, energy (Σ s²) and peak amplitude, routed by magic
+    * bytes (`RIFF` vs `fLaC`). Same batched map-only shape as the
+    * image path; malformed payloads yield `valid=false` rows, never
+    * exceptions.
     */
   def audioFeatures(df: DataFrame, idCol: String = "doc_id",
                     payloadCol: String = "payload"): Dataset[AudioMeta] = {
@@ -261,8 +264,15 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val w = Wav.decode(bytes)
-        AudioMeta(id, w.sampleRate, w.nSamples, w.durationMs, w.sumSq, w.peakAbs, w.valid)
+        if (bytes != null && bytes.length > 3 &&
+          bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C') {
+          val f = Flac.decode(bytes)
+          AudioMeta(id, f.sampleRate, f.nSamples, f.durationMs, f.sumSq, f.peakAbs,
+            f.valid && f.md5Ok)
+        } else {
+          val w = Wav.decode(bytes)
+          AudioMeta(id, w.sampleRate, w.nSamples, w.durationMs, w.sumSq, w.peakAbs, w.valid)
+        }
       })
   }
 

@@ -117,7 +117,9 @@ object DumpPlans {
     "q123_tiff_pixels" ->
       "TIFF pixel decode: encode (full container-knob sweep) and decode (IFD walk → strip decompress → predictor undo → stats fold) are one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q90 decode-stage contract; per-file byte order/compression variance is task-local branching, invisible to the plan.",
     "q124_sequence_match" ->
-      "Row-pattern matching: symbol classification is codegen'd projection arithmetic BEFORE the plan's single hash exchange on the key; the ObjectHashAggregate pair partial-collects (order, id, symbol) triples map-side — 20 bytes/event, the event payload never shuffles — and the NFA emits matches in the flatMap above it. Pattern state cannot cross keys, so one keyed exchange is the information-theoretic minimum for this operator; per-key memory is bounded by that key's own activity (the q73 funnel contract).")
+      "Row-pattern matching: symbol classification is codegen'd projection arithmetic BEFORE the plan's single hash exchange on the key; the ObjectHashAggregate pair partial-collects (order, id, symbol) triples map-side — 20 bytes/event, the event payload never shuffles — and the NFA emits matches in the flatMap above it. Pattern state cannot cross keys, so one keyed exchange is the information-theoretic minimum for this operator; per-key memory is bounded by that key's own activity (the q73 funnel contract).",
+    "q125_flac_audio" ->
+      "FLAC lossless decode: encode (candidate-searched subframes + partitioned Rice) and decode (frame walk → subframe reconstruct → CRC-8/CRC-16/MD5 verify) are one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the q90 decode-stage contract, linear in executors with the codec riding the task closure.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -88,6 +88,15 @@ class DecoderFuzzSpec extends AnyFunSuite {
     fuzz("mp3", Mp3.parse, Seq(mp3), Array(0xff.toByte, 0xfb.toByte))
   }
 
+  test("Flac.decode survives garbage, truncation and bit flips") {
+    val smooth = Array.tabulate(600)(i => (4000 * math.sin(i * 0.03)).toInt)
+    val valid = Seq(
+      Flac.encode(8000, smooth, 256),
+      Flac.encode(44100, Array.fill(100)(-7), 64),
+      Flac.encode(16000, Array.tabulate(300)(i => (i * 997) % 3000 - 1500), 128))
+    fuzz("flac", Flac.decode, valid, "fLaC".getBytes)
+  }
+
   test("Tiff.decode survives garbage, truncation and bit flips") {
     val rgb = Array.tabulate(12 * 9 * 3)(i => ((i * 53 + 7) % 256).toByte)
     val valid = Seq(
