@@ -53,7 +53,7 @@ object SequenceMatch {
   final case class Step(symbol: String, quant: Quant = One)
 
   // compiled atom kinds: 0 = consume-once, 1 = optional, 2 = self-loop
-  private def compile(pattern: Seq[Step], symIdx: Map[String, Int]): Array[(Int, Int)] = {
+  private[graft] def compile(pattern: Seq[Step], symIdx: Map[String, Int]): Array[(Int, Int)] = {
     val atoms = pattern.flatMap { st =>
       val s = symIdx(st.symbol)
       st.quant match {
@@ -94,8 +94,8 @@ object SequenceMatch {
   /** One key's matches: (start_id, end_id, n_rows) per match in scan
     * order. `ids`/`syms` are the key's events in (order, id) order.
     */
-  private[operators] def scan(atoms: Array[(Int, Int)], ids: Array[Long], syms: Array[Int],
-                              skipPastLastRow: Boolean): Seq[(Long, Long, Long)] = {
+  private[graft] def scan(atoms: Array[(Int, Int)], ids: Array[Long], syms: Array[Int],
+                          skipPastLastRow: Boolean): Seq[(Long, Long, Long)] = {
     val m = atoms.length
     val acceptBit = 1L << m
     val init = closure(1L, atoms)
@@ -117,6 +117,54 @@ object SequenceMatch {
       } else i += 1
     }
     out.toSeq
+  }
+
+  /** Streaming-finalization walk (the D20 primitive): run the same
+    * attempt loop over a key's buffered sequence, but only RESOLVE
+    * attempts that complete strictly inside the immutable prefix —
+    * positions `< fIdx`, where `fIdx` is the first buffer index whose
+    * event time has not yet passed the allowed-lateness watermark.
+    * An attempt is resolved when its NFA mask DIED at a position
+    * `< fIdx`: no later insertion (all land at positions ≥ fIdx) and
+    * no future append can revive it or extend its longest match. The
+    * walk stops at the first unresolved attempt.
+    *
+    * Returns (finalMatches, cut): matches that can be emitted
+    * permanently, and the buffer index where the next attempt starts —
+    * everything before `cut` can be dropped from state, which is what
+    * bounds streaming memory to O(events inside the lateness window).
+    */
+  private[graft] def resolveCut(atoms: Array[(Int, Int)], syms: Array[Int],
+                                fIdx: Int, skipPastLastRow: Boolean): (Int, Int) = {
+    val acceptBit = 1L << atoms.length
+    val init = closure(1L, atoms)
+    val n = syms.length
+    var i = 0
+    var nFinal = 0
+    var cut = 0
+    var resolved = true
+    while (i < n && resolved) {
+      var mask = init
+      var last = -1
+      var j = i
+      while (j < n && mask != 0L) {
+        mask = transition(mask, syms(j), atoms)
+        if ((mask & acceptBit) != 0L) last = j
+        j += 1
+      }
+      // mask alive at buffer end → a future append could extend the
+      // longest match; died at j−1 → resolved iff that death position
+      // is inside the immutable prefix
+      val died = if (mask != 0L) n else j - 1
+      if (died < fIdx) {
+        if (last >= i) {
+          nFinal += 1
+          i = if (skipPastLastRow) last + 1 else i + 1
+        } else i += 1
+        cut = i
+      } else resolved = false
+    }
+    (nFinal, cut)
   }
 
   /** Match occurrences of `pattern` in each key's ordered stream.
