@@ -2157,5 +2157,23 @@ object OracleSql {
         |  CAST(n // 8 AS BIGINT) AS duration_ms,
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq, CAST(max(abs(v)) AS BIGINT) AS peak_abs,
         |  TRUE AS md5_ok, TRUE AS valid
-        |FROM v GROUP BY doc_id, mode, n ORDER BY doc_id""".stripMargin)
+        |FROM v GROUP BY doc_id, mode, n ORDER BY doc_id""".stripMargin,
+
+    // Priority sampling: the oracle re-derives the per-language top-k
+    // with a window formulation over the SAME bit-exact priority (one
+    // IEEE division of exact integers — no libm), so the hash match
+    // certifies the heap-topk path against window-topk, the md5
+    // uniform, the rank order, and the DLT tau threshold at once.
+    "q126_weighted_sample" ->
+      s"""WITH d AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |  ${md5fold("'prio:' || CAST(doc_id AS VARCHAR)", 8)} AS v
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (SELECT lang, doc_id, weight,
+        |  CAST(weight * 4294967296 AS DOUBLE) / CAST(v + 1 AS DOUBLE) AS pr FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id) AS rnk FROM p),
+        |t AS (SELECT lang, max(CASE WHEN rnk = 11 THEN pr END) AS tau11 FROM r GROUP BY lang)
+        |SELECT r.lang, CAST(rnk AS BIGINT) AS sample_rank, doc_id, weight, pr,
+        |  coalesce(tau11, 0.0) AS tau
+        |FROM r LEFT JOIN t ON r.lang = t.lang
+        |WHERE rnk <= 10 ORDER BY r.lang, rnk""".stripMargin)
 }

@@ -2824,6 +2824,30 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C62 — WEIGHTED SAMPLING WITHOUT REPLACEMENT via priority
+    * sampling (functions.Sampling.prioritySample, Duffield–Lund–
+    * Thorup): per language, the k=10 documents with the largest
+    * deterministic priority weight·2³²/(md5₃₂+1) — inclusion
+    * probability proportional-ish to document size, plus the DLT τ
+    * threshold enabling unbiased corpus-mass estimation from the
+    * sample alone. The priority is ONE IEEE division of exactly-
+    * representable integers, so (unlike the ln/pow the A-ES scheme
+    * would need) both engines compute the identical double
+    * bit-for-bit — pr and τ ride IN the hashed output as proof. The
+    * corpus pass runs through the native TopKPerKeyExec heap (q32's
+    * operator composed as a library primitive): bounded strata×(k+1)
+    * memory, no corpus-wide window sort; the oracle re-derives the
+    * sample with a window formulation, so the hash match ALSO
+    * certifies heap-topk ≡ window-topk on real data.
+    */
+  private def q126WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    graft.functions.Sampling.prioritySample(d, "lang", "doc_id", "n_chars", k = 10)
+      .select(col("stratum").as("lang"), col("sample_rank"), col("key").as("doc_id"),
+        col("weight"), col("pr"), col("tau"))
+      .transform(sorted1(_, col("lang"), col("sample_rank")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2949,7 +2973,8 @@ object SparkEntry {
     "q122_ocr_photographic" -> (q122OcrPhotographic _),
     "q123_tiff_pixels" -> (q123TiffPixels _),
     "q124_sequence_match" -> (q124SequenceMatch _),
-    "q125_flac_audio" -> (q125FlacAudio _))
+    "q125_flac_audio" -> (q125FlacAudio _),
+    "q126_weighted_sample" -> (q126WeightedSample _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -124,4 +124,50 @@ object Sampling {
     }
     hashBucket(key, 100) < pct
   }
+
+  /** WEIGHTED sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 54(6) 2007): per stratum, keep the k
+    * rows with the largest priority w·2³² / (v+1), where v is the
+    * row's deterministic 32-bit md5 value — the u = (v+1)/2³²
+    * uniform makes the priority w/u, so inclusion probability rises
+    * with weight and the scheme supports the DLT unbiased subset-sum
+    * estimator: with τ = the (k+1)-th priority, E[Σ_sample max(w, τ)]
+    * equals the stratum's total weight. Chosen over
+    * Efraimidis–Spirakis (u^{1/w}) deliberately: THAT key needs
+    * ln/pow — libm calls no two engines round identically — while
+    * this one is a SINGLE IEEE division of exactly-representable
+    * integers (weight ≤ 2²⁰ documented; both operands < 2⁵³), so
+    * every engine computes the identical double bit-for-bit and the
+    * sample is as reproducible as the hash splits above.
+    *
+    * Scale: the priority is map-side projection arithmetic; the
+    * corpus pass runs through the native [[graft.plans.TopK]] heap
+    * exec — bounded strata×(k+1) memory, no full sort, no corpus
+    * window — and only the k+1-per-stratum survivors see the rank
+    * window that numbers the sample and extracts τ.
+    *
+    * Output: (stratum, key, weight, pr, sample_rank ∈ [1, k],
+    * tau — 0.0 when the stratum has ≤ k rows, per DLT).
+    */
+  def prioritySample(df: DataFrame, stratumCol: String, keyCol: String,
+                     weightCol: String, k: Int, seed: String = "prio"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val slim = df
+      .filter(col(weightCol) > 0)
+      .select(col(stratumCol).as("stratum"), col(keyCol).cast("long").as("key"),
+        col(weightCol).cast("long").as("weight"))
+    val v = conv(substring(md5(concat(lit(seed + ":"), col("key").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val withPr = slim.withColumn("pr",
+      (col("weight") * lit(4294967296L)).cast("double") / (v + lit(1L)).cast("double"))
+    val top = graft.plans.TopK.perKey(withPr, Seq("stratum"),
+      Seq(col("pr").desc, col("key").asc), k + 1)
+    val order = Window.partitionBy(col("stratum")).orderBy(col("pr").desc, col("key").asc)
+    val stratum = Window.partitionBy(col("stratum"))
+    top
+      .withColumn("sample_rank", row_number().over(order).cast("long"))
+      .withColumn("tau", coalesce(
+        max(when(col("sample_rank") === k + 1, col("pr"))).over(stratum), lit(0.0)))
+      .filter(col("sample_rank") <= k)
+  }
 }

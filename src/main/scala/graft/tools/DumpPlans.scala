@@ -119,7 +119,9 @@ object DumpPlans {
     "q124_sequence_match" ->
       "Row-pattern matching: symbol classification is codegen'd projection arithmetic BEFORE the plan's single hash exchange on the key; the ObjectHashAggregate pair partial-collects (order, id, symbol) triples map-side — 20 bytes/event, the event payload never shuffles — and the NFA emits matches in the flatMap above it. Pattern state cannot cross keys, so one keyed exchange is the information-theoretic minimum for this operator; per-key memory is bounded by that key's own activity (the q73 funnel contract).",
     "q125_flac_audio" ->
-      "FLAC lossless decode: encode (candidate-searched subframes + partitioned Rice) and decode (frame walk → subframe reconstruct → CRC-8/CRC-16/MD5 verify) are one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the q90 decode-stage contract, linear in executors with the codec riding the task closure.")
+      "FLAC lossless decode: encode (candidate-searched subframes + partitioned Rice) and decode (frame walk → subframe reconstruct → CRC-8/CRC-16/MD5 verify) are one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the q90 decode-stage contract, linear in executors with the codec riding the task closure.",
+    "q126_weighted_sample" ->
+      "Priority sampling: the md5 uniform and the weight·2³²/(v+1) priority are codegen'd projection arithmetic before the plan's ONE hash exchange; the custom TopKPerKeyExec heap above it holds strata×(k+1) rows — the corpus is never window-sorted — and the rank/τ window runs over the k+1-per-stratum survivors only (result-sized, not corpus-sized).")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -118,4 +118,78 @@ class SamplingSpec extends SparkSpec {
       .count()
     assert(again == kept.values.sum)
   }
+
+  // ------------------------------------------------- priority sampling
+
+  private def prioFixture(n: Int, heavy: Set[Long], heavyW: Long, lightW: Long) =
+    (1L to n.toLong).map(id =>
+      ("s", id, if (heavy(id)) heavyW else lightW)).toDF("g", "id", "w")
+
+  test("prioritySample returns exactly k rows per stratum with rank order by priority") {
+    val df = (1L to 50L).map(id => (if (id % 2 == 0) "a" else "b", id, id)).toDF("g", "id", "w")
+    val out = Sampling.prioritySample(df, "g", "id", "w", k = 5)
+      .select("stratum", "sample_rank", "key", "pr", "tau")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.count(_._1 == "a") === 5 && out.count(_._1 == "b") === 5)
+    for (s <- Seq("a", "b")) {
+      val rows = out.filter(_._1 == s).sortBy(_._2)
+      assert(rows.map(_._2).toSeq === (1L to 5L), "ranks must be 1..k")
+      assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq,
+        "priorities must descend with rank")
+      val tau = rows.head._5
+      assert(rows.forall(_._5 === tau), "tau is a per-stratum constant")
+      assert(tau > 0.0 && rows.forall(_._4 >= tau),
+        "tau is the excluded (k+1)-th priority — below every sampled one")
+    }
+  }
+
+  test("prioritySample: tau is 0 when the stratum has at most k rows") {
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 20L)).toDF("g", "id", "w")
+    val out = Sampling.prioritySample(df, "g", "id", "w", k = 5)
+      .select("sample_rank", "tau").as[(Long, Double)].collect()
+    assert(out.length === 2)
+    assert(out.forall(_._2 === 0.0))
+  }
+
+  test("heavier rows are sampled far more often (weight-proportional inclusion)") {
+    // 100 rows, 5 heavy (w=1000) vs 95 light (w=1): across 40 seeds,
+    // the heavy rows should almost always make the k=10 sample while
+    // any individual light row rarely does
+    val heavy = Set(7L, 23L, 41L, 68L, 90L)
+    val df = prioFixture(100, heavy, 1000L, 1L).cache()
+    var heavyIn = 0L
+    var lightIn = 0L
+    for (s <- 0 until 40) {
+      val picked = Sampling.prioritySample(df, "g", "id", "w", k = 10, seed = s"seed$s")
+        .select("key").as[Long].collect().toSet
+      heavyIn += picked.count(heavy)
+      lightIn += picked.count(id => !heavy(id))
+    }
+    val heavyRate = heavyIn.toDouble / (40 * 5)
+    val lightRate = lightIn.toDouble / (40 * 95)
+    assert(heavyRate > 0.95, s"heavy rows must nearly always be sampled ($heavyRate)")
+    assert(lightRate < 0.12, s"light rows must be rare ($lightRate)")
+  }
+
+  test("DLT estimator: sum of max(w, tau) over the sample tracks the true mass") {
+    val heavy = Set(3L, 9L)
+    val df = prioFixture(60, heavy, 500L, 10L).cache()
+    val trueMass = 2 * 500L + 58 * 10L
+    val ests = (0 until 30).map { s =>
+      Sampling.prioritySample(df, "g", "id", "w", k = 12, seed = s"est$s")
+        .select(greatest(col("weight").cast("double"), col("tau")).as("c"))
+        .as[Double].collect().sum
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - trueMass) / trueMass < 0.15,
+      s"DLT estimate mean $mean vs true $trueMass")
+  }
+
+  test("prioritySample is invariant under repartitioning") {
+    val df = (1L to 200L).map(id => ("s", id, 1L + id % 7)).toDF("g", "id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.prioritySample(d, "g", "id", "w", k = 8)
+        .select("sample_rank", "key", "tau").as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
 }
