@@ -2175,5 +2175,57 @@ object OracleSql {
         |SELECT r.lang, CAST(rnk AS BIGINT) AS sample_rank, doc_id, weight, pr,
         |  coalesce(tau11, 0.0) AS tau
         |FROM r LEFT JOIN t ON r.lang = t.lang
-        |WHERE rnk <= 10 ORDER BY r.lang, rnk""".stripMargin)
+        |WHERE rnk <= 10 ORDER BY r.lang, rnk""".stripMargin,
+
+    // OLS trend fit: exact HUGEINT moments mirror Spark's
+    // DECIMAL(38,0) sums; slope/intercept/r² replay the identical
+    // correctly-rounded double chain (cast → divide → sqrt), so the
+    // three doubles hash bit-exactly.
+    "q127_trend_fit" ->
+      """WITH d AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x * y AS HUGEINT)) AS sxy, sum(CAST(x * x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y * y AS HUGEINT)) AS syy
+        |  FROM d GROUP BY g),
+        |m AS (SELECT g, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS denx,
+        |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS deny,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM a),
+        |s AS (SELECT g, n, num, denx, deny, sxd, syd,
+        |    CASE WHEN denx = 0 THEN NULL ELSE num / denx END AS slope FROM m)
+        |SELECT g AS o_orderpriority, n, slope,
+        |  CASE WHEN denx = 0 THEN NULL
+        |       ELSE (syd - slope * sxd) / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |       ELSE (num / sqrt(denx) / sqrt(deny)) * (num / sqrt(denx) / sqrt(deny)) END AS r2
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+
+    // CUSUM: the oracle replays the same prefix-closed-form windows
+    // (running sum + running min/max of integer cents deviations) —
+    // scan order (ts, event_id), thresholds as literals.
+    "q128_cusum" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |p AS (SELECT user_id, event_id, ts, cents,
+        |    sum(cents - 3000) OVER w AS pu,
+        |    sum(cents - 2000) OVER w AS pd
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts,
+        |    pu - least(CAST(0 AS BIGINT), min(pu) OVER w) AS s_pos,
+        |    greatest(CAST(0 AS BIGINT), max(pd) OVER w) - pd AS s_neg
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, event_id, ts, s_pos, s_neg,
+        |    (s_pos > 10000 OR s_neg > 10000) AS alarm FROM s)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(s_pos) AS BIGINT) AS max_s_pos,
+        |  CAST(max(s_neg) AS BIGINT) AS max_s_neg,
+        |  CAST(coalesce(sum(CASE WHEN alarm THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alarms,
+        |  first(event_id ORDER BY ts, event_id) FILTER (WHERE alarm) AS first_alarm_id
+        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -2848,6 +2848,61 @@ object SparkEntry {
       .transform(sorted1(_, col("lang"), col("sample_rank")))
   }
 
+  /** B40 — per-group OLS TREND FIT (functions.Stats.trendFit): the
+    * regr_slope / regr_intercept / r² aggregate family, engine-exact —
+    * Spark's own corr/covar accumulate doubles in partition order
+    * (non-deterministic bits at scale); this computes the five
+    * moments as exact DECIMAL(38,0) integer sums (HUGEINT on the
+    * audit side) and derives slope/intercept/r² through a short
+    * mirrored chain of correctly-rounded IEEE ops — the q106
+    * double-chain discipline applied to regression, so three doubles
+    * ride the hashed output as proof. Here: the daily revenue trend
+    * per order priority since 1995 (x = days since 1995-01-01,
+    * y = order cents). One map-side-combined aggregate — six numbers
+    * per group cross the shuffle, nothing else.
+    */
+  private def q127TrendFit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")))
+    graft.functions.Stats.trendFit(o, "o_orderpriority",
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01"))),
+      cents(col("o_totalprice")))
+      .select(col("g").as("o_orderpriority"), col("n"),
+        col("slope"), col("intercept"), col("r2"))
+      .transform(sorted1(_, col("o_orderpriority")))
+  }
+
+  /** B41 — CUSUM CHANGEPOINT DETECTION (functions.Stats.cusum, Page
+    * 1954): per-user sequential detection of a spend-LEVEL shift —
+    * the accumulating-drift signal the pointwise z-test (q106/D16)
+    * cannot see. The inherently-sequential recurrence
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + devᵢ) runs distributed via its prefix
+    * closed form Pᵢ − min(0, min_{j≤i} Pⱼ) — one keyed window
+    * (prefix sum + running min/max), exact integer cents throughout,
+    * so the oracle replays the identical window chain bit-for-bit.
+    * Reports per user the max statistic both directions, alarm-row
+    * count at threshold h, and the first alarm's event id (the
+    * detected change point).
+    */
+  private def q128Cusum(s: SparkSession, dir: String): DataFrame = {
+    val h = 10000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("cents"))
+    val scored = graft.functions.Stats.cusum(ev, "user_id",
+      Seq(col("ts_us"), col("event_id")), col("cents"),
+      targetCents = 2500L, slackCents = 500L)
+    val alarm = col("s_pos") > h || col("s_neg") > h
+    scored.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s_pos")).as("max_s_pos"),
+        max(col("s_neg")).as("max_s_neg"),
+        sum(when(alarm, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(alarm, struct(col("ts_us"), col("event_id"))))
+          .getField("event_id").as("first_alarm_id"))
+      .transform(sorted1(_, col("user_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -2974,7 +3029,9 @@ object SparkEntry {
     "q123_tiff_pixels" -> (q123TiffPixels _),
     "q124_sequence_match" -> (q124SequenceMatch _),
     "q125_flac_audio" -> (q125FlacAudio _),
-    "q126_weighted_sample" -> (q126WeightedSample _))
+    "q126_weighted_sample" -> (q126WeightedSample _),
+    "q127_trend_fit" -> (q127TrendFit _),
+    "q128_cusum" -> (q128Cusum _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -95,4 +95,93 @@ object Stats {
           .cast("long").as("hi_cents"),
         col("n"), col("sum_cents"), col("min_cents"), col("max_cents"))
   }
+
+  /** Per-group ordinary-least-squares TREND FIT (the regr_slope /
+    * regr_intercept / r² aggregate family Spark exposes only through
+    * double-accumulating `corr`/`covar_samp`, whose sums are
+    * partition-order-dependent): slope/intercept/r² of y over x per
+    * group, computed ENGINE-EXACTLY — the five moments Σx, Σy, Σxy,
+    * Σx², Σy² accumulate as DECIMAL(38,0) integers (order-independent,
+    * overflow-safe to 10³⁸; the audit twin uses HUGEINT), and the
+    * closed forms then run through a SHORT MIRRORED CHAIN of
+    * correctly-rounded IEEE ops (decimal→double casts, one division
+    * for the slope, sqrt for r) — bit-identical on any engine and any
+    * partitioning, the q106 double-chain discipline applied to
+    * regression. Contract: x and y are integer-valued with |x·y|,
+    * |x²|, |y²| < 2⁶³ (the per-row products fold in Long before the
+    * decimal cast; center x near its range to keep products small).
+    *
+    * Scale: one map-side-combined aggregate — six numbers per group
+    * shuffle, nothing else; the derived columns are projection
+    * arithmetic above it. Groups with zero x-variance yield null
+    * slope/intercept/r² (vertical fit), zero y-variance yields r²
+    * null with slope 0 — both spec-pinned.
+    */
+  /** Per-key CUSUM CHANGEPOINT scores (Page 1954): the classic
+    * mean-shift detector — S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack))
+    * accumulates evidence of an UPWARD level shift and resets while
+    * the series sits at its baseline; S⁻ mirrors it downward. An
+    * alarm fires when either side exceeds its decision threshold h —
+    * the sequential-detection tool for "this user's spend level
+    * CHANGED", which the pointwise z-test (q106/D16) cannot see
+    * (each post-shift value may be individually unremarkable while
+    * their drift accumulates).
+    *
+    * DISTRIBUTED FORM: the recurrence looks inherently sequential,
+    * but has the prefix closed form S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)
+    * with Pᵢ the running sum of deviations — so both sides compute as
+    * ONE keyed window (prefix sum + running min/max), all exact
+    * integer arithmetic on cent-scaled values: no stateful scan, no
+    * UDF, engine-portable bit-for-bit. One hash exchange on the key;
+    * O(1) window state per row.
+    *
+    * Appends `s_pos`, `s_neg` (the CUSUM statistics after each row,
+    * deterministic (orderCols) scan order) to the input columns.
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+            valueCol: Column, targetCents: Long, slackCents: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val devUp = valueCol - lit(targetCents) - lit(slackCents)
+    val devDn = valueCol - lit(targetCents) + lit(slackCents)
+    df
+      .withColumn("_pu", sum(devUp).over(w))
+      .withColumn("_pd", sum(devDn).over(w))
+      .withColumn("s_pos", col("_pu") - least(lit(0L), min(col("_pu")).over(w)))
+      .withColumn("s_neg", greatest(lit(0L), max(col("_pd")).over(w)) - col("_pd"))
+      .drop("_pu", "_pd")
+  }
+
+  def trendFit(df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.select(col(groupCol).as("g"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val agg = d.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val nDec = col("n").cast(dec)
+    val num = (nDec * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val denx = (nDec * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val deny = (nDec * col("syy") - col("sy") * col("sy")).cast(dec)
+    agg
+      .withColumn("_num", num.cast("double"))
+      .withColumn("_denx", denx.cast("double"))
+      .withColumn("_deny", deny.cast("double"))
+      .withColumn("slope",
+        when(col("_denx") === 0.0, lit(null)).otherwise(col("_num") / col("_denx")))
+      .withColumn("intercept",
+        when(col("_denx") === 0.0, lit(null)).otherwise(
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double")))
+      .withColumn("r2",
+        when(col("_denx") === 0.0 || col("_deny") === 0.0, lit(null)).otherwise {
+          val r = col("_num") / sqrt(col("_denx")) / sqrt(col("_deny"))
+          r * r
+        })
+      .select(col("g"), col("n"), col("slope"), col("intercept"), col("r2"))
+  }
 }

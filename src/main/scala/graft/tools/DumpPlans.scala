@@ -121,7 +121,11 @@ object DumpPlans {
     "q125_flac_audio" ->
       "FLAC lossless decode: encode (candidate-searched subframes + partitioned Rice) and decode (frame walk → subframe reconstruct → CRC-8/CRC-16/MD5 verify) are one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the q90 decode-stage contract, linear in executors with the codec riding the task closure.",
     "q126_weighted_sample" ->
-      "Priority sampling: the md5 uniform and the weight·2³²/(v+1) priority are codegen'd projection arithmetic before the plan's ONE hash exchange; the custom TopKPerKeyExec heap above it holds strata×(k+1) rows — the corpus is never window-sorted — and the rank/τ window runs over the k+1-per-stratum survivors only (result-sized, not corpus-sized).")
+      "Priority sampling: the md5 uniform and the weight·2³²/(v+1) priority are codegen'd projection arithmetic before the plan's ONE hash exchange; the custom TopKPerKeyExec heap above it holds strata×(k+1) rows — the corpus is never window-sorted — and the rank/τ window runs over the k+1-per-stratum survivors only (result-sized, not corpus-sized).",
+    "q127_trend_fit" ->
+      "OLS trend fit: HashAggregate pair = the five decimal moments partial-aggregate map-side, six numbers per group cross the only exchange; slope/intercept/r² are projection arithmetic above the aggregate — regression over any corpus costs one scan + one group-count-sized shuffle.",
+    "q128_cusum" ->
+      "CUSUM: one hash exchange on the key + per-key sort feeds BOTH window passes (prefix sums, then running min/max — same partitioning, no second exchange); the alarm flags and the final per-user aggregate are partial-agg'd above it. The sequential recurrence costs nothing extra distributed: it IS the window closed form.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -114,4 +114,98 @@ class StatsSpec extends SparkSpec {
     assert(run(Seq(5L, 6L), 16).values.map(_._1).sum == 2L)
     intercept[IllegalArgumentException](run(tenv, 0))
   }
+
+  // ------------------------------------------------------- trend fit
+
+  private def fitOne(rows: Seq[(Long, Long)], parts: Int = 4) = {
+    import spark.implicits._
+    val df = rows.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y").repartition(parts)
+    Stats.trendFit(df, "g", col("x"), col("y"))
+      .select("n", "slope", "intercept", "r2")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect().head
+  }
+
+  test("trendFit recovers an exact line with r2 = 1") {
+    val rows = (0L to 20L).map(x => (x, 7L + 3L * x))
+    val (n, slope, intercept, r2) = fitOne(rows)
+    assert(n === 21L)
+    assert(slope === Some(3.0))
+    assert(intercept === Some(7.0))
+    assert(r2 === Some(1.0))
+  }
+
+  test("trendFit matches the closed form on noisy integer data") {
+    val rows = (0L until 50L).map(x => (x, 100L + 2L * x + (x * 37 % 11) - 5L))
+    val (n, slope, intercept, r2) = fitOne(rows)
+    // closed form over exact moments
+    val xs = rows.map(_._1.toDouble); val ys = rows.map(_._2.toDouble)
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = rows.map { case (x, y) => (x * y).toDouble }.sum
+    val sxx = rows.map { case (x, _) => (x * x).toDouble }.sum
+    val expSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope.get - expSlope) < 1e-12)
+    assert(r2.get > 0.9 && r2.get < 1.0, s"noisy line should have high r2, got $r2")
+    assert(math.abs(intercept.get - (sy - slope.get * sx) / n) < 1e-9)
+  }
+
+  test("trendFit degenerate groups: zero x-variance nulls, zero y-variance slope 0") {
+    val vertical = fitOne(Seq((5L, 1L), (5L, 2L), (5L, 3L)))
+    assert(vertical._2.isEmpty && vertical._3.isEmpty && vertical._4.isEmpty)
+    val flat = fitOne(Seq((1L, 9L), (2L, 9L), (3L, 9L)))
+    assert(flat._2 === Some(0.0))
+    assert(flat._3 === Some(9.0))
+    assert(flat._4.isEmpty, "r2 is undefined when y never varies")
+  }
+
+  test("trendFit is bit-identical under repartitioning (exact integer moments)") {
+    val rows = (0L until 200L).map(x => (x, (x * x * 13) % 5000L))
+    assert(fitOne(rows, parts = 1) === fitOne(rows, parts = 32))
+  }
+
+  // ------------------------------------------------------------ cusum
+
+  /** the textbook sequential recurrences, as ground truth */
+  private def seqCusum(xs: Seq[Long], target: Long, slack: Long): (Seq[Long], Seq[Long]) = {
+    var sp = 0L; var sn = 0L
+    val ps = xs.map { x => sp = math.max(0L, sp + (x - target - slack)); sp }
+    val ns = xs.map { x => sn = math.max(0L, sn - (x - target + slack)); sn }
+    (ps, ns)
+  }
+
+  private def runCusum(xs: Seq[Long], target: Long, slack: Long, parts: Int = 4) = {
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "i", "x").repartition(parts)
+    Stats.cusum(df, "k", Seq(col("i")), col("x"), target, slack)
+      .orderBy("i").select("s_pos", "s_neg").as[(Long, Long)].collect().toSeq
+  }
+
+  test("cusum prefix closed form equals the sequential recurrence") {
+    val xs = Seq[Long](10, 12, 9, 11, 30, 32, 31, 29, 10, 9, 11, 2, 1, 3, 10)
+    val (ep, en) = seqCusum(xs, target = 10, slack = 2)
+    val got = runCusum(xs, 10, 2)
+    assert(got.map(_._1) === ep, "upward CUSUM must match the recurrence")
+    assert(got.map(_._2) === en, "downward CUSUM must match the recurrence")
+  }
+
+  test("cusum resets at baseline and accumulates drift a z-test misses") {
+    // small persistent shift: each value only +3 over target, but the
+    // statistic climbs linearly after the changepoint
+    val xs = Seq.fill(10)(10L) ++ Seq.fill(10)(13L)
+    val got = runCusum(xs, target = 10, slack = 1)
+    assert(got.take(10).forall(_._1 === 0L), "at baseline the statistic stays 0")
+    assert(got.last._1 === 10L * (13 - 10 - 1), "post-shift drift accumulates (n·(dev−slack))")
+    val (ep, _) = seqCusum(xs, 10, 1)
+    assert(got.map(_._1) === ep)
+  }
+
+  test("cusum is partition-invariant and handles negative prefixes") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(300)(rnd.nextInt(2000).toLong - 1000L)
+    val a = runCusum(xs, 0, 50, parts = 1)
+    val b = runCusum(xs, 0, 50, parts = 32)
+    assert(a === b)
+    val (ep, en) = seqCusum(xs, 0, 50)
+    assert(a.map(_._1) === ep && a.map(_._2) === en)
+  }
 }
