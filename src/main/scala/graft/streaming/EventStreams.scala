@@ -321,4 +321,53 @@ object EventStreams extends Serializable {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
   }
+
+  case class CusumState(sPos: Long, sNeg: Long, n: Long, nAlarms: Long, firstAlarmId: Long)
+  case class CusumVerdict(user_id: Long, event_id: Long, s_pos: Long, s_neg: Long,
+                          alarm: Boolean, n_alarms: Long)
+
+  /** D21 — STREAMING CUSUM changepoint detection (q128's sequential
+    * recurrence as live O(1)-per-key state — where the batch operator
+    * runs the prefix CLOSED FORM as one window, the stream runs the
+    * textbook recurrence itself; StatsSpec proves the two identical,
+    * and the streaming spec pins stream ≡ batch q128 on ordered
+    * arrival): per event, S⁺ accumulates upward drift
+    * (max(0, S⁺ + x − target − slack)), S⁻ downward, an alarm fires
+    * past the decision threshold h, and the FIRST alarm's event id —
+    * the detected changepoint — is latched forever. State is five
+    * longs per key regardless of stream length (no buffer, no
+    * watermark dependency — the D16 contract): history-seen-so-far
+    * semantics with within-batch (ts, event_id) fold order for
+    * determinism under Spark's unordered group iterator. Overflow
+    * guarded with addExact (supported range |Σdev| < 2⁶³), failing
+    * fast rather than silently diverging from the integer-exact
+    * batch twin.
+    */
+  def cusum(events: Dataset[Event], targetCents: Long, slackCents: Long,
+            h: Long): Dataset[CusumVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).longValue
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[CusumState]): Iterator[CusumVerdict] = {
+      var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, -1L))
+      val out = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+        val x = cents(e.value)
+        val sp = math.max(0L, Math.addExact(st.sPos, x - targetCents - slackCents))
+        val sn = math.max(0L, Math.subtractExact(st.sNeg, x - targetCents + slackCents))
+        val alarm = sp > h || sn > h
+        st = CusumState(sp, sn, st.n + 1L,
+          st.nAlarms + (if (alarm) 1L else 0L),
+          if (alarm && st.firstAlarmId < 0L) e.event_id else st.firstAlarmId)
+        CusumVerdict(userId, e.event_id, sp, sn, alarm, st.nAlarms)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
+  }
 }
