@@ -2227,5 +2227,42 @@ object OracleSql {
         |  CAST(max(s_neg) AS BIGINT) AS max_s_neg,
         |  CAST(coalesce(sum(CASE WHEN alarm THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alarms,
         |  first(event_id ORDER BY ts, event_id) FILTER (WHERE alarm) AS first_alarm_id
-        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // UTF-8 hygiene: the oracle PREDICTS the validator's outputs from
+    // the synthesis parameters with pure string SQL (chunk-join for
+    // the insert modes, U+FFFD splices for the corruption kinds) —
+    // it never sees a payload byte, so the md5 match certifies the
+    // WHATWG state machine's replacement policy end to end.
+    "q129_utf8_hygiene" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 80) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id, doc_id % 4 AS mode,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b),
+        |ch AS (SELECT doc_id, i,
+        |    CASE WHEN i = 0 THEN '' WHEN mode = 1 THEN 'é' ELSE 'Ã©' END ||
+        |      substring(base, CAST(i * 10 + 1 AS INT), 10) AS piece
+        |  FROM d, LATERAL unnest(range(0, (length(base) + 9) // 10)) AS t(i)
+        |  WHERE mode IN (1, 2)),
+        |joined AS (SELECT doc_id, string_agg(piece, '' ORDER BY i) AS rep
+        |  FROM ch GROUP BY doc_id),
+        |r AS (SELECT d.doc_id AS doc_id, d.mode AS mode, length(base) AS len,
+        |    (length(base) + 9) // 10 - 1 AS inserts,
+        |    CASE CAST((d.doc_id // 4) % 3 AS INT) WHEN 2 THEN 2 ELSE 1 END AS k,
+        |    CASE CAST(d.mode AS INT)
+        |      WHEN 0 THEN base
+        |      WHEN 3 THEN substring(base, 1, 10) ||
+        |        repeat(chr(65533), CASE CAST((d.doc_id // 4) % 3 AS INT) WHEN 2 THEN 2 ELSE 1 END) ||
+        |        substring(base, 11)
+        |      ELSE joined.rep END AS rep
+        |  FROM d LEFT JOIN joined ON d.doc_id = joined.doc_id)
+        |SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+        |  CAST(CASE CAST(mode AS INT) WHEN 0 THEN len WHEN 1 THEN len + inserts
+        |       WHEN 2 THEN len + 2 * inserts ELSE len + k END AS BIGINT) AS n_codepoints,
+        |  CAST(CASE WHEN mode = 3 THEN k ELSE 0 END AS BIGINT) AS n_invalid,
+        |  CAST(CASE WHEN mode = 2 THEN inserts ELSE 0 END AS BIGINT) AS n_mojibake,
+        |  md5(rep) AS repaired_md5,
+        |  mode <> 3 AS valid
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

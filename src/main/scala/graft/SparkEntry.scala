@@ -2903,6 +2903,54 @@ object SparkEntry {
       .transform(sorted1(_, col("user_id")))
   }
 
+  /** C63 — UTF-8 VALIDATION / REPAIR / MOJIBAKE DETECTION
+    * (functions.Utf8): the byte-level hygiene stage raw crawl
+    * payloads need BEFORE any text operator — a full UTF-8 state
+    * machine with the WHATWG maximal-subpart U+FFFD policy (overlong
+    * forms, surrogate encodings, beyond-U+10FFFF, lone continuations,
+    * truncation — each pinned in Utf8Spec) plus the double-encoding
+    * signature counter (Ã©-class codepoint pairs). Each doc's
+    * sanitized prefix becomes a byte payload in one of four states by
+    * id%4 — clean ASCII / proper accents / double-encoded accents /
+    * one of three corruption kinds — and the oracle PREDICTS the
+    * validator's outputs (codepoint count, replacement count,
+    * mojibake pairs, repaired-text md5) from the synthesis with pure
+    * string SQL, never seeing a byte: the hash match certifies the
+    * state machine's policy end to end. Map-only — the decode-kernel
+    * contract.
+    */
+  private def q129Utf8Hygiene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 80).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    val payloads = base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      val mode = (id % 4).toInt
+      val bytes: Array[Byte] = mode match {
+        case 0 => b.getBytes("US-ASCII")
+        case 1 => b.grouped(10).mkString("é").getBytes("UTF-8")
+        case 2 => b.grouped(10).mkString("Ã©").getBytes("UTF-8")
+        case _ =>
+          val (h, t) = b.splitAt(10)
+          val corrupt: Array[Byte] = ((id / 4) % 3).toInt match {
+            case 0 => Array(0x80.toByte) // lone continuation
+            case 1 => Array(0xc3.toByte) // truncated two-byte lead
+            case _ => Array(0xc0.toByte, 0x80.toByte) // overlong NUL
+          }
+          h.getBytes("US-ASCII") ++ corrupt ++ t.getBytes("US-ASCII")
+      }
+      (id, mode.toLong, bytes)
+    }).toDF("doc_id", "mode", "payload")
+    graft.functions.Utf8.annotate(payloads).toDF()
+      .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("long").as("mode"),
+        col("n_codepoints"), col("n_invalid"),
+        col("n_mojibake"), col("repaired_md5"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3031,7 +3079,8 @@ object SparkEntry {
     "q125_flac_audio" -> (q125FlacAudio _),
     "q126_weighted_sample" -> (q126WeightedSample _),
     "q127_trend_fit" -> (q127TrendFit _),
-    "q128_cusum" -> (q128Cusum _))
+    "q128_cusum" -> (q128Cusum _),
+    "q129_utf8_hygiene" -> (q129Utf8Hygiene _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

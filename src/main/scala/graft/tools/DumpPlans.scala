@@ -125,7 +125,9 @@ object DumpPlans {
     "q127_trend_fit" ->
       "OLS trend fit: HashAggregate pair = the five decimal moments partial-aggregate map-side, six numbers per group cross the only exchange; slope/intercept/r² are projection arithmetic above the aggregate — regression over any corpus costs one scan + one group-count-sized shuffle.",
     "q128_cusum" ->
-      "CUSUM: one hash exchange on the key + per-key sort feeds BOTH window passes (prefix sums, then running min/max — same partitioning, no second exchange); the alarm flags and the final per-user aggregate are partial-agg'd above it. The sequential recurrence costs nothing extra distributed: it IS the window closed form.")
+      "CUSUM: one hash exchange on the key + per-key sort feeds BOTH window passes (prefix sums, then running min/max — same partitioning, no second exchange); the alarm flags and the final per-user aggregate are partial-agg'd above it. The sequential recurrence costs nothing extra distributed: it IS the window closed form.",
+    "q129_utf8_hygiene" ->
+      "UTF-8 hygiene: synthesis and the WHATWG state machine run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical decode-kernel shape, linear in executors, byte-level repair riding the task closure.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
