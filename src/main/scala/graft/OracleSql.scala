@@ -2264,5 +2264,33 @@ object OracleSql {
         |  CAST(CASE WHEN mode = 2 THEN inserts ELSE 0 END AS BIGINT) AS n_mojibake,
         |  md5(rep) AS repaired_md5,
         |  mode <> 3 AS valid
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Bottom-k hash-sample quantiles: the oracle rebuilds the SAMPLE
+    // itself (bottom-256 by the same 60-bit md5 fold), the empirical
+    // index arithmetic, and the integer rank-error certificate — the
+    // whole sketch is hash-deterministic, so everything hashes.
+    "q130_sample_quantiles" ->
+      s"""WITH c AS (SELECT event_type AS g, event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT g, id, v, ${md5fold("CAST(id AS VARCHAR)", 15)} AS hv FROM c),
+        |s AS (SELECT g, id, v, row_number() OVER (PARTITION BY g ORDER BY hv, id) AS hr FROM h),
+        |samp AS (SELECT g, id, v FROM s WHERE hr <= 256),
+        |r AS (SELECT g, id, v, row_number() OVER (PARTITION BY g ORDER BY v, id) - 1 AS vr,
+        |      count(*) OVER (PARTITION BY g) AS m FROM samp),
+        |e AS (SELECT g, p, v AS est, m FROM r JOIN (VALUES (50), (90), (99)) AS pv(p)
+        |      ON vr = (p * (m - 1)) // 100),
+        |n AS (SELECT g, count(*) AS n FROM c GROUP BY g),
+        |rk AS (SELECT e.g AS g, e.p AS p, e.est AS est, e.m AS m,
+        |      coalesce(cnt.cnt, 0) AS exact_rank
+        |    FROM e LEFT JOIN (SELECT e2.g, e2.p, count(*) AS cnt
+        |      FROM e e2 JOIN c ON c.g = e2.g AND c.v < e2.est GROUP BY e2.g, e2.p) cnt
+        |      ON cnt.g = e.g AND cnt.p = e.p)
+        |SELECT rk.g AS event_type, CAST(rk.p AS BIGINT) AS p, est,
+        |  CAST(m AS BIGINT) AS m, n, exact_rank,
+        |  CAST(100 * exact_rank - rk.p * (n - 1) AS HUGEINT) *
+        |    (100 * exact_rank - rk.p * (n - 1)) * 256
+        |    <= CAST(9 AS HUGEINT) * (100 * n) * (100 * n) AS within_bound
+        |FROM rk JOIN n ON n.g = rk.g
+        |ORDER BY event_type, p""".stripMargin)
 }

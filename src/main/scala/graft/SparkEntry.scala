@@ -2951,6 +2951,34 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C64 — PORTABLE QUANTILE SKETCH via deterministic bottom-k hash
+    * sampling (functions.QuantileSample): per event type, p50/p90/p99
+    * of the cent values estimated from the k=256 rows with smallest
+    * md5(event_id) — a uniform random sample with NO RNG, so unlike
+    * KLL/t-digest (merge-order-dependent compactions) the sketch is a
+    * pure SET: union-keep-k-smallest is commutative, and any
+    * partitioning or micro-batch split yields the bit-identical
+    * sample (the MG/CMS/HLL portability discipline applied to
+    * quantiles — D22 is the streaming face sharing the identity).
+    * Output carries the AUDIT CERTIFICATE: each estimate's exact rank
+    * in the full data and the integer-exact 3n/√k rank-error verdict.
+    * The oracle reproduces the sample itself, the index arithmetic,
+    * and the certificate — everything is hash-deterministic. Corpus
+    * pass rides the native TopKPerKeyExec heap; the certificate is
+    * one extra counting pass (the audit tier, optional at 100 TB).
+    */
+  private def q130SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSample
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
+    val ests = QuantileSample.quantiles(ev, "event_type", "event_id", col("cents"),
+      k = 256, ps = Seq(50, 90, 99))
+    QuantileSample.withCertificate(ev, "event_type", "event_id", col("cents"), 256, ests)
+      .select(col("g").as("event_type"), col("p"), col("est"), col("m"), col("n"),
+        col("exact_rank"), col("within_bound"))
+      .transform(sorted1(_, col("event_type"), col("p")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3080,7 +3108,8 @@ object SparkEntry {
     "q126_weighted_sample" -> (q126WeightedSample _),
     "q127_trend_fit" -> (q127TrendFit _),
     "q128_cusum" -> (q128Cusum _),
-    "q129_utf8_hygiene" -> (q129Utf8Hygiene _))
+    "q129_utf8_hygiene" -> (q129Utf8Hygiene _),
+    "q130_sample_quantiles" -> (q130SampleQuantiles _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -127,7 +127,9 @@ object DumpPlans {
     "q128_cusum" ->
       "CUSUM: one hash exchange on the key + per-key sort feeds BOTH window passes (prefix sums, then running min/max — same partitioning, no second exchange); the alarm flags and the final per-user aggregate are partial-agg'd above it. The sequential recurrence costs nothing extra distributed: it IS the window closed form.",
     "q129_utf8_hygiene" ->
-      "UTF-8 hygiene: synthesis and the WHATWG state machine run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical decode-kernel shape, linear in executors, byte-level repair riding the task closure.")
+      "UTF-8 hygiene: synthesis and the WHATWG state machine run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical decode-kernel shape, linear in executors, byte-level repair riding the task closure.",
+    "q130_sample_quantiles" ->
+      "Sample quantiles: the 60-bit hash is projection arithmetic before the ONE corpus exchange into the TopKPerKeyExec heap (groups×k memory, no corpus sort); ranks/estimates are windows over the k-per-group sample (result-sized). The certificate joins estimates back to the full scan for exact ranks — one extra counting pass, the declared audit tier a 100 TB run can skip.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
