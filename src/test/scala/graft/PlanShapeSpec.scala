@@ -200,6 +200,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  private def staticPlan(name: String): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q126/q130: corpus passes ride the TopKPerKey heap — no corpus-side window sort") {
+    for (name <- Seq("q126_weighted_sample", "q130_sample_quantiles")) {
+      val plan = staticPlan(name)
+      val heaps = plan.collect { case p if p.nodeName.contains("TopKPerKey") => p }
+      assert(heaps.nonEmpty, s"$name: expected the custom heap exec in:\n$plan")
+      // the rank/tau windows are result-sized (above the cut); the
+      // corpus side — the heap's subtree — must hold none
+      heaps.foreach { h =>
+        val below = h.children.flatMap(_.collect {
+          case w if w.nodeName.contains("Window") => w
+        })
+        assert(below.isEmpty, s"$name: Window on the corpus side below the heap:\n$plan")
+      }
+    }
+  }
+
+  test("q127/q128: one keyed exchange each (partial agg / shared window partitioning)") {
+    for ((name, maxKeyed) <- Seq("q127_trend_fit" -> 1, "q128_cusum" -> 1)) {
+      val plan = staticPlan(name)
+      val keyed = plan.collect { case s: ShuffleExchangeExec => s }.filter(
+        _.outputPartitioning.getClass.getSimpleName.contains("HashPartitioning"))
+      assert(keyed.size <= maxKeyed,
+        s"$name: expected <= $maxKeyed keyed exchange, got ${keyed.size}:\n$plan")
+    }
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
