@@ -2292,5 +2292,23 @@ object OracleSql {
         |    (100 * exact_rank - rk.p * (n - 1)) * 256
         |    <= CAST(9 AS HUGEINT) * (100 * n) * (100 * n) AS within_bound
         |FROM rk JOIN n ON n.g = rk.g
-        |ORDER BY event_type, p""".stripMargin)
+        |ORDER BY event_type, p""".stripMargin,
+
+    // WARC extraction: every output is predicted from the synthesis
+    // with string SQL — the md5 match certifies record framing, the
+    // gzip member layout, and the HTTP payload parse end to end.
+    "q131_warc_extract" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 100) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    '<html><body>' || (CASE WHEN length(c) = 0 THEN ' ' ELSE c END) || '</body></html>' AS body
+        |  FROM b)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_records, CAST(1 AS BIGINT) AS n_responses,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status,
+        |  'http://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(length(body) AS BIGINT) AS body_chars,
+        |  md5(body) AS body_md5,
+        |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -2979,6 +2979,47 @@ object SparkEntry {
       .transform(sorted1(_, col("event_type"), col("p")))
   }
 
+  /** C65 — WARC CRAWL-ARCHIVE EXTRACTION (multimodal.Warc, ISO
+    * 28500): the container format web crawls actually arrive in —
+    * the ingestion front door BEFORE q129's charset hygiene and
+    * q63's markup strip can see a byte. Each doc becomes a 3-record
+    * archive (warcinfo / request / response with an HTML-wrapped
+    * body) through OUR OWN writer — gzipped per id%2 in the standard
+    * one-member-per-record `.warc.gz` layout — and the reader walks
+    * WARC headers → Content-Length framing → HTTP status line +
+    * headers → body, folding counts, the first response's
+    * status/URI, and the body md5. The oracle rebuilds every output
+    * from the synthesis with pure string SQL (never sees an archive
+    * byte), so the hash match certifies the record walk, the gzip
+    * member layout, and the HTTP parse at once. Map-only — the
+    * decode-kernel contract.
+    */
+  private def q131WarcExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 100).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    val decoded = base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      val uri = s"http://crawl.test/doc/$id"
+      val status = if (id % 7 == 0) 404 else 200
+      val body = s"<html><body>$b</body></html>"
+      val recs = Seq(
+        graft.multimodal.Warc.WarcRecord("warcinfo", "", 0, "", "software: graft"),
+        graft.multimodal.Warc.WarcRecord("request", uri, 0, "", ""),
+        graft.multimodal.Warc.WarcRecord("response", uri, status, "text/html", body))
+      val w = graft.multimodal.Warc.decode(
+        graft.multimodal.Warc.encode(recs, gzip = id % 2 == 0))
+      (id, w.nRecords, w.nResponses, w.status, w.uri, w.bodyChars, w.bodyMd5, w.valid)
+    }).toDF("doc_id", "n_records", "n_responses", "status", "uri",
+      "body_chars", "body_md5", "valid")
+    decoded
+      .withColumn("status", col("status").cast("long"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3109,7 +3150,8 @@ object SparkEntry {
     "q127_trend_fit" -> (q127TrendFit _),
     "q128_cusum" -> (q128Cusum _),
     "q129_utf8_hygiene" -> (q129Utf8Hygiene _),
-    "q130_sample_quantiles" -> (q130SampleQuantiles _))
+    "q130_sample_quantiles" -> (q130SampleQuantiles _),
+    "q131_warc_extract" -> (q131WarcExtract _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

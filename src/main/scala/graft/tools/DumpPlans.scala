@@ -129,7 +129,9 @@ object DumpPlans {
     "q129_utf8_hygiene" ->
       "UTF-8 hygiene: synthesis and the WHATWG state machine run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical decode-kernel shape, linear in executors, byte-level repair riding the task closure.",
     "q130_sample_quantiles" ->
-      "Sample quantiles: the 60-bit hash is projection arithmetic before the ONE corpus exchange into the TopKPerKeyExec heap (groups×k memory, no corpus sort); ranks/estimates are windows over the k-per-group sample (result-sized). The certificate joins estimates back to the full scan for exact ranks — one extra counting pass, the declared audit tier a 100 TB run can skip.")
+      "Sample quantiles: the 60-bit hash is projection arithmetic before the ONE corpus exchange into the TopKPerKeyExec heap (groups×k memory, no corpus sort); ranks/estimates are windows over the k-per-group sample (result-sized). The certificate joins estimates back to the full scan for exact ranks — one extra counting pass, the declared audit tier a 100 TB run can skip.",
+    "q131_warc_extract" ->
+      "WARC extraction: archive synthesis AND the record walk / gzip-member gunzip / HTTP parse run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; at crawl scale the one-member-per-record layout additionally allows splitting single large archives at member boundaries, keeping the stage embarrassingly parallel.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -97,6 +97,16 @@ class DecoderFuzzSpec extends AnyFunSuite {
     fuzz("flac", Flac.decode, valid, "fLaC".getBytes)
   }
 
+  test("Warc.decode survives garbage, truncation and bit flips") {
+    def rec(t: String, uri: String, st: Int, body: String) =
+      Warc.WarcRecord(t, uri, st, "text/html", body)
+    val valid = Seq(
+      Warc.encode(Seq(rec("warcinfo", "", 0, "sw"), rec("request", "http://a", 0, ""),
+        rec("response", "http://a", 200, "<p>hello fuzz</p>")), gzip = false),
+      Warc.encode(Seq(rec("response", "http://b", 500, "x" * 300)), gzip = true))
+    fuzz("warc", Warc.decode, valid, "WARC/1.0\r\n".getBytes)
+  }
+
   test("Tiff.decode survives garbage, truncation and bit flips") {
     val rgb = Array.tabulate(12 * 9 * 3)(i => ((i * 53 + 7) % 256).toByte)
     val valid = Seq(
