@@ -2310,5 +2310,25 @@ object OracleSql {
         |  CAST(length(body) AS BIGINT) AS body_chars,
         |  md5(body) AS body_md5,
         |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // ZIP extraction: counts, sizes and the name/content md5s are all
+    // predicted from the synthesis with string SQL — agreement
+    // certifies the central-directory walk, raw-deflate inflation,
+    // and CRC verification without the oracle seeing an archive byte.
+    "q132_zip_extract" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 120) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base,
+        |    '{"id":' || CAST(doc_id AS VARCHAR) || '}' AS meta
+        |  FROM b)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS n_entries,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_deflated,
+        |  CAST(length(base) + length(meta) AS BIGINT) AS total_bytes,
+        |  md5('doc.txt' || 'meta.json') AS names_md5,
+        |  md5(base || meta) AS content_md5,
+        |  TRUE AS valid
         |FROM d ORDER BY doc_id""".stripMargin)
 }

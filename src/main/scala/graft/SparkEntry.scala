@@ -3020,6 +3020,41 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C66 — ZIP CONTAINER EXTRACTION (multimodal.Zip): the other
+    * batch container next to WARC (q131) — dataset releases and site
+    * dumps arrive as ZIP archives of mixed entries. The reader is a
+    * REAL central-directory walk (EOCD scan → central entries →
+    * per-entry local header with its OWN extra-length → stored copy /
+    * raw-Inflater deflate → CRC-32 verified against the central
+    * record), not a ZipInputStream wrapper, because the central
+    * directory at END of file is the scale-correct access path: list
+    * once, random-access only the entries you need. ZipSpec
+    * cross-checks the JDK's zip streams in BOTH directions. Each doc
+    * synthesizes a two-entry archive (text deflated on half the ids,
+    * metadata stored) and the oracle predicts counts, sizes, and the
+    * name/content md5s with pure string SQL. Map-only — the
+    * decode-kernel contract.
+    */
+  private def q132ZipExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 120).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      val entries = Seq(
+        graft.multimodal.Zip.ZipEntrySpec("doc.txt", b.getBytes("UTF-8"), deflate = id % 2 == 0),
+        graft.multimodal.Zip.ZipEntrySpec("meta.json",
+          s"""{"id":$id}""".getBytes("UTF-8"), deflate = false))
+      val z = graft.multimodal.Zip.decode(graft.multimodal.Zip.encode(entries))
+      (id, z.nEntries, z.nDeflated, z.totalBytes, z.namesMd5, z.contentMd5, z.valid)
+    }).toDF("doc_id", "n_entries", "n_deflated", "total_bytes",
+      "names_md5", "content_md5", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3151,7 +3186,8 @@ object SparkEntry {
     "q128_cusum" -> (q128Cusum _),
     "q129_utf8_hygiene" -> (q129Utf8Hygiene _),
     "q130_sample_quantiles" -> (q130SampleQuantiles _),
-    "q131_warc_extract" -> (q131WarcExtract _))
+    "q131_warc_extract" -> (q131WarcExtract _),
+    "q132_zip_extract" -> (q132ZipExtract _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

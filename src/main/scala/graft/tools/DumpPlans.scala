@@ -131,7 +131,9 @@ object DumpPlans {
     "q130_sample_quantiles" ->
       "Sample quantiles: the 60-bit hash is projection arithmetic before the ONE corpus exchange into the TopKPerKeyExec heap (groups×k memory, no corpus sort); ranks/estimates are windows over the k-per-group sample (result-sized). The certificate joins estimates back to the full scan for exact ranks — one extra counting pass, the declared audit tier a 100 TB run can skip.",
     "q131_warc_extract" ->
-      "WARC extraction: archive synthesis AND the record walk / gzip-member gunzip / HTTP parse run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; at crawl scale the one-member-per-record layout additionally allows splitting single large archives at member boundaries, keeping the stage embarrassingly parallel.")
+      "WARC extraction: archive synthesis AND the record walk / gzip-member gunzip / HTTP parse run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; at crawl scale the one-member-per-record layout additionally allows splitting single large archives at member boundaries, keeping the stage embarrassingly parallel.",
+    "q132_zip_extract" ->
+      "ZIP extraction: synthesis and the central-directory walk (EOCD scan → entries → raw inflate → CRC check) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract; the end-of-file directory is what makes per-entry random access possible for a scale reader that only needs some entries of multi-GB archives.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
