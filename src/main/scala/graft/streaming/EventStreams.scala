@@ -322,6 +322,63 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class TrendState(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long, syy: Long)
+  case class TrendUpdate(user_id: Long, n: Long,
+                         slope: Option[Double], intercept: Option[Double], r2: Option[Double])
+
+  /** D23 — STREAMING TREND FIT (q127's OLS aggregate as live
+    * O(1)-per-key state): the five exact integer moments Σx/Σy/Σxy/
+    * Σx²/Σy² accumulate per key — sums are commutative, so state
+    * after ANY micro-batch sequence equals the batch moments over
+    * the same events EXACTLY, and the derived slope/intercept/r²
+    * (the q127 mirrored double chain on Long-exact inputs) match the
+    * batch operator bit-for-bit wherever the moments fit a Long
+    * (addExact/multiplyExact guard the boundary — fail fast, never
+    * silently diverge from the DECIMAL(38) batch twin; x should be
+    * centered near its range like the batch contract). Six longs per
+    * key forever, no buffer, no watermark dependency — completes the
+    * monitoring family: D16 pointwise outliers, D21 accumulated
+    * level shifts, D23 the direction and strength of drift itself.
+    * x = days since 2024-01-01 of the event time, y = cents.
+    */
+  def trend(events: Dataset[Event]): Dataset[TrendUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).longValue
+
+    val epochDay0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[TrendState]): TrendUpdate = {
+      var st = state.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L, 0L))
+      it.foreach { e =>
+        val x = tsMicros(e.ts) / 86400000000L - epochDay0
+        val y = cents(e.value)
+        st = TrendState(st.n + 1L,
+          Math.addExact(st.sx, x), Math.addExact(st.sy, y),
+          Math.addExact(st.sxy, Math.multiplyExact(x, y)),
+          Math.addExact(st.sxx, Math.multiplyExact(x, x)),
+          Math.addExact(st.syy, Math.multiplyExact(y, y)))
+      }
+      state.update(st)
+      // derived terms under the same fail-fast overflow contract
+      def term(a: Long, b: Long, c: Long, d: Long): Double =
+        Math.subtractExact(Math.multiplyExact(a, b), Math.multiplyExact(c, d)).toDouble
+      val num = term(st.n, st.sxy, st.sx, st.sy)
+      val denx = term(st.n, st.sxx, st.sx, st.sx)
+      val deny = term(st.n, st.syy, st.sy, st.sy)
+      val slope = if (denx == 0.0) None else Some(num / denx)
+      val intercept = slope.map(sl => (st.sy.toDouble - sl * st.sx.toDouble) / st.n.toDouble)
+      val r2 =
+        if (denx == 0.0 || deny == 0.0) None
+        else { val r = num / math.sqrt(denx) / math.sqrt(deny); Some(r * r) }
+      TrendUpdate(userId, st.n, slope, intercept, r2)
+    }
+
+    events.groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class CusumState(sPos: Long, sNeg: Long, n: Long, nAlarms: Long, firstAlarmId: Long)
   case class CusumVerdict(user_id: Long, event_id: Long, s_pos: Long, s_neg: Long,
                           alarm: Boolean, n_alarms: Long)
