@@ -2330,5 +2330,24 @@ object OracleSql {
         |  md5('doc.txt' || 'meta.json') AS names_md5,
         |  md5(base || meta) AS content_md5,
         |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // robots.txt evaluation: the oracle states RFC 9309's closed form
+    // for the five synthesized path shapes (longest-pattern
+    // precedence, Allow tie-break, $-anchor) — verdict AND matched
+    // pattern per shape; the real parser/matcher must land exactly.
+    "q133_robots_eval" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS mode FROM documents)
+        |SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+        |  CASE CAST(mode AS INT)
+        |    WHEN 0 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '/private/open/x' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN '/cache/f' || CAST(doc_id AS VARCHAR) || '.tmp'
+        |    ELSE '/cache/f' || CAST(doc_id AS VARCHAR) || '.tmpx' END AS path,
+        |  mode IN (0, 2, 4) AS allowed,
+        |  CASE CAST(mode AS INT)
+        |    WHEN 0 THEN '/' WHEN 1 THEN '/private' WHEN 2 THEN '/private/open'
+        |    WHEN 3 THEN '/*.tmp$' ELSE '/' END AS rule
         |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -3055,6 +3055,48 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C67 — ROBOTS.TXT EVALUATION (functions.Robots, RFC 9309): the
+    * crawl-politeness decision layer that runs BEFORE any fetch — at
+    * crawl scale every candidate URL screens against its host's
+    * rules, so the evaluator is a deterministic kernel (group
+    * selection by longest agent token with `*` fallback, wildcard +
+    * `$`-anchor patterns, longest-pattern precedence with Allow
+    * winning ties — each pinned in RobotsSpec). Five path shapes per
+    * doc exercise prefix-vs-longer-allow, the wildcard anchor hitting
+    * and missing, and the everything-allow fallback; the oracle
+    * predicts verdict AND matched pattern per shape with CASE logic
+    * — the real parser/matcher must land exactly on the
+    * specification's closed form. Map-only (rules ride the closure
+    * the way a per-host broadcast would at scale).
+    */
+  private def q133RobotsEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val robotsTxt =
+      """User-agent: *
+        |Disallow: /private
+        |Allow: /private/open
+        |Disallow: /*.tmp$
+        |Allow: /
+        |""".stripMargin
+    val d = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+    d.mapPartitions { it =>
+      val rs = graft.functions.Robots.parse(robotsTxt)
+      it.map { id =>
+        val mode = (id % 5).toInt
+        val path = mode match {
+          case 0 => s"/public/page$id"
+          case 1 => s"/private/x$id"
+          case 2 => s"/private/open/x$id"
+          case 3 => s"/cache/f$id.tmp"
+          case _ => s"/cache/f$id.tmpx"
+        }
+        val (allowed, rule) = rs.evaluate("anybot", path)
+        (id, mode.toLong, path, allowed, rule)
+      }
+    }.toDF("doc_id", "mode", "path", "allowed", "rule")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3187,7 +3229,8 @@ object SparkEntry {
     "q129_utf8_hygiene" -> (q129Utf8Hygiene _),
     "q130_sample_quantiles" -> (q130SampleQuantiles _),
     "q131_warc_extract" -> (q131WarcExtract _),
-    "q132_zip_extract" -> (q132ZipExtract _))
+    "q132_zip_extract" -> (q132ZipExtract _),
+    "q133_robots_eval" -> (q133RobotsEval _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -133,7 +133,9 @@ object DumpPlans {
     "q131_warc_extract" ->
       "WARC extraction: archive synthesis AND the record walk / gzip-member gunzip / HTTP parse run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; at crawl scale the one-member-per-record layout additionally allows splitting single large archives at member boundaries, keeping the stage embarrassingly parallel.",
     "q132_zip_extract" ->
-      "ZIP extraction: synthesis and the central-directory walk (EOCD scan → entries → raw inflate → CRC check) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract; the end-of-file directory is what makes per-entry random access possible for a scale reader that only needs some entries of multi-GB archives.")
+      "ZIP extraction: synthesis and the central-directory walk (EOCD scan → entries → raw inflate → CRC check) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract; the end-of-file directory is what makes per-entry random access possible for a scale reader that only needs some entries of multi-GB archives.",
+    "q133_robots_eval" ->
+      "robots.txt evaluation: parse + longest-match wildcard engine run once per task (ruleset in the closure) and screen paths in one MapPartitions pass — MAP-ONLY; at crawl scale the per-host rulesets become a broadcast keyed by host, the verdict stays a map-side decision.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
