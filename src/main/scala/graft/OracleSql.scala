@@ -2349,5 +2349,25 @@ object OracleSql {
         |  CASE CAST(mode AS INT)
         |    WHEN 0 THEN '/' WHEN 1 THEN '/private' WHEN 2 THEN '/private/open'
         |    WHEN 3 THEN '/*.tmp$' ELSE '/' END AS rule
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // tar extraction: counts, sizes and the name/content md5s are all
+    // predicted with string SQL — agreement certifies the 512-byte
+    // header walk, octal size parse, checksum verification and (on
+    // half the ids) the gzip route, without seeing an archive byte.
+    "q134_tar_extract" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 90) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base,
+        |    'id=' || CAST(doc_id AS VARCHAR) AS meta
+        |  FROM b)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_entries, CAST(2 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS n_dirs,
+        |  CAST(length(base) + length(meta) AS BIGINT) AS total_bytes,
+        |  md5('docs/' || 'docs/text.txt' || 'docs/meta.txt') AS names_md5,
+        |  md5(base || meta) AS content_md5,
+        |  TRUE AS valid
         |FROM d ORDER BY doc_id""".stripMargin)
 }

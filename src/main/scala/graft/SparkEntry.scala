@@ -3097,6 +3097,44 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C68 — TAR CONTAINER EXTRACTION (multimodal.Tar, POSIX ustar):
+    * the third container next to WARC (q131) and ZIP (q132) —
+    * dataset releases ship as (gzipped) tarballs. Pure fixed-offset
+    * arithmetic: 512-byte headers with octal size fields, block
+    * padding, two-zero-block terminator — and the header CHECKSUM
+    * (byte sum with the checksum field as spaces) VERIFIED per
+    * entry, the format's own integrity evidence. Directories
+    * counted/skipped; gzip routed through the JDK gunzip. Each doc
+    * synthesizes a dir + two-file tarball (gzipped on half) and the
+    * oracle predicts counts/sizes/name-and-content md5s with pure
+    * string SQL. Map-only — the decode-kernel contract.
+    */
+  private def q134TarExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 90).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      val entries = Seq(
+        graft.multimodal.Tar.TarEntrySpec("docs/", Array.emptyByteArray, dir = true),
+        graft.multimodal.Tar.TarEntrySpec("docs/text.txt", b.getBytes("UTF-8")),
+        graft.multimodal.Tar.TarEntrySpec("docs/meta.txt", s"id=$id".getBytes("UTF-8")))
+      val plain = graft.multimodal.Tar.encode(entries)
+      val payload = if (id % 2 == 0) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close(); bos.toByteArray
+      } else plain
+      val t = graft.multimodal.Tar.decode(payload)
+      (id, t.nEntries, t.nFiles, t.nDirs, t.totalBytes, t.namesMd5, t.contentMd5, t.valid)
+    }).toDF("doc_id", "n_entries", "n_files", "n_dirs", "total_bytes",
+      "names_md5", "content_md5", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3230,7 +3268,8 @@ object SparkEntry {
     "q130_sample_quantiles" -> (q130SampleQuantiles _),
     "q131_warc_extract" -> (q131WarcExtract _),
     "q132_zip_extract" -> (q132ZipExtract _),
-    "q133_robots_eval" -> (q133RobotsEval _))
+    "q133_robots_eval" -> (q133RobotsEval _),
+    "q134_tar_extract" -> (q134TarExtract _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

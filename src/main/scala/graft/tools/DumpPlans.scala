@@ -135,7 +135,9 @@ object DumpPlans {
     "q132_zip_extract" ->
       "ZIP extraction: synthesis and the central-directory walk (EOCD scan → entries → raw inflate → CRC check) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract; the end-of-file directory is what makes per-entry random access possible for a scale reader that only needs some entries of multi-GB archives.",
     "q133_robots_eval" ->
-      "robots.txt evaluation: parse + longest-match wildcard engine run once per task (ruleset in the closure) and screen paths in one MapPartitions pass — MAP-ONLY; at crawl scale the per-host rulesets become a broadcast keyed by host, the verdict stays a map-side decision.")
+      "robots.txt evaluation: parse + longest-match wildcard engine run once per task (ruleset in the closure) and screen paths in one MapPartitions pass — MAP-ONLY; at crawl scale the per-host rulesets become a broadcast keyed by host, the verdict stays a map-side decision.",
+    "q134_tar_extract" ->
+      "tar extraction: synthesis and the 512-byte header walk (octal parse → checksum verify → content fold, gzip route first when magic says so) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract shared with WARC/ZIP.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
