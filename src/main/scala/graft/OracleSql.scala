@@ -2369,5 +2369,34 @@ object OracleSql {
         |  md5('docs/' || 'docs/text.txt' || 'docs/meta.txt') AS names_md5,
         |  md5(base || meta) AS content_md5,
         |  TRUE AS valid
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Uniform archive ingestion: one row per extracted entry across
+    // all three containers, every column predicted with string SQL —
+    // one hash certifies content routing, the three container walks,
+    // and the UTF-8 step behind one API.
+    "q135_ingest_archives" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 80) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id, doc_id % 3 AS mode,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b),
+        |rows_out AS (
+        |  SELECT doc_id, 'warc' AS format,
+        |    'http://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS entry,
+        |    md5('<html><body>' || base || '</body></html>') AS text_md5
+        |  FROM d WHERE mode = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'zip', 'doc.txt', md5(base) FROM d WHERE mode = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'zip', 'meta.json',
+        |    md5('{"id":' || CAST(doc_id AS VARCHAR) || '}') FROM d WHERE mode = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'tar', 'docs/text.txt', md5(base) FROM d WHERE mode = 2
+        |  UNION ALL
+        |  SELECT doc_id, 'tar', 'docs/meta.txt',
+        |    md5('id=' || CAST(doc_id AS VARCHAR)) FROM d WHERE mode = 2)
+        |SELECT doc_id, format, entry, text_md5,
+        |  CAST(0 AS BIGINT) AS n_invalid_utf8, TRUE AS valid
+        |FROM rows_out ORDER BY doc_id, entry""".stripMargin)
 }

@@ -3135,6 +3135,54 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C69 — UNIFORM ARCHIVE INGESTION (etl.Ingest): the composition
+    * capstone over the container triad — each doc arrives as a
+    * DIFFERENT container by id%3 (WARC response archive / ZIP /
+    * gzipped tarball) and `Ingest.extractText` routes BY CONTENT
+    * (gzip unwrapped once, inner bytes sniffed — a .warc.gz and a
+    * .tar.gz share the same outer magic), extracts one row per entry
+    * (response body / zip entry / tar file), and repairs UTF-8 on
+    * the way in. The oracle predicts every row — format, entry name,
+    * text md5, per-mode row counts — from the synthesis with pure
+    * string SQL: one hash certifies routing, all three container
+    * walks, and the charset step behind one API. Map-only flatMap —
+    * rows out ∝ entries, the ingestion-stage shape.
+    */
+  private def q135IngestArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 80).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    val payloads = base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      val bytes: Array[Byte] = (id % 3).toInt match {
+        case 0 =>
+          graft.multimodal.Warc.encode(Seq(
+            graft.multimodal.Warc.WarcRecord("response", s"http://crawl.test/doc/$id", 200,
+              "text/html", s"<html><body>$b</body></html>")), gzip = id % 2 == 0)
+        case 1 =>
+          graft.multimodal.Zip.encode(Seq(
+            graft.multimodal.Zip.ZipEntrySpec("doc.txt", b.getBytes("UTF-8"), deflate = true),
+            graft.multimodal.Zip.ZipEntrySpec("meta.json",
+              s"""{"id":$id}""".getBytes("UTF-8"), deflate = false)))
+        case _ =>
+          val plain = graft.multimodal.Tar.encode(Seq(
+            graft.multimodal.Tar.TarEntrySpec("docs/text.txt", b.getBytes("UTF-8")),
+            graft.multimodal.Tar.TarEntrySpec("docs/meta.txt", s"id=$id".getBytes("UTF-8"))))
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(plain); gz.close(); bos.toByteArray
+      }
+      (id, bytes)
+    }).toDF("doc_id", "payload")
+    graft.etl.Ingest.extractText(payloads).toDF()
+      .select(col("archive_id").as("doc_id"), col("format"), col("entry"),
+        md5(col("text")).as("text_md5"), col("n_invalid_utf8"), col("valid"))
+      .transform(sorted1(_, col("doc_id"), col("entry")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3269,7 +3317,8 @@ object SparkEntry {
     "q131_warc_extract" -> (q131WarcExtract _),
     "q132_zip_extract" -> (q132ZipExtract _),
     "q133_robots_eval" -> (q133RobotsEval _),
-    "q134_tar_extract" -> (q134TarExtract _))
+    "q134_tar_extract" -> (q134TarExtract _),
+    "q135_ingest_archives" -> (q135IngestArchives _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

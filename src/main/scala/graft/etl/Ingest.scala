@@ -1,0 +1,87 @@
+package graft.etl
+
+import graft.functions.Utf8
+import graft.multimodal.{Tar, Warc, Zip}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** ARCHIVE → CORPUS ingestion: the uniform front door that turns the
+  * containers a crawl actually delivers (WARC / ZIP / tar, plain or
+  * gzipped) into per-entry text rows ready for the rest of the
+  * engine — `Utf8.decodeReplacing` runs here (bytes may be anything),
+  * markup strip / quality gates / dedup stay downstream column
+  * stages (`TextFunctions.stripMarkup`, `CorpusPipeline.curate`).
+  *
+  * Routing is by CONTENT, not file extension: gzip is unwrapped once
+  * (a `.warc.gz` and a `.tar.gz` share the same outer magic), then
+  * the inner bytes sniff as WARC (`WARC/` prefix), ZIP (`PK\3\4`),
+  * or ustar (magic at offset 257); anything else is treated as a raw
+  * text payload. One row per extracted entry — a WARC response, a
+  * ZIP entry, a tar regular file — with the UTF-8 repair count
+  * carried per row. Malformed archives yield zero rows plus one
+  * `valid=false` marker row so corrupt inputs are visible, not
+  * silently dropped. Map-only at any corpus scale.
+  */
+object Ingest {
+
+  final case class IngestedDoc(
+      archive_id: Long, format: String, entry: String,
+      text: String, n_invalid_utf8: Long, valid: Boolean)
+
+  private def gunzipIfNeeded(raw: Array[Byte]): Array[Byte] =
+    if (raw != null && raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+      try {
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw), 8192)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } catch { case _: Exception => raw }
+    } else raw
+
+  private[etl] def sniff(inner: Array[Byte]): String =
+    if (inner == null || inner.length < 4) "raw"
+    else if (inner.length >= 5 && inner(0) == 'W' && inner(1) == 'A' && inner(2) == 'R' &&
+      inner(3) == 'C' && inner(4) == '/') "warc"
+    else if (inner(0) == 'P' && inner(1) == 'K' && inner(2) == 3 && inner(3) == 4) "zip"
+    else if (inner.length > 262 &&
+      new String(inner, 257, 5, java.nio.charset.StandardCharsets.US_ASCII) == "ustar") "tar"
+    else "raw"
+
+  /** Extract one IngestedDoc per archive entry. */
+  private[etl] def extractOne(id: Long, raw: Array[Byte]): Seq[IngestedDoc] = {
+    val inner = gunzipIfNeeded(raw)
+    def doc(fmt: String, entry: String, content: Array[Byte]): IngestedDoc = {
+      val (text, bad) = Utf8.decodeReplacing(content)
+      IngestedDoc(id, fmt, entry, text, bad.toLong, valid = true)
+    }
+    sniff(inner) match {
+      case "warc" =>
+        val rs = Warc.responses(inner)
+        if (rs.isEmpty) Seq(IngestedDoc(id, "warc", "", "", 0L, valid = false))
+        else rs.map(r => doc("warc", r.uri,
+          r.body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case "zip" =>
+        val es = Zip.entries(inner)
+        if (es.isEmpty) Seq(IngestedDoc(id, "zip", "", "", 0L, valid = false))
+        else es.map { case (name, content) => doc("zip", name, content) }
+      case "tar" =>
+        val es = Tar.entries(inner)
+        if (es.isEmpty) Seq(IngestedDoc(id, "tar", "", "", 0L, valid = false))
+        else es.map { case (name, content) => doc("tar", name, content) }
+      case _ =>
+        if (raw == null || raw.isEmpty) Seq(IngestedDoc(id, "raw", "", "", 0L, valid = false))
+        else Seq(doc("raw", "", inner))
+    }
+  }
+
+  /** The Dataset face: binary archive payloads → per-entry text rows. */
+  def extractText(df: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): Dataset[IngestedDoc] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, raw) => extractOne(id, raw) }
+  }
+}

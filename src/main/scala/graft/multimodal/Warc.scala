@@ -95,6 +95,17 @@ object Warc {
     catch { case _: Exception => InvalidInfo }
   }
 
+  final case class WarcResponse(uri: String, status: Int, body: String)
+
+  /** Extract every response record's (uri, status, body) — the
+    * per-document ingestion face (`decode` is the stats face); an
+    * empty result means the archive is malformed or response-free.
+    */
+  def responses(bytes: Array[Byte]): Seq[WarcResponse] = {
+    try { val (_, rs) = walk(bytes); rs }
+    catch { case _: Exception => Nil }
+  }
+
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 8192)
     val out = new ByteArrayOutputStream()
@@ -105,15 +116,26 @@ object Warc {
   }
 
   private def decodeUnsafe(raw: Array[Byte]): WarcInfo = {
-    if (raw == null || raw.length < 10) return InvalidInfo
+    val (nRecords, rs) = walk(raw)
+    if (nRecords == 0L) return InvalidInfo
+    val bodyBytes = rs.map(_.body.getBytes(UTF_8)).foldLeft(Array.emptyByteArray)(_ ++ _)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bodyBytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val bodyStr = new String(bodyBytes, UTF_8)
+    WarcInfo(nRecords, rs.length.toLong,
+      rs.headOption.map(_.status).getOrElse(0),
+      rs.headOption.map(_.uri).getOrElse(""),
+      bodyStr.codePointCount(0, bodyStr.length).toLong, md5, valid = true)
+  }
+
+  /** The record walk both faces share; throws on malformation. */
+  private def walk(raw: Array[Byte]): (Long, Seq[WarcResponse]) = {
+    if (raw == null || raw.length < 10) throw new IllegalStateException("too short")
     val bytes =
       if ((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzipAll(raw) else raw
     var pos = 0
     var nRecords = 0L
-    var nResponses = 0L
-    var firstStatus = 0
-    var firstUri = ""
-    val bodies = new ByteArrayOutputStream()
+    val rs = Seq.newBuilder[WarcResponse]
     def line(): String = {
       val start = pos
       while (pos + 1 < bytes.length && !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) pos += 1
@@ -158,10 +180,8 @@ object Warc {
         while (h.nonEmpty) h = line()
         val bodyLen = (p0 + contentLength - pos).toInt
         if (bodyLen < 0) throw new IllegalStateException("http headers exceed record")
-        bodies.write(bytes, pos, bodyLen)
+        rs += WarcResponse(uri, status, new String(bytes, pos, bodyLen, UTF_8))
         pos += bodyLen
-        if (nResponses == 0L) { firstStatus = status; firstUri = uri }
-        nResponses += 1
       } else {
         pos += contentLength.toInt
       }
@@ -171,12 +191,6 @@ object Warc {
       pos += 4
       nRecords += 1
     }
-    if (nRecords == 0L) return InvalidInfo
-    val bodyBytes = bodies.toByteArray
-    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bodyBytes)
-      .map(b => f"${b & 0xff}%02x").mkString
-    val bodyStr = new String(bodyBytes, UTF_8)
-    WarcInfo(nRecords, nResponses, firstStatus, firstUri,
-      bodyStr.codePointCount(0, bodyStr.length).toLong, md5, valid = true)
+    (nRecords, rs.result())
   }
 }

@@ -86,12 +86,31 @@ object Zip {
   // ---------------------------------------------------------------- read
 
   def decode(bytes: Array[Byte]): ZipInfo = {
-    try decodeUnsafe(bytes)
-    catch { case _: Exception => InvalidInfo }
+    try {
+      val es = entriesUnsafe(bytes)
+      val nameMd = java.security.MessageDigest.getInstance("MD5")
+      val contentMd = java.security.MessageDigest.getInstance("MD5")
+      es.foreach { case (name, content, _) =>
+        nameMd.update(name.getBytes(UTF_8)); contentMd.update(content)
+      }
+      ZipInfo(es.length.toLong, es.count(_._3 == 8).toLong,
+        es.map(_._2.length.toLong).sum,
+        nameMd.digest().map(b => f"${b & 0xff}%02x").mkString,
+        contentMd.digest().map(b => f"${b & 0xff}%02x").mkString, valid = true)
+    } catch { case _: Exception => InvalidInfo }
   }
 
-  private def decodeUnsafe(bytes: Array[Byte]): ZipInfo = {
-    if (bytes == null || bytes.length < 22) return InvalidInfo
+  /** Extract every entry's (name, content) — the per-entry ingestion
+    * face (`decode` is the stats face); empty ⇒ malformed or empty.
+    */
+  def entries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    try entriesUnsafe(bytes).map(e => (e._1, e._2))
+    catch { case _: Exception => Nil }
+  }
+
+  /** (name, content, method) per entry; throws on malformation. */
+  private def entriesUnsafe(bytes: Array[Byte]): Seq[(String, Array[Byte], Int)] = {
+    if (bytes == null || bytes.length < 22) throw new IllegalStateException("too short")
     // EOCD: scan backwards (a trailing comment may follow it)
     var eocd = -1
     var i = bytes.length - 22
@@ -100,7 +119,7 @@ object Zip {
         eocd = i
       i -= 1
     }
-    if (eocd < 0) return InvalidInfo
+    if (eocd < 0) throw new IllegalStateException("no EOCD")
     val eb = ByteBuffer.wrap(bytes, eocd, bytes.length - eocd).order(ByteOrder.LITTLE_ENDIAN)
     eb.getInt // magic
     eb.getShort; eb.getShort // disk numbers
@@ -108,12 +127,9 @@ object Zip {
     val nEntries = eb.getShort & 0xffff
     eb.getInt // cd size
     val cdStart = eb.getInt
-    if (cdStart < 0 || cdStart > eocd) return InvalidInfo
+    if (cdStart < 0 || cdStart > eocd) throw new IllegalStateException("bad cd offset")
 
-    val nameMd = java.security.MessageDigest.getInstance("MD5")
-    val contentMd = java.security.MessageDigest.getInstance("MD5")
-    var nDeflated = 0L
-    var totalBytes = 0L
+    val result = Seq.newBuilder[(String, Array[Byte], Int)]
     var pos = cdStart
     var k = 0
     while (k < nEntries) {
@@ -149,7 +165,6 @@ object Zip {
           if (compSize != uncompSize) throw new IllegalStateException("stored size mismatch")
           java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + compSize)
         } else {
-          nDeflated += 1
           val inf = new Inflater(true)
           inf.setInput(bytes, dataOff, compSize)
           val outBuf = new Array[Byte](uncompSize)
@@ -166,14 +181,10 @@ object Zip {
         }
       val crc = new CRC32(); crc.update(content)
       if (crc.getValue.toInt != crcExpected) throw new IllegalStateException("crc mismatch")
-      nameMd.update(name.getBytes(UTF_8))
-      contentMd.update(content)
-      totalBytes += uncompSize
+      result += ((name, content, method))
       pos += 46 + nameLen + extraLen + commentLen
       k += 1
     }
-    ZipInfo(nEntries.toLong, nDeflated, totalBytes,
-      nameMd.digest().map(b => f"${b & 0xff}%02x").mkString,
-      contentMd.digest().map(b => f"${b & 0xff}%02x").mkString, valid = true)
+    result.result()
   }
 }

@@ -137,7 +137,9 @@ object DumpPlans {
     "q133_robots_eval" ->
       "robots.txt evaluation: parse + longest-match wildcard engine run once per task (ruleset in the closure) and screen paths in one MapPartitions pass — MAP-ONLY; at crawl scale the per-host rulesets become a broadcast keyed by host, the verdict stays a map-side decision.",
     "q134_tar_extract" ->
-      "tar extraction: synthesis and the 512-byte header walk (octal parse → checksum verify → content fold, gzip route first when magic says so) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract shared with WARC/ZIP.")
+      "tar extraction: synthesis and the 512-byte header walk (octal parse → checksum verify → content fold, gzip route first when magic says so) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract shared with WARC/ZIP.",
+    "q135_ingest_archives" ->
+      "Uniform ingestion: content sniff + all three container walks + UTF-8 repair run in one flatMap pass (SerializeFromObject above MapPartitions) — MAP-ONLY with fan-out ∝ entries; the ingestion-stage shape that feeds CorpusPipeline.curate, linear in executors.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
