@@ -2398,5 +2398,32 @@ object OracleSql {
         |    md5('id=' || CAST(doc_id AS VARCHAR)) FROM d WHERE mode = 2)
         |SELECT doc_id, format, entry, text_md5,
         |  CAST(0 AS BIGINT) AS n_invalid_utf8, TRUE AS valid
-        |FROM rows_out ORDER BY doc_id, entry""".stripMargin)
+        |FROM rows_out ORDER BY doc_id, entry""".stripMargin,
+
+    // Avro OCF read-back: every decoded column predicted from the
+    // synthesis with string SQL — block count from the framing
+    // (blockSize=2), sums/md5s over the generated records; the hash
+    // certifies varints, doubles, three codecs and the block walk.
+    "q136_avro_read" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base,
+        |    3 + doc_id % 4 AS k FROM b),
+        |e AS (SELECT doc_id, base, k, unnest(range(k)) AS i FROM d),
+        |a AS (SELECT doc_id, any_value(k) AS k, any_value(base) AS base,
+        |    md5(string_agg('row' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR),
+        |                   '' ORDER BY i)) AS names_md5,
+        |    CAST(sum(doc_id * 10 + i) AS BIGINT) AS sum_id,
+        |    sum(CAST(i % 4 AS DOUBLE) * CAST(0.25 AS DOUBLE)) AS sum_score,
+        |    CAST(sum(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+        |  FROM e GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate' ELSE 'snappy' END AS codec,
+        |  CAST((k + 1) // 2 AS BIGINT) AS n_blocks,
+        |  CAST(k AS BIGINT) AS n_records,
+        |  sum_id, names_md5, md5(repeat(base, CAST(k AS INTEGER))) AS body_md5,
+        |  sum_score, n_flags, TRUE AS valid
+        |FROM a ORDER BY doc_id""".stripMargin)
 }

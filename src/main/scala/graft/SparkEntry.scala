@@ -3183,6 +3183,70 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id"), col("entry")))
   }
 
+  /** C70 — AVRO OBJECT CONTAINER FILE READ (multimodal.Avro +
+    * multimodal.Snappy): the row-oriented container dataset releases
+    * ship next to Parquet, decoded in pure JVM from the public spec
+    * — `Obj\1` magic, metadata map, 16-byte sync markers, and block
+    * framing (count, size, payload, sync) that makes OCF SPLITTABLE
+    * at 100 TB (seek anywhere, scan to the next sync, resume on a
+    * block boundary). Each doc synthesizes a 3–6 record file over
+    * its own cleaned text, codec by id%3 — null / RAW deflate /
+    * OUR OWN Snappy (greedy hash matcher; Avro's big-endian CRC32 of
+    * the uncompressed payload VERIFIED per block) — then decodes it
+    * back; every output column (block count from the framing, sums,
+    * md5s over DECODED strings) is predicted by the oracle with pure
+    * string SQL, so one hash certifies zigzag varints, little-endian
+    * IEEE doubles, string round-trip through all three codecs, and
+    * the block walk. AvroSpec cross-checks the real Apache Avro
+    * library bidirectionally; SnappySpec does the same against
+    * snappy-java. Map-only — the decode-kernel contract.
+    */
+  private def q136AvroRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions { it =>
+      import graft.multimodal.Avro
+      val schema = Avro.SRecord("Doc", Vector(
+        "id" -> Avro.SLong, "name" -> Avro.SString, "body" -> Avro.SString,
+        "score" -> Avro.SDouble, "flag" -> Avro.SBoolean))
+      it.map { case (id, b) =>
+        val k = 3 + (id % 4).toInt
+        val recs: Seq[Seq[Any]] = (0 until k).map { i =>
+          Seq(id * 10 + i, s"row${id}_$i", b, (i % 4) * 0.25, i % 2 == 0)
+        }
+        val codec = (id % 3) match {
+          case 0 => "null"; case 1 => "deflate"; case _ => "snappy"
+        }
+        val bytes = Avro.encode(schema, recs, codec, blockSize = 2, syncSeed = id)
+        val info = Avro.decode(bytes)
+        val decoded = Avro.records(bytes)
+        val nameMd = java.security.MessageDigest.getInstance("MD5")
+        val bodyMd = java.security.MessageDigest.getInstance("MD5")
+        var sumId = 0L
+        var sumScore = 0.0
+        var nFlags = 0L
+        decoded.foreach { r =>
+          sumId += r(0).asInstanceOf[Long]
+          nameMd.update(r(1).asInstanceOf[String].getBytes("UTF-8"))
+          bodyMd.update(r(2).asInstanceOf[String].getBytes("UTF-8"))
+          sumScore += r(3).asInstanceOf[Double]
+          if (r(4).asInstanceOf[Boolean]) nFlags += 1
+        }
+        (id, info.codec, info.nBlocks, info.nRecords, sumId,
+          nameMd.digest().map(x => f"${x & 0xff}%02x").mkString,
+          bodyMd.digest().map(x => f"${x & 0xff}%02x").mkString,
+          sumScore, nFlags, info.valid)
+      }
+    }.toDF("doc_id", "codec", "n_blocks", "n_records", "sum_id",
+      "names_md5", "body_md5", "sum_score", "n_flags", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3318,7 +3382,8 @@ object SparkEntry {
     "q132_zip_extract" -> (q132ZipExtract _),
     "q133_robots_eval" -> (q133RobotsEval _),
     "q134_tar_extract" -> (q134TarExtract _),
-    "q135_ingest_archives" -> (q135IngestArchives _))
+    "q135_ingest_archives" -> (q135IngestArchives _),
+    "q136_avro_read" -> (q136AvroRead _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -139,7 +139,9 @@ object DumpPlans {
     "q134_tar_extract" ->
       "tar extraction: synthesis and the 512-byte header walk (octal parse → checksum verify → content fold, gzip route first when magic says so) run in one MapPartitions pass — MAP-ONLY, the decode-kernel contract shared with WARC/ZIP.",
     "q135_ingest_archives" ->
-      "Uniform ingestion: content sniff + all three container walks + UTF-8 repair run in one flatMap pass (SerializeFromObject above MapPartitions) — MAP-ONLY with fan-out ∝ entries; the ingestion-stage shape that feeds CorpusPipeline.curate, linear in executors.")
+      "Uniform ingestion: content sniff + all three container walks + UTF-8 repair run in one flatMap pass (SerializeFromObject above MapPartitions) — MAP-ONLY with fan-out ∝ entries; the ingestion-stage shape that feeds CorpusPipeline.curate, linear in executors.",
+    "q136_avro_read" ->
+      "Avro OCF: encode + block-framed decode (zigzag varints, three codecs incl. our Snappy with CRC verify) run in one MapPartitions pass — MAP-ONLY; at 100 TB the sync-marker framing makes files splittable, so this kernel runs once per block with no coordination.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
