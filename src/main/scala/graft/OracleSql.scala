@@ -2425,5 +2425,28 @@ object OracleSql {
         |  CAST(k AS BIGINT) AS n_records,
         |  sum_id, names_md5, md5(repeat(base, CAST(k AS INTEGER))) AS body_md5,
         |  sum_score, n_flags, TRUE AS valid
-        |FROM a ORDER BY doc_id""".stripMargin)
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // TFRecord/tf.Example read-back: record/feature counts, id sums,
+    // text md5, the exact float-quarter embedding sum and label
+    // counts — all closed-form from the synthesis; the hash
+    // certifies the framing, both masked CRCs and the wire walk.
+    // sum_emb = Σ_i (i*0.5 + i*0.5+0.25) = k(k-1)/2 + k/4, exact in
+    // binary at any fold order.
+    "q137_tfrecord" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base,
+        |    2 + doc_id % 3 AS k FROM b)
+        |SELECT doc_id,
+        |  CAST(k AS BIGINT) AS n_records,
+        |  CAST(4 * k AS BIGINT) AS n_features,
+        |  CAST(10 * k * doc_id + k * (k - 1) / 2 AS BIGINT) AS sum_id,
+        |  md5(repeat(base, CAST(k AS INTEGER))) AS text_md5,
+        |  CAST(k * (k - 1) AS DOUBLE) / 2 + CAST(k AS DOUBLE) / 4 AS sum_emb,
+        |  CAST(k // 2 AS BIGINT) AS n_pos,
+        |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -3247,6 +3247,67 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C71 — TFRECORD / TF.EXAMPLE INGESTION (multimodal.TfRecord):
+    * the framing training pipelines feed models from, in pure JVM —
+    * TFRecord records (u64le length + masked CRC32C of the length
+    * bytes + payload + masked CRC32C of the payload, BOTH verified
+    * per record) wrapping tf.Example protobufs decoded by a
+    * hand-rolled wire-format walk (varint / fixed / length-delimited
+    * keys, map entries, packed AND unpacked repeated scalars,
+    * unknown fields skipped by wire type). Each doc synthesizes
+    * 2–4 examples over its own text (int64 ids, bytes text, packed
+    * float embeddings, an int64 label) and decodes them back; the
+    * oracle predicts every column — record/feature counts, id sums,
+    * text md5, the exact float-quarter embedding sum, label counts —
+    * with closed-form string SQL, so one hash certifies the framing,
+    * both CRCs, and the whole wire walk. Records are independent, so
+    * a 100 TB corpus shards with zero coordination; the kernel is
+    * map-only per payload. TfRecordSpec pins the public CRC32C
+    * vector and hand-derived wire bytes.
+    */
+  private def q137TfRecord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions { it =>
+      import graft.multimodal.TfRecord
+      import graft.multimodal.TfRecord._
+      it.map { case (id, b) =>
+        val k = 2 + (id % 3).toInt
+        val exs: Seq[Example] = (0 until k).map { i =>
+          Vector(
+            "id" -> Int64F(Vector(id * 10 + i)),
+            "text" -> BytesF(Vector(b.getBytes("UTF-8"))),
+            "emb" -> FloatF(Vector(i * 0.5f, i * 0.5f + 0.25f)),
+            "cls" -> Int64F(Vector(i % 2L)))
+        }
+        val bytes = TfRecord.encodeFile(exs)
+        val info = TfRecord.decode(bytes)
+        val decoded = TfRecord.examples(bytes)
+        val textMd = java.security.MessageDigest.getInstance("MD5")
+        var sumId = 0L
+        var sumEmb = 0.0
+        var nPos = 0L
+        decoded.foreach { ex =>
+          val m = ex.toMap
+          sumId += m("id").asInstanceOf[Int64F].values.sum
+          m("text").asInstanceOf[BytesF].values.foreach(textMd.update)
+          m("emb").asInstanceOf[FloatF].values.foreach(sumEmb += _.toDouble)
+          nPos += m("cls").asInstanceOf[Int64F].values.count(_ == 1L)
+        }
+        (id, info.nRecords, info.nFeatures, sumId,
+          textMd.digest().map(x => f"${x & 0xff}%02x").mkString,
+          sumEmb, nPos, info.valid)
+      }
+    }.toDF("doc_id", "n_records", "n_features", "sum_id",
+      "text_md5", "sum_emb", "n_pos", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3383,7 +3444,8 @@ object SparkEntry {
     "q133_robots_eval" -> (q133RobotsEval _),
     "q134_tar_extract" -> (q134TarExtract _),
     "q135_ingest_archives" -> (q135IngestArchives _),
-    "q136_avro_read" -> (q136AvroRead _))
+    "q136_avro_read" -> (q136AvroRead _),
+    "q137_tfrecord" -> (q137TfRecord _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

@@ -141,7 +141,9 @@ object DumpPlans {
     "q135_ingest_archives" ->
       "Uniform ingestion: content sniff + all three container walks + UTF-8 repair run in one flatMap pass (SerializeFromObject above MapPartitions) — MAP-ONLY with fan-out ∝ entries; the ingestion-stage shape that feeds CorpusPipeline.curate, linear in executors.",
     "q136_avro_read" ->
-      "Avro OCF: encode + block-framed decode (zigzag varints, three codecs incl. our Snappy with CRC verify) run in one MapPartitions pass — MAP-ONLY; at 100 TB the sync-marker framing makes files splittable, so this kernel runs once per block with no coordination.")
+      "Avro OCF: encode + block-framed decode (zigzag varints, three codecs incl. our Snappy with CRC verify) run in one MapPartitions pass — MAP-ONLY; at 100 TB the sync-marker framing makes files splittable, so this kernel runs once per block with no coordination.",
+    "q137_tfrecord" ->
+      "TFRecord/tf.Example: framing with both masked CRC32Cs verified + the protobuf wire walk in one MapPartitions pass — MAP-ONLY; records are independent, so a sharded 100 TB corpus reads with zero coordination.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
