@@ -2448,5 +2448,24 @@ object OracleSql {
         |  CAST(k * (k - 1) AS DOUBLE) / 2 + CAST(k AS DOUBLE) / 4 AS sum_emb,
         |  CAST(k // 2 AS BIGINT) AS n_pos,
         |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // LZ4 frame round trip: block count is pure arithmetic
+    // (ceil(40·len/256)), payload md5/length mirror the synthesis,
+    // checksum knobs follow the id sweep; valid certifies the
+    // decoded bytes equal the input bit-for-bit.
+    "q138_lz4_frames" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b)
+        |SELECT doc_id,
+        |  CAST((40 * length(base) + 255) // 256 AS BIGINT) AS n_blocks,
+        |  CAST(40 * length(base) AS BIGINT) AS out_len,
+        |  md5(repeat(base, 40)) AS out_md5,
+        |  doc_id % 2 = 0 AS block_cksum,
+        |  TRUE AS content_cksum,
+        |  TRUE AS valid
         |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -3308,6 +3308,49 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C72 — LZ4 FRAME CODEC (multimodal.Lz4): with gzip, the outer
+    * compression crawl dumps and dataset releases actually arrive in
+    * (`.tar.lz4` / `.warc.lz4` — both now route through
+    * `Ingest.extractText`'s content sniff). Pure-JVM block codec
+    * (token sequences, 255-byte extensions, overlap-replicating
+    * copies, the spec's end-of-block literal rules) under the frame
+    * layout: magic, FLG/BD descriptor with the xxHash32 HEADER
+    * CHECKSUM verified (our own xxHash32 from the published
+    * algorithm), per-block checksums, EndMark, content size and
+    * content checksum all VERIFIED. Each doc compresses a 40×
+    * repetition of its own text at 256-byte blocks with checksum
+    * knobs swept by id, decodes it back, and the oracle predicts
+    * block counts from pure arithmetic plus md5/length of the
+    * decoded payload — certifying the frame walk, both hash layers
+    * and the block codec at once. Lz4Spec cross-checks lz4-java
+    * (block AND frame) bidirectionally and our xxHash32 against
+    * net.jpountz's. Map-only decode-kernel shape.
+    */
+  private def q138Lz4Frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      import graft.multimodal.Lz4
+      val payload = (b * 40).getBytes("UTF-8")
+      val frame = Lz4.compressFrame(payload, blockSize = 256,
+        blockChecksum = id % 2 == 0, contentChecksum = true, contentSize = id % 3 == 0)
+      val info = Lz4.decompressFrame(frame)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(info.data)
+      (id, info.nBlocks, info.data.length.toLong,
+        md.digest().map(x => f"${x & 0xff}%02x").mkString,
+        info.blockChecksums, info.contentChecksum,
+        java.util.Arrays.equals(info.data, payload))
+    }).toDF("doc_id", "n_blocks", "out_len", "out_md5",
+      "block_cksum", "content_cksum", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3445,7 +3488,8 @@ object SparkEntry {
     "q134_tar_extract" -> (q134TarExtract _),
     "q135_ingest_archives" -> (q135IngestArchives _),
     "q136_avro_read" -> (q136AvroRead _),
-    "q137_tfrecord" -> (q137TfRecord _))
+    "q137_tfrecord" -> (q137TfRecord _),
+    "q138_lz4_frames" -> (q138Lz4Frames _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

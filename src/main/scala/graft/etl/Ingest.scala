@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * markup strip / quality gates / dedup stay downstream column
   * stages (`TextFunctions.stripMarkup`, `CorpusPipeline.curate`).
   *
-  * Routing is by CONTENT, not file extension: gzip is unwrapped once
-  * (a `.warc.gz` and a `.tar.gz` share the same outer magic), then
-  * the inner bytes sniff as WARC (`WARC/` prefix), ZIP (`PK\3\4`),
-  * or ustar (magic at offset 257); anything else is treated as a raw
-  * text payload. One row per extracted entry — a WARC response, a
+  * Routing is by CONTENT, not file extension: the outer compression
+  * layer — gzip or an LZ4 frame — is unwrapped once (a `.warc.gz`
+  * and a `.tar.gz` share the same outer magic; same for `.lz4`),
+  * then the inner bytes sniff as WARC (`WARC/` prefix), ZIP
+  * (`PK\3\4`), or ustar (magic at offset 257); anything else is
+  * treated as a raw text payload. One row per extracted entry — a WARC response, a
   * ZIP entry, a tar regular file — with the UTF-8 repair count
   * carried per row. Malformed archives yield zero rows plus one
   * `valid=false` marker row so corrupt inputs are visible, not
@@ -28,7 +29,7 @@ object Ingest {
       archive_id: Long, format: String, entry: String,
       text: String, n_invalid_utf8: Long, valid: Boolean)
 
-  private def gunzipIfNeeded(raw: Array[Byte]): Array[Byte] =
+  private def unwrapOuter(raw: Array[Byte]): Array[Byte] =
     if (raw != null && raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
       try {
         val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw), 8192)
@@ -38,6 +39,11 @@ object Ingest {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
       } catch { case _: Exception => raw }
+    } else if (raw != null && raw.length >= 4 &&
+      (raw(0) & 0xff) == 0x04 && (raw(1) & 0xff) == 0x22 &&
+      (raw(2) & 0xff) == 0x4d && (raw(3) & 0xff) == 0x18) {
+      try graft.multimodal.Lz4.decompressFrame(raw).data
+      catch { case _: Exception => raw }
     } else raw
 
   private[etl] def sniff(inner: Array[Byte]): String =
@@ -51,7 +57,7 @@ object Ingest {
 
   /** Extract one IngestedDoc per archive entry. */
   private[etl] def extractOne(id: Long, raw: Array[Byte]): Seq[IngestedDoc] = {
-    val inner = gunzipIfNeeded(raw)
+    val inner = unwrapOuter(raw)
     def doc(fmt: String, entry: String, content: Array[Byte]): IngestedDoc = {
       val (text, bad) = Utf8.decodeReplacing(content)
       IngestedDoc(id, fmt, entry, text, bad.toLong, valid = true)

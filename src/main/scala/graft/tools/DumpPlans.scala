@@ -143,7 +143,9 @@ object DumpPlans {
     "q136_avro_read" ->
       "Avro OCF: encode + block-framed decode (zigzag varints, three codecs incl. our Snappy with CRC verify) run in one MapPartitions pass — MAP-ONLY; at 100 TB the sync-marker framing makes files splittable, so this kernel runs once per block with no coordination.",
     "q137_tfrecord" ->
-      "TFRecord/tf.Example: framing with both masked CRC32Cs verified + the protobuf wire walk in one MapPartitions pass — MAP-ONLY; records are independent, so a sharded 100 TB corpus reads with zero coordination.")
+      "TFRecord/tf.Example: framing with both masked CRC32Cs verified + the protobuf wire walk in one MapPartitions pass — MAP-ONLY; records are independent, so a sharded 100 TB corpus reads with zero coordination.",
+    "q138_lz4_frames" ->
+      "LZ4 frames: compress + verified decompress (header xxHash32, block checksums, content checksum) in one MapPartitions pass — MAP-ONLY; the block-independent frame layout is what lets a scale reader split .lz4 inputs at block boundaries.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

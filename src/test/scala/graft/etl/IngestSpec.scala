@@ -43,6 +43,15 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("lz4-framed outers route by content like gzip: .tar.lz4 and .warc.lz4") {
+    val lz4 = (b: Array[Byte]) => graft.multimodal.Lz4.compressFrame(b)
+    val tarRows = Ingest.extractOne(8L, lz4(tarBytes))
+    assert(tarRows.map(r => r.format -> r.text) === Seq("tar" -> "tar body"))
+    val warcRows = Ingest.extractOne(9L, lz4(warcBytes))
+    assert(warcRows.forall(_.format == "warc"))
+    assert(warcRows.map(_.text) === Seq("<p>warc one</p>", "<p>warc two</p>"))
+  }
+
   test("the standard one-member-per-record warc.gz routes as WARC") {
     val wgz = Warc.encode(Seq(
       Warc.WarcRecord("response", "http://b.test", 200, "text/html", "member layout")), gzip = true)
