@@ -2467,5 +2467,23 @@ object OracleSql {
         |  doc_id % 2 = 0 AS block_cksum,
         |  TRUE AS content_cksum,
         |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Zstandard round trip: block count is ceil(40·len/512), the
+    // decoded md5/length mirror the synthesis; checksum_ok certifies
+    // the XXH64 verification ran, valid the bit-exact round trip.
+    "q139_zstd" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST((40 * length(base) + 511) // 512 AS BIGINT) AS n_blocks,
+        |  CAST(40 * length(base) AS BIGINT) AS out_len,
+        |  md5(repeat(base, 40)) AS out_md5,
+        |  TRUE AS checksum_ok,
+        |  TRUE AS valid
         |FROM d ORDER BY doc_id""".stripMargin)
 }

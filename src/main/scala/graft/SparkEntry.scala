@@ -3351,6 +3351,51 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C73 — ZSTANDARD CODEC (multimodal.Zstd): RFC 8878 in pure JVM —
+    * THE compression modern corpus releases ship in (`.tar.zst` /
+    * `.warc.zst` now route through `Ingest.extractText`'s content
+    * sniff). The decoder covers the format as real encoders emit it
+    * (Huffman literals 1- and 4-stream with direct or FSE-compressed
+    * weights, all four sequence-table modes with the RFC's
+    * predefined distributions, treeless and repeat reuse across
+    * blocks, the three-slot repeat-offset history with the LL=0
+    * rotation, skippable + concatenated frames) and VERIFIES the
+    * XXH64 content checksum — xxHash64 implemented from the
+    * published algorithm. The encoder emits Raw/RLE/Compressed
+    * blocks with raw literals + greedy-matched sequences entropy-
+    * coded against the predefined FSE distributions (the backward
+    * interleaved-state bitstream exactly as the spec orders it), so
+    * reference decoders accept its frames. Each doc compresses a 40×
+    * repetition of its own text at 512-byte blocks and decodes it
+    * back; the oracle predicts block counts arithmetically plus
+    * md5/length of the decoded payload — one hash certifying the
+    * frame walk, FSE coding and checksum together. ZstdSpec
+    * cross-checks zstd-jni bidirectionally across levels 1–19 and
+    * xxHash64 against net.jpountz. Map-only decode-kernel shape.
+    */
+  private def q139Zstd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      import graft.multimodal.Zstd
+      val payload = (b * 40).getBytes("UTF-8")
+      val frame = Zstd.compress(payload, blockSize = 512)
+      val info = Zstd.decompress(frame)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(info.data)
+      (id, info.nFrames, info.nBlocks, info.data.length.toLong,
+        md.digest().map(x => f"${x & 0xff}%02x").mkString,
+        info.checksumVerified, java.util.Arrays.equals(info.data, payload))
+    }).toDF("doc_id", "n_frames", "n_blocks", "out_len", "out_md5",
+      "checksum_ok", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3489,7 +3534,8 @@ object SparkEntry {
     "q135_ingest_archives" -> (q135IngestArchives _),
     "q136_avro_read" -> (q136AvroRead _),
     "q137_tfrecord" -> (q137TfRecord _),
-    "q138_lz4_frames" -> (q138Lz4Frames _))
+    "q138_lz4_frames" -> (q138Lz4Frames _),
+    "q139_zstd" -> (q139Zstd _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

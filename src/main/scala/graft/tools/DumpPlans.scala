@@ -145,7 +145,9 @@ object DumpPlans {
     "q137_tfrecord" ->
       "TFRecord/tf.Example: framing with both masked CRC32Cs verified + the protobuf wire walk in one MapPartitions pass — MAP-ONLY; records are independent, so a sharded 100 TB corpus reads with zero coordination.",
     "q138_lz4_frames" ->
-      "LZ4 frames: compress + verified decompress (header xxHash32, block checksums, content checksum) in one MapPartitions pass — MAP-ONLY; the block-independent frame layout is what lets a scale reader split .lz4 inputs at block boundaries.")
+      "LZ4 frames: compress + verified decompress (header xxHash32, block checksums, content checksum) in one MapPartitions pass — MAP-ONLY; the block-independent frame layout is what lets a scale reader split .lz4 inputs at block boundaries.",
+    "q139_zstd" ->
+      "Zstandard: predefined-FSE encode + full decode with the XXH64 checksum verified, in one MapPartitions pass — MAP-ONLY; frames are independent, so a sharded .zst corpus decodes with per-file parallelism and zero coordination.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

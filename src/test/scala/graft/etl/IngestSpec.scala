@@ -52,6 +52,15 @@ class IngestSpec extends SparkSpec {
     assert(warcRows.map(_.text) === Seq("<p>warc one</p>", "<p>warc two</p>"))
   }
 
+  test("zstd-framed outers route by content: .tar.zst and .warc.zst") {
+    val zst = (b: Array[Byte]) => graft.multimodal.Zstd.compress(b)
+    val tarRows = Ingest.extractOne(10L, zst(tarBytes))
+    assert(tarRows.map(r => r.format -> r.text) === Seq("tar" -> "tar body"))
+    val zipRows = Ingest.extractOne(11L, zst(zipBytes))
+    assert(zipRows.forall(_.format == "zip"))
+    assert(zipRows.map(_.text) === Seq("zip body", "more zip"))
+  }
+
   test("the standard one-member-per-record warc.gz routes as WARC") {
     val wgz = Warc.encode(Seq(
       Warc.WarcRecord("response", "http://b.test", 200, "text/html", "member layout")), gzip = true)
