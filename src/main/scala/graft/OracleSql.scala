@@ -2485,5 +2485,24 @@ object OracleSql {
         |  md5(repeat(base, 40)) AS out_md5,
         |  TRUE AS checksum_ok,
         |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // bzip2 round trip: one stream, one block (payloads are far below
+    // the 100k block bound at any level), the level echoes the id
+    // sweep, md5/length mirror the synthesis; valid certifies the
+    // bit-exact round trip through RLE1/BWT/MTF/Huffman + both CRCs.
+    "q140_bzip2" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS n_streams,
+        |  CAST(1 AS BIGINT) AS n_blocks,
+        |  CAST(1 + doc_id % 9 AS BIGINT) AS level,
+        |  CAST(40 * length(base) AS BIGINT) AS out_len,
+        |  md5(repeat(base, 40)) AS out_md5,
+        |  TRUE AS valid
         |FROM d ORDER BY doc_id""".stripMargin)
 }

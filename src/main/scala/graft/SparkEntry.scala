@@ -3396,6 +3396,48 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C74 — BZIP2 CODEC (multimodal.Bzip2): the compression Wikipedia
+    * dumps and classic corpus releases ship in (`.xml.bz2` /
+    * `.tar.bz2`, now routed by `Ingest.extractText`'s content
+    * sniff). The full public pipeline in pure JVM: RLE1 → BWT
+    * (cyclic prefix-doubling sort, O(n log n) even on periodic
+    * text) → move-to-front → bijective base-2 zero-run coding →
+    * canonical Huffman over a sparse symbol map, all bit-packed
+    * MSB-first with nothing byte-aligned; decode verifies BOTH CRC
+    * layers (bzip2's MSB-first CRC-32 per block, rotating combined
+    * stream CRC) and walks inverse BWT via the T vector. Each doc
+    * compresses a 40× repetition of its own text and decodes it
+    * back; the oracle predicts stream/block counts and md5/length of
+    * the decoded payload closed-form. Bzip2Spec cross-checks
+    * commons-compress bidirectionally, multi-block and concatenated
+    * (pbzip2) streams included. Map-only decode-kernel shape —
+    * and bzip2 is the one codec here where the FORMAT is block-
+    * parallel by construction (pbzip2's layout), the property that
+    * lets a 100 TB dump shard mid-file.
+    */
+  private def q140Bzip2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      import graft.multimodal.Bzip2
+      val payload = (b * 40).getBytes("UTF-8")
+      val level = 1 + (id % 9).toInt
+      val stream = Bzip2.compress(payload, level)
+      val info = Bzip2.decompress(stream)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(info.data)
+      (id, info.nStreams, info.nBlocks, info.level.toLong, info.data.length.toLong,
+        md.digest().map(x => f"${x & 0xff}%02x").mkString,
+        java.util.Arrays.equals(info.data, payload))
+    }).toDF("doc_id", "n_streams", "n_blocks", "level", "out_len", "out_md5", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3535,7 +3577,8 @@ object SparkEntry {
     "q136_avro_read" -> (q136AvroRead _),
     "q137_tfrecord" -> (q137TfRecord _),
     "q138_lz4_frames" -> (q138Lz4Frames _),
-    "q139_zstd" -> (q139Zstd _))
+    "q139_zstd" -> (q139Zstd _),
+    "q140_bzip2" -> (q140Bzip2 _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

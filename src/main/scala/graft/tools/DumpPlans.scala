@@ -147,7 +147,9 @@ object DumpPlans {
     "q138_lz4_frames" ->
       "LZ4 frames: compress + verified decompress (header xxHash32, block checksums, content checksum) in one MapPartitions pass — MAP-ONLY; the block-independent frame layout is what lets a scale reader split .lz4 inputs at block boundaries.",
     "q139_zstd" ->
-      "Zstandard: predefined-FSE encode + full decode with the XXH64 checksum verified, in one MapPartitions pass — MAP-ONLY; frames are independent, so a sharded .zst corpus decodes with per-file parallelism and zero coordination.")
+      "Zstandard: predefined-FSE encode + full decode with the XXH64 checksum verified, in one MapPartitions pass — MAP-ONLY; frames are independent, so a sharded .zst corpus decodes with per-file parallelism and zero coordination.",
+    "q140_bzip2" ->
+      "bzip2: RLE1/BWT/MTF/Huffman encode + full decode with both CRC layers verified, in one MapPartitions pass — MAP-ONLY; the format's per-block magic is what lets a 100 TB dump split mid-file (the pbzip2 property).")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

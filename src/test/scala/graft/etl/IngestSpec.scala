@@ -61,6 +61,12 @@ class IngestSpec extends SparkSpec {
     assert(zipRows.map(_.text) === Seq("zip body", "more zip"))
   }
 
+  test("bzip2 outers route by content: .tar.bz2 (the wikipedia-dump shape)") {
+    val bz = graft.multimodal.Bzip2.compress(tarBytes)
+    val rows = Ingest.extractOne(12L, bz)
+    assert(rows.map(r => r.format -> r.text) === Seq("tar" -> "tar body"))
+  }
+
   test("the standard one-member-per-record warc.gz routes as WARC") {
     val wgz = Warc.encode(Seq(
       Warc.WarcRecord("response", "http://b.test", 200, "text/html", "member layout")), gzip = true)
