@@ -2504,5 +2504,23 @@ object OracleSql {
         |  CAST(40 * length(base) AS BIGINT) AS out_len,
         |  md5(repeat(base, 40)) AS out_md5,
         |  TRUE AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // XZ round trip: one block, chunk count ceil(40·len/512), check
+    // type CRC64 (4); md5/len mirror the synthesis; valid certifies
+    // both the verified checks and the bit-exact round trip.
+    "q141_xz" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS n_blocks,
+        |  CAST((40 * length(base) + 511) // 512 AS BIGINT) AS n_chunks,
+        |  CAST(4 AS BIGINT) AS check_type,
+        |  CAST(40 * length(base) AS BIGINT) AS out_len,
+        |  md5(repeat(base, 40)) AS out_md5,
+        |  TRUE AS valid
         |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -3438,6 +3438,47 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C75 — XZ / LZMA2 (multimodal.Xz + multimodal.Lzma): completes
+    * the corpus-compression family (gzip/LZ4/Zstd/bzip2/XZ — every
+    * outer layer `Ingest` now sniffs). The decoder walks the whole
+    * public container — stream header/footer with CRC32-protected
+    * flags, VLI block headers, LZMA2 chunk control bytes
+    * (uncompressed chunks + state/props/dict reset modes) driving a
+    * full adaptive-range-coded LZMA core (12-state machine, matched-
+    * byte literal contexts, rep0–3 distance history, slot/SpecPos/
+    * align distance trees), block padding, the per-block check (our
+    * own ECMA CRC64 table, CRC32, SHA-256 — VERIFIED), the index
+    * records (verified against the blocks actually decoded), and the
+    * backward-size link. The writer emits valid XZ with CRC64 checks
+    * and the spec's uncompressed-chunk escape hatch, accepted by
+    * xz-java byte-for-byte; the LZMA core itself is validated by
+    * XzSpec's preset 0–9 cross-checks. Each doc containerizes a 40×
+    * repetition of its own text at 512-byte chunks and decodes it
+    * back; the oracle predicts chunk counts arithmetically plus
+    * md5/length. Map-only decode-kernel shape.
+    */
+  private def q141Xz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      import graft.multimodal.Xz
+      val payload = (b * 40).getBytes("UTF-8")
+      val file = Xz.compress(payload, chunkSize = 512)
+      val info = Xz.decompress(file)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(info.data)
+      (id, info.nBlocks, info.nChunks, info.checkType.toLong, info.data.length.toLong,
+        md.digest().map(x => f"${x & 0xff}%02x").mkString,
+        info.checksVerified && java.util.Arrays.equals(info.data, payload))
+    }).toDF("doc_id", "n_blocks", "n_chunks", "check_type", "out_len", "out_md5", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3578,7 +3619,8 @@ object SparkEntry {
     "q137_tfrecord" -> (q137TfRecord _),
     "q138_lz4_frames" -> (q138Lz4Frames _),
     "q139_zstd" -> (q139Zstd _),
-    "q140_bzip2" -> (q140Bzip2 _))
+    "q140_bzip2" -> (q140Bzip2 _),
+    "q141_xz" -> (q141Xz _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

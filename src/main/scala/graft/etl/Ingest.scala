@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   * stages (`TextFunctions.stripMarkup`, `CorpusPipeline.curate`).
   *
   * Routing is by CONTENT, not file extension: the outer compression
-  * layer — gzip, an LZ4 frame, a Zstandard frame, or a bzip2 stream
-  * — is unwrapped once (a `.warc.gz` and a `.tar.gz` share the same
-  * outer magic; same for `.lz4`/`.zst`/`.bz2`), then the inner
-  * bytes sniff as WARC (`WARC/` prefix), ZIP (`PK\3\4`), or ustar
-  * (magic at offset 257); anything else is treated as a raw text
-  * payload. One row per extracted entry — a WARC response, a
+  * layer — gzip, an LZ4 frame, a Zstandard frame, a bzip2 stream,
+  * or an XZ stream — is unwrapped once (a `.warc.gz` and a
+  * `.tar.gz` share the same outer magic; same for `.lz4`/`.zst`/
+  * `.bz2`/`.xz`), then the inner bytes sniff as WARC (`WARC/`
+  * prefix), ZIP (`PK\3\4`), or ustar (magic at offset 257);
+  * anything else is treated as a raw text payload. One row per extracted entry — a WARC response, a
   * ZIP entry, a tar regular file — with the UTF-8 repair count
   * carried per row. Malformed archives yield zero rows plus one
   * `valid=false` marker row so corrupt inputs are visible, not
@@ -54,6 +54,11 @@ object Ingest {
       raw(0) == 'B' && raw(1) == 'Z' && raw(2) == 'h' &&
       raw(3) >= '1' && raw(3) <= '9') {
       try graft.multimodal.Bzip2.decompress(raw).data
+      catch { case _: Exception => raw }
+    } else if (raw != null && raw.length >= 6 &&
+      (raw(0) & 0xff) == 0xfd && raw(1) == '7' && raw(2) == 'z' &&
+      raw(3) == 'X' && raw(4) == 'Z' && raw(5) == 0) {
+      try graft.multimodal.Xz.decompress(raw).data
       catch { case _: Exception => raw }
     } else raw
 

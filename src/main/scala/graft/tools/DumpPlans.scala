@@ -149,7 +149,9 @@ object DumpPlans {
     "q139_zstd" ->
       "Zstandard: predefined-FSE encode + full decode with the XXH64 checksum verified, in one MapPartitions pass — MAP-ONLY; frames are independent, so a sharded .zst corpus decodes with per-file parallelism and zero coordination.",
     "q140_bzip2" ->
-      "bzip2: RLE1/BWT/MTF/Huffman encode + full decode with both CRC layers verified, in one MapPartitions pass — MAP-ONLY; the format's per-block magic is what lets a 100 TB dump split mid-file (the pbzip2 property).")
+      "bzip2: RLE1/BWT/MTF/Huffman encode + full decode with both CRC layers verified, in one MapPartitions pass — MAP-ONLY; the format's per-block magic is what lets a 100 TB dump split mid-file (the pbzip2 property).",
+    "q141_xz" ->
+      "XZ/LZMA2: container write + full container/LZMA decode with every check layer verified, in one MapPartitions pass — MAP-ONLY; the index records at stream end are what let a scale reader seek straight to any block.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

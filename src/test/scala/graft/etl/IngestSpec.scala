@@ -67,6 +67,12 @@ class IngestSpec extends SparkSpec {
     assert(rows.map(r => r.format -> r.text) === Seq("tar" -> "tar body"))
   }
 
+  test("xz outers route by content: .tar.xz") {
+    val xz = graft.multimodal.Xz.compress(tarBytes)
+    val rows = Ingest.extractOne(13L, xz)
+    assert(rows.map(r => r.format -> r.text) === Seq("tar" -> "tar body"))
+  }
+
   test("the standard one-member-per-record warc.gz routes as WARC") {
     val wgz = Warc.encode(Seq(
       Warc.WarcRecord("response", "http://b.test", 200, "text/html", "member layout")), gzip = true)
