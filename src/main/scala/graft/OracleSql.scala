@@ -2522,5 +2522,24 @@ object OracleSql {
         |  CAST(40 * length(base) AS BIGINT) AS out_len,
         |  md5(repeat(base, 40)) AS out_md5,
         |  TRUE AS valid
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Record-format ingestion: one row per Avro record / tf.Example,
+    // the text is "<base> #<i>", k = 2 + id%2 rows per doc; the hash
+    // certifies content routing (incl. TFRecord's CRC-based
+    // self-identification), both record walks, and the gzip outer.
+    "q142_ingest_records" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 80) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base,
+        |    2 + doc_id % 2 AS k,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'avro' ELSE 'tfrecord' END AS format
+        |  FROM b),
+        |e AS (SELECT doc_id, base, format, unnest(range(k)) AS i FROM d)
+        |SELECT doc_id, format, CAST(i AS VARCHAR) AS entry,
+        |  md5(base || ' #' || CAST(i AS VARCHAR)) AS text_md5,
+        |  CAST(0 AS BIGINT) AS n_invalid_utf8, TRUE AS valid
+        |FROM e ORDER BY doc_id, entry""".stripMargin)
 }

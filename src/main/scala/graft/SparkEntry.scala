@@ -3479,6 +3479,53 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C76 — RECORD-FORMAT INGESTION (etl.Ingest over multimodal.Avro
+    * / multimodal.TfRecord): the uniform front door extended from
+    * containers to RECORD formats — each doc arrives as an Avro OCF
+    * (string fields become text rows) or a TFRecord file (bytes
+    * features, UTF-8-repaired) by id%2, plus gzip on half to prove
+    * the outer unwrap composes with record sniffing. TFRecord has no
+    * magic, so routing rides the format's own self-identification
+    * (the masked length-CRC32C — a 1-in-2^32 accident on anything
+    * else). One row per record/example, every column predicted by
+    * the oracle with string SQL. With q135 (WARC/ZIP/tar) this
+    * makes the crawl-AND-dataset-release → corpus path uniform:
+    * five payload shapes, five compression outers, one API.
+    * Map-only flatMap, fan-out ∝ records.
+    */
+  private def q142IngestRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 80).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+    val payloads = base.as[(Long, String)].mapPartitions(_.map { case (id, b) =>
+      import graft.multimodal.{Avro, TfRecord}
+      val k = 2 + (id % 2).toInt
+      val plain =
+        if (id % 2 == 0)
+          Avro.encode(
+            Avro.SRecord("Doc", Vector("id" -> Avro.SLong, "text" -> Avro.SString)),
+            (0 until k).map(i => Seq(id * 10 + i, s"$b #$i")), codec = "deflate")
+        else
+          TfRecord.encodeFile((0 until k).map { i =>
+            Vector("text" -> TfRecord.BytesF(Vector(s"$b #$i".getBytes("UTF-8"))))
+          })
+      val bytes = if (id % 3 == 0) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close(); bos.toByteArray
+      } else plain
+      (id, bytes)
+    }).toDF("doc_id", "payload")
+    graft.etl.Ingest.extractText(payloads).toDF()
+      .select(col("archive_id").as("doc_id"), col("format"), col("entry"),
+        md5(col("text")).as("text_md5"), col("n_invalid_utf8"), col("valid"))
+      .transform(sorted1(_, col("doc_id"), col("entry")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3620,7 +3667,8 @@ object SparkEntry {
     "q138_lz4_frames" -> (q138Lz4Frames _),
     "q139_zstd" -> (q139Zstd _),
     "q140_bzip2" -> (q140Bzip2 _),
-    "q141_xz" -> (q141Xz _))
+    "q141_xz" -> (q141Xz _),
+    "q142_ingest_records" -> (q142IngestRecords _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

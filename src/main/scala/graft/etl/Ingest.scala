@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * or an XZ stream — is unwrapped once (a `.warc.gz` and a
   * `.tar.gz` share the same outer magic; same for `.lz4`/`.zst`/
   * `.bz2`/`.xz`), then the inner bytes sniff as WARC (`WARC/`
-  * prefix), ZIP (`PK\3\4`), or ustar (magic at offset 257);
-  * anything else is treated as a raw text payload. One row per extracted entry — a WARC response, a
+  * prefix), ZIP (`PK\3\4`), ustar (magic at offset 257), Avro OCF
+  * (`Obj\1` — one row per record, string fields as text), or
+  * TFRecord (no magic: the masked length-CRC32C is the format's own
+  * self-identification — one row per tf.Example, bytes features as
+  * text); anything else is treated as a raw text payload. One row per extracted entry — a WARC response, a
   * ZIP entry, a tar regular file — with the UTF-8 repair count
   * carried per row. Malformed archives yield zero rows plus one
   * `valid=false` marker row so corrupt inputs are visible, not
@@ -69,7 +72,20 @@ object Ingest {
     else if (inner(0) == 'P' && inner(1) == 'K' && inner(2) == 3 && inner(3) == 4) "zip"
     else if (inner.length > 262 &&
       new String(inner, 257, 5, java.nio.charset.StandardCharsets.US_ASCII) == "ustar") "tar"
+    else if (inner(0) == 'O' && inner(1) == 'b' && inner(2) == 'j' && inner(3) == 1) "avro"
+    else if (looksLikeTfRecord(inner)) "tfrecord"
     else "raw"
+
+  /** TFRecord has no magic; its framing is self-identifying instead —
+    * the masked CRC32C of the first length word matching is a
+    * 1-in-2^32 accident on non-TFRecord bytes.
+    */
+  private def looksLikeTfRecord(b: Array[Byte]): Boolean =
+    b.length >= 12 && {
+      val stored = (b(8) & 0xff) | ((b(9) & 0xff) << 8) |
+        ((b(10) & 0xff) << 16) | ((b(11) & 0xff) << 24)
+      graft.multimodal.TfRecord.maskedCrc(b, 0, 8) == stored
+    }
 
   /** Extract one IngestedDoc per archive entry. */
   private[etl] def extractOne(id: Long, raw: Array[Byte]): Seq[IngestedDoc] = {
@@ -92,6 +108,31 @@ object Ingest {
         val es = Tar.entries(inner)
         if (es.isEmpty) Seq(IngestedDoc(id, "tar", "", "", 0L, valid = false))
         else es.map { case (name, content) => doc("tar", name, content) }
+      case "avro" =>
+        // record format: one row per record, text = the string-typed
+        // fields (schema order) joined by newlines
+        val recs = graft.multimodal.Avro.records(inner)
+        if (recs.isEmpty) Seq(IngestedDoc(id, "avro", "", "", 0L, valid = false))
+        else recs.zipWithIndex.map { case (r, i) =>
+          val text = r.collect { case s: String => s }.mkString("\n")
+          IngestedDoc(id, "avro", i.toString, text, 0L, valid = true)
+        }
+      case "tfrecord" =>
+        // one row per example, text = the bytes-list features (feature
+        // order) UTF-8-repaired and joined by newlines
+        val exs = graft.multimodal.TfRecord.examples(inner)
+        if (exs.isEmpty) Seq(IngestedDoc(id, "tfrecord", "", "", 0L, valid = false))
+        else exs.zipWithIndex.map { case (ex, i) =>
+          var bad = 0L
+          val parts = ex.collect { case (_, graft.multimodal.TfRecord.BytesF(vs)) =>
+            vs.map { v =>
+              val (t, nBad) = Utf8.decodeReplacing(v)
+              bad += nBad
+              t
+            }.mkString("\n")
+          }
+          IngestedDoc(id, "tfrecord", i.toString, parts.mkString("\n"), bad, valid = true)
+        }
       case _ =>
         if (raw == null || raw.isEmpty) Seq(IngestedDoc(id, "raw", "", "", 0L, valid = false))
         else Seq(doc("raw", "", inner))

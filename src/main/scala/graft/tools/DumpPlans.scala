@@ -151,7 +151,9 @@ object DumpPlans {
     "q140_bzip2" ->
       "bzip2: RLE1/BWT/MTF/Huffman encode + full decode with both CRC layers verified, in one MapPartitions pass — MAP-ONLY; the format's per-block magic is what lets a 100 TB dump split mid-file (the pbzip2 property).",
     "q141_xz" ->
-      "XZ/LZMA2: container write + full container/LZMA decode with every check layer verified, in one MapPartitions pass — MAP-ONLY; the index records at stream end are what let a scale reader seek straight to any block.")
+      "XZ/LZMA2: container write + full container/LZMA decode with every check layer verified, in one MapPartitions pass — MAP-ONLY; the index records at stream end are what let a scale reader seek straight to any block.",
+    "q142_ingest_records" ->
+      "Record-format ingestion: content sniff (incl. TFRecord's CRC self-identification) + Avro/tf.Example record walks + UTF-8 repair in one flatMap pass — MAP-ONLY with fan-out ∝ records; the q135 ingestion shape extended to dataset-release record formats.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
