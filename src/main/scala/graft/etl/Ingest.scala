@@ -88,7 +88,7 @@ object Ingest {
     }
 
   /** Extract one IngestedDoc per archive entry. */
-  private[etl] def extractOne(id: Long, raw: Array[Byte]): Seq[IngestedDoc] = {
+  private[graft] def extractOne(id: Long, raw: Array[Byte]): Seq[IngestedDoc] = {
     val inner = unwrapOuter(raw)
     def doc(fmt: String, entry: String, content: Array[Byte]): IngestedDoc = {
       val (text, bad) = Utf8.decodeReplacing(content)

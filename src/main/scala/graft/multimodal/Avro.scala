@@ -399,6 +399,7 @@ object Avro {
       val n = inf.inflate(buf)
       if (n == 0 && inf.needsInput()) throw new IllegalStateException("deflate: truncated")
       out.write(buf, 0, n)
+      if (out.size > (1 << 28)) throw new IllegalStateException("deflate: output too large")
     }
     inf.end()
     out.toByteArray

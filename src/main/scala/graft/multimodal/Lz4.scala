@@ -255,6 +255,7 @@ object Lz4 {
     if (((xxhash32(in, descStart, descLen, 0) >>> 8) & 0xff) != hc)
       throw new IllegalStateException("lz4: header checksum mismatch")
     val out = new java.io.ByteArrayOutputStream()
+    val maxTotal = 1 << 28 // 256 MB in-memory decode bound
     var nBlocks = 0L
     var nStored = 0L
     var endMark = false
@@ -273,6 +274,8 @@ object Lz4 {
           if (xxhash32(in, dataOff, size, 0) != want)
             throw new IllegalStateException("lz4: block checksum mismatch")
         }
+        if (out.size.toLong + maxBlock > maxTotal)
+          throw new IllegalStateException("lz4: output too large")
         if (stored) {
           out.write(in, dataOff, size)
           nStored += 1

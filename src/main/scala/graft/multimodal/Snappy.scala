@@ -99,7 +99,10 @@ object Snappy {
       if (shift > 35) throw new IllegalStateException("snappy: bad length varint")
       more = (b & 0x80) != 0
     }
-    if (expected > Int.MaxValue - 8) throw new IllegalStateException("snappy: length too large")
+    // a valid stream can't inflate more than ~255x per byte; anything
+    // bigger is a crafted length claim, not data
+    if (expected > Int.MaxValue - 8 || expected > 256L * in.length + 64)
+      throw new IllegalStateException("snappy: length too large")
     val out = new Array[Byte](expected.toInt)
     var op = 0
     while (pos < in.length) {

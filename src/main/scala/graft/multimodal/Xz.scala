@@ -130,7 +130,9 @@ object Xz {
         val lzma = new Lzma(out)
         var propsSeen = false
         var ended = false
+        val maxTotal = 1 << 28 // 256 MB in-memory decode bound
         while (!ended) {
+          require(out.pos <= maxTotal, "xz: output too large")
           val control = u8()
           if (control == 0x00) ended = true
           else if (control == 0x01 || control == 0x02) {
