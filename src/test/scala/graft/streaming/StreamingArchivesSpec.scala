@@ -30,7 +30,13 @@ class StreamingArchivesSpec extends SparkSpec {
     3L -> gz(Tar.encode(Seq(
       Tar.TarEntrySpec("d/x.txt", "tar content".getBytes("UTF-8"))))),
     4L -> Array[Byte]('r', 'a', 'w', ' ', 0xff.toByte, 'z'), // raw with a bad byte
-    5L -> ("WARC/1.0\r\ngarbage" * 3).getBytes("UTF-8")) // malformed → marker row
+    5L -> ("WARC/1.0\r\ngarbage" * 3).getBytes("UTF-8"), // malformed → marker row
+    6L -> graft.multimodal.Avro.encode( // record format through the same stream
+      graft.multimodal.Avro.SRecord("D",
+        Vector("id" -> graft.multimodal.Avro.SLong, "text" -> graft.multimodal.Avro.SString)),
+      Seq(Seq(1L, "avro record one"), Seq(2L, "avro record two"))),
+    7L -> graft.multimodal.Zstd.compress( // zstd outer over a tarball
+      Tar.encode(Seq(Tar.TarEntrySpec("z/x.txt", "zstd tar content".getBytes("UTF-8"))))))
 
   private def drop(dir: String, name: String, rows: Seq[(Long, Array[Byte])]): Unit =
     Files.writeString(Paths.get(dir, name), rows.map { case (id, p) =>
@@ -65,6 +71,9 @@ class StreamingArchivesSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
     // shape checks: one row per entry, the bad byte counted, the marker visible
     assert(got.count(_._1 == 2L) === 2) // two zip entries
+    assert(got.filter(_._1 == 6L).map(_._4) ===
+      Seq("avro record one", "avro record two")) // record format rows
+    assert(got.find(_._1 == 7L).get._4 === "zstd tar content") // zstd outer
     assert(got.find(_._1 == 4L).get._5 === 1L) // one repaired byte
     val marker = got.find(_._1 == 5L).get
     assert(marker._2 === "warc" && !marker._6)
