@@ -232,6 +232,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("codec kernels (q136-q141) are map-only: the only exchanges are fanOut and the output sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q136_avro_read", "q137_tfrecord", "q138_lz4_frames",
+        "q139_zstd", "q140_bzip2", "q141_xz").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        val ex = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+        // fanOut RoundRobin + the deterministic ORDER BY range exchange
+        assert(ex.size <= 2, s"$name: unexpected exchanges ${ex.map(_.outputPartitioning)}")
+        val mp = df.queryExecution.executedPlan.toString
+        assert(mp.contains("MapPartitions"), s"$name: decode kernel missing from plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
