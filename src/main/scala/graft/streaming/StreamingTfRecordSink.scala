@@ -34,8 +34,11 @@ object StreamingTfRecordSink {
   /** Write one TFRecord shard per partition per batch; returns the
     * manifest rows. Deterministic shard names make retries idempotent.
     */
-  private[streaming] def writeShards(docs: Dataset[CuratedDoc], batchId: Long,
-                                     outDir: String, shards: Int): Seq[ShardManifest] = {
+  /** Also the BATCH delivery face — one-shot corpus exports call it
+    * directly with a fixed batch id.
+    */
+  private[graft] def writeShards(docs: Dataset[CuratedDoc], batchId: Long,
+                                 outDir: String, shards: Int): Seq[ShardManifest] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.repartition(shards, col("doc_id"))
