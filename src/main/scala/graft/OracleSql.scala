@@ -2541,5 +2541,41 @@ object OracleSql {
         |SELECT doc_id, format, CAST(i AS VARCHAR) AS entry,
         |  md5(base || ' #' || CAST(i AS VARCHAR)) AS text_md5,
         |  CAST(0 AS BIGINT) AS n_invalid_utf8, TRUE AS valid
-        |FROM e ORDER BY doc_id, entry""".stripMargin)
+        |FROM e ORDER BY doc_id, entry""".stripMargin,
+
+    // Native parquet footer read: the oracle is the DATA — per-column
+    // count/min/max over `part` must equal what the footer's
+    // statistics claim; null counts via count(*)-count(col).
+    "q143_parquet_meta" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM part)
+        |SELECT * FROM (
+        |SELECT 'p_partkey' AS col_name, 'INT64' AS ptype, 'SNAPPY' AS codec,
+        |  (SELECT cnt FROM n) AS n_values,
+        |  (SELECT cnt FROM n) - CAST(count(p_partkey) AS BIGINT) AS null_count,
+        |  CAST(min(p_partkey) AS DOUBLE) AS min_num, CAST(max(p_partkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str, TRUE AS valid
+        |FROM part
+        |UNION ALL
+        |SELECT 'p_size', 'INT32', 'SNAPPY', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_size) AS BIGINT),
+        |  CAST(min(p_size) AS DOUBLE), CAST(max(p_size) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_retailprice', 'DOUBLE', 'SNAPPY', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_retailprice) AS BIGINT),
+        |  min(p_retailprice), max(p_retailprice),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_name', 'BYTE_ARRAY', 'SNAPPY', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_name) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(p_name), max(p_name), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_brand', 'BYTE_ARRAY', 'SNAPPY', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_brand) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(p_brand), max(p_brand), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_type', 'BYTE_ARRAY', 'SNAPPY', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_type) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(p_type), max(p_type), TRUE FROM part
+        |) ORDER BY col_name""".stripMargin)
 }

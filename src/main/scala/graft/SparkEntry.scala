@@ -3526,6 +3526,40 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id"), col("entry")))
   }
 
+  /** B39 — NATIVE PARQUET FOOTER READ (sources.ParquetFooter): the
+    * metadata a 100 TB scan planner consumes — row counts, per-column
+    * value counts, codecs, physical types, and the min/max
+    * statistics that drive row-group pruning — read by OUR OWN
+    * Thrift-compact walk over `FileMetaData` straight from the file
+    * tail, no Spark scan started. The oracle is the DATA ITSELF:
+    * SQL count/min/max over the same table must equal what the
+    * footer claims, so the hash certifies the protocol walk, the
+    * PLAIN statistics decode for three physical types, and the
+    * writer's statistics honesty at once. Per-file map work (here
+    * one file; at scale one task per file, the planning fan-out);
+    * ParquetFooterSpec cross-checks parquet-mr's reader on every
+    * testdata table.
+    */
+  private def q143ParquetMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paths = s.createDataset(Seq(s"$dir/part.parquet"))
+    paths.mapPartitions(_.flatMap { p =>
+      val info = graft.sources.ParquetFooter.readFile(p)
+      info.columns.groupBy(_.path).map { case (path, cols) =>
+        (path,
+          cols.head.ptype, cols.head.codec,
+          cols.map(_.numValues).sum, cols.map(_.nullCount).sum,
+          cols.flatMap(_.minNum).reduceOption((a, b) => math.min(a, b)),
+          cols.flatMap(_.maxNum).reduceOption((a, b) => math.max(a, b)),
+          cols.flatMap(_.minStr).reduceOption((a, b) => if (a <= b) a else b),
+          cols.flatMap(_.maxStr).reduceOption((a, b) => if (a >= b) a else b),
+          info.valid)
+      }
+    }).toDF("col_name", "ptype", "codec", "n_values", "null_count",
+      "min_num", "max_num", "min_str", "max_str", "valid")
+      .transform(sorted1(_, col("col_name")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3668,7 +3702,8 @@ object SparkEntry {
     "q139_zstd" -> (q139Zstd _),
     "q140_bzip2" -> (q140Bzip2 _),
     "q141_xz" -> (q141Xz _),
-    "q142_ingest_records" -> (q142IngestRecords _))
+    "q142_ingest_records" -> (q142IngestRecords _),
+    "q143_parquet_meta" -> (q143ParquetMeta _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

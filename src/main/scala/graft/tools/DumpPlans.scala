@@ -153,7 +153,9 @@ object DumpPlans {
     "q141_xz" ->
       "XZ/LZMA2: container write + full container/LZMA decode with every check layer verified, in one MapPartitions pass — MAP-ONLY; the index records at stream end are what let a scale reader seek straight to any block.",
     "q142_ingest_records" ->
-      "Record-format ingestion: content sniff (incl. TFRecord's CRC self-identification) + Avro/tf.Example record walks + UTF-8 repair in one flatMap pass — MAP-ONLY with fan-out ∝ records; the q135 ingestion shape extended to dataset-release record formats.")
+      "Record-format ingestion: content sniff (incl. TFRecord's CRC self-identification) + Avro/tf.Example record walks + UTF-8 repair in one flatMap pass — MAP-ONLY with fan-out ∝ records; the q135 ingestion shape extended to dataset-release record formats.",
+    "q143_parquet_meta" ->
+      "Native parquet footer read: the thrift-compact FileMetaData walk runs one task per FILE with no data scan — the planning fan-out shape; at 100 TB this is how row-group pruning decisions are made before any byte of data moves.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
