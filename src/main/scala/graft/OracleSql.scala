@@ -2577,5 +2577,45 @@ object OracleSql {
         |SELECT 'p_type', 'BYTE_ARRAY', 'SNAPPY', (SELECT cnt FROM n),
         |  (SELECT cnt FROM n) - CAST(count(p_type) AS BIGINT),
         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(p_type), max(p_type), TRUE FROM part
+        |) ORDER BY col_name""".stripMargin,
+
+    // Native parquet column decode: counts, null counts, exact
+    // integer sums, min/max, and order-canonical string md5s from
+    // the natively decoded pages must equal SQL over the table.
+    "q144_parquet_decode" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM part)
+        |SELECT * FROM (
+        |SELECT 'p_partkey' AS col_name, (SELECT cnt FROM n) AS n_rows,
+        |  (SELECT cnt FROM n) - CAST(count(p_partkey) AS BIGINT) AS n_nulls,
+        |  CAST(sum(p_partkey) AS BIGINT) AS sum_int,
+        |  CAST(min(p_partkey) AS DOUBLE) AS min_num, CAST(max(p_partkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS str_md5, TRUE AS valid FROM part
+        |UNION ALL
+        |SELECT 'p_size', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_size) AS BIGINT),
+        |  CAST(sum(p_size) AS BIGINT),
+        |  CAST(min(p_size) AS DOUBLE), CAST(max(p_size) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_retailprice', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_retailprice) AS BIGINT),
+        |  CAST(NULL AS BIGINT),
+        |  min(p_retailprice), max(p_retailprice),
+        |  CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_name', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_name) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  md5(string_agg(p_name, '' ORDER BY p_name)), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_brand', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_brand) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  md5(string_agg(p_brand, '' ORDER BY p_brand)), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_type', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_type) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  md5(string_agg(p_type, '' ORDER BY p_type)), TRUE FROM part
         |) ORDER BY col_name""".stripMargin)
 }

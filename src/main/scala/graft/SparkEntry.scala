@@ -3560,6 +3560,60 @@ object SparkEntry {
       .transform(sorted1(_, col("col_name")))
   }
 
+  /** B40 — NATIVE PARQUET COLUMN DECODE (sources.ParquetRead): the
+    * byte-level read path under q143's planning walk — Thrift-compact
+    * PageHeaders, page payloads THROUGH OUR OWN Snappy, PLAIN
+    * dictionary pages, RLE/bit-packed-hybrid definition levels and
+    * dictionary-index runs — decoding every `part` column without
+    * Spark's parquet reader ever touching the bytes. The oracle is
+    * SQL over the same table: counts, null counts, exact integer
+    * sums, min/max, and an order-canonical md5 over the string
+    * columns must all match, so one hash certifies the page walk,
+    * the hybrid decoder, the dictionary indirection and the Snappy
+    * layer at once. Per-file map work — at 100 TB this kernel is
+    * what runs inside every scan task; ParquetReadSpec additionally
+    * pins value-for-value agreement with Spark's own reader
+    * including nulls on the documents table.
+    */
+  private def q144ParquetDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paths = s.createDataset(Seq(s"$dir/part.parquet"))
+    paths.mapPartitions(_.flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val info = graft.sources.ParquetFooter.read(bytes)
+      val cols = Seq("p_brand", "p_name", "p_partkey", "p_retailprice", "p_size", "p_type")
+      cols.map { cname =>
+        val vs = graft.sources.ParquetRead.readColumn(bytes, info, cname)
+        val present = vs.flatten
+        val nNulls = (vs.size - present.size).toLong
+        val isStr = present.headOption.exists(_.isInstanceOf[String])
+        val nums: Vector[Double] = if (isStr) Vector.empty else present.map {
+          case i: Int => i.toDouble
+          case l: Long => l.toDouble
+          case d: Double => d
+          case f: Float => f.toDouble
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        val sumInt: Option[Long] = present.headOption match {
+          case Some(_: Int) => Some(present.map(_.asInstanceOf[Int].toLong).sum)
+          case Some(_: Long) => Some(present.map(_.asInstanceOf[Long]).sum)
+          case _ => None
+        }
+        val strMd5 = if (isStr) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          present.map(_.asInstanceOf[String]).sorted.foreach(v => md.update(v.getBytes("UTF-8")))
+          Some(md.digest().map(x => f"${x & 0xff}%02x").mkString)
+        } else None
+        (cname, vs.size.toLong, nNulls, sumInt,
+          nums.reduceOption((a, b) => math.min(a, b)),
+          nums.reduceOption((a, b) => math.max(a, b)),
+          strMd5, info.valid)
+      }
+    }).toDF("col_name", "n_rows", "n_nulls", "sum_int", "min_num", "max_num",
+      "str_md5", "valid")
+      .transform(sorted1(_, col("col_name")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3703,7 +3757,8 @@ object SparkEntry {
     "q140_bzip2" -> (q140Bzip2 _),
     "q141_xz" -> (q141Xz _),
     "q142_ingest_records" -> (q142IngestRecords _),
-    "q143_parquet_meta" -> (q143ParquetMeta _))
+    "q143_parquet_meta" -> (q143ParquetMeta _),
+    "q144_parquet_decode" -> (q144ParquetDecode _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

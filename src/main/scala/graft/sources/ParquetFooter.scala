@@ -24,12 +24,18 @@ object ParquetFooter {
       rowGroup: Int, path: String, ptype: String, codec: String,
       numValues: Long, nullCount: Long,
       minNum: Option[Double], maxNum: Option[Double],
-      minStr: Option[String], maxStr: Option[String])
+      minStr: Option[String], maxStr: Option[String],
+      dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None,
+      totalCompressedSize: Long = -1L)
 
+  /** (name, repetition) per leaf — repetition 0 REQUIRED, 1 OPTIONAL,
+    * 2 REPEATED; flat tables have max definition level = repetition.
+    */
   final case class FooterInfo(numRows: Long, nRowGroups: Int, createdBy: String,
-                              columns: Vector[ColumnStats], valid: Boolean)
+                              columns: Vector[ColumnStats],
+                              leafRepetition: Map[String, Int], valid: Boolean)
 
-  private val Invalid = FooterInfo(0L, 0, "", Vector.empty, valid = false)
+  private val Invalid = FooterInfo(0L, 0, "", Vector.empty, Map.empty, valid = false)
 
   private val TypeNames = Array("BOOLEAN", "INT32", "INT64", "INT96", "FLOAT",
     "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")
@@ -161,11 +167,31 @@ object ParquetFooter {
     var numRows = 0L
     var createdBy = ""
     val columns = Vector.newBuilder[ColumnStats]
+    val leaves = Map.newBuilder[String, Int]
     var nRowGroups = 0
     in.struct { (id, tpe, c) =>
       (id, tpe) match {
         case (3, 6) => numRows = c.zigzag(); true
         case (6, 8) => createdBy = c.string(); true
+        case (2, 9) => // schema: list<SchemaElement>, root first
+          val (n, _) = c.listHeader()
+          var i = 0L
+          while (i < n) {
+            var name = ""
+            var repetition = 0
+            var numChildren = 0
+            c.struct { (sid, stpe, s) =>
+              (sid, stpe) match {
+                case (3, 5) => repetition = s.zigzag().toInt; true
+                case (4, 8) => name = s.string(); true
+                case (5, 5) => numChildren = s.zigzag().toInt; true
+                case _ => false
+              }
+            }
+            if (i > 0 && numChildren == 0) leaves += (name -> repetition)
+            i += 1
+          }
+          true
         case (4, 9) => // row_groups: list<RowGroup>
           val (n, _) = c.listHeader()
           var i = 0L
@@ -179,7 +205,7 @@ object ParquetFooter {
       }
     }
     require(nRowGroups > 0, "parquet: no row groups")
-    FooterInfo(numRows, nRowGroups, createdBy, columns.result(), valid = true)
+    FooterInfo(numRows, nRowGroups, createdBy, columns.result(), leaves.result(), valid = true)
   }
 
   private def parseRowGroup(in: Compact, rgIdx: Int,
@@ -216,6 +242,9 @@ object ParquetFooter {
     var maxB: Array[Byte] = null
     var minDeprecated: Array[Byte] = null
     var maxDeprecated: Array[Byte] = null
+    var dataPageOffset = -1L
+    var dictPageOffset: Option[Long] = None
+    var totalCompressed = -1L
     in.struct { (id, tpe, c) =>
       (id, tpe) match {
         case (1, 5) => ptype = c.zigzag().toInt; true
@@ -226,6 +255,9 @@ object ParquetFooter {
           true
         case (4, 5) => codec = c.zigzag().toInt; true
         case (5, 6) => numValues = c.zigzag(); true
+        case (7, 6) => totalCompressed = c.zigzag(); true
+        case (9, 6) => dataPageOffset = c.zigzag(); true
+        case (11, 6) => dictPageOffset = Some(c.zigzag()); true
         case (12, 12) => // Statistics
           c.struct { (sid, stpe, s) =>
             (sid, stpe) match {
@@ -270,6 +302,7 @@ object ParquetFooter {
     out += ColumnStats(rgIdx, path.mkString("."),
       if (ptype >= 0 && ptype < TypeNames.length) TypeNames(ptype) else s"UNKNOWN($ptype)",
       if (codec >= 0 && codec < CodecNames.length) CodecNames(codec) else s"UNKNOWN($codec)",
-      numValues, nullCount, num(mn), num(mx), str(mn), str(mx))
+      numValues, nullCount, num(mn), num(mx), str(mn), str(mx),
+      dataPageOffset, dictPageOffset, totalCompressed)
   }
 }

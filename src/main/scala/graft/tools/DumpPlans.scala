@@ -155,7 +155,9 @@ object DumpPlans {
     "q142_ingest_records" ->
       "Record-format ingestion: content sniff (incl. TFRecord's CRC self-identification) + Avro/tf.Example record walks + UTF-8 repair in one flatMap pass — MAP-ONLY with fan-out ∝ records; the q135 ingestion shape extended to dataset-release record formats.",
     "q143_parquet_meta" ->
-      "Native parquet footer read: the thrift-compact FileMetaData walk runs one task per FILE with no data scan — the planning fan-out shape; at 100 TB this is how row-group pruning decisions are made before any byte of data moves.")
+      "Native parquet footer read: the thrift-compact FileMetaData walk runs one task per FILE with no data scan — the planning fan-out shape; at 100 TB this is how row-group pruning decisions are made before any byte of data moves.",
+    "q144_parquet_decode" ->
+      "Native parquet column decode: page headers, our-own-Snappy decompression, hybrid levels and dictionary indirection all run inside one task per file — the scan-task kernel itself; column projection is free because only the requested chunks' byte ranges are touched.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
