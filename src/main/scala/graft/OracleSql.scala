@@ -2617,5 +2617,22 @@ object OracleSql {
         |  (SELECT cnt FROM n) - CAST(count(p_type) AS BIGINT),
         |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  md5(string_agg(p_type, '' ORDER BY p_type)), TRUE FROM part
-        |) ORDER BY col_name""".stripMargin)
+        |) ORDER BY col_name""".stripMargin,
+
+    // Native parquet write: Spark's reader aggregates our bytes; the
+    // oracle states the same aggregates from the source table. Score
+    // quarters are exact at any fold order.
+    "q145_parquet_write" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id,
+        |  sum(CAST(doc_id % 4 AS DOUBLE) * CAST(0.25 AS DOUBLE)) AS sum_score,
+        |  md5(string_agg(base, '' ORDER BY doc_id)) AS names_md5
+        |FROM d""".stripMargin)
 }

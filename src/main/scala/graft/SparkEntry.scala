@@ -3614,6 +3614,53 @@ object SparkEntry {
       .transform(sorted1(_, col("col_name")))
   }
 
+  /** B41 — NATIVE PARQUET WRITE (sources.ParquetWrite): the inverse
+    * of q143/q144 — a parquet file assembled byte-by-byte by our own
+    * Thrift-compact writer (FileMetaData, PageHeaders, PLAIN pages
+    * through OUR OWN Snappy, min/max statistics, UTF8 annotations)
+    * and then read back by SPARK'S OWN vectorized reader, whose
+    * aggregates must match the oracle's closed form over the source
+    * table — a foreign reader decoding our bytes is the strongest
+    * witness a writer can have (ParquetWriteSpec adds parquet-mr and
+    * our-own-reader round trips). The collect feeding the writer is
+    * the documented model-sized exception (one writer task's rows);
+    * at scale this kernel is what each output task runs — write
+    * your partition, emit a footer, no coordination.
+    */
+  private def q145ParquetWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect() // one writer task's rows — model-sized
+    import graft.sources.ParquetWrite._
+    val bytes = write(Seq(
+      LongCol("id", base.map(_._1)),
+      DoubleCol("score", base.map(r => (r._1 % 4) * 0.25)),
+      StringCol("name", base.map(_._2))))
+    val f = java.nio.file.Files.createTempFile("graft_q145", ".parquet")
+    java.nio.file.Files.write(f, bytes)
+    val back = s.read.parquet(f.toString) // Spark's reader on OUR bytes
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("id")).as("sum_id"),
+      min(col("id")).as("min_id"),
+      max(col("id")).as("max_id"),
+      sum(col("score")).as("sum_score"))
+      .withColumn("names_md5",
+        lit({ // order-canonical digest computed from the read-back path
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val readBack = s.read.parquet(f.toString)
+            .select("id", "name").orderBy("id").as[(Long, String)].collect()
+          readBack.foreach(r => md.update(r._2.getBytes("UTF-8")))
+          md.digest().map(x => f"${x & 0xff}%02x").mkString
+        }))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3758,7 +3805,8 @@ object SparkEntry {
     "q141_xz" -> (q141Xz _),
     "q142_ingest_records" -> (q142IngestRecords _),
     "q143_parquet_meta" -> (q143ParquetMeta _),
-    "q144_parquet_decode" -> (q144ParquetDecode _))
+    "q144_parquet_decode" -> (q144ParquetDecode _),
+    "q145_parquet_write" -> (q145ParquetWrite _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

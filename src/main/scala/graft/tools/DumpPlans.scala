@@ -157,7 +157,9 @@ object DumpPlans {
     "q143_parquet_meta" ->
       "Native parquet footer read: the thrift-compact FileMetaData walk runs one task per FILE with no data scan — the planning fan-out shape; at 100 TB this is how row-group pruning decisions are made before any byte of data moves.",
     "q144_parquet_decode" ->
-      "Native parquet column decode: page headers, our-own-Snappy decompression, hybrid levels and dictionary indirection all run inside one task per file — the scan-task kernel itself; column projection is free because only the requested chunks' byte ranges are touched.")
+      "Native parquet column decode: page headers, our-own-Snappy decompression, hybrid levels and dictionary indirection all run inside one task per file — the scan-task kernel itself; column projection is free because only the requested chunks' byte ranges are touched.",
+    "q145_parquet_write" ->
+      "Native parquet write: each output task assembles its own pages + footer with zero coordination (here one model-sized writer task); Spark's vectorized reader consuming the bytes is the plan's correctness witness.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
