@@ -2,6 +2,8 @@ package graft.multimodal
 
 import java.nio.charset.StandardCharsets.UTF_8
 
+import graft.util.Json
+
 /** Apache Avro Object Container File reader + writer in pure JVM —
   * the row-oriented container dataset releases and Hadoop pipelines
   * ship alongside Parquet. Everything from the public spec: the
@@ -83,7 +85,7 @@ object Avro {
           e
         case "fixed" =>
           val f = SFixed(obj("name").asInstanceOf[String],
-            obj("size").asInstanceOf[Double].toInt)
+            obj("size").asInstanceOf[Number].intValue)
           reg(f.name) = f
           f
         case t => fromJson(t, reg) // {"type": "string"} wrapper form
@@ -437,94 +439,4 @@ object Avro {
     }
   }
 
-  // ---------------------------------------------------------------- json
-  /** Minimal JSON reader for schema documents: objects → Map[String,
-    * Any], arrays → Vector[Any], numbers → Double, plus strings /
-    * booleans / null. Self-contained so the decode kernel carries no
-    * library surface.
-    */
-  private[multimodal] object Json {
-    def parse(s: String): Any = {
-      val p = new P(s)
-      val v = p.value()
-      p.ws()
-      require(p.done, "json: trailing content")
-      v
-    }
-    private final class P(s: String) {
-      private var i = 0
-      def done: Boolean = i >= s.length
-      def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
-      private def ch(): Char = { require(i < s.length, "json: truncated"); s.charAt(i) }
-      private def expect(c: Char): Unit = {
-        require(ch() == c, s"json: expected $c at $i"); i += 1
-      }
-      def value(): Any = {
-        ws()
-        ch() match {
-          case '{' =>
-            i += 1; ws()
-            val m = Map.newBuilder[String, Any]
-            if (ch() == '}') { i += 1 }
-            else {
-              var more = true
-              while (more) {
-                ws(); val k = str(); ws(); expect(':')
-                m += (k -> value()); ws()
-                if (ch() == ',') i += 1 else { expect('}'); more = false }
-              }
-            }
-            m.result()
-          case '[' =>
-            i += 1; ws()
-            val a = Vector.newBuilder[Any]
-            if (ch() == ']') { i += 1 }
-            else {
-              var more = true
-              while (more) {
-                a += value(); ws()
-                if (ch() == ',') i += 1 else { expect(']'); more = false }
-              }
-            }
-            a.result()
-          case '"' => str()
-          case 't' => require(s.startsWith("true", i), "json: bad literal"); i += 4; true
-          case 'f' => require(s.startsWith("false", i), "json: bad literal"); i += 5; false
-          case 'n' => require(s.startsWith("null", i), "json: bad literal"); i += 4; null
-          case _ =>
-            val start = i
-            if (ch() == '-') i += 1
-            while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
-            s.substring(start, i).toDouble
-        }
-      }
-      private def str(): String = {
-        expect('"')
-        val sb = new StringBuilder
-        while (ch() != '"') {
-          val c = ch()
-          if (c == '\\') {
-            i += 1
-            ch() match {
-              case 'n' => sb.append('\n'); i += 1
-              case 't' => sb.append('\t'); i += 1
-              case 'r' => sb.append('\r'); i += 1
-              case 'b' => sb.append('\b'); i += 1
-              case 'f' => sb.append('\f'); i += 1
-              case '/' => sb.append('/'); i += 1
-              case '\\' => sb.append('\\'); i += 1
-              case '"' => sb.append('"'); i += 1
-              case 'u' =>
-                require(i + 5 <= s.length, "json: bad \\u")
-                sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
-                i += 5
-              case e => throw new IllegalStateException(s"json: bad escape \\$e")
-            }
-          } else { sb.append(c); i += 1 }
-        }
-        i += 1
-        sb.toString
-      }
-    }
-  }
 }

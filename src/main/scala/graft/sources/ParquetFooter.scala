@@ -204,7 +204,9 @@ object ParquetFooter {
         case _ => false
       }
     }
-    require(nRowGroups > 0, "parquet: no row groups")
+    // A zero-row file (e.g. an empty writer partition) legally carries
+    // an empty row-group list; only a file CLAIMING rows must have one.
+    require(nRowGroups > 0 || numRows == 0, "parquet: rows claimed but no row groups")
     FooterInfo(numRows, nRowGroups, createdBy, columns.result(), leaves.result(), valid = true)
   }
 

@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txlog").toString
+
+  private def df(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("k", "s", "v")
+
+  private def contents(table: String, asOf: Option[Long] = None): Set[(Long, String, Double)] =
+    TxLog.read(spark, table, asOf).as[(Long, String, Double)].collect().toSet
+
+  test("create + read round-trips rows and schema") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 0.5), (2L, "b", 1.5)), t)
+    assert(contents(t) === Set((1L, "a", 0.5), (2L, "b", 1.5)))
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq === Seq("k", "s", "v"))
+  }
+
+  test("append adds rows; time travel sees each version's state") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 0.25)), t)
+    TxLog.append(spark, df((2L, "b", 0.5)), t)
+    TxLog.append(spark, df((3L, "c", 0.75)), t)
+    assert(contents(t).map(_._1) === Set(1L, 2L, 3L))
+    assert(contents(t, Some(0L)).map(_._1) === Set(1L))
+    assert(contents(t, Some(1L)).map(_._1) === Set(1L, 2L))
+    assert(TxLog.history(t).map(_._2) === Seq("create", "append", "append"))
+  }
+
+  test("deleteWhere rewrites only stat-overlapping files; others survive verbatim") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0)).repartition(1), t)
+    TxLog.append(spark, df((100L, "x", 3.0), (200L, "y", 4.0)).repartition(1), t)
+    val before = TxLog.snapshot(t, None).adds
+    assert(before.size === 2)
+    val untouched = before.values.find(_.stats("k").maxNum.exists(_ <= 2.0)).get.path
+    TxLog.deleteWhere(spark, t, col("k") === 100L)
+    val after = TxLog.snapshot(t, None).adds
+    assert(after.contains(untouched), "low-key file must not be rewritten")
+    assert(contents(t).map(_._1) === Set(1L, 2L, 200L))
+  }
+
+  test("deleteWhere with null-producing predicate keeps null rows (SQL semantics)") {
+    val t = freshTable()
+    val src = Seq((1L, Some("a"), 0.0), (2L, None: Option[String], 0.0), (3L, Some("b"), 0.0))
+      .toDF("k", "s", "v")
+    TxLog.create(spark, src, t)
+    TxLog.deleteWhere(spark, t, col("s") === "a") // null = 'a' is null → not deleted
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("upsert replaces matched keys and appends new ones") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t)
+    TxLog.upsert(spark, df((2L, "B", 20.0), (3L, "c", 3.0)), t, "k")
+    assert(contents(t) === Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+  }
+
+  test("upsert prunes by source key range") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0)).repartition(1), t)
+    TxLog.append(spark, df((100L, "x", 3.0)).repartition(1), t)
+    val lowFile = TxLog.snapshot(t, None).adds.values
+      .find(_.stats("k").maxNum.exists(_ <= 2.0)).get.path
+    TxLog.upsert(spark, df((100L, "X", 30.0), (101L, "y", 4.0)), t, "k")
+    assert(TxLog.snapshot(t, None).adds.contains(lowFile),
+      "file outside the source key range must not be rewritten")
+    assert(contents(t) === Set((1L, "a", 1.0), (2L, "b", 2.0), (100L, "X", 30.0), (101L, "y", 4.0)))
+  }
+
+  test("compact shrinks file count, preserves contents, read after vacuum intact") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)).repartition(1), t)
+    (2L to 6L).foreach(i => TxLog.append(spark, df((i, s"s$i", i * 0.5)).repartition(1), t))
+    val before = contents(t)
+    assert(TxLog.snapshot(t, None).adds.size === 6)
+    TxLog.compact(spark, t, smallBytes = 1L << 20)
+    assert(TxLog.snapshot(t, None).adds.size === 1)
+    assert(contents(t) === before)
+    val removed = TxLog.vacuum(t)
+    assert(removed.size === 6, "six superseded files vacuumed")
+    assert(contents(t) === before)
+  }
+
+  test("snapshot via checkpoint equals full replay") {
+    val t = freshTable()
+    TxLog.create(spark, df((0L, "z", 0.0)), t)
+    // cross the checkpoint interval so the snapshot path uses a checkpoint
+    (1L to TxLog.checkpointInterval + 3L).foreach(i =>
+      TxLog.append(spark, df((i, s"s$i", 0.0)).repartition(1), t))
+    val dir = Paths.get(t, "_txlog")
+    assert(Files.exists(dir.resolve(f"${TxLog.checkpointInterval}%020d.checkpoint.json")))
+    assert(Files.exists(dir.resolve("_last_checkpoint")))
+    val viaCk = TxLog.snapshot(t, None)
+    // replay-from-zero ground truth: delete the checkpoint files and resnapshot
+    Files.delete(dir.resolve(f"${TxLog.checkpointInterval}%020d.checkpoint.json"))
+    Files.delete(dir.resolve("_last_checkpoint"))
+    val full = TxLog.snapshot(t, None)
+    assert(viaCk.adds === full.adds)
+    assert(viaCk.version === full.version)
+  }
+
+  test("concurrent appends all land; losers retry into later versions") {
+    val t = freshTable()
+    TxLog.create(spark, df((0L, "z", 0.0)), t)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try TxLog.append(spark, df((i.toLong, s"t$i", 0.0)).repartition(1), t)
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"append failed: ${failures.peek()}")
+    assert(TxLog.latestVersion(t) === Some(4L), "four appends → versions 1..4")
+    assert(contents(t).map(_._1) === Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("stats pruning is conservative and exact on eq/range/in/null") {
+    val add = TxLog.AddFile("f.parquet", 10L, 100L, Map(
+      "k" -> TxLog.ColStat(0L, Some(10.0), Some(20.0), None, None),
+      "s" -> TxLog.ColStat(2L, None, None, Some("bb"), Some("dd"))))
+    def may(c: org.apache.spark.sql.Column): Boolean =
+      TxLog.mayMatch(add, org.apache.spark.sql.graft.Shims.expression(c))
+    assert(!may(col("k") === 9))
+    assert(may(col("k") === 10))
+    assert(!may(col("k") > 20))
+    assert(may(col("k") >= 20))
+    assert(!may(col("k") < 10))
+    assert(may(lit(15) < col("k")))
+    assert(!may(lit(20) < col("k")))
+    assert(!may(col("s") === "aa") && may(col("s") === "cc") && !may(col("s") === "ee"))
+    assert(may(col("s").isin("aa", "cc")))
+    assert(!may(col("s").isin("aa", "ee")))
+    assert(may(col("s").isNull)) // nullCount 2 > 0
+    assert(!may(col("k") === 9 && col("s") === "cc"), "one impossible conjunct prunes")
+    assert(may(col("k") === 9 || col("s") === "cc"), "one possible disjunct keeps")
+    // unknown shapes never prune
+    assert(may(abs(col("k")) === 9))
+    // missing column stats never prune
+    assert(may(col("unknown") === 1))
+  }
+
+  test("prunedRead opens only overlapping files and still filters rows") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0)).repartition(1), t)
+    TxLog.append(spark, df((10L, "c", 3.0), (20L, "d", 4.0)).repartition(1), t)
+    TxLog.append(spark, df((100L, "e", 5.0)).repartition(1), t)
+    val (rows, scanned, total) = TxLog.prunedRead(spark, t, col("k") >= 10L && col("k") <= 20L)
+    assert(total === 3 && scanned === 1)
+    assert(rows.select("k").as[Long].collect().toSet === Set(10L, 20L))
+    val (none, s0, t0) = TxLog.prunedRead(spark, t, col("k") === 50L)
+    assert(t0 === 3 && s0 === 0 && none.count() === 0)
+  }
+
+  test("streamCommit is exactly-once per (app, batchId)") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)), t)
+    assert(TxLog.streamCommit(spark, df((2L, "b", 2.0)), t, "appA", 0L))
+    assert(!TxLog.streamCommit(spark, df((2L, "b", 2.0)), t, "appA", 0L), "replay is a no-op")
+    assert(TxLog.streamCommit(spark, df((3L, "c", 3.0)), t, "appA", 1L))
+    assert(TxLog.streamCommit(spark, df((4L, "d", 4.0)), t, "appB", 0L), "apps independent")
+    assert(contents(t).map(_._1) === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("overwrite replaces contents and can change schema") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)), t)
+    TxLog.overwrite(spark, Seq((9L, 9L)).toDF("k", "n"), t)
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq === Seq("k", "n"))
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet === Set((9L, 9L)))
+    // time travel across the schema change still works
+    assert(contents(t, Some(0L)) === Set((1L, "a", 1.0)))
+  }
+}
