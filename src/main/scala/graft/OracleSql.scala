@@ -2634,5 +2634,148 @@ object OracleSql {
         |  CAST(max(doc_id) AS BIGINT) AS max_id,
         |  sum(CAST(doc_id % 4 AS DOUBLE) * CAST(0.25 AS DOUBLE)) AS sum_score,
         |  md5(string_agg(base, '' ORDER BY doc_id)) AS names_md5
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    // Native ORC footer read: every statistic the footer claims must
+    // equal SQL over the data itself (the q143 pattern, ORC flavor).
+    "q149_orc_meta" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM part)
+        |SELECT * FROM (
+        |SELECT 'p_partkey' AS col_name, 'LONG' AS orc_type, 'ZLIB' AS codec,
+        |  CAST(count(p_partkey) AS BIGINT) AS n_values,
+        |  (SELECT cnt FROM n) > CAST(count(p_partkey) AS BIGINT) AS has_null,
+        |  CAST(min(p_partkey) AS BIGINT) AS min_long,
+        |  CAST(max(p_partkey) AS BIGINT) AS max_long,
+        |  CAST(sum(p_partkey) AS BIGINT) AS sum_long,
+        |  CAST(NULL AS DOUBLE) AS min_dbl, CAST(NULL AS DOUBLE) AS max_dbl,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  TRUE AS valid FROM part
+        |UNION ALL
+        |SELECT 'p_size', 'INT', 'ZLIB',
+        |  CAST(count(p_size) AS BIGINT),
+        |  (SELECT cnt FROM n) > CAST(count(p_size) AS BIGINT),
+        |  CAST(min(p_size) AS BIGINT), CAST(max(p_size) AS BIGINT),
+        |  CAST(sum(p_size) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_retailprice', 'DOUBLE', 'ZLIB',
+        |  CAST(count(p_retailprice) AS BIGINT),
+        |  (SELECT cnt FROM n) > CAST(count(p_retailprice) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  min(p_retailprice), max(p_retailprice),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_name', 'STRING', 'ZLIB',
+        |  CAST(count(p_name) AS BIGINT),
+        |  (SELECT cnt FROM n) > CAST(count(p_name) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(p_name), max(p_name), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_brand', 'STRING', 'ZLIB',
+        |  CAST(count(p_brand) AS BIGINT),
+        |  (SELECT cnt FROM n) > CAST(count(p_brand) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(p_brand), max(p_brand), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_type', 'STRING', 'ZLIB',
+        |  CAST(count(p_type) AS BIGINT),
+        |  (SELECT cnt FROM n) > CAST(count(p_type) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(p_type), max(p_type), TRUE FROM part
+        |) ORDER BY col_name""".stripMargin,
+
+    // Native ORC column decode: same certificate shape as q144 (the
+    // parquet twin) — counts, exact integer sums, min/max, and
+    // order-canonical string md5s over the same table.
+    "q150_orc_decode" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM part)
+        |SELECT * FROM (
+        |SELECT 'p_partkey' AS col_name, (SELECT cnt FROM n) AS n_rows,
+        |  (SELECT cnt FROM n) - CAST(count(p_partkey) AS BIGINT) AS n_nulls,
+        |  CAST(sum(p_partkey) AS BIGINT) AS sum_int,
+        |  CAST(min(p_partkey) AS DOUBLE) AS min_num, CAST(max(p_partkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS str_md5, TRUE AS valid FROM part
+        |UNION ALL
+        |SELECT 'p_size', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_size) AS BIGINT),
+        |  CAST(sum(p_size) AS BIGINT),
+        |  CAST(min(p_size) AS DOUBLE), CAST(max(p_size) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_retailprice', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_retailprice) AS BIGINT),
+        |  CAST(NULL AS BIGINT),
+        |  min(p_retailprice), max(p_retailprice),
+        |  CAST(NULL AS VARCHAR), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_name', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_name) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  md5(string_agg(p_name, '' ORDER BY p_name)), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_brand', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_brand) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  md5(string_agg(p_brand, '' ORDER BY p_brand)), TRUE FROM part
+        |UNION ALL
+        |SELECT 'p_type', (SELECT cnt FROM n),
+        |  (SELECT cnt FROM n) - CAST(count(p_type) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  md5(string_agg(p_type, '' ORDER BY p_type)), TRUE FROM part
+        |) ORDER BY col_name""".stripMargin,
+
+    // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
+    // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
+    // re-inserts deleted ≡0 F rows) + compact. Final relation stated
+    // directly over orders; cents sums are order-independent.
+    "q146_txlog_lifecycle" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |    WHERE o_orderkey % 3 = 1 AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |    WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 FROM orders
+        |    WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Time travel: version 0 = keys ≡0, version 1 = ≡0 ∪ ≡1,
+    // version 2 = after deleting status F.
+    "q147_txlog_timetravel" ->
+      """SELECT * FROM (
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key, CAST(0 AS BIGINT) AS version
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT),
+        |  CAST(max(o_orderkey) AS BIGINT), CAST(1 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT),
+        |  CAST(max(o_orderkey) AS BIGINT), CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F'
+        |) ORDER BY version""".stripMargin,
+
+    // Stats-pruned read: one file per priority by construction, so
+    // exactly 1 of 5 files serves the 1-URGENT predicate — the file
+    // counts are part of the oracled row.
+    "q148_txlog_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(1 AS BIGINT) AS files_scanned,
+        |  CAST(5 AS BIGINT) AS files_total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)
 }

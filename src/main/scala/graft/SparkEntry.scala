@@ -3661,6 +3661,186 @@ object SparkEntry {
         }))
   }
 
+  /** B43 — NATIVE ORC FOOTER READ (sources.OrcRead): Spark (orc-core)
+    * writes `part` as ORC; our own postscript/footer walk — protobuf
+    * wire decode, chunked-ZLIB framing through the JDK Inflater —
+    * reports the planning metadata a 100 TB ORC lake prunes on: type
+    * tree, row counts, per-column min/max/sum/hasNull statistics. The
+    * oracle is the DATA ITSELF (the q143 pattern): every statistic
+    * the footer claims must equal SQL over the same table, so the
+    * hash certifies the whole walk. OrcReadSpec adds value-for-value
+    * Spark cross-checks in all three codecs.
+    */
+  private def q149OrcMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q149").toString
+    Tables.part(s, dir).coalesce(1).write.mode("overwrite")
+      .option("compression", "zlib").orc(tmp)
+    val orcFile = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try st.filter(q => q.toString.endsWith(".orc")).findFirst().get().toString
+      finally st.close()
+    }
+    val paths = s.createDataset(Seq(orcFile))
+    paths.mapPartitions(_.flatMap { p =>
+      val info = graft.sources.OrcRead.readFile(p)
+      val root = info.types.head
+      root.fieldNames.zip(root.subtypes).map { case (name, colId) =>
+        val t = info.types(colId)
+        val st = info.stats(colId)
+        (name, graft.sources.OrcRead.TypeNames(t.kind), info.compression,
+          st.numValues, st.hasNull,
+          st.minLong, st.maxLong, st.sumLong,
+          st.minDouble, st.maxDouble, st.minStr, st.maxStr, info.valid)
+      }
+    }).toDF("col_name", "orc_type", "codec", "n_values", "has_null",
+      "min_long", "max_long", "sum_long", "min_dbl", "max_dbl",
+      "min_str", "max_str", "valid")
+      .transform(sorted1(_, col("col_name")))
+  }
+
+  /** B44 — NATIVE ORC COLUMN DECODE (sources.OrcRead): the byte-level
+    * scan path under q149's planning walk — stripe footers, PRESENT
+    * boolean-RLE, RLEv2 integers (all four sub-encodings incl.
+    * patched-base), IEEE doubles, strings in both DICTIONARY_V2 and
+    * DIRECT_V2 — whole columns decoded without orc-core touching the
+    * bytes, through OUR OWN Zstd for the chunk framing. Oracle: SQL
+    * counts/sums/min/max and order-canonical string md5s over the
+    * same table (the q144 pattern — one hash certifies the stream
+    * walk, both RLE families, the dictionary indirection and the
+    * zstd layer at once).
+    */
+  private def q150OrcDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q150").toString
+    Tables.part(s, dir).coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").orc(tmp)
+    val orcFile = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try st.filter(q => q.toString.endsWith(".orc")).findFirst().get().toString
+      finally st.close()
+    }
+    val paths = s.createDataset(Seq(orcFile))
+    paths.mapPartitions(_.flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val info = graft.sources.OrcRead.read(bytes)
+      val cols = Seq("p_brand", "p_name", "p_partkey", "p_retailprice", "p_size", "p_type")
+      cols.map { cname =>
+        val vs = graft.sources.OrcRead.readColumn(bytes, info, cname)
+        val present = vs.flatten
+        val nNulls = (vs.size - present.size).toLong
+        val isStr = present.headOption.exists(_.isInstanceOf[String])
+        val nums: Vector[Double] = if (isStr) Vector.empty else present.map {
+          case l: Long => l.toDouble
+          case d: Double => d
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        val sumInt: Option[Long] = present.headOption match {
+          case Some(_: Long) => Some(present.map(_.asInstanceOf[Long]).sum)
+          case _ => None
+        }
+        val strMd5 = if (isStr) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          present.map(_.asInstanceOf[String]).sorted.foreach(v => md.update(v.getBytes("UTF-8")))
+          Some(md.digest().map(x => f"${x & 0xff}%02x").mkString)
+        } else None
+        (cname, vs.size.toLong, nNulls, sumInt,
+          nums.reduceOption((a, b) => math.min(a, b)),
+          nums.reduceOption((a, b) => math.max(a, b)),
+          strMd5, info.valid)
+      }
+    }).toDF("col_name", "n_rows", "n_nulls", "sum_int", "min_num", "max_num",
+      "str_md5", "valid")
+      .transform(sorted1(_, col("col_name")))
+  }
+
+  /** B42 — TRANSACTIONAL TABLE, full lifecycle (sources.TxLog): build
+    * a logged table from `orders` through every row-level operation —
+    * create (keys ≡0 mod 3), append (≡1), predicate DELETE (status F:
+    * only stat-overlapping files rewritten), UPSERT (≡2 appended; ≡0
+    * rows replaced with doubled prices — which also re-inserts the ≡0
+    * rows the delete removed), then COMPACT — and aggregate the final
+    * snapshot. The oracle states the same final relation as pure SQL
+    * over `orders`, so one hash certifies the commit protocol, the
+    * delete/upsert rewrite algebra, snapshot replay AND compaction
+    * losslessness at once. The reference's batch loader (q08's
+    * manifest) is this table's trivial append-only case.
+    */
+  private def q146TxlogLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q146").toString
+    TxLog.create(s, orders.filter(col("o_orderkey") % 3 === 0).repartition(2), t)
+    TxLog.append(s, orders.filter(col("o_orderkey") % 3 === 1).repartition(2), t)
+    TxLog.deleteWhere(s, t, col("o_orderstatus") === "F")
+    val source = orders.filter(col("o_orderkey") % 3 === 2)
+      .unionByName(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    TxLog.upsert(s, source, t, "o_orderkey")
+    TxLog.compact(s, t, smallBytes = 1L << 30)
+    TxLog.read(s, t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .transform(sorted1(_, col("o_orderstatus")))
+  }
+
+  /** B42b — TIME TRAVEL: the same log read AT EVERY VERSION — create,
+    * append, delete — one aggregate row per version, so the oracle
+    * certifies that historical snapshots keep serving their exact
+    * state after later commits rewrote files (delete's removes don't
+    * touch the bytes old versions reference).
+    */
+  private def q147TxlogTimetravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q147").toString
+    TxLog.create(s, orders.filter(col("o_orderkey") % 3 === 0).repartition(2), t)
+    TxLog.append(s, orders.filter(col("o_orderkey") % 3 === 1).repartition(2), t)
+    TxLog.deleteWhere(s, t, col("o_orderstatus") === "F")
+    (0L to 2L).map { v =>
+      TxLog.read(s, t, Some(v)).agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"),
+        max("o_orderkey").as("max_key"))
+        .withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+      .transform(sorted1(_, col("version")))
+  }
+
+  /** B42c — STATS-BASED FILE PRUNING: five appends, one file per
+    * order priority (each file's footer-derived min/max string stats
+    * collapse to that one value), then a pruned read for one
+    * priority. files_scanned/files_total land IN the oracle row —
+    * the hash certifies both the answer and that exactly one of five
+    * files was opened. At 100 TB this is the difference between a
+    * partition-pruned scan and reading the table.
+    */
+  private def q148TxlogPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q148").toString
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    TxLog.create(s, orders.filter(col("o_orderpriority") === priorities.head)
+      .repartition(1), t)
+    priorities.tail.foreach(p =>
+      TxLog.append(s, orders.filter(col("o_orderpriority") === p).repartition(1), t))
+    val (rows, scanned, total) =
+      TxLog.prunedRead(s, t, col("o_orderpriority") === "1-URGENT")
+    rows.agg(
+      count(lit(1)).as("n"),
+      sum(cents(col("o_totalprice"))).as("sum_cents"),
+      min("o_orderkey").as("min_key"))
+      .withColumn("files_scanned", lit(scanned.toLong))
+      .withColumn("files_total", lit(total.toLong))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -3806,7 +3986,12 @@ object SparkEntry {
     "q142_ingest_records" -> (q142IngestRecords _),
     "q143_parquet_meta" -> (q143ParquetMeta _),
     "q144_parquet_decode" -> (q144ParquetDecode _),
-    "q145_parquet_write" -> (q145ParquetWrite _))
+    "q145_parquet_write" -> (q145ParquetWrite _),
+    "q146_txlog_lifecycle" -> (q146TxlogLifecycle _),
+    "q149_orc_meta" -> (q149OrcMeta _),
+    "q150_orc_decode" -> (q150OrcDecode _),
+    "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
+    "q148_txlog_prune" -> (q148TxlogPrune _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q23, q25, q29, q33) are intentionally absent: their outputs

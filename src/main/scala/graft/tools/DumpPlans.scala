@@ -159,7 +159,17 @@ object DumpPlans {
     "q144_parquet_decode" ->
       "Native parquet column decode: page headers, our-own-Snappy decompression, hybrid levels and dictionary indirection all run inside one task per file — the scan-task kernel itself; column projection is free because only the requested chunks' byte ranges are touched.",
     "q145_parquet_write" ->
-      "Native parquet write: each output task assembles its own pages + footer with zero coordination (here one model-sized writer task); Spark's vectorized reader consuming the bytes is the plan's correctness witness.")
+      "Native parquet write: each output task assembles its own pages + footer with zero coordination (here one model-sized writer task); Spark's vectorized reader consuming the bytes is the plan's correctness witness.",
+    "q146_txlog_lifecycle" ->
+      "Transactional table, final-snapshot read: the log resolves to a plain parquet scan over the live file list — pushdown, column pruning and the vectorized reader all intact (the plan below is scan → HashAggregate pair, indistinguishable from a static table). Every row-level operation that BUILT the table rewrote only stat-overlapping files; the log itself costs O(live files + checkpoint interval) to resolve, never O(history).",
+    "q147_txlog_timetravel" ->
+      "Time travel: each historical version resolves to ITS OWN live-file list over immutable data files (delete/upsert never mutate bytes — they add and unreference), so the three version reads are three independent parquet scans unioned; no version pays for any other's history.",
+    "q148_txlog_prune" ->
+      "Stats-pruned txlog read: the file-level min/max pruning happens at PLANNING time against footer-derived stats in the log — the plan below contains ONE file's scan (of five), with the residual predicate still pushed into it. At 100 TB this is the partition-pruning decision made without listing or opening the other files.",
+    "q149_orc_meta" ->
+      "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
+    "q150_orc_decode" ->
+      "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
