@@ -2728,6 +2728,22 @@ object OracleSql {
         |  md5(string_agg(p_type, '' ORDER BY p_type)), TRUE FROM part
         |) ORDER BY col_name""".stripMargin,
 
+    // Native ORC write: Spark's orc-core reader aggregates our bytes;
+    // same closed form as q145 (the parquet write twin).
+    "q151_orc_write" ->
+      """WITH b AS (SELECT doc_id,
+        |    substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), 1, 60) AS c
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(c) = 0 THEN ' ' ELSE c END AS base FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id,
+        |  sum(CAST(doc_id % 4 AS DOUBLE) * CAST(0.25 AS DOUBLE)) AS sum_score,
+        |  md5(string_agg(base, '' ORDER BY doc_id)) AS names_md5
+        |FROM d""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

@@ -3754,6 +3754,51 @@ object SparkEntry {
       .transform(sorted1(_, col("col_name")))
   }
 
+  /** B45 — NATIVE ORC WRITE (sources.OrcWrite): the inverse of
+    * q149/q150 — an ORC file assembled byte-by-byte by our own
+    * protobuf writer (stripe footer, type tree, statistics,
+    * postscript), RLEv2 DIRECT integer runs, DIRECT_V2 strings, ZLIB
+    * chunk framing — then read back by SPARK'S OWN orc-core reader,
+    * whose aggregates must match the oracle's closed form over the
+    * source table (the q145 witness pattern, ORC flavor; OrcWriteSpec
+    * adds value-for-value and our-own-reader round trips). The
+    * collect feeding the writer is the documented model-sized
+    * exception (one writer task's rows).
+    */
+  private def q151OrcWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[^a-z0-9 ]", ""), 1, 60).as("c"))
+      .select(col("doc_id"),
+        when(length(col("c")) === 0, lit(" ")).otherwise(col("c")).as("base"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect() // one writer task's rows — model-sized
+    import graft.sources.OrcWrite._
+    val bytes = write(Seq(
+      LongCol("id", base.map(_._1)),
+      DoubleCol("score", base.map(r => (r._1 % 4) * 0.25)),
+      StringCol("name", base.map(_._2))))
+    val d = java.nio.file.Files.createTempDirectory("graft_q151")
+    java.nio.file.Files.write(d.resolve("ours.orc"), bytes)
+    val back = s.read.orc(d.toString) // Spark's orc-core on OUR bytes
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("id")).as("sum_id"),
+      min(col("id")).as("min_id"),
+      max(col("id")).as("max_id"),
+      sum(col("score")).as("sum_score"))
+      .withColumn("names_md5",
+        lit({ // order-canonical digest computed from the read-back path
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val readBack = s.read.orc(d.toString)
+            .select("id", "name").orderBy("id").as[(Long, String)].collect()
+          readBack.foreach(r => md.update(r._2.getBytes("UTF-8")))
+          md.digest().map(x => f"${x & 0xff}%02x").mkString
+        }))
+  }
+
   /** B42 — TRANSACTIONAL TABLE, full lifecycle (sources.TxLog): build
     * a logged table from `orders` through every row-level operation —
     * create (keys ≡0 mod 3), append (≡1), predicate DELETE (status F:
@@ -3989,6 +4034,7 @@ object SparkEntry {
     "q145_parquet_write" -> (q145ParquetWrite _),
     "q146_txlog_lifecycle" -> (q146TxlogLifecycle _),
     "q149_orc_meta" -> (q149OrcMeta _),
+    "q151_orc_write" -> (q151OrcWrite _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

@@ -169,7 +169,9 @@ object DumpPlans {
     "q149_orc_meta" ->
       "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
     "q150_orc_decode" ->
-      "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.")
+      "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.",
+    "q151_orc_write" ->
+      "Native ORC write: each output task assembles its own stripe + footer with zero coordination (here one model-sized writer task); Spark's orc-core reader consuming the bytes is the plan's correctness witness — the q145 shape on the other columnar format.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
