@@ -2744,6 +2744,24 @@ object OracleSql {
         |  md5(string_agg(base, '' ORDER BY doc_id)) AS names_md5
         |FROM d""".stripMargin,
 
+    // Kneser-Ney: integer model statistics + the identical
+    // parenthesized double chain for p_kn (the q127 discipline).
+    "q152_kneser_ney" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bgl AS (SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgl GROUP BY w1, w2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f FROM bg GROUP BY w1),
+        |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS b_total FROM bg)
+        |SELECT w1, w2, c12, c1, n1f, n1b, b_total,
+        |  greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+        |    + ((0.75 * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE))
+        |      * (CAST(n1b AS DOUBLE) / CAST(b_total AS DOUBLE)) AS p_kn
+        |FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN b
+        |WHERE c12 >= 5
+        |ORDER BY w1, w2""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

@@ -3799,6 +3799,19 @@ object SparkEntry {
         }))
   }
 
+  /** C62 — KNESER-NEY SMOOTHED BIGRAM MODEL (functions.KneserNey):
+    * the smoothing KenLM-style quality gates actually use, with its
+    * signature continuation statistics — every model number (c12,
+    * c1, N1+ forward/backward, B) is an exact integer the oracle
+    * hash-checks, and p_kn is one mirrored double chain; the
+    * normalization identity Σ P_KN(·|w1) = 1 is spec-pinned. Plan:
+    * the q113 shape — one corpus explode, three vocab-scale
+    * re-aggregations of the same bigram table, scalar B broadcast.
+    */
+  private def q152KneserNey(s: SparkSession, dir: String): DataFrame =
+    graft.functions.KneserNey.model(Tables.documents(s, dir), "text", minCount = 5L)
+      .transform(sorted1(_, col("w1"), col("w2")))
+
   /** B42 — TRANSACTIONAL TABLE, full lifecycle (sources.TxLog): build
     * a logged table from `orders` through every row-level operation —
     * create (keys ≡0 mod 3), append (≡1), predicate DELETE (status F:
@@ -4035,6 +4048,7 @@ object SparkEntry {
     "q146_txlog_lifecycle" -> (q146TxlogLifecycle _),
     "q149_orc_meta" -> (q149OrcMeta _),
     "q151_orc_write" -> (q151OrcWrite _),
+    "q152_kneser_ney" -> (q152KneserNey _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

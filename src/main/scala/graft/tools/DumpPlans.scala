@@ -170,6 +170,8 @@ object DumpPlans {
       "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
     "q150_orc_decode" ->
       "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.",
+    "q152_kneser_ney" ->
+      "Kneser-Ney model: ONE corpus explode feeds the (w1,w2) HashAggregate pair (map-side partial); context totals, forward and backward continuation counts are vocab-scale RE-aggregations of that same bigram table (AQE stage reuse — the corpus explodes once, not four times), B rides a one-row broadcast cross join, and the final assembly joins at bigram-vocab scale. The canonical aggregate-before-join LM shape (q95's contract) with KN's extra statistics free-riding the same exchange.",
     "q151_orc_write" ->
       "Native ORC write: each output task assembles its own stripe + footer with zero coordination (here one model-sized writer task); Spark's orc-core reader consuming the bytes is the plan's correctness witness — the q145 shape on the other columnar format.")
 
