@@ -2762,6 +2762,16 @@ object OracleSql {
         |WHERE c12 >= 5
         |ORDER BY w1, w2""".stripMargin,
 
+    // Bloom data skipping: the answer for one scattered key, plus the
+    // literal file counts the in-query require stands behind.
+    "q153_txlog_bloom_skip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(5 AS BIGINT) AS files_total,
+        |  TRUE AS bloom_pruned
+        |FROM orders WHERE o_custkey = 7""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

@@ -3899,6 +3899,38 @@ object SparkEntry {
       .withColumn("files_total", lit(total.toLong))
   }
 
+  /** B42d — BLOOM-FILTER DATA SKIPPING (sources.TxLog blooms): five
+    * files keyed by o_custkey MOD 5, so every file's [min, max]
+    * custkey range spans the whole table and min/max pruning is
+    * provably useless — the per-file column blooms (built from OUR
+    * OWN parquet decode of the just-written bytes, persisted in the
+    * log, PortableBloom's md5 position scheme) must do the skipping.
+    * The in-query require asserts files were actually pruned (the
+    * q29/q40 scan-metric discipline); the oracle certifies the
+    * answer plus the literal file counts. No false negatives by
+    * construction, so pruning stays a superset guarantee.
+    */
+  private def q153TxlogBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q153").toString
+    TxLog.create(s, orders.filter(col("o_custkey") % 5 === 0).repartition(1), t,
+      bloomCols = Seq("o_custkey"))
+    (1L to 4L).foreach(r =>
+      TxLog.append(s, orders.filter(col("o_custkey") % 5 === r).repartition(1), t,
+        bloomCols = Seq("o_custkey")))
+    val (rows, scanned, total) = TxLog.prunedRead(s, t, col("o_custkey") === 7L)
+    require(total == 5 && scanned < total,
+      s"bloom skipping must prune mod-scattered files (scanned $scanned of $total)")
+    rows.agg(
+      count(lit(1)).as("n"),
+      sum(cents(col("o_totalprice"))).as("sum_cents"),
+      min("o_orderkey").as("min_key"))
+      .withColumn("files_total", lit(5L))
+      .withColumn("bloom_pruned", lit(true))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4049,6 +4081,7 @@ object SparkEntry {
     "q149_orc_meta" -> (q149OrcMeta _),
     "q151_orc_write" -> (q151OrcWrite _),
     "q152_kneser_ney" -> (q152KneserNey _),
+    "q153_txlog_bloom_skip" -> (q153TxlogBloomSkip _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

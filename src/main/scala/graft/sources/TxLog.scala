@@ -63,8 +63,53 @@ object TxLog {
       minNum: Option[Double], maxNum: Option[Double],
       minStr: Option[String], maxStr: Option[String])
 
+  /** Per-file Bloom filter for one column — the data-skipping tier
+    * BELOW min/max: equality probes on columns whose per-file ranges
+    * all overlap (foreign keys, ids, hashes) prune on membership
+    * instead. Positions mirror functions.PortableBloom's scheme
+    * (md5("i:key") first 15 hex chars mod m), so the relational and
+    * file-level blooms agree bit-for-bit on the same keys.
+    */
+  final case class BloomData(m: Int, k: Int, bits: Array[Long]) {
+    def contains(key: String): Boolean =
+      bloomPositions(key, k, m).forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)
+  }
+
   final case class AddFile(path: String, rows: Long, bytes: Long,
-                           stats: Map[String, ColStat])
+                           stats: Map[String, ColStat],
+                           blooms: Map[String, BloomData] = Map.empty)
+
+  /** The canonical string form a value hashes under — file-side
+    * (parquet decode) and probe-side (Catalyst literal) must agree.
+    * Integral types only (doubles stay on range stats; their literal
+    * rendering is too fragile to key a bloom on).
+    */
+  private def bloomKey(v: Any): Option[String] = v match {
+    case i: Int => Some(i.toString)
+    case l: Long => Some(l.toString)
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  private def bloomPositions(key: String, k: Int, m: Int): Seq[Int] = {
+    val digestHex = (i: Int) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+    }
+    (0 until k).map(i => (java.lang.Long.parseLong(digestHex(i), 16) % m).toInt)
+  }
+
+  private def buildBloom(keys: Iterable[String]): BloomData = {
+    val n = math.max(keys.size, 1)
+    val m = math.max(1024, Integer.highestOneBit(n * 16 - 1) << 1) // ~16 bits/key, pow2
+    val k = 3
+    val bits = new Array[Long]((m + 63) / 64)
+    keys.foreach(key => bloomPositions(key, k, m).foreach(p =>
+      bits(p >> 6) |= 1L << (p & 63)))
+    BloomData(m, k, bits)
+  }
 
   final case class Snapshot(version: Long, schemaDdl: String,
                             adds: Map[String, AddFile], txns: Map[String, Long]) {
@@ -91,9 +136,23 @@ object TxLog {
         s.minStr.foreach(v => m += ("ls" -> v)); s.maxStr.foreach(v => m += ("xs" -> v))
         c -> m
       }
-      Json.write(scala.collection.mutable.LinkedHashMap[String, Any](
+      val base = scala.collection.mutable.LinkedHashMap[String, Any](
         "a" -> "add", "p" -> f.path, "n" -> f.rows, "b" -> f.bytes,
-        "s" -> scala.collection.mutable.LinkedHashMap(stats: _*)))
+        "s" -> scala.collection.mutable.LinkedHashMap(stats: _*))
+      if (f.blooms.nonEmpty) {
+        val bl = f.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+          val bytes = new Array[Byte](b.bits.length * 8)
+          b.bits.zipWithIndex.foreach { case (w, i) =>
+            var j = 0
+            while (j < 8) { bytes(8 * i + j) = ((w >>> (8 * j)) & 0xff).toByte; j += 1 }
+          }
+          c -> scala.collection.mutable.LinkedHashMap[String, Any](
+            "m" -> b.m.toLong, "k" -> b.k.toLong,
+            "bits" -> java.util.Base64.getEncoder.encodeToString(bytes))
+        }
+        base += ("bl" -> scala.collection.mutable.LinkedHashMap(bl: _*))
+      }
+      Json.write(base)
     case Remove(p) => Json.write(Map("a" -> "rm", "p" -> p))
     case SetTxn(app, v) =>
       Json.write(scala.collection.mutable.LinkedHashMap[String, Any](
@@ -120,8 +179,20 @@ object TxLog {
             s.get("ls").map(_.asInstanceOf[String]),
             s.get("xs").map(_.asInstanceOf[String]))
         }
+        val blooms = o.get("bl").map(_.asInstanceOf[Map[String, Any]].map { case (c, bv) =>
+          val b = bv.asInstanceOf[Map[String, Any]]
+          val bytes = java.util.Base64.getDecoder.decode(b("bits").asInstanceOf[String])
+          val bits = new Array[Long](bytes.length / 8)
+          var i = 0
+          while (i < bits.length) {
+            var w = 0L; var j = 7
+            while (j >= 0) { w = (w << 8) | (bytes(8 * i + j) & 0xffL); j -= 1 }
+            bits(i) = w; i += 1
+          }
+          c -> BloomData(b("m").asInstanceOf[Long].toInt, b("k").asInstanceOf[Long].toInt, bits)
+        }).getOrElse(Map.empty[String, BloomData])
         Add(AddFile(o("p").asInstanceOf[String], o("n").asInstanceOf[Long],
-          o("b").asInstanceOf[Long], stats))
+          o("b").asInstanceOf[Long], stats, blooms))
       case other => throw new IllegalStateException(s"txlog: unknown action $other")
     }
   }
@@ -232,7 +303,8 @@ object TxLog {
     * scan, and the stats the pruner later trusts are the stats the
     * file actually carries.
     */
-  private def stageWrite(spark: SparkSession, df: DataFrame, table: String): Seq[AddFile] = {
+  private def stageWrite(spark: SparkSession, df: DataFrame, table: String,
+                         bloomCols: Seq[String] = Nil): Seq[AddFile] = {
     val tableDir = Paths.get(table)
     Files.createDirectories(tableDir)
     val staging = Files.createTempDirectory(tableDir, ".staging-")
@@ -241,9 +313,10 @@ object TxLog {
       val parts = Files.list(staging).iterator.asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       parts.flatMap { p =>
-        val info = ParquetFooter.readFile(p.toString)
+        val bytes = Files.readAllBytes(p)
+        val info = ParquetFooter.read(bytes)
         require(info.valid, s"txlog: unreadable footer in staged file $p " +
-          s"(size=${Files.size(p)} head=${Files.readAllBytes(p).take(4).mkString(",")})")
+          s"(size=${bytes.length} head=${bytes.take(4).mkString(",")})")
         if (info.numRows == 0) { Files.delete(p); None }
         else {
           val name = java.util.UUID.randomUUID().toString + ".parquet"
@@ -256,7 +329,14 @@ object TxLog {
               cols.flatMap(_.minStr).reduceOption((a, b) => if (a <= b) a else b),
               cols.flatMap(_.maxStr).reduceOption((a, b) => if (a >= b) a else b))
           }
-          Some(AddFile(name, info.numRows, Files.size(tableDir.resolve(name)), stats))
+          // Column blooms from OUR OWN parquet decode of the bytes
+          // just written — in-process, no second Spark scan.
+          val blooms = bloomCols.filter(stats.contains).flatMap { c =>
+            val keys = ParquetRead.readColumn(bytes, info, c)
+              .flatten.flatMap(bloomKey).toSet
+            if (keys.isEmpty) None else Some(c -> buildBloom(keys))
+          }.toMap
+          Some(AddFile(name, info.numRows, Files.size(tableDir.resolve(name)), stats, blooms))
         }
       }
     } finally {
@@ -343,13 +423,26 @@ object TxLog {
     */
   private[sources] def mayMatch(f: AddFile, e: Expression): Boolean = matches(f, norm(e))
 
+  /** Equality probes additionally consult the column's file bloom
+    * when one exists — no false negatives, so pruning stays a
+    * superset guarantee; range stats alone cannot prune scattered
+    * keys whose per-file min/max all overlap.
+    */
+  private def bloomMayContain(f: AddFile, column: String, v: Any): Boolean =
+    (f.blooms.get(column), bloomKey(v)) match {
+      case (Some(b), Some(key)) => b.contains(key)
+      case _ => true
+    }
+
   private def matches(f: AddFile, e: Expression): Boolean = e match {
     case And(l, r) => matches(f, l) && matches(f, r)
     case Or(l, r) => matches(f, l) || matches(f, r)
     case EqualTo(a, Literal(v, _)) if attrName(a).isDefined =>
-      overlap(f, attrName(a).get, v, 0, strict = false)
+      overlap(f, attrName(a).get, v, 0, strict = false) &&
+        bloomMayContain(f, attrName(a).get, v)
     case EqualTo(Literal(v, _), a) if attrName(a).isDefined =>
-      overlap(f, attrName(a).get, v, 0, strict = false)
+      overlap(f, attrName(a).get, v, 0, strict = false) &&
+        bloomMayContain(f, attrName(a).get, v)
     case LessThan(a, Literal(v, _)) if attrName(a).isDefined =>
       overlap(f, attrName(a).get, v, -1, strict = true)
     case LessThanOrEqual(a, Literal(v, _)) if attrName(a).isDefined =>
@@ -367,7 +460,10 @@ object TxLog {
     case GreaterThanOrEqual(Literal(v, _), a) if attrName(a).isDefined =>
       overlap(f, attrName(a).get, v, -1, strict = false)
     case In(a, vs) if attrName(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => overlap(f, attrName(a).get, v, 0, strict = false) }
+      vs.exists { case Literal(v, _) =>
+        overlap(f, attrName(a).get, v, 0, strict = false) &&
+          bloomMayContain(f, attrName(a).get, v)
+      }
     case IsNull(a) if attrName(a).isDefined =>
       f.stats.get(attrName(a).get).forall(_.nullCount > 0)
     case IsNotNull(a) if attrName(a).isDefined =>
@@ -381,8 +477,9 @@ object TxLog {
       StructType.fromDDL(ddl))
 
   /** Version 0: schema + initial data. */
-  def create(spark: SparkSession, df: DataFrame, table: String): Long = {
-    val adds = stageWrite(spark, df, table)
+  def create(spark: SparkSession, df: DataFrame, table: String,
+             bloomCols: Seq[String] = Nil): Long = {
+    val adds = stageWrite(spark, df, table, bloomCols)
     commit(table, 0L, CommitInfo("create") +: Meta(df.schema.toDDL) +: adds.map(Add))
     0L
   }
@@ -390,8 +487,9 @@ object TxLog {
   /** Blind append — never conflicts logically, so commit races just
     * retry at the next version.
     */
-  def append(spark: SparkSession, df: DataFrame, table: String): Long = {
-    val adds = stageWrite(spark, df, table)
+  def append(spark: SparkSession, df: DataFrame, table: String,
+             bloomCols: Seq[String] = Nil): Long = {
+    val adds = stageWrite(spark, df, table, bloomCols)
     var v = snapshot(table).version + 1
     var attempts = 0
     while (true) {
@@ -515,12 +613,13 @@ object TxLog {
     * batch was already committed.
     */
   def streamCommit(spark: SparkSession, df: DataFrame, table: String,
-                   app: String, batchId: Long): Boolean = {
+                   app: String, batchId: Long,
+                   bloomCols: Seq[String] = Nil): Boolean = {
     var attempts = 0
     while (true) {
       val snap = snapshot(table)
       if (snap.txns.get(app).exists(_ >= batchId)) return false
-      val adds = stageWrite(spark, df, table)
+      val adds = stageWrite(spark, df, table, bloomCols)
       try {
         commit(table, snap.version + 1,
           Seq(CommitInfo("stream"), SetTxn(app, batchId)) ++ adds.map(Add))

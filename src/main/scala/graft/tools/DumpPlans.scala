@@ -170,6 +170,8 @@ object DumpPlans {
       "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
     "q150_orc_decode" ->
       "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.",
+    "q153_txlog_bloom_skip" ->
+      "Bloom data skipping: membership tests against log-persisted per-file blooms happen at PLANNING time — the plan below scans ONE mod-scattered file of five although every file's min/max range covers the probe key; the residual equality filter still pushes into the surviving scan. The tier below min/max that makes foreign-key point reads on a 100 TB table open only the files that can answer.",
     "q152_kneser_ney" ->
       "Kneser-Ney model: ONE corpus explode feeds the (w1,w2) HashAggregate pair (map-side partial); context totals, forward and backward continuation counts are vocab-scale RE-aggregations of that same bigram table (AQE stage reuse — the corpus explodes once, not four times), B rides a one-row broadcast cross join, and the final assembly joins at bigram-vocab scale. The canonical aggregate-before-join LM shape (q95's contract) with KN's extra statistics free-riding the same exchange.",
     "q151_orc_write" ->

@@ -174,6 +174,37 @@ class TxLogSpec extends SparkSpec {
     assert(contents(t).map(_._1) === Set(1L, 2L, 3L, 4L))
   }
 
+  test("bloom skipping prunes scattered equality probes range stats cannot") {
+    val t = freshTable()
+    // keys interleaved mod 3: every file's [min, max] spans the whole
+    // range, so min/max pruning keeps all files — blooms must do it.
+    TxLog.create(spark, (0L until 300L by 3L).map(i => (i, s"v$i", 0.0))
+      .toDF("k", "s", "v").repartition(1), t, bloomCols = Seq("k"))
+    (1L to 2L).foreach(r =>
+      TxLog.append(spark, (r until 300L by 3L).map(i => (i, s"v$i", 0.0))
+        .toDF("k", "s", "v").repartition(1), t, bloomCols = Seq("k")))
+    val snap = TxLog.snapshot(t, None)
+    assert(snap.adds.size === 3)
+    assert(snap.adds.values.forall(_.blooms.contains("k")), "blooms persisted through the log")
+    // k = 7 lives in the r=1 file only
+    val (rows, scanned, total) = TxLog.prunedRead(spark, t, col("k") === 7L)
+    assert(total === 3 && scanned === 1, "bloom pruned the two files not containing 7")
+    assert(rows.select("s").as[String].collect().toSeq === Seq("v7"))
+    // absent key: all files pruned
+    val (_, s0, _) = TxLog.prunedRead(spark, t, col("k") === 1000L)
+    assert(s0 === 0)
+    // string-keyed bloom probes work too (same canonical form)
+    val t2 = freshTable()
+    TxLog.create(spark, Seq((1L, "alpha", 0.0), (2L, "beta", 0.0)).toDF("k", "s", "v"),
+      t2, bloomCols = Seq("s"))
+    TxLog.append(spark, Seq((3L, "gamma", 0.0)).toDF("k", "s", "v"), t2, bloomCols = Seq("s"))
+    val (_, s1, t1) = TxLog.prunedRead(spark, t2, col("s") === "zeta")
+    assert(t1 >= 2 && s1 === 0, "absent string pruned everywhere")
+    // no false negatives: a present key always keeps its file
+    val (r2, _, _) = TxLog.prunedRead(spark, t2, col("s") === "gamma")
+    assert(r2.count() === 1L)
+  }
+
   test("overwrite replaces contents and can change schema") {
     val t = freshTable()
     TxLog.create(spark, df((1L, "a", 1.0)), t)
