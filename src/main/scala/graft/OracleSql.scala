@@ -2772,6 +2772,39 @@ object OracleSql {
         |  TRUE AS bloom_pruned
         |FROM orders WHERE o_custkey = 7""".stripMargin,
 
+    // Z-order clustering: the 2-D box answer; hash equality across the
+    // cluster rewrite also certifies the rewrite lost nothing.
+    "q154_txlog_zorder" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  TRUE AS clustered_pruned
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |  AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 50000 AND 150000""".stripMargin,
+
+    // Epoch shuffle: the permutation itself is in order_md5 (ids
+    // concatenated in shuffle order); shard via the q44 hex fold.
+    "q155_epoch_shuffle" ->
+      """WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+        |a AS (SELECT epoch, doc_id,
+        |    md5('42:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h,
+        |    len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+        |        x -> length(x) > 0)) AS toks
+        |  FROM documents CROSS JOIN e),
+        |s AS (SELECT epoch, doc_id, h, toks,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(h, 1, 15), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (acc, v) -> acc * 16 + v) % 4 AS shard
+        |  FROM a)
+        |SELECT epoch, shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ''
+        |      ORDER BY h, CAST(doc_id AS VARCHAR))) AS order_md5
+        |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

@@ -3931,6 +3931,50 @@ object SparkEntry {
       .withColumn("bloom_pruned", lit(true))
   }
 
+  /** B42e — Z-ORDER CLUSTERING on the transactional table (the
+    * OPTIMIZE ZORDER face): orders rewritten as contiguous Morton
+    * ranges over (o_custkey, dollars), after which a TWO-dimensional
+    * box predicate prunes files through the ordinary min/max stats
+    * path — the locality a one-dimensional sort cannot give (before
+    * clustering the same box touches every file; TxLogSpec pins
+    * that contrast on a synthetic grid). In-query require asserts
+    * actual pruning; the oracle certifies the answer — which also
+    * certifies the cluster rewrite lost nothing.
+    */
+  private def q154TxlogZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice")).cast("long").as("dollars"), col("o_totalprice"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q154").toString
+    TxLog.create(s, orders.repartition(4), t)
+    TxLog.cluster(s, t, "o_custkey", "dollars", nFiles = 8)
+    val box = col("o_custkey") <= 100L &&
+      col("dollars") >= 50000L && col("dollars") <= 150000L
+    val (rows, scanned, total) = TxLog.prunedRead(s, t, box)
+    require(scanned < total,
+      s"z-clustered 2-D box must prune files (scanned $scanned of $total)")
+    rows.agg(
+      count(lit(1)).as("n"),
+      sum(cents(col("o_totalprice"))).as("sum_cents"),
+      min("o_orderkey").as("min_key"))
+      .withColumn("clustered_pruned", lit(true))
+  }
+
+  /** C63 — DETERMINISTIC EPOCH SHUFFLE + SHARDING
+    * (functions.EpochShuffle): the corpus-to-dataloader last mile —
+    * per-epoch reshuffle and stateless shard split derived from one
+    * seeded md5, no global sort anywhere (a shard's order is a
+    * partition-local sort at scale). The oracle restates the
+    * PERMUTATION itself: order_md5 hashes doc ids in shuffle order
+    * per (epoch, shard), so membership, disjointness and consumption
+    * order are all in the hash.
+    */
+  private def q155EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.functions.EpochShuffle.manifest(
+      Tables.documents(s, dir), "doc_id", "text", seed = 42L, epochs = 1 to 2, nShards = 4)
+      .transform(sorted1(_, col("epoch"), col("shard")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4082,6 +4126,8 @@ object SparkEntry {
     "q151_orc_write" -> (q151OrcWrite _),
     "q152_kneser_ney" -> (q152KneserNey _),
     "q153_txlog_bloom_skip" -> (q153TxlogBloomSkip _),
+    "q154_txlog_zorder" -> (q154TxlogZorder _),
+    "q155_epoch_shuffle" -> (q155EpochShuffle _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

@@ -579,6 +579,45 @@ object TxLog {
     v
   }
 
+  /** Z-ORDER the whole table on two numeric columns (the OPTIMIZE
+    * ZORDER face): both dimensions are min-max mapped to 16 bits
+    * (4-scalar driver fetch), interleaved with ZOrderLayout's Morton
+    * expression, and the table is rewritten as `nFiles` CONTIGUOUS
+    * z-ranges (repartitionByRange + within-partition z sort). After
+    * clustering, each file's min/max stats on BOTH columns collapse
+    * to its z-cells' footprint, so two-dimensional box predicates
+    * prune on the ordinary stats path — the multi-column locality
+    * min/max statistics alone can never give on a one-dimensional
+    * sort. Contents unchanged (adds/removes only — certified by any
+    * oracle hash across the call).
+    */
+  def cluster(spark: SparkSession, table: String, xCol: String, yCol: String,
+              nFiles: Int, bloomCols: Seq[String] = Nil): Long = {
+    require(nFiles >= 1, s"txlog: nFiles $nFiles")
+    val snap = snapshot(table)
+    if (snap.adds.isEmpty) return snap.version
+    import org.apache.spark.sql.functions.{col, floor, max => smax, min => smin}
+    val all = spark.read.parquet(snap.livePaths.map(dataPath(table, _)): _*)
+    val r = all.agg(smin(col(xCol)), smax(col(xCol)), smin(col(yCol)), smax(col(yCol))).head
+    def bound(i: Int): Long = r.get(i) match {
+      case l: Long => l
+      case n: Number => n.longValue
+    }
+    val (xLo, xHi, yLo, yHi) = (bound(0), bound(1), bound(2), bound(3))
+    def norm16(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else floor(((c.cast("long") - lit(lo)) * lit(65535.0)) / lit((hi - lo).toDouble)).cast("long")
+    val z = ZOrderLayout.morton2(norm16(col(xCol), xLo, xHi), norm16(col(yCol), yLo, yHi))
+    val clustered = all.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    val adds = stageWrite(spark, clustered, table, bloomCols)
+    val v = snap.version + 1
+    commit(table, v, CommitInfo("cluster") +: (snap.livePaths.map(Remove) ++ adds.map(Add)))
+    v
+  }
+
   /** The table as a DataFrame at `asOf` (default: latest). Plain
     * parquet reads over the live file list — pushdown, column pruning
     * and vectorized scans all intact.

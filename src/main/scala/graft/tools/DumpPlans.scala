@@ -170,6 +170,10 @@ object DumpPlans {
       "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
     "q150_orc_decode" ->
       "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.",
+    "q154_txlog_zorder" ->
+      "Z-order cluster + pruned box read: clustering is one hash projection + ONE range exchange with partition-local sorts (no global sort job — repartitionByRange samples boundaries, each partition sorts its own z-range); the subsequent 2-D box read plans against per-file stats and scans only the z-cells the box intersects, with the residual predicate pushed into those scans.",
+    "q155_epoch_shuffle" ->
+      "Epoch shuffle: the hash, shard and token count are all map-side projections; the plan's ONE corpus exchange per epoch is the shard groupBy (HashAggregate pair, partial map-side) whose collect_list is shard-local — the global permutation is never sorted globally, and at delivery scale the within-shard order is a partition-local sort at write time.",
     "q153_txlog_bloom_skip" ->
       "Bloom data skipping: membership tests against log-persisted per-file blooms happen at PLANNING time — the plan below scans ONE mod-scattered file of five although every file's min/max range covers the probe key; the residual equality filter still pushes into the surviving scan. The tier below min/max that makes foreign-key point reads on a 100 TB table open only the files that can answer.",
     "q152_kneser_ney" ->

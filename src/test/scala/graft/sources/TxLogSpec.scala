@@ -205,6 +205,28 @@ class TxLogSpec extends SparkSpec {
     assert(r2.count() === 1L)
   }
 
+  test("z-order cluster preserves contents and makes 2-D box pruning effective") {
+    val t = freshTable()
+    // 64x64 grid scattered across files in row-major order: every
+    // file's y range spans the whole domain → y predicates cannot
+    // prune before clustering.
+    val grid = for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, (x * 64 + y).toLong)
+    TxLog.create(spark, grid.toDF("x", "y", "id").repartition(8), t)
+    val before = TxLog.read(spark, t).as[(Long, Long, Long)].collect().toSet
+    val box = col("x") >= 8L && col("x") <= 15L && col("y") >= 8L && col("y") <= 15L
+    val (_, s0, t0) = TxLog.prunedRead(spark, t, box)
+    assert(s0 === t0, "row-major random layout: box touches every file")
+    TxLog.cluster(spark, t, "x", "y", nFiles = 16)
+    assert(TxLog.read(spark, t).as[(Long, Long, Long)].collect().toSet === before,
+      "clustering must not change contents")
+    val (rows, s1, t1) = TxLog.prunedRead(spark, t, box)
+    assert(t1 === 16)
+    assert(s1 < t1 / 2, s"z-clustered box should prune most files (scanned $s1 of $t1)")
+    assert(rows.count() === 64L, "8x8 box")
+    assert(TxLog.history(t).last._2 === "cluster")
+  }
+
   test("overwrite replaces contents and can change schema") {
     val t = freshTable()
     TxLog.create(spark, df((1L, "a", 1.0)), t)
