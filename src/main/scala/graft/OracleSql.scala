@@ -2805,6 +2805,28 @@ object OracleSql {
         |      ORDER BY h, CAST(doc_id AS VARCHAR))) AS order_md5
         |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
 
+    // Change feed over the delete+upsert interval: net inserts =
+    // doubled ≡0 rows + ≡2 rows; net deletes = original ≡0 rows +
+    // F-status ≡1 rows; untouched-value ≡1 rows cancel.
+    "q156_txlog_cdc" ->
+      """WITH ch AS (
+        |  SELECT 'insert' AS _change, o_orderstatus, o_totalprice * 2 AS p
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 1 AND o_orderstatus = 'F')
+        |SELECT _change, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM ch GROUP BY _change, o_orderstatus
+        |ORDER BY _change, o_orderstatus""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

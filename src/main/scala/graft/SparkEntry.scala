@@ -3975,6 +3975,34 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "text", seed = 42L, epochs = 1 to 2, nShards = 4)
       .transform(sorted1(_, col("epoch"), col("shard")))
 
+  /** B42f — CHANGE DATA FEED (TxLog.changes): row-level inserts and
+    * deletes between two versions, derived from the FILE diff alone
+    * (only touched files are read; rewrite-moved rows carry equal
+    * values and cancel in the multiset difference, updates surface
+    * as their delete+insert pair). The oracle restates the exact net
+    * change set of the delete+upsert interval as pure SQL over
+    * `orders` — what an incremental downstream consumer must see.
+    */
+  private def q156TxlogCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q156").toString
+    TxLog.create(s, orders.filter(col("o_orderkey") % 3 === 0).repartition(2), t)
+    TxLog.append(s, orders.filter(col("o_orderkey") % 3 === 1).repartition(2), t)
+    TxLog.deleteWhere(s, t, col("o_orderstatus") === "F")
+    val source = orders.filter(col("o_orderkey") % 3 === 2)
+      .unionByName(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    TxLog.upsert(s, source, t, "o_orderkey")
+    TxLog.changes(s, t, 1L, 3L)
+      .groupBy("_change", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"))
+      .transform(sorted1(_, col("_change"), col("o_orderstatus")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4128,6 +4156,7 @@ object SparkEntry {
     "q153_txlog_bloom_skip" -> (q153TxlogBloomSkip _),
     "q154_txlog_zorder" -> (q154TxlogZorder _),
     "q155_epoch_shuffle" -> (q155EpochShuffle _),
+    "q156_txlog_cdc" -> (q156TxlogCdc _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

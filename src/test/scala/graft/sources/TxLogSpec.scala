@@ -227,6 +227,25 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.history(t).last._2 === "cluster")
   }
 
+  test("change feed: updates surface as delete+insert, moved rows cancel") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).repartition(1), t)
+    TxLog.upsert(spark, df((2L, "B", 20.0), (4L, "d", 4.0)), t, "k") // v1
+    TxLog.deleteWhere(spark, t, col("k") === 3L)                      // v2
+    val ch = TxLog.changes(spark, t, 0L, 2L)
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(ch === Set(
+      (2L, "b", 2.0, "delete"), (2L, "B", 20.0, "insert"), // update pair
+      (4L, "d", 4.0, "insert"),
+      (3L, "c", 3.0, "delete")),
+      s"row 1 was rewritten into new files both times but must cancel; got $ch")
+    // sub-interval: only the delete
+    assert(TxLog.changes(spark, t, 1L, 2L)
+      .as[(Long, String, Double, String)].collect().toSet === Set((3L, "c", 3.0, "delete")))
+    // empty interval
+    assert(TxLog.changes(spark, t, 2L, 2L).count() === 0L)
+  }
+
   test("overwrite replaces contents and can change schema") {
     val t = freshTable()
     TxLog.create(spark, df((1L, "a", 1.0)), t)
