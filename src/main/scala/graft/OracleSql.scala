@@ -2827,6 +2827,23 @@ object OracleSql {
         |FROM ch GROUP BY _change, o_orderstatus
         |ORDER BY _change, o_orderstatus""".stripMargin,
 
+    // Incremental view over the change feed: the maintained view must
+    // equal a direct aggregate of the FINAL table state.
+    "q157_txlog_incremental_view" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |    WHERE o_orderkey % 3 = 1 AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |    WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2 FROM orders
+        |    WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(count(o_totalprice) AS BIGINT) AS nn_cents
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

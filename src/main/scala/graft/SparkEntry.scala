@@ -4003,6 +4003,38 @@ object SparkEntry {
       .transform(sorted1(_, col("_change"), col("o_orderstatus")))
   }
 
+  /** B42g — INCREMENTAL VIEW over the CHANGE FEED (TxLog.changes →
+    * IncrementalAgg.applyDelta): the lakehouse maintenance loop
+    * composed end-to-end — materialize a grouped view at version 1,
+    * maintain it from the version-interval change feed (base table
+    * never rescanned), and the oracle states the FINAL table's
+    * aggregate directly: maintained view ≡ recompute, certified by
+    * hash. At 100 TB this is how a summary table tracks a mutating
+    * table for the cost of the changes.
+    */
+  private def q157TxlogIncrementalView(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q157").toString
+    TxLog.create(s, orders.filter(col("o_orderkey") % 3 === 0).repartition(2), t)
+    TxLog.append(s, orders.filter(col("o_orderkey") % 3 === 1).repartition(2), t)
+    TxLog.deleteWhere(s, t, col("o_orderstatus") === "F")
+    val source = orders.filter(col("o_orderkey") % 3 === 2)
+      .unionByName(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    TxLog.upsert(s, source, t, "o_orderkey")
+    def withCents(df: DataFrame): DataFrame =
+      df.withColumn("cents", cents(col("o_totalprice")))
+    val view1 = graft.operators.IncrementalAgg.init(
+      withCents(TxLog.read(s, t, Some(1L))), Seq("o_orderstatus"), Seq("cents"))
+    graft.operators.IncrementalAgg.applyDelta(
+      view1, withCents(TxLog.changes(s, t, 1L, 3L)),
+      Seq("o_orderstatus"), Seq("cents"), opCol = "_change")
+      .transform(sorted1(_, col("o_orderstatus")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4157,6 +4189,7 @@ object SparkEntry {
     "q154_txlog_zorder" -> (q154TxlogZorder _),
     "q155_epoch_shuffle" -> (q155EpochShuffle _),
     "q156_txlog_cdc" -> (q156TxlogCdc _),
+    "q157_txlog_incremental_view" -> (q157TxlogIncrementalView _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

@@ -170,6 +170,8 @@ object DumpPlans {
       "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
     "q150_orc_decode" ->
       "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.",
+    "q157_txlog_incremental_view" ->
+      "Incremental view maintenance over the live change feed: the delta side is the file-diff exceptAll (touched files only) pre-aggregated per key BEFORE the full-outer join with the view — one delta-sized shuffle + one view-sized join, the base table absent from the maintenance subtree (q85's contract, now fed by a real CDC source instead of a synthesized split).",
     "q156_txlog_cdc" ->
       "Change feed: two exceptAll multiset differences (hash-aggregate + keyed join on all columns) over ONLY the files the version interval added/removed — the untouched bulk of the table never enters the plan; at 100 TB the feed costs what the interval changed, which is the contract an incremental consumer needs.",
     "q154_txlog_zorder" ->
