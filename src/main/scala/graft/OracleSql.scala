@@ -2844,6 +2844,23 @@ object OracleSql {
         |  CAST(count(o_totalprice) AS BIGINT) AS nn_cents
         |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // WebP/VP8L: the q80 synthesis closed form — decoded pixels are
+    // identical across all five encoding-knob paths.
+    "q158_webp_pixels" ->
+      """WITH p AS (SELECT doc_id, 9 + doc_id % 7 AS w, 5 + doc_id % 6 AS h FROM documents),
+        |py AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM p),
+        |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM py),
+        |s AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |  CAST(sum((x*11 + y*5 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x*3 + y*13 + 2*doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x*7 + y*9 + 3*doc_id) % 256) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max((x*11 + y*5 + doc_id) % 256), max((x*3 + y*13 + 2*doc_id) % 256),
+        |                max((x*7 + y*9 + 3*doc_id) % 256)) AS BIGINT) AS peak
+        | FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, true AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

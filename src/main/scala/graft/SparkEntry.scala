@@ -4035,6 +4035,52 @@ object SparkEntry {
       .transform(sorted1(_, col("o_orderstatus")))
   }
 
+  /** C11o — REAL WEBP (VP8L) LOSSLESS PIXEL DECODE (multimodal.Webp):
+    * the web's other ubiquitous crawl image format, full VP8L from
+    * the public spec — prefix codes (simple + normal with the
+    * 19-symbol code-length code), LZ77 over pixels, color cache, all
+    * four transforms. Synthesis sweeps the ENCODING knob space by
+    * doc_id (plain / subtract-green / +predictor / palette /
+    * cache+LZ77) while the decoded pixels stay one closed form, so
+    * the oracle certifies every encode path through the real decode
+    * chain; WebpSpec adds hand-built bit-level fixtures straight
+    * from the spec text.
+    */
+  private def q158WebpPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val webp = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (9 + id % 7).toInt; val h = (5 + id % 6).toInt
+        val argb = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((x * 11 + y * 5 + id) % 256).toInt
+            val g = ((x * 3 + y * 13 + 2 * id) % 256).toInt
+            val b = ((x * 7 + y * 9 + 3 * id) % 256).toInt
+            argb(y * w + x) = (0xff << 24) | (r << 16) | (g << 8) | b
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = (id % 5) match {
+          case 0 => graft.multimodal.Webp.encode(w, h, argb)
+          case 1 => graft.multimodal.Webp.encode(w, h, argb, subtractGreen = true)
+          case 2 => graft.multimodal.Webp.encode(w, h, argb, subtractGreen = true, predictor = true)
+          case 3 => graft.multimodal.Webp.encode(w, h, argb, palette = true)
+          case _ => graft.multimodal.Webp.encode(w, h, argb, cacheBits = 6, lz77 = true)
+        }
+        (id, bytes)
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.imagePixelStats(webp).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        col("peak").cast("long").as("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4190,6 +4236,7 @@ object SparkEntry {
     "q155_epoch_shuffle" -> (q155EpochShuffle _),
     "q156_txlog_cdc" -> (q156TxlogCdc _),
     "q157_txlog_incremental_view" -> (q157TxlogIncrementalView _),
+    "q158_webp_pixels" -> (q158WebpPixels _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

@@ -314,6 +314,11 @@ object Multimodal {
             (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && (bytes(3) & 0xff) == 0x2a))) {
           val t = Tiff.decode(bytes)
           PixelMeta(id, t.width, t.height, t.sumR, t.sumG, t.sumB, t.peak, t.valid)
+        } else if (bytes != null && bytes.length > 11 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') {
+          val wp = Webp.decode(bytes)
+          PixelMeta(id, wp.width, wp.height, wp.sumR, wp.sumG, wp.sumB, wp.peak, wp.valid)
         } else {
           val b = Bmp.decode(bytes)
           PixelMeta(id, b.width, b.height, b.sumR, b.sumG, b.sumB, b.peak, b.valid)

@@ -168,6 +168,8 @@ object DumpPlans {
       "Stats-pruned txlog read: the file-level min/max pruning happens at PLANNING time against footer-derived stats in the log — the plan below contains ONE file's scan (of five), with the residual predicate still pushed into it. At 100 TB this is the partition-pruning decision made without listing or opening the other files.",
     "q149_orc_meta" ->
       "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
+    "q158_webp_pixels" ->
+      "WebP/VP8L decode: synthesis, all five encoding-knob paths and the full decode chain (prefix codes, LZ77, cache, transform inverses) run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q90 decode-stage contract: no shuffle until the harness sort, throughput linear in executors.",
     "q150_orc_decode" ->
       "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.",
     "q157_txlog_incremental_view" ->
