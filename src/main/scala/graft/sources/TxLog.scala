@@ -476,11 +476,14 @@ object TxLog {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL(ddl))
 
-  /** Version 0: schema + initial data. */
+  /** Version 0: schema + initial data. `txn` rides the same commit
+    * (watermark + data atomically — the maintained-view contract).
+    */
   def create(spark: SparkSession, df: DataFrame, table: String,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil, txn: Option[(String, Long)] = None): Long = {
     val adds = stageWrite(spark, df, table, bloomCols)
-    commit(table, 0L, CommitInfo("create") +: Meta(df.schema.toDDL) +: adds.map(Add))
+    commit(table, 0L, CommitInfo("create") +: Meta(df.schema.toDDL) +:
+      (txn.map { case (a, v) => SetTxn(a, v) }.toSeq ++ adds.map(Add)))
     0L
   }
 
@@ -504,13 +507,17 @@ object TxLog {
     v
   }
 
-  /** Replace the whole table contents (schema may change). */
-  def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
+  /** Replace the whole table contents (schema may change). `txn`
+    * rides the same commit (watermark + data atomically).
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String,
+                txn: Option[(String, Long)] = None): Long = {
     val snap = snapshot(table)
     val adds = stageWrite(spark, df, table)
     val v = snap.version + 1
     commit(table, v, CommitInfo("overwrite") +: Meta(df.schema.toDDL) +:
-      (snap.livePaths.map(Remove) ++ adds.map(Add)))
+      (txn.map { case (a, w) => SetTxn(a, w) }.toSeq ++
+        snap.livePaths.map(Remove) ++ adds.map(Add)))
     v
   }
 
