@@ -2861,6 +2861,16 @@ object OracleSql {
         |  sum_r, sum_g, sum_b, peak, true AS valid
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // ORC record ingestion: every row restated closed-form from the
+    // synthesis arithmetic (one row per ORC record, 3 per archive).
+    "q159_ingest_orc" ->
+      """WITH j AS (SELECT unnest(range(0, 3)) AS j)
+        |SELECT doc_id, 'orc' AS format, CAST(j AS VARCHAR) AS entry,
+        |  's' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS text,
+        |  CAST(0 AS BIGINT) AS n_invalid_utf8, TRUE AS valid
+        |FROM documents CROSS JOIN j
+        |ORDER BY doc_id, entry""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

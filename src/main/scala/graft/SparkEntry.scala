@@ -4081,6 +4081,38 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C64 — ORC RECORD INGESTION (etl.Ingest + sources.OrcRead/
+    * OrcWrite): the record-format trio completed — Avro OCF,
+    * TFRecord (q136/q137/q142) and now ORC route through the same
+    * content-sniffing front door (the "ORC" magic is validated by a
+    * full postscript walk before routing — three plausible text
+    * bytes alone never misroute). Payloads are our OWN writer's
+    * bytes (half wrapped in an outer gzip the unwrapper must peel),
+    * decoded by our own reader into one text row per ORC row; the
+    * oracle restates every row closed-form, so the whole
+    * write→wrap→sniff→decode chain is in the hash.
+    */
+  private def q159IngestOrc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        import graft.sources.OrcWrite._
+        val texts = Array.tabulate(3)(j => s"s${id}_$j")
+        val bytes = write(Seq(StringCol("t", texts), LongCol("n", Array(id, id + 1, id + 2))))
+        val wrapped = if (id % 2 == 0) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(bytes); gz.close()
+          bos.toByteArray
+        } else bytes
+        (id, wrapped)
+      }).toDF("doc_id", "payload")
+    graft.etl.Ingest.extractText(payloads).toDF()
+      .select(col("archive_id").as("doc_id"), col("format"), col("entry"),
+        col("text"), col("n_invalid_utf8"), col("valid"))
+      .transform(sorted1(_, col("doc_id"), col("entry")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4237,6 +4269,7 @@ object SparkEntry {
     "q156_txlog_cdc" -> (q156TxlogCdc _),
     "q157_txlog_incremental_view" -> (q157TxlogIncrementalView _),
     "q158_webp_pixels" -> (q158WebpPixels _),
+    "q159_ingest_orc" -> (q159IngestOrc _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

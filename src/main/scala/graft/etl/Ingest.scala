@@ -73,6 +73,10 @@ object Ingest {
     else if (inner.length > 262 &&
       new String(inner, 257, 5, java.nio.charset.StandardCharsets.US_ASCII) == "ustar") "tar"
     else if (inner(0) == 'O' && inner(1) == 'b' && inner(2) == 'j' && inner(3) == 1) "avro"
+    // "ORC" is also plausible English text — demand the full postscript
+    // walk succeeds before routing (cheap: the tail is already in hand)
+    else if (inner(0) == 'O' && inner(1) == 'R' && inner(2) == 'C' &&
+      graft.sources.OrcRead.read(inner).valid) "orc"
     else if (looksLikeTfRecord(inner)) "tfrecord"
     else "raw"
 
@@ -116,6 +120,27 @@ object Ingest {
         else recs.zipWithIndex.map { case (r, i) =>
           val text = r.collect { case s: String => s }.mkString("\n")
           IngestedDoc(id, "avro", i.toString, text, 0L, valid = true)
+        }
+      case "orc" =>
+        // record format: one row per ORC row, text = the string-typed
+        // top-level columns (schema order) joined by newlines
+        try {
+          val info = graft.sources.OrcRead.read(inner)
+          val root = info.types.head
+          val strCols = root.fieldNames.zip(root.subtypes)
+            .filter { case (_, cid) => Set(7, 16, 17)(info.types(cid).kind) }
+            .map(_._1)
+          if (!info.valid || info.numRows == 0 || root.kind != 12)
+            Seq(IngestedDoc(id, "orc", "", "", 0L, valid = false))
+          else {
+            val cols = strCols.map(c => graft.sources.OrcRead.readColumn(inner, info, c))
+            (0 until info.numRows.toInt).map { i =>
+              val text = cols.flatMap(_(i)).map(_.toString).mkString("\n")
+              IngestedDoc(id, "orc", i.toString, text, 0L, valid = true)
+            }
+          }
+        } catch {
+          case _: Exception => Seq(IngestedDoc(id, "orc", "", "", 0L, valid = false))
         }
       case "tfrecord" =>
         // one row per example, text = the bytes-list features (feature

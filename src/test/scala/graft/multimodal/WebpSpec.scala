@@ -126,6 +126,48 @@ class WebpSpec extends AnyFunSuite {
     assert(px.map(p => (p >>> 8) & 0xff).toSeq === Seq(1, 4, 4, 1))
   }
 
+  test("hand-built bitstream: meta prefix image selects per-tile code groups") {
+    // 8x1 image, huffman_bits = 2 → 4-pixel tiles → a 2x1 meta image
+    // whose (red<<8|green) pixels pick groups 0 and 1; both groups are
+    // all-single-symbol so tile membership fully determines pixels.
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit = (0 until n).foreach(i => bits.append((v >> i) & 1))
+    def simple1(sym: Int): Unit = {
+      put(1, 1); put(0, 1)
+      if (sym <= 1) { put(0, 1); put(sym, 1) } else { put(1, 1); put(sym, 8) }
+    }
+    put(7, 14); put(0, 14); put(0, 1); put(0, 3) // 8x1, hint, version
+    put(0, 1) // no transforms
+    put(0, 1) // no color cache (main)
+    put(1, 1) // meta prefix image present
+    put(0, 3) // huffman_bits - 2 = 0 → 4-pixel tiles
+    // --- meta subimage (2x1, entropy-coded, not main): cache bit, 5 codes
+    put(0, 1) // no cache
+    put(1, 1); put(1, 1) // green: simple, 2 symbols
+    put(0, 1); put(0, 1) // first symbol 1-bit: 0
+    put(1, 8) // second symbol: 1
+    simple1(0); simple1(0); simple1(0xff); simple1(0) // red, blue, alpha, dist
+    put(0, 1); put(1, 1) // meta pixels: greens 0 then 1 → groups 0, 1
+    // --- two groups of five codes
+    simple1(5); simple1(1); simple1(2); simple1(0xff); simple1(0) // group 0
+    simple1(9); simple1(3); simple1(4); simple1(0xff); simple1(0) // group 1
+    // pixels: zero further bits (all single-symbol)
+    val payload = bits.toString.grouped(8).map { g =>
+      g.zipWithIndex.map { case (c, i) => (c - '0') << i }.sum.toByte
+    }.toArray
+    val vp8l = (0x2f.toByte +: payload)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+    out.write("RIFF".getBytes); u32(4 + 8 + vp8l.length + (vp8l.length & 1))
+    out.write("WEBP".getBytes); out.write("VP8L".getBytes); u32(vp8l.length)
+    out.write(vp8l); if ((vp8l.length & 1) == 1) out.write(0)
+    val res = Webp.decodePixels(out.toByteArray)
+    assert(res.isDefined, "meta-group stream must decode")
+    val (_, _, px) = res.get
+    assert(px.toSeq === (Seq.fill(4)(0xff010502) ++ Seq.fill(4)(0xff030904)),
+      "first tile group (r=1,g=5,b=2), second tile group (r=3,g=9,b=4)")
+  }
+
   test("PlaneCodes closed form matches the spec's printed table at sampled entries") {
     val pc = Webp.PlaneCodes
     assert(pc.length === 120)
