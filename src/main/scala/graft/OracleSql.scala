@@ -2871,6 +2871,32 @@ object OracleSql {
         |FROM documents CROSS JOIN j
         |ORDER BY doc_id, entry""".stripMargin,
 
+    // Trigram KN: all eight integer statistics + the nested mirrored
+    // double chain (same parenthesization as pkn3Expr).
+    "q160_kneser_ney3" ->
+      ("""WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |tgl AS (SELECT unnest(t[1:len(t) - 2]) AS w1, unnest(t[2:len(t) - 1]) AS w2,
+        |               unnest(t[3:len(t)]) AS w3 FROM toks WHERE len(t) >= 3),
+        |tg AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM tgl GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+        |               CAST(count(*) AS BIGINT) AS n3f FROM tg GROUP BY 1, 2),
+        |mid AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS mnum FROM tg GROUP BY 1, 2),
+        |midctx AS (SELECT w2, CAST(sum(mnum) AS BIGINT) AS mden,
+        |                  CAST(count(*) AS BIGINT) AS mf FROM mid GROUP BY 1),
+        |uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS unum FROM mid GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS uden FROM mid)
+        |SELECT w1, w2, w3, c123, c12, n3f, mnum, mden, mf, unum, uden,
+        |  greatest(CAST(c123 AS DOUBLE) - 0.75, 0.0) / CAST(c12 AS DOUBLE)
+        |    + ((0.75 * CAST(n3f AS DOUBLE)) / CAST(c12 AS DOUBLE))
+        |      * (greatest(CAST(mnum AS DOUBLE) - 0.75, 0.0) / CAST(mden AS DOUBLE)
+        |         + ((0.75 * CAST(mf AS DOUBLE)) / CAST(mden AS DOUBLE))
+        |           * (CAST(unum AS DOUBLE) / CAST(uden AS DOUBLE))) AS p_kn3
+        |FROM tg JOIN ctx USING (w1, w2) JOIN mid USING (w2, w3)
+        |  JOIN midctx USING (w2) JOIN uni USING (w3) CROSS JOIN tot
+        |WHERE c123 >= 3
+        |ORDER BY w1, w2, w3""").stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

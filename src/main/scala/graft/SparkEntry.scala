@@ -4113,6 +4113,17 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id"), col("entry")))
   }
 
+  /** C62b — FULL TRIGRAM KNESER-NEY CHAIN (functions.KneserNey
+    * trigram tier): the recursive interpolated form — every
+    * lower-order distribution a CONTINUATION distribution over the
+    * trigram type table, exactly normalized at each level
+    * (spec-asserted to the last ulp). Eight integer statistics in
+    * the oracle hash plus the one nested mirrored double chain.
+    */
+  private def q160KneserNey3(s: SparkSession, dir: String): DataFrame =
+    graft.functions.KneserNey.trigramModel(Tables.documents(s, dir), "text", minCount = 3L)
+      .transform(sorted1(_, col("w1"), col("w2"), col("w3")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4270,6 +4281,7 @@ object SparkEntry {
     "q157_txlog_incremental_view" -> (q157TxlogIncrementalView _),
     "q158_webp_pixels" -> (q158WebpPixels _),
     "q159_ingest_orc" -> (q159IngestOrc _),
+    "q160_kneser_ney3" -> (q160KneserNey3 _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

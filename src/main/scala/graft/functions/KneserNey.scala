@@ -87,4 +87,71 @@ object KneserNey {
   def unseenExpr(c1: Column, n1f: Column, n1b: Column, bTotal: Column): Column =
     ((lit(Discount) * n1f.cast("double")) / c1.cast("double")) *
       (n1b.cast("double") / bTotal.cast("double"))
+
+  // ------------------------------------------------------------ trigram
+  /** Corpus trigram occurrence counts (w1, w2, w3, c123). */
+  def trigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextFunctions.tokens(lower(col(textCol))).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(zip_with(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 2),
+          slice(col("t"), lit(2), size(col("t")) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(col("t"), lit(3), size(col("t")) - 2),
+        (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3"))))
+        .as("tg"))
+      .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull && col("w3").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+
+  /** The full interpolated trigram chain — every lower-order
+    * distribution is a CONTINUATION distribution over the trigram
+    * type table (Chen & Goodman's interpolated KN, one discount per
+    * level, d = 0.75 throughout), one explicit parenthesization:
+    *
+    *   p1 = N1+(·w3) / N1+(··)
+    *   p2 = max(N1+(·w2w3) − d, 0)/N1+(·w2·) + (d·N1+(w2·)/N1+(·w2·))·p1
+    *   p3 = max(c123 − d, 0)/c12·      + (d·N1+(w1w2·)/c12·)·p2
+    *
+    * Exactly normalized at every level (KneserNeySpec asserts
+    * Σ_w3 p3(w3|w1,w2) = 1 to the last ulp).
+    */
+  def pkn3Expr(c123: Column, c12: Column, n3f: Column,
+               mnum: Column, mden: Column, mf: Column,
+               unum: Column, uden: Column): Column = {
+    val p1 = unum.cast("double") / uden.cast("double")
+    val p2 = greatest(mnum.cast("double") - lit(Discount), lit(0.0)) / mden.cast("double") +
+      ((lit(Discount) * mf.cast("double")) / mden.cast("double")) * p1
+    greatest(c123.cast("double") - lit(Discount), lit(0.0)) / c12.cast("double") +
+      ((lit(Discount) * n3f.cast("double")) / c12.cast("double")) * p2
+  }
+
+  /** Trigram model table: every statistic derives from the trigram
+    * TYPE table alone (self-consistent closed world, the standard
+    * treatment when no external model ships): c12 = c(w1w2·),
+    * n3f = N1+(w1w2·), mnum = N1+(·w2w3), mden = N1+(·w2·),
+    * mf = N1+(w2·) (distinct w3 types after w2), unum = N1+(·w3),
+    * uden = N1+(··) — all exact integers in the oracle hash; p_kn3
+    * is the one mirrored double chain. Plan: one corpus explode →
+    * trigram HashAggregate pair; everything else re-aggregates that
+    * table or its (w2, w3) type marginal (AQE stage reuse), with the
+    * scalar N1+(··) on a broadcast cross join.
+    */
+  def trigramModel(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    val tg = trigramCounts(docs, textCol)
+    val ctx = tg.groupBy("w1", "w2").agg(sum("c123").as("c12"), count(lit(1)).as("n3f"))
+    val mid = tg.groupBy("w2", "w3").agg(count(lit(1)).as("mnum"))
+    val midCtx = mid.groupBy("w2").agg(sum("mnum").as("mden"), count(lit(1)).as("mf"))
+    val uni = mid.groupBy("w3").agg(count(lit(1)).as("unum"))
+    val total = mid.agg(count(lit(1)).as("uden"))
+    tg.join(ctx, Seq("w1", "w2")).join(mid, Seq("w2", "w3"))
+      .join(midCtx, Seq("w2")).join(uni, Seq("w3"))
+      .crossJoin(broadcast(total))
+      .filter(col("c123") >= minCount)
+      .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"), col("n3f"),
+        col("mnum"), col("mden"), col("mf"), col("unum"), col("uden"),
+        pkn3Expr(col("c123"), col("c12"), col("n3f"), col("mnum"), col("mden"),
+          col("mf"), col("unum"), col("uden")).as("p_kn3"))
+  }
 }

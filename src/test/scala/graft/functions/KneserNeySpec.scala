@@ -58,6 +58,48 @@ class KneserNeySpec extends SparkSpec {
     assert(n1bFran.toDouble / b < n1bThe.toDouble / b)
   }
 
+  test("trigram chain: statistics match hand counts and the chain is exactly normalized") {
+    // corpus: "a b c", "a b d", "x b c" → trigrams (a,b,c), (a,b,d), (x,b,c)
+    val d3 = Seq("a b c", "a b d", "x b c").toDF("text")
+    val m = KneserNey.trigramModel(d3, "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r).toMap
+    assert(m.keySet === Set(("a", "b", "c"), ("a", "b", "d"), ("x", "b", "c")))
+    val abc = m(("a", "b", "c"))
+    assert(abc.getLong(3) === 1L) // c123
+    assert(abc.getLong(4) === 2L) // c12 = c(a b ·)
+    assert(abc.getLong(5) === 2L) // n3f = |{c, d}|
+    assert(abc.getLong(6) === 2L) // mnum = N1+(· b c) = |{a, x}|
+    assert(abc.getLong(7) === 3L) // mden = N1+(· b ·) = |{(a,c),(a,d),(x,c)}|
+    assert(abc.getLong(8) === 2L) // mf = |{c, d}| after b
+    assert(abc.getLong(9) === 1L) // unum = N1+(· c) = |{b}|
+    assert(abc.getLong(10) === 2L) // uden = |{(b,c),(b,d)}|
+    val p1 = 1.0 / 2.0
+    val p2 = (2.0 - 0.75) / 3.0 + ((0.75 * 2.0) / 3.0) * p1
+    val p3 = (1.0 - 0.75) / 2.0 + ((0.75 * 2.0) / 2.0) * p2
+    assert(abc.getDouble(11) === p3)
+
+    // exact normalization over the continuation vocab, per (w1, w2)
+    val rich = Seq("a b c", "a b d", "x b c", "a b c d e", "b c a b", "c a b c")
+      .toDF("text")
+    val full = KneserNey.trigramModel(rich, "text")
+    val vocab = full.select(col("w3"), col("unum")).distinct()
+    val mids = full.select("w2", "w3", "mnum").distinct()
+    val ctxs = full.select("w1", "w2", "c12", "n3f").distinct()
+    val midCtx = full.select("w2", "mden", "mf").distinct()
+    val tot = full.select("uden").distinct()
+    val all = ctxs.join(midCtx, "w2").crossJoin(vocab).crossJoin(tot)
+      .join(mids, Seq("w2", "w3"), "left")
+      .join(full.select("w1", "w2", "w3", "c123"), Seq("w1", "w2", "w3"), "left")
+      .withColumn("p", KneserNey.pkn3Expr(
+        coalesce(col("c123"), lit(0L)), col("c12"), col("n3f"),
+        coalesce(col("mnum"), lit(0L)), col("mden"), col("mf"),
+        col("unum"), col("uden")))
+    val sums = all.groupBy("w1", "w2").agg(sum("p").as("mass")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-12,
+      s"(${r.getString(0)}, ${r.getString(1)}) mass ${r.getDouble(2)}"))
+  }
+
   test("unseenExpr is the pure-backoff term and stays below any seen probability") {
     val m = KneserNey.model(docs, "text")
     val seen = m.filter(col("w1") === "a" && col("w2") === "b").head.getDouble(7)
