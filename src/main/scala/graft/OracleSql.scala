@@ -2897,6 +2897,17 @@ object OracleSql {
         |WHERE c123 >= 3
         |ORDER BY w1, w2, w3""").stripMargin,
 
+    // Deletion vectors: the effective relation after two DV deletes
+    // (status F, then priority 5-LOW) with zero file rewrites.
+    "q161_txlog_deletion_vectors" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' AND o_orderpriority <> '5-LOW'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // Transactional-table lifecycle: create(≡0) + append(≡1) + delete
     // (status F) + upsert(≡2 new; ≡0 replaced, price doubled — which
     // re-inserts deleted ≡0 F rows) + compact. Final relation stated

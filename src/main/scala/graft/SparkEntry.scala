@@ -4124,6 +4124,41 @@ object SparkEntry {
     graft.functions.KneserNey.trigramModel(Tables.documents(s, dir), "text", minCount = 3L)
       .transform(sorted1(_, col("w1"), col("w2"), col("w3")))
 
+  /** B42h — DELETION VECTORS (TxLog.deleteWhereDV): rows deleted by
+    * writing their (file, row_index) positions as a parquet sidecar
+    * and ONE log action per touched file — no data file is rewritten
+    * (the in-query require pins that: the add-set is IDENTICAL across
+    * both deletes). Two sequential DV deletes exercise the vector
+    * merge; every read path (snapshot, pruned, CDC, rewrite ops,
+    * compaction) applies vectors through one shared effective-read.
+    * At 100 TB this is a point delete costing the matched rows, not
+    * a rewrite of every touched gigabyte. The oracle states the
+    * effective final relation over `orders`.
+    */
+  private def q161TxlogDeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q161").toString
+    TxLog.create(s, orders.filter(col("o_orderkey") % 2 === 0).repartition(2), t)
+    TxLog.append(s, orders.filter(col("o_orderkey") % 2 === 1).repartition(2), t)
+    val filesBefore = TxLog.snapshot(t, None).adds.keySet
+    TxLog.deleteWhereDV(s, t, col("o_orderstatus") === "F")
+    TxLog.deleteWhereDV(s, t, col("o_orderpriority") === "5-LOW") // merges vectors
+    val snap = TxLog.snapshot(t, None)
+    require(snap.adds.keySet == filesBefore,
+      "deletion vectors must not rewrite any data file")
+    require(snap.dvs.nonEmpty, "deletion vectors must exist after DV deletes")
+    TxLog.read(s, t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .transform(sorted1(_, col("o_orderstatus")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_extract_meta" -> (q01ExtractMeta _),
@@ -4282,6 +4317,7 @@ object SparkEntry {
     "q158_webp_pixels" -> (q158WebpPixels _),
     "q159_ingest_orc" -> (q159IngestOrc _),
     "q160_kneser_ney3" -> (q160KneserNey3 _),
+    "q161_txlog_deletion_vectors" -> (q161TxlogDeletionVectors _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

@@ -111,8 +111,17 @@ object TxLog {
     BloomData(m, k, bits)
   }
 
+  /** A deletion vector: hidden row positions of one data file, stored
+    * as a parquet (file, pos) sidecar under `_dv/` — rows are deleted
+    * WITHOUT rewriting the data file (the current-generation
+    * lakehouse mechanism for cheap point/predicate deletes on huge
+    * files); readers anti-join the vector on parquet row indexes.
+    */
+  final case class DvRef(dvPath: String, hidden: Long)
+
   final case class Snapshot(version: Long, schemaDdl: String,
-                            adds: Map[String, AddFile], txns: Map[String, Long]) {
+                            adds: Map[String, AddFile], txns: Map[String, Long],
+                            dvs: Map[String, DvRef] = Map.empty) {
     def livePaths: Seq[String] = adds.keys.toSeq.sorted
   }
 
@@ -126,6 +135,7 @@ object TxLog {
   private final case class Remove(path: String) extends Action
   private final case class SetTxn(app: String, ver: Long) extends Action
   private final case class CommitInfo(op: String) extends Action
+  private final case class Dv(path: String, dvPath: String, hidden: Long) extends Action
 
   private def actionJson(a: Action): String = a match {
     case Meta(ddl) => Json.write(Map("a" -> "meta", "schema" -> ddl))
@@ -154,6 +164,9 @@ object TxLog {
       }
       Json.write(base)
     case Remove(p) => Json.write(Map("a" -> "rm", "p" -> p))
+    case Dv(p, dvp, h) =>
+      Json.write(scala.collection.mutable.LinkedHashMap[String, Any](
+        "a" -> "dv", "p" -> p, "dvp" -> dvp, "h" -> h))
     case SetTxn(app, v) =>
       Json.write(scala.collection.mutable.LinkedHashMap[String, Any](
         "a" -> "txn", "app" -> app, "v" -> v))
@@ -165,6 +178,8 @@ object TxLog {
     o("a") match {
       case "meta" => Meta(o("schema").asInstanceOf[String])
       case "rm" => Remove(o("p").asInstanceOf[String])
+      case "dv" => Dv(o("p").asInstanceOf[String], o("dvp").asInstanceOf[String],
+        o("h").asInstanceOf[Long])
       case "txn" => SetTxn(o("app").asInstanceOf[String], o("v").asInstanceOf[Long])
       case "ci" => CommitInfo(o("op").asInstanceOf[String])
       case "add" =>
@@ -246,7 +261,8 @@ object TxLog {
     val s = snapshot(table, Some(version))
     val lines = Seq(Meta(s.schemaDdl)) ++
       s.txns.toSeq.sortBy(_._1).map { case (a, v) => SetTxn(a, v) } ++
-      s.adds.toSeq.sortBy(_._1).map { case (_, f) => Add(f) }
+      s.adds.toSeq.sortBy(_._1).map { case (_, f) => Add(f) } ++
+      s.dvs.toSeq.sortBy(_._1).map { case (p, d) => Dv(p, d.dvPath, d.hidden) }
     val body = lines.map(actionJson).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val dir = logDir(table)
@@ -272,10 +288,12 @@ object TxLog {
     var schemaDdl = ""
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, DvRef]
     def apply(a: Action): Unit = a match {
       case Meta(ddl) => schemaDdl = ddl
       case Add(f) => adds(f.path) = f
-      case Remove(p) => adds.remove(p)
+      case Remove(p) => adds.remove(p); dvs.remove(p) // a rewrite retires the DV too
+      case Dv(p, dvp, h) => dvs(p) = DvRef(dvp, h)
       case SetTxn(app, v) => txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
       case CommitInfo(_) => ()
     }
@@ -284,7 +302,7 @@ object TxLog {
     ck.foreach(v => replayFile(logDir(table).resolve(ckName(v))))
     versions.filter(v => v > ck.getOrElse(-1L) && v <= target).sorted
       .foreach(v => replayFile(logDir(table).resolve(logName(v))))
-    Snapshot(target, schemaDdl, adds.toMap, txns.toMap)
+    Snapshot(target, schemaDdl, adds.toMap, txns.toMap, dvs.toMap)
   }
 
   /** (version, operation) pairs, oldest first. */
@@ -521,6 +539,93 @@ object TxLog {
     v
   }
 
+  /** Rows of `paths` with each file's deletion vector applied — the
+    * ONE read path every consumer shares (plain reads, pruned reads,
+    * rewrites, compaction, clustering, the change feed). Files
+    * without a DV stream straight through; files with one anti-join
+    * their hidden (file, pos) rows on parquet row indexes — a keyed
+    * join sized by the hidden-row count, never the table.
+    */
+  private def readEffective(spark: SparkSession, table: String, snap: Snapshot,
+                            paths: Seq[String]): DataFrame = {
+    if (paths.isEmpty) return emptyDf(spark, snap.schemaDdl)
+    val base = spark.read.parquet(paths.map(dataPath(table, _)): _*)
+    val withDv = paths.filter(snap.dvs.contains)
+    if (withDv.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.col
+      val dvFiles = withDv.map(p => snap.dvs(p).dvPath).distinct
+      val dv = spark.read.parquet(dvFiles.map(dataPath(table, _)): _*)
+        .filter(col("file").isin(withDv: _*))
+        .select(col("file").as("_dv_f"), col("pos").as("_dv_i"))
+      val cols = base.columns.toSeq
+      base
+        .withColumn("_dv_f", col("_metadata.file_name"))
+        .withColumn("_dv_i", col("_metadata.row_index"))
+        .join(dv, Seq("_dv_f", "_dv_i"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** Delete rows matching `cond` WITHOUT rewriting any data file: the
+    * matching rows' (file, row_index) positions are written as a
+    * parquet DELETION VECTOR sidecar (merged with any existing vector
+    * — positions of already-hidden rows can't re-match because the
+    * match runs on the effective view) and one `dv` action per
+    * touched file lands in the log. At 100 TB this is the difference
+    * between a point delete costing the matched rows and costing a
+    * rewrite of every touched gigabyte; compaction later materializes
+    * vectors away.
+    */
+  def deleteWhereDV(spark: SparkSession, table: String, cond: Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(table)
+    val expr = Shims.expression(cond)
+    val victims = snap.adds.values.filter(f => mayMatch(f, expr)).map(_.path).toSeq.sorted
+    val v = snap.version + 1
+    if (victims.isEmpty) {
+      commit(table, v, Seq(CommitInfo("delete-dv")))
+      return v
+    }
+    val base = spark.read.parquet(victims.map(dataPath(table, _)): _*)
+      .withColumn("_f", col("_metadata.file_name"))
+      .withColumn("_i", col("_metadata.row_index"))
+    val oldDvFiles = victims.flatMap(p => snap.dvs.get(p).map(_.dvPath)).distinct
+    val oldPos =
+      if (oldDvFiles.isEmpty) None
+      else Some(spark.read.parquet(oldDvFiles.map(dataPath(table, _)): _*)
+        .filter(col("file").isin(victims: _*))
+        .select(col("file"), col("pos")))
+    // match on the EFFECTIVE view (already-hidden rows can't re-match)
+    val effective = oldPos match {
+      case None => base
+      case Some(dv) => base.join(
+        dv.select(col("file").as("_f"), col("pos").as("_i")), Seq("_f", "_i"), "left_anti")
+    }
+    val newPos = effective.filter(cond).select(col("_f").as("file"), col("_i").as("pos"))
+    val allPos = oldPos.fold(newPos)(newPos.unionByName(_))
+    val dvDir = Paths.get(table, "_dv")
+    Files.createDirectories(dvDir)
+    val dvName = "_dv/" + java.util.UUID.randomUUID().toString + ".parquet"
+    val staging = Files.createTempDirectory(dvDir, ".staging-")
+    try {
+      allPos.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("txlog: dv write produced no file"))
+      Files.move(part, Paths.get(table).resolve(dvName))
+    } finally {
+      Files.walk(staging).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    // per-file hidden counts: one row per touched file (model-sized)
+    val counts = spark.read.parquet(dataPath(table, dvName))
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dvActs = victims.flatMap(p => counts.get(p).map(n => Dv(p, dvName, n)))
+    commit(table, v, CommitInfo("delete-dv") +: dvActs)
+    v
+  }
+
   /** Delete rows matching `cond`. Only files whose statistics overlap
     * the predicate are rewritten; every other file is untouched (its
     * add-action — and its bytes — survive verbatim). Conflicts throw:
@@ -533,7 +638,7 @@ object TxLog {
     val adds =
       if (victims.isEmpty) Seq.empty
       else {
-        val survivors = spark.read.parquet(victims.map(dataPath(table, _)): _*)
+        val survivors = readEffective(spark, table, snap, victims)
           .filter(not(coalesce(cond, lit(false))))
         stageWrite(spark, survivors, table)
       }
@@ -561,7 +666,7 @@ object TxLog {
     }
     val merged =
       if (victims.isEmpty) source
-      else spark.read.parquet(victims.map(dataPath(table, _)): _*)
+      else readEffective(spark, table, snap, victims)
         .join(source.select(col(key)), Seq(key), "left_anti")
         .unionByName(source)
     val adds = stageWrite(spark, merged, table)
@@ -576,9 +681,11 @@ object TxLog {
     */
   def compact(spark: SparkSession, table: String, smallBytes: Long): Long = {
     val snap = snapshot(table)
-    val small = snap.adds.values.filter(_.bytes < smallBytes).toSeq.sortBy(_.path)
-    if (small.size < 2) return snap.version
-    val grouped = spark.read.parquet(small.map(f => dataPath(table, f.path)): _*)
+    val small = snap.adds.values
+      .filter(f => f.bytes < smallBytes || snap.dvs.contains(f.path)).toSeq.sortBy(_.path)
+    if (small.size < 2 && !small.exists(f => snap.dvs.contains(f.path)))
+      return snap.version
+    val grouped = readEffective(spark, table, snap, small.map(_.path))
       .coalesce(1)
     val adds = stageWrite(spark, grouped, table)
     val v = snap.version + 1
@@ -604,7 +711,7 @@ object TxLog {
     val snap = snapshot(table)
     if (snap.adds.isEmpty) return snap.version
     import org.apache.spark.sql.functions.{col, floor, max => smax, min => smin}
-    val all = spark.read.parquet(snap.livePaths.map(dataPath(table, _)): _*)
+    val all = readEffective(spark, table, snap, snap.livePaths)
     val r = all.agg(smin(col(xCol)), smax(col(xCol)), smin(col(yCol)), smax(col(yCol))).head
     def bound(i: Int): Long = r.get(i) match {
       case l: Long => l
@@ -631,8 +738,7 @@ object TxLog {
     */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(table, asOf)
-    if (snap.adds.isEmpty) emptyDf(spark, snap.schemaDdl)
-    else spark.read.parquet(snap.livePaths.map(dataPath(table, _)): _*)
+    readEffective(spark, table, snap, snap.livePaths)
   }
 
   /** CHANGE DATA FEED between two versions: row-level inserts and
@@ -650,13 +756,17 @@ object TxLog {
     require(fromVersion <= toVersion, s"txlog: bad interval $fromVersion..$toVersion")
     val a = snapshot(table, Some(fromVersion))
     val b = snapshot(table, Some(toVersion))
-    val removed = (a.adds.keySet -- b.adds.keySet).toSeq.sorted
-    val added = (b.adds.keySet -- a.adds.keySet).toSeq.sorted
-    def readFiles(files: Seq[String]): DataFrame =
-      if (files.isEmpty) emptyDf(spark, b.schemaDdl)
-      else spark.read.parquet(files.map(dataPath(table, _)): _*)
-    val ins = readFiles(added).exceptAll(readFiles(removed))
-    val del = readFiles(removed).exceptAll(readFiles(added))
+    // file identity includes its deletion vector: a DV change makes
+    // the file's EFFECTIVE content part of both sides' diff sets
+    def ident(snap: Snapshot, p: String) = (p, snap.dvs.get(p))
+    val removed = a.adds.keySet.filter(p =>
+      !b.adds.contains(p) || ident(a, p) != ident(b, p)).toSeq.sorted
+    val added = b.adds.keySet.filter(p =>
+      !a.adds.contains(p) || ident(a, p) != ident(b, p)).toSeq.sorted
+    val ins = readEffective(spark, table, b, added)
+      .exceptAll(readEffective(spark, table, a, removed))
+    val del = readEffective(spark, table, a, removed)
+      .exceptAll(readEffective(spark, table, b, added))
     ins.withColumn("_change", lit("insert"))
       .unionByName(del.withColumn("_change", lit("delete")))
   }
@@ -675,7 +785,7 @@ object TxLog {
     val hit = live.filter(f => mayMatch(f, expr))
     val df =
       if (hit.isEmpty) emptyDf(spark, snap.schemaDdl)
-      else spark.read.parquet(hit.map(f => dataPath(table, f.path)): _*).filter(cond)
+      else readEffective(spark, table, snap, hit.map(_.path)).filter(cond)
     (df, hit.size, live.size)
   }
 
@@ -712,13 +822,23 @@ object TxLog {
     * the deleted file names (sorted) — the caller owns the decision.
     */
   def vacuum(table: String): Seq[String] = {
-    val live = snapshot(table).adds.keySet
+    val snap = snapshot(table)
+    val live = snap.adds.keySet
     val tableDir = Paths.get(table)
     val victims = Files.list(tableDir).iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !live.contains(n))
       .toSeq.sorted
     victims.foreach(n => Files.delete(tableDir.resolve(n)))
-    victims
+    val liveDvs = snap.dvs.values.map(_.dvPath).toSet
+    val dvDir = tableDir.resolve("_dv")
+    val dvVictims =
+      if (!Files.isDirectory(dvDir)) Seq.empty
+      else Files.list(dvDir).iterator.asScala
+        .map(p => "_dv/" + p.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !liveDvs.contains(n))
+        .toSeq.sorted
+    dvVictims.foreach(n => Files.delete(tableDir.resolve(n)))
+    victims ++ dvVictims
   }
 }

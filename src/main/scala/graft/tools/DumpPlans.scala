@@ -168,12 +168,18 @@ object DumpPlans {
       "Stats-pruned txlog read: the file-level min/max pruning happens at PLANNING time against footer-derived stats in the log — the plan below contains ONE file's scan (of five), with the residual predicate still pushed into it. At 100 TB this is the partition-pruning decision made without listing or opening the other files.",
     "q149_orc_meta" ->
       "Native ORC footer read: the postscript/footer protobuf walk runs one task per FILE with no data scan (the q143 planning fan-out shape, ORC flavor); at 100 TB this is what decides which stripes move before any data byte does.",
+    "q159_ingest_orc" ->
+      "ORC record ingestion: synthesis, outer-gzip unwrap, validated content sniff and the whole ORC stripe decode run in one flatMap pass (SerializeFromObject above MapPartitions) — MAP-ONLY with fan-out ∝ records, the q135/q142 ingestion shape extended to the third record format.",
+    "q160_kneser_ney3" ->
+      "Trigram KN: ONE corpus explode feeds the (w1,w2,w3) HashAggregate pair; the five statistic tables are re-aggregations of that trigram table or its (w2,w3) marginal (AQE stage reuse), the N1+(··) scalar rides a broadcast cross join, and assembly joins at trigram-vocab scale — the q152/q113 aggregate-before-join family, one level deeper.",
     "q158_webp_pixels" ->
       "WebP/VP8L decode: synthesis, all five encoding-knob paths and the full decode chain (prefix codes, LZ77, cache, transform inverses) run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q90 decode-stage contract: no shuffle until the harness sort, throughput linear in executors.",
     "q150_orc_decode" ->
       "Native ORC column decode: stripe footers, RLEv2 runs, dictionary indirection and our-own-Zstd chunk deframing all run inside one task per file — the ORC scan-task kernel; only the requested columns' streams are touched, so projection cost is per-column, not per-file.",
     "q157_txlog_incremental_view" ->
       "Incremental view maintenance over the live change feed: the delta side is the file-diff exceptAll (touched files only) pre-aggregated per key BEFORE the full-outer join with the view — one delta-sized shuffle + one view-sized join, the base table absent from the maintenance subtree (q85's contract, now fed by a real CDC source instead of a synthesized split).",
+    "q161_txlog_deletion_vectors" ->
+      "Deletion vectors: the delete itself is one scan of the stat-overlapping files producing (file, row_index) positions — the data files are never rewritten (the add-set is require-pinned identical); subsequent reads anti-join the hidden positions on parquet row indexes, a keyed join sized by the hidden-row count. The point-delete shape that keeps 100 TB maintenance proportional to what changed.",
     "q156_txlog_cdc" ->
       "Change feed: two exceptAll multiset differences (hash-aggregate + keyed join on all columns) over ONLY the files the version interval added/removed — the untouched bulk of the table never enters the plan; at 100 TB the feed costs what the interval changed, which is the contract an incremental consumer needs.",
     "q154_txlog_zorder" ->

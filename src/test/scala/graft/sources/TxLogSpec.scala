@@ -246,6 +246,55 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.changes(spark, t, 2L, 2L).count() === 0L)
   }
 
+  test("deletion vectors hide rows without rewriting files; merge, compact, CDC compose") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).repartition(1), t)
+    TxLog.append(spark, df((10L, "x", 10.0), (11L, "y", 11.0)).repartition(1), t)
+    val filesBefore = TxLog.snapshot(t, None).adds.keySet
+
+    TxLog.deleteWhereDV(spark, t, col("k") === 2L || col("k") === 10L)
+    val s1 = TxLog.snapshot(t, None)
+    assert(s1.adds.keySet === filesBefore, "DV delete must not rewrite any data file")
+    assert(s1.dvs.size === 2 && s1.dvs.values.map(_.hidden).sum === 2L)
+    assert(contents(t).map(_._1) === Set(1L, 3L, 4L, 11L))
+    // pruned reads apply the vector too
+    val (rows, _, _) = TxLog.prunedRead(spark, t, col("k") <= 4L)
+    assert(rows.select("k").as[Long].collect().toSet === Set(1L, 3L, 4L))
+
+    // second DV delete merges with the first (no double-hide, no rewrite)
+    TxLog.deleteWhereDV(spark, t, col("k") === 3L)
+    val s2 = TxLog.snapshot(t, None)
+    assert(s2.adds.keySet === filesBefore)
+    assert(s2.dvs.values.map(_.hidden).sum === 3L)
+    assert(contents(t).map(_._1) === Set(1L, 4L, 11L))
+
+    // time travel: before any DV, all six rows
+    assert(contents(t, Some(1L)).size === 6)
+    // CDC across the DV interval: pure deletes, no inserts
+    val ch = TxLog.changes(spark, t, 1L, 3L)
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(ch === Set((2L, "b", 2.0, "delete"), (10L, "x", 10.0, "delete"),
+      (3L, "c", 3.0, "delete")))
+
+    // rewrite-style delete on a DV'd file reads the effective view and
+    // retires the vector with the file
+    TxLog.deleteWhere(spark, t, col("k") === 11L)
+    val s3 = TxLog.snapshot(t, None)
+    assert(contents(t).map(_._1) === Set(1L, 4L))
+    assert(s3.dvs.keySet.forall(s3.adds.contains), "no orphan DV entries")
+
+    // compaction materializes remaining vectors away
+    TxLog.compact(spark, t, smallBytes = 1L << 20)
+    val s4 = TxLog.snapshot(t, None)
+    assert(s4.dvs.isEmpty, "compaction materializes deletion vectors")
+    assert(contents(t).map(_._1) === Set(1L, 4L))
+    // vacuum cleans the now-unreferenced DV sidecars
+    val removed = TxLog.vacuum(t)
+    assert(removed.exists(_.startsWith("_dv/")), "stale DV sidecars vacuumed")
+    assert(contents(t).map(_._1) === Set(1L, 4L))
+  }
+
   test("overwrite replaces contents and can change schema") {
     val t = freshTable()
     TxLog.create(spark, df((1L, "a", 1.0)), t)
