@@ -604,19 +604,15 @@ object TxLog {
     }
     val newPos = effective.filter(cond).select(col("_f").as("file"), col("_i").as("pos"))
     val allPos = oldPos.fold(newPos)(newPos.unionByName(_))
+    // the vector is a parquet DIRECTORY written at natural parallelism
+    // — a predicate hiding billions of rows must not funnel through
+    // one writer task
     val dvDir = Paths.get(table, "_dv")
     Files.createDirectories(dvDir)
-    val dvName = "_dv/" + java.util.UUID.randomUUID().toString + ".parquet"
+    val dvName = "_dv/" + java.util.UUID.randomUUID().toString
     val staging = Files.createTempDirectory(dvDir, ".staging-")
-    try {
-      allPos.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("txlog: dv write produced no file"))
-      Files.move(part, Paths.get(table).resolve(dvName))
-    } finally {
-      Files.walk(staging).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    allPos.write.mode("overwrite").parquet(staging.toString)
+    Files.move(staging, Paths.get(table).resolve(dvName))
     // per-file hidden counts: one row per touched file (model-sized)
     val counts = spark.read.parquet(dataPath(table, dvName))
       .groupBy("file").count().collect()
@@ -836,9 +832,12 @@ object TxLog {
       if (!Files.isDirectory(dvDir)) Seq.empty
       else Files.list(dvDir).iterator.asScala
         .map(p => "_dv/" + p.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !liveDvs.contains(n))
+        .filterNot(n => liveDvs.contains(n) || n.contains(".staging-"))
         .toSeq.sorted
-    dvVictims.foreach(n => Files.delete(tableDir.resolve(n)))
+    dvVictims.foreach { n =>
+      val p = tableDir.resolve(n)
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
     victims ++ dvVictims
   }
 }
