@@ -681,8 +681,11 @@ object TxLog {
       .filter(f => f.bytes < smallBytes || snap.dvs.contains(f.path)).toSeq.sortBy(_.path)
     if (small.size < 2 && !small.exists(f => snap.dvs.contains(f.path)))
       return snap.version
+    // target one output file per `smallBytes` of input — compacting
+    // ten thousand small files must not funnel through one writer
+    val nOut = math.max(1L, (small.map(_.bytes).sum + smallBytes - 1) / smallBytes).toInt
     val grouped = readEffective(spark, table, snap, small.map(_.path))
-      .coalesce(1)
+      .coalesce(nOut)
     val adds = stageWrite(spark, grouped, table)
     val v = snap.version + 1
     commit(table, v, CommitInfo("compact") +: (small.map(f => Remove(f.path)) ++ adds.map(Add)))
