@@ -506,10 +506,16 @@ object TxLog {
   }
 
   /** Blind append — never conflicts logically, so commit races just
-    * retry at the next version.
+    * retry at the next version. The frame's schema must match the
+    * table's (fail fast; schema evolution goes through `overwrite`,
+    * which records the new schema in the log).
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
              bloomCols: Seq[String] = Nil): Long = {
+    val expected = snapshot(table).schemaDdl
+    require(expected.isEmpty || df.schema.toDDL == expected,
+      s"txlog: append schema '${df.schema.toDDL}' != table schema '$expected' " +
+        "(schema evolution goes through overwrite)")
     val adds = stageWrite(spark, df, table, bloomCols)
     var v = snapshot(table).version + 1
     var attempts = 0
@@ -814,6 +820,25 @@ object TxLog {
       }
     }
     false
+  }
+
+  /** RESTORE the table to an earlier version AS A NEW COMMIT: the
+    * target version's add/dv state replaces the current one going
+    * forward while the full history (including the mistake being
+    * rolled back) stays intact — time travel still reaches both.
+    * Data files are immutable and never vacuumed by this path, so
+    * restore is a metadata-only operation however large the table.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val cur = snapshot(table)
+    val tgt = snapshot(table, Some(toVersion))
+    val v = cur.version + 1
+    val acts = Seq(CommitInfo("restore"), Meta(tgt.schemaDdl)) ++
+      cur.livePaths.map(Remove) ++
+      tgt.adds.toSeq.sortBy(_._1).map { case (_, f) => Add(f) } ++
+      tgt.dvs.toSeq.sortBy(_._1).map { case (p, d) => Dv(p, d.dvPath, d.hidden) }
+    commit(table, v, acts)
+    v
   }
 
   /** Delete data files not referenced by the CURRENT snapshot and drop

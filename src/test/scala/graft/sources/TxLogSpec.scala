@@ -295,6 +295,35 @@ class TxLogSpec extends SparkSpec {
     assert(contents(t).map(_._1) === Set(1L, 4L))
   }
 
+  test("restore rolls the table back as a new commit; history stays reachable") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0)), t)
+    TxLog.append(spark, df((3L, "c", 3.0)), t)                // v1: the good state
+    TxLog.deleteWhere(spark, t, col("k") <= 2L)               // v2: the mistake
+    TxLog.deleteWhereDV(spark, t, col("k") === 3L)            // v3: worse
+    assert(contents(t).isEmpty)
+    val v = TxLog.restore(spark, t, 1L)
+    assert(v === 4L, "restore is a NEW commit")
+    assert(contents(t).map(_._1) === Set(1L, 2L, 3L))
+    assert(contents(t, Some(3L)).isEmpty, "the rolled-back state is still reachable")
+    assert(TxLog.history(t).last._2 === "restore")
+    // restore into a DV'd state round-trips the vector too
+    TxLog.restore(spark, t, 3L)
+    assert(contents(t).isEmpty)
+    assert(TxLog.snapshot(t, None).dvs.nonEmpty)
+  }
+
+  test("append rejects a mismatched schema (evolution goes through overwrite)") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)), t)
+    val e = intercept[IllegalArgumentException](
+      TxLog.append(spark, Seq((2L, 2L)).toDF("k", "n"), t))
+    assert(e.getMessage.contains("schema"))
+    TxLog.overwrite(spark, Seq((2L, 2L)).toDF("k", "n"), t) // the sanctioned path
+    TxLog.append(spark, Seq((3L, 3L)).toDF("k", "n"), t)
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet === Set((2L, 2L), (3L, 3L)))
+  }
+
   test("overwrite replaces contents and can change schema") {
     val t = freshTable()
     TxLog.create(spark, df((1L, "a", 1.0)), t)
