@@ -841,20 +841,39 @@ object TxLog {
     v
   }
 
+  /** Retention-aware vacuum: delete data files and DV sidecars not
+    * referenced by ANY of the newest `keepVersions` snapshots — time
+    * travel inside the retention window survives, older versions
+    * become unreadable (their log entries remain for audit). This is
+    * the version-count analogue of the usual time-based retention
+    * (the log carries no wall-clock by design — determinism).
+    */
+  def vacuumKeeping(table: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, s"txlog: keepVersions $keepVersions")
+    val versions = listVersions(table, ".json").sorted.takeRight(keepVersions)
+    val snaps = versions.map(v => snapshot(table, Some(v)))
+    val live = snaps.flatMap(_.adds.keySet).toSet
+    val liveDvs = snaps.flatMap(_.dvs.values.map(_.dvPath)).toSet
+    sweep(table, live, liveDvs)
+  }
+
   /** Delete data files not referenced by the CURRENT snapshot and drop
     * superseded log versions' time-travel ability with them. Returns
-    * the deleted file names (sorted) — the caller owns the decision.
+    * the deleted file names (sorted) — the caller owns the decision;
+    * [[vacuumKeeping]] is the retention-window form.
     */
   def vacuum(table: String): Seq[String] = {
     val snap = snapshot(table)
-    val live = snap.adds.keySet
+    sweep(table, snap.adds.keySet, snap.dvs.values.map(_.dvPath).toSet)
+  }
+
+  private def sweep(table: String, live: Set[String], liveDvs: Set[String]): Seq[String] = {
     val tableDir = Paths.get(table)
     val victims = Files.list(tableDir).iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !live.contains(n))
       .toSeq.sorted
     victims.foreach(n => Files.delete(tableDir.resolve(n)))
-    val liveDvs = snap.dvs.values.map(_.dvPath).toSet
     val dvDir = tableDir.resolve("_dv")
     val dvVictims =
       if (!Files.isDirectory(dvDir)) Seq.empty

@@ -324,6 +324,19 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet === Set((2L, 2L), (3L, 3L)))
   }
 
+  test("retention vacuum keeps the window's time travel, drops older files") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)).repartition(1), t)       // v0
+    TxLog.overwrite(spark, df((2L, "b", 2.0)).repartition(1), t)    // v1
+    TxLog.overwrite(spark, df((3L, "c", 3.0)).repartition(1), t)    // v2
+    val removed = TxLog.vacuumKeeping(t, keepVersions = 2)
+    assert(removed.size === 1, "only v0's file falls outside the 2-version window")
+    assert(contents(t, Some(1L)).map(_._1) === Set(2L), "window versions still readable")
+    assert(contents(t).map(_._1) === Set(3L))
+    intercept[Exception](contents(t, Some(0L)).map(_._1)) // pre-window version gone
+    assert(TxLog.vacuumKeeping(t, 2).isEmpty, "idempotent")
+  }
+
   test("overwrite replaces contents and can change schema") {
     val t = freshTable()
     TxLog.create(spark, df((1L, "a", 1.0)), t)
