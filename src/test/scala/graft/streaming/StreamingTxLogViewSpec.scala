@@ -61,6 +61,12 @@ class StreamingTxLogViewSpec extends SparkSpec {
       source, "id")
     view.refresh()
     assertExact(view, source)
+
+    // deletion-vector delete: no file rewrite, but the change feed
+    // still carries the row-level deletes into the view
+    TxLog.deleteWhereDV(spark, source, col("id") === 4L)
+    view.refresh()
+    assertExact(view, source)
     assert(!view.view().select("k").as[String].collect().contains("a"),
       "fully deleted group dropped from the view")
 
