@@ -254,7 +254,12 @@ object TxLog {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (!putIfAbsent(logDir(table).resolve(logName(version)), body))
       throw new CommitConflictException(table, version)
-    if (version > 0 && version % checkpointInterval == 0) writeCheckpoint(table, version)
+    // checkpoints are an optimization: the commit above is durable, so
+    // a failed checkpoint write must not surface as a commit failure
+    // (the next interval crossing retries it)
+    if (version > 0 && version % checkpointInterval == 0)
+      try writeCheckpoint(table, version)
+      catch { case _: Exception => () }
   }
 
   private def writeCheckpoint(table: String, version: Long): Unit = {
