@@ -3548,7 +3548,10 @@ object SparkEntry {
       info.columns.groupBy(_.path).map { case (path, cols) =>
         (path,
           cols.head.ptype, cols.head.codec,
-          cols.map(_.numValues).sum, cols.map(_.nullCount).sum,
+          cols.map(_.numValues).sum,
+          // None (field absent) must surface as SQL NULL, never 0
+          if (cols.forall(_.nullCount.isDefined)) Some(cols.flatMap(_.nullCount).sum)
+          else None: Option[Long],
           cols.flatMap(_.minNum).reduceOption((a, b) => math.min(a, b)),
           cols.flatMap(_.maxNum).reduceOption((a, b) => math.max(a, b)),
           cols.flatMap(_.minStr).reduceOption((a, b) => if (a <= b) a else b),

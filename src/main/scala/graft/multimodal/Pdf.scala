@@ -110,24 +110,42 @@ object Pdf {
     bos.toByteArray
   }
 
+  /** An image to embed as a /Subtype /Image XObject on the first
+    * page. `filter` is "DCTDecode" (`data` = a complete JPEG),
+    * "FlateDecode" or "LZWDecode" (`data` = raw 8-bit /DeviceRGB
+    * samples, compressed by the writer), or "" (raw, stored).
+    */
+  final case class ImageFixture(width: Int, height: Int, filter: String, data: Array[Byte])
+
   /** Build a complete PDF: one content stream per page (optionally
-    * FlateDecode-compressed), a shared Type1 font, and either a
-    * classic byte-offset xref table + trailer or (xrefStream=true) a
-    * PDF 1.5 layout — the non-stream objects packed into an OBJECT
-    * STREAM addressed by type-2 entries of a cross-reference STREAM
-    * whose row data is FlateDecode + PNG-Up-predictor coded (the
-    * form modern writers emit).
+    * FlateDecode- or LZWDecode-compressed), a shared Type1 font, and
+    * either a classic byte-offset xref table + trailer or
+    * (xrefStream=true) a PDF 1.5 layout — the non-stream objects
+    * packed into an OBJECT STREAM addressed by type-2 entries of a
+    * cross-reference STREAM whose row data is FlateDecode +
+    * PNG-Up-predictor coded (the form modern writers emit). `images`
+    * become XObjects on the first page (classic layout only).
     */
   def encode(pages: Seq[Seq[String]], flate: Boolean, opMode: Int = 0,
-             xrefStream: Boolean = false): Array[Byte] =
-    if (xrefStream) encodeXrefStream(pages, flate, opMode)
-    else encodeClassic(pages, flate, opMode)
+             xrefStream: Boolean = false, lzw: Boolean = false,
+             images: Seq[ImageFixture] = Nil): Array[Byte] =
+    if (xrefStream) {
+      require(images.isEmpty, "image fixtures use the classic layout")
+      encodeXrefStream(pages, flate, opMode, lzw)
+    } else encodeClassic(pages, flate, opMode, lzw, images)
 
-  private def encodeClassic(pages: Seq[Seq[String]], flate: Boolean, opMode: Int): Array[Byte] = {
+  private def packStream(raw: Array[Byte], flate: Boolean, lzw: Boolean): (Array[Byte], String) =
+    if (lzw) (lzwEncode(raw), " /Filter /LZWDecode")
+    else if (flate) (deflate(raw), " /Filter /FlateDecode")
+    else (raw, "")
+
+  private def encodeClassic(pages: Seq[Seq[String]], flate: Boolean, opMode: Int,
+                            lzw: Boolean, images: Seq[ImageFixture]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val nPages = pages.size
-    val nObjs = 3 + 2 * nPages // 1 catalog, 2 page-tree root, 3 font, then (page, content) pairs
+    val imgBase = 3 + 2 * nPages // image objects follow the (page, content) pairs
+    val nObjs = imgBase + images.size
     val offsets = new Array[Long](nObjs + 1)
     w("%PDF-1.4\n")
     // conventional binary-content marker comment
@@ -139,17 +157,35 @@ object Pdf {
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
     obj(2) { w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n") }
     obj(3) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\n") }
+    val xobjRes =
+      if (images.isEmpty) ""
+      else " /XObject << " + images.indices.map(i => s"/Im$i ${imgBase + 1 + i} 0 R")
+        .mkString(" ") + " >>"
     pages.zipWithIndex.foreach { case (lines, i) =>
       val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
       obj(pageObj) {
         w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contObj 0 R >>\n")
+          s"/Resources << /Font << /F1 3 0 R >>${if (i == 0) xobjRes else ""} >> " +
+          s"/Contents $contObj 0 R >>\n")
       }
-      val raw = contentStream(lines, opMode)
-      val data = if (flate) deflate(raw) else raw
+      val (data, filterEntry) = packStream(contentStream(lines, opMode), flate, lzw)
       obj(contObj) {
-        w(s"<< /Length ${data.length}" +
-          (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+        w(s"<< /Length ${data.length}$filterEntry >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    images.zipWithIndex.foreach { case (img, i) =>
+      val data = img.filter match {
+        case "FlateDecode" => deflate(img.data)
+        case "LZWDecode"   => lzwEncode(img.data)
+        case _             => img.data // DCTDecode payloads ship verbatim; "" stores raw
+      }
+      obj(imgBase + 1 + i) {
+        w(s"<< /Type /XObject /Subtype /Image /Width ${img.width} /Height ${img.height} " +
+          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+          (if (img.filter.nonEmpty) s"/Filter /${img.filter} " else "") +
+          s"/Length ${data.length} >>\nstream\n")
         out.write(data)
         w("\nendstream\n")
       }
@@ -163,7 +199,8 @@ object Pdf {
     out.toByteArray
   }
 
-  private def encodeXrefStream(pages: Seq[Seq[String]], flate: Boolean, opMode: Int): Array[Byte] = {
+  private def encodeXrefStream(pages: Seq[Seq[String]], flate: Boolean, opMode: Int,
+                               lzw: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val nPages = pages.size
@@ -178,11 +215,9 @@ object Pdf {
     // an object stream)
     pages.zipWithIndex.foreach { case (lines, i) =>
       val contObj = 5 + 2 * i
-      val raw = contentStream(lines, opMode)
-      val data = if (flate) deflate(raw) else raw
+      val (data, filterEntry) = packStream(contentStream(lines, opMode), flate, lzw)
       offsets(contObj) = out.size().toLong
-      w(s"$contObj 0 obj\n<< /Length ${data.length}" +
-        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      w(s"$contObj 0 obj\n<< /Length ${data.length}$filterEntry >>\nstream\n")
       out.write(data)
       w("\nendstream\nendobj\n")
     }
@@ -530,27 +565,64 @@ object Pdf {
     }
   }
 
-  /** Apply /Filter (FlateDecode or none) + /DecodeParms predictor. */
+  /** Apply the /Filter CHAIN in order — FlateDecode, LZWDecode (ISO
+    * 32000-1 §7.4.4, the TIFF LZW variant with the EarlyChange parm),
+    * DCTDecode (the Jpeg decoder; output is the decoded RGB sample
+    * data) — each with its own /DecodeParms entry (PNG predictors,
+    * EarlyChange). A single name and a one-element array are the
+    * common real-world forms; multi-filter chains fold left.
+    */
   private def applyFilters(dict: Map[String, PVal], data: Array[Byte],
                            resolve: PVal => PVal): Array[Byte] = {
-    val inflated = dict.get("Filter").map(resolve) match {
-      case None => data
-      case Some(PName("FlateDecode")) => inflate(data)
-      case Some(PArr(Vector(PName("FlateDecode")))) => inflate(data)
-      case Some(other) => throw new IllegalArgumentException(s"unsupported filter $other")
+    val filters: Seq[PVal] = dict.get("Filter").map(resolve) match {
+      case None           => Seq.empty
+      case Some(n: PName) => Seq(n)
+      case Some(PArr(v))  => v.map(resolve)
+      case Some(other)    => throw new IllegalArgumentException(s"bad /Filter $other")
     }
-    val parms = dict.get("DecodeParms").map(resolve) match {
-      case Some(PDict(m)) => m
-      case Some(PArr(Vector(d))) => resolve(d) match {
+    val parmsList: Seq[Map[String, PVal]] = dict.get("DecodeParms").map(resolve) match {
+      case Some(PDict(m)) => Seq(m)
+      case Some(PArr(v)) => v.map(resolve).map {
         case PDict(m) => m
         case _        => Map.empty[String, PVal]
       }
-      case _ => Map.empty[String, PVal]
+      case _ => Seq.empty
     }
-    val predictor = parms.get("Predictor").map(resolve) match {
+    filters.zipWithIndex.foldLeft(data) { case (d, (f, i)) =>
+      val parms = if (i < parmsList.length) parmsList(i) else Map.empty[String, PVal]
+      f match {
+        case PName("FlateDecode") => unpredict(parms, inflate(d), resolve)
+        case PName("LZWDecode") =>
+          unpredict(parms, lzwDecode(d, intParm(parms, "EarlyChange", resolve, 1) != 0), resolve)
+        case PName("DCTDecode") =>
+          val px = Jpeg.decodePixels(d)
+          if (px == null) throw new IllegalArgumentException("bad DCTDecode payload")
+          val out = new Array[Byte](px.rgb.length * 3)
+          var j = 0
+          while (j < px.rgb.length) {
+            val p = px.rgb(j)
+            out(3 * j) = ((p >> 16) & 0xff).toByte
+            out(3 * j + 1) = ((p >> 8) & 0xff).toByte
+            out(3 * j + 2) = (p & 0xff).toByte
+            j += 1
+          }
+          out
+        case other => throw new IllegalArgumentException(s"unsupported filter $other")
+      }
+    }
+  }
+
+  private def intParm(parms: Map[String, PVal], key: String,
+                      resolve: PVal => PVal, dflt: Int): Int =
+    parms.get(key).map(resolve) match {
       case Some(PNum(x)) => x.toInt
-      case _             => 1
+      case _             => dflt
     }
+
+  /** Undo the /DecodeParms predictor on one filter's output. */
+  private def unpredict(parms: Map[String, PVal], inflated: Array[Byte],
+                        resolve: PVal => PVal): Array[Byte] = {
+    val predictor = intParm(parms, "Predictor", resolve, 1)
     if (predictor <= 1) inflated
     else if (predictor >= 10) {
       // PNG predictors, bpp = 1 (Colors=1, BitsPerComponent=8 — the
@@ -590,6 +662,126 @@ object Pdf {
       }
       out
     } else throw new IllegalArgumentException(s"unsupported predictor $predictor")
+  }
+
+  private val LzwClear = 256
+  private val LzwEod = 257
+
+  /** PDF LZWDecode (ISO 32000-1 §7.4.4 — the TIFF variant): MSB-first
+    * bit packing, 9-bit initial codes, 256 = Clear / 257 = EOD, table
+    * reset on Clear; `earlyChange` (the spec default) bumps the code
+    * width one table entry before the index arithmetic requires it.
+    * Output length is unknown up front (unlike the TIFF strip case),
+    * so the table expands into a growable buffer.
+    */
+  private[multimodal] def lzwDecode(data: Array[Byte], earlyChange: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val bitEnd = data.length.toLong * 8
+    val bump = if (earlyChange) 1 else 0
+    def read(): Int = {
+      if (bitPos + width > bitEnd)
+        throw new IllegalArgumentException("lzw bit underrun")
+      var v = 0
+      var i = 0
+      while (i < width) {
+        v = (v << 1) | ((data((bitPos >> 3).toInt) >> (7 - (bitPos & 7)).toInt) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    def emit(code: Int): Byte = {
+      var sp = 0
+      var c = code
+      while (c >= 258) {
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+        if (sp >= stack.length) throw new IllegalArgumentException("lzw cycle")
+      }
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
+      c.toByte
+    }
+    var oldCode = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == LzwEod) done = true
+      else if (code == LzwClear) { next = 258; width = 9; oldCode = -1 }
+      else if (oldCode == -1) {
+        if (code >= 256) throw new IllegalArgumentException("lzw first code not literal")
+        emit(code)
+        oldCode = code
+      } else {
+        if (code > next) throw new IllegalArgumentException("lzw code beyond table")
+        if (code == next) { // KwKwK: string = old + firstByte(old)
+          if (next >= 4096) throw new IllegalArgumentException("lzw table overflow")
+          var c = oldCode
+          while (c >= 258) c = prefix(c)
+          prefix(next) = oldCode; suffix(next) = c.toByte
+          next += 1
+          if (next + bump == (1 << width) && width < 12) width += 1
+          emit(code)
+        } else {
+          val f = emit(code)
+          if (next < 4096) {
+            prefix(next) = oldCode; suffix(next) = f
+            next += 1
+            if (next + bump == (1 << width) && width < 12) width += 1
+          }
+        }
+        oldCode = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZW encoder (writer/fixture side, early-change variant — the
+    * form [[lzwDecode]]'s defaults read back). Emits Clear up front,
+    * resets the table before it fills, ends with EOD.
+    */
+  private[multimodal] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val table = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = 258
+    put(LzwClear)
+    var cur = -1
+    for (b0 <- data) {
+      val b = b0 & 0xff
+      if (cur < 0) cur = b
+      else table.get((cur, b)) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          if (next >= 4095) { // table full: restart the dictionary
+            put(LzwClear)
+            table.clear(); next = 258; width = 9
+          } else {
+            table((cur, b)) = next
+            next += 1
+            if (next + 1 == (1 << width) && width < 12) width += 1
+          }
+          cur = b
+      }
+    }
+    if (cur >= 0) put(cur)
+    put(LzwEod)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -20,9 +20,15 @@ package graft.sources
   */
 object ParquetFooter {
 
+  /** `nullCount` is None when the optional Statistics.null_count
+    * field is absent from the footer — callers must not treat an
+    * unknown count as zero (a file without the field may still hold
+    * nulls, and null-predicate pruning on a 0 default would silently
+    * drop rows).
+    */
   final case class ColumnStats(
       rowGroup: Int, path: String, ptype: String, codec: String,
-      numValues: Long, nullCount: Long,
+      numValues: Long, nullCount: Option[Long],
       minNum: Option[Double], maxNum: Option[Double],
       minStr: Option[String], maxStr: Option[String],
       dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None,
@@ -239,7 +245,7 @@ object ParquetFooter {
     var codec = -1
     var numValues = 0L
     var path = Vector.empty[String]
-    var nullCount = 0L
+    var nullCount: Option[Long] = None
     var minB: Array[Byte] = null
     var maxB: Array[Byte] = null
     var minDeprecated: Array[Byte] = null
@@ -265,7 +271,7 @@ object ParquetFooter {
             (sid, stpe) match {
               case (1, 8) => maxDeprecated = s.binary(); true
               case (2, 8) => minDeprecated = s.binary(); true
-              case (3, 6) => nullCount = s.zigzag(); true
+              case (3, 6) => nullCount = Some(s.zigzag()); true
               case (5, 8) => maxB = s.binary(); true
               case (6, 8) => minB = s.binary(); true
               case _ => false

@@ -58,8 +58,13 @@ object TxLog {
   /** Commits between full-state checkpoints. */
   val checkpointInterval = 10
 
+  /** `nullCount` is None when the footer did not carry the optional
+    * null_count statistic — an UNKNOWN count must keep the file under
+    * IsNull/IsNotNull pruning (a 0 default would silently prune files
+    * that do contain nulls).
+    */
   final case class ColStat(
-      nullCount: Long,
+      nullCount: Option[Long],
       minNum: Option[Double], maxNum: Option[Double],
       minStr: Option[String], maxStr: Option[String])
 
@@ -128,20 +133,30 @@ object TxLog {
   final class CommitConflictException(table: String, version: Long)
     extends RuntimeException(s"txlog: version $version already committed at $table")
 
+  /** A LOGICAL conflict: an interleaved commit invalidated this
+    * operation's read set, so a retry at the next version would be
+    * wrong — the operation must be re-planned against the new
+    * snapshot. (Losing the raw version race alone is NOT a logical
+    * conflict; [[commitWithRebase]] retries those transparently.)
+    */
+  final class ConcurrentWriteException(table: String, op: String, detail: String)
+    extends RuntimeException(s"txlog: $op at $table conflicts with a concurrent commit: $detail")
+
   // ------------------------------------------------------------- actions
-  private sealed trait Action
-  private final case class Meta(schemaDdl: String) extends Action
-  private final case class Add(f: AddFile) extends Action
-  private final case class Remove(path: String) extends Action
-  private final case class SetTxn(app: String, ver: Long) extends Action
-  private final case class CommitInfo(op: String) extends Action
-  private final case class Dv(path: String, dvPath: String, hidden: Long) extends Action
+  private[sources] sealed trait Action
+  private[sources] final case class Meta(schemaDdl: String) extends Action
+  private[sources] final case class Add(f: AddFile) extends Action
+  private[sources] final case class Remove(path: String) extends Action
+  private[sources] final case class SetTxn(app: String, ver: Long) extends Action
+  private[sources] final case class CommitInfo(op: String) extends Action
+  private[sources] final case class Dv(path: String, dvPath: String, hidden: Long) extends Action
 
   private def actionJson(a: Action): String = a match {
     case Meta(ddl) => Json.write(Map("a" -> "meta", "schema" -> ddl))
     case Add(f) =>
       val stats = f.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-        val m = scala.collection.mutable.LinkedHashMap[String, Any]("nc" -> s.nullCount)
+        val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+        s.nullCount.foreach(v => m += ("nc" -> v))
         s.minNum.foreach(v => m += ("ln" -> v)); s.maxNum.foreach(v => m += ("xn" -> v))
         s.minStr.foreach(v => m += ("ls" -> v)); s.maxStr.foreach(v => m += ("xs" -> v))
         c -> m
@@ -189,7 +204,7 @@ object TxLog {
             case l: Long => l.toDouble
             case d: Double => d
           }
-          c -> ColStat(s("nc").asInstanceOf[Long],
+          c -> ColStat(s.get("nc").map(_.asInstanceOf[Long]),
             num("ln"), num("xn"),
             s.get("ls").map(_.asInstanceOf[String]),
             s.get("xs").map(_.asInstanceOf[String]))
@@ -217,15 +232,21 @@ object TxLog {
   private def logName(v: Long): String = f"$v%020d.json"
   private def ckName(v: Long): String = f"$v%020d.checkpoint.json"
 
-  private def listVersions(table: String, suffix: String): Seq[Long] = {
-    val dir = logDir(table)
+  /** Names in `dir` (non-recursive), with the JDK stream closed — a
+    * leaked Files.list handle per snapshot() call is an EMFILE under
+    * sustained load.
+    */
+  private def listNames(dir: Path): Seq[String] = {
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator.asScala
-      .map(_.getFileName.toString)
+    val s = Files.list(dir)
+    try s.iterator.asScala.map(_.getFileName.toString).toSeq finally s.close()
+  }
+
+  private def listVersions(table: String, suffix: String): Seq[Long] =
+    listNames(logDir(table))
       .filter(n => n.endsWith(suffix) && n.length == 20 + suffix.length)
       .flatMap(n => n.stripSuffix(suffix).toLongOption)
-      .toSeq.sorted
-  }
+      .sorted
 
   def latestVersion(table: String): Option[Long] = listVersions(table, ".json").maxOption
 
@@ -256,10 +277,86 @@ object TxLog {
       throw new CommitConflictException(table, version)
     // checkpoints are an optimization: the commit above is durable, so
     // a failed checkpoint write must not surface as a commit failure
-    // (the next interval crossing retries it)
+    // (the next interval crossing retries it). NonFatal only — an
+    // interrupt or OOM must still propagate — and the failure is
+    // RECORDED so a persistently failing checkpointer (which degrades
+    // every reader to O(history) replay) is observable, not silent.
     if (version > 0 && version % checkpointInterval == 0)
       try writeCheckpoint(table, version)
-      catch { case _: Exception => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          try Files.write(logDir(table).resolve("_checkpoint_failures"),
+            s"$version ${e.getClass.getName}: ${e.getMessage}\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+  }
+
+  /** One line per best-effort checkpoint write that failed
+    * (`<version> <exception>: <message>`) — the observability half of
+    * the "a failed checkpoint must not fail the commit" contract.
+    */
+  def checkpointFailures(table: String): Seq[String] = {
+    val p = logDir(table).resolve("_checkpoint_failures")
+    if (Files.exists(p)) Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  private def actionsOf(table: String, v: Long): Seq[Action] =
+    Files.readAllLines(logDir(table).resolve(logName(v))).asScala.toSeq
+      .filter(_.nonEmpty).map(parseAction)
+
+  /** Optimistic concurrency with REBASE — the Delta/Iceberg commit
+    * loop at WriteSerializable isolation. Losing the version race is
+    * not a failure: the interleaved commits are replayed and checked
+    * against this commit's READ SET (`readSet` — the files its
+    * actions were derived from). Disjoint writers all land:
+    *
+    *   - blind appends (empty read set) rebase over anything except a
+    *     schema change (their staged files were validated against the
+    *     old schema);
+    *   - predicate rewrites (delete/upsert/compact/cluster) rebase
+    *     over commits that did not remove, re-add, or DV one of the
+    *     files they read — an interleaved APPEND of rows that would
+    *     have matched the predicate is permitted, exactly
+    *     WriteSerializable's documented relaxation;
+    *   - `exclusive` ops (overwrite, restore — they define the whole
+    *     table state) conflict with any interleaved data change.
+    *
+    * On a logical conflict the operation throws
+    * [[ConcurrentWriteException]]: its rewritten files were computed
+    * from stale content and must be re-planned, not re-sequenced.
+    */
+  private[sources] def commitWithRebase(table: String, firstVersion: Long, actions: Seq[Action],
+                               readSet: Set[String], op: String,
+                               exclusive: Boolean = false): Long = {
+    var v = firstVersion
+    var attempts = 0
+    while (true) {
+      try { commit(table, v, actions); return v }
+      catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          require(attempts < 1000, s"txlog: $op starved at $table")
+          val latest = latestVersion(table).getOrElse(v)
+          (v to latest).flatMap(actionsOf(table, _)).foreach {
+            case Meta(_) =>
+              throw new ConcurrentWriteException(table, op, "table schema changed")
+            case Remove(p) if readSet(p) =>
+              throw new ConcurrentWriteException(table, op, s"read file $p was removed")
+            case Dv(p, _, _) if readSet(p) =>
+              throw new ConcurrentWriteException(table, op, s"read file $p gained a deletion vector")
+            case Add(f) if readSet(f.path) =>
+              throw new ConcurrentWriteException(table, op, s"read file ${f.path} was re-added")
+            case Add(_) | Remove(_) | Dv(_, _, _) if exclusive =>
+              throw new ConcurrentWriteException(table, op, "interleaved data commit")
+            case _ => ()
+          }
+          v = latest + 1
+      }
+    }
+    v
   }
 
   private def writeCheckpoint(table: String, version: Long): Unit = {
@@ -288,8 +385,18 @@ object TxLog {
     require(versions.nonEmpty, s"txlog: no log at $table")
     val target = asOf.getOrElse(versions.max)
     require(versions.contains(target), s"txlog: version $target absent at $table")
-    val ck = listVersions(table, ".checkpoint.json").filter(_ <= target)
-      .sorted.lastOption
+    // checkpoints are an OPTIMIZATION: a torn, corrupt, or unreadable
+    // checkpoint (crash mid-write, sabotaged path) must degrade to the
+    // next-older one — or a full replay — never brick the table. Each
+    // candidate is parsed completely before any action is applied.
+    val ckActs: Option[(Long, Seq[Action])] =
+      listVersions(table, ".checkpoint.json").filter(_ <= target).sorted.reverseIterator
+        .flatMap { v =>
+          try Iterator.single(v -> Files.readAllLines(logDir(table).resolve(ckName(v)))
+            .asScala.toSeq.filter(_.nonEmpty).map(parseAction))
+          catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }.nextOption()
+    val ck = ckActs.map(_._1)
     var schemaDdl = ""
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -304,7 +411,7 @@ object TxLog {
     }
     def replayFile(p: Path): Unit =
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach(l => apply(parseAction(l)))
-    ck.foreach(v => replayFile(logDir(table).resolve(ckName(v))))
+    ckActs.foreach(_._2.foreach(apply))
     versions.filter(v => v > ck.getOrElse(-1L) && v <= target).sorted
       .foreach(v => replayFile(logDir(table).resolve(logName(v))))
     Snapshot(target, schemaDdl, adds.toMap, txns.toMap, dvs.toMap)
@@ -319,6 +426,38 @@ object TxLog {
     }
 
   // --------------------------------------------------------- data files
+  /** Per-file footer walk + (optional) bloom build for ONE staged
+    * part — the task-side kernel of [[stageWrite]]. Refuses to run on
+    * the driver: at 100 TB a commit stages thousands of gigabyte
+    * files, and funneling their bytes through one process is the
+    * classic lakehouse write-path scale-killer.
+    */
+  private def statsOfStagedFile(path: String, bloomCols: Seq[String])
+      : (Long, Map[String, ColStat], Map[String, BloomData]) = {
+    require(org.apache.spark.TaskContext.get() != null,
+      "txlog: the staged-file stats walk must run in a cluster task, never on the driver")
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val info = ParquetFooter.read(bytes)
+    require(info.valid, s"txlog: unreadable footer in staged file $path " +
+      s"(size=${bytes.length} head=${bytes.take(4).mkString(",")})")
+    val stats = info.columns.groupBy(_.path).map { case (cname, cols) =>
+      cname -> ColStat(
+        if (cols.forall(_.nullCount.isDefined)) Some(cols.flatMap(_.nullCount).sum) else None,
+        cols.flatMap(_.minNum).reduceOption((a, b) => math.min(a, b)),
+        cols.flatMap(_.maxNum).reduceOption((a, b) => math.max(a, b)),
+        cols.flatMap(_.minStr).reduceOption((a, b) => if (a <= b) a else b),
+        cols.flatMap(_.maxStr).reduceOption((a, b) => if (a >= b) a else b))
+    }
+    // Column blooms from OUR OWN parquet decode of the bytes just
+    // written — in this task, no second Spark scan.
+    val blooms = bloomCols.filter(stats.contains).flatMap { c =>
+      val keys = ParquetRead.readColumn(bytes, info, c)
+        .flatten.flatMap(bloomKey).toSet
+      if (keys.isEmpty) None else Some(c -> buildBloom(keys))
+    }.toMap
+    (info.numRows, stats, blooms)
+  }
+
   /** Write `df`'s partitions as parquet files in the table directory
     * (staged, then moved in — invisible until the commit that adds
     * them) and derive each add-action's row count and column stats
@@ -333,37 +472,30 @@ object TxLog {
     val staging = Files.createTempDirectory(tableDir, ".staging-")
     try {
       df.write.mode("overwrite").parquet(staging.toString)
-      val parts = Files.list(staging).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      parts.flatMap { p =>
-        val bytes = Files.readAllBytes(p)
-        val info = ParquetFooter.read(bytes)
-        require(info.valid, s"txlog: unreadable footer in staged file $p " +
-          s"(size=${bytes.length} head=${bytes.take(4).mkString(",")})")
-        if (info.numRows == 0) { Files.delete(p); None }
+      val parts = listNames(staging).filter(_.endsWith(".parquet")).sorted
+      if (parts.isEmpty) return Seq.empty
+      // Row counts, column stats, and blooms are computed IN CLUSTER
+      // TASKS (one per staged file) over shared storage; only the
+      // model-sized (rows, stats, bloom) records come back. The
+      // driver's remaining work is metadata: renames and the commit.
+      val stagingStr = staging.toString
+      val statRows = spark.sparkContext.parallelize(parts, parts.size)
+        .map(name => name -> statsOfStagedFile(s"$stagingStr/$name", bloomCols))
+        .collect().toMap
+      parts.flatMap { part =>
+        val (rows, stats, blooms) = statRows(part)
+        val src = staging.resolve(part)
+        if (rows == 0) { Files.delete(src); None }
         else {
           val name = java.util.UUID.randomUUID().toString + ".parquet"
-          Files.move(p, tableDir.resolve(name))
-          val stats = info.columns.groupBy(_.path).map { case (cname, cols) =>
-            cname -> ColStat(
-              cols.map(_.nullCount).sum,
-              cols.flatMap(_.minNum).reduceOption((a, b) => math.min(a, b)),
-              cols.flatMap(_.maxNum).reduceOption((a, b) => math.max(a, b)),
-              cols.flatMap(_.minStr).reduceOption((a, b) => if (a <= b) a else b),
-              cols.flatMap(_.maxStr).reduceOption((a, b) => if (a >= b) a else b))
-          }
-          // Column blooms from OUR OWN parquet decode of the bytes
-          // just written — in-process, no second Spark scan.
-          val blooms = bloomCols.filter(stats.contains).flatMap { c =>
-            val keys = ParquetRead.readColumn(bytes, info, c)
-              .flatten.flatMap(bloomKey).toSet
-            if (keys.isEmpty) None else Some(c -> buildBloom(keys))
-          }.toMap
-          Some(AddFile(name, info.numRows, Files.size(tableDir.resolve(name)), stats, blooms))
+          Files.move(src, tableDir.resolve(name))
+          Some(AddFile(name, rows, Files.size(tableDir.resolve(name)), stats, blooms))
         }
       }
     } finally {
-      Files.walk(staging).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val w = Files.walk(staging)
+      val all = try w.iterator.asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -487,10 +619,11 @@ object TxLog {
         overlap(f, attrName(a).get, v, 0, strict = false) &&
           bloomMayContain(f, attrName(a).get, v)
       }
+    // an UNKNOWN null count (None) keeps the file in both directions
     case IsNull(a) if attrName(a).isDefined =>
-      f.stats.get(attrName(a).get).forall(_.nullCount > 0)
+      f.stats.get(attrName(a).get).forall(_.nullCount.forall(_ > 0))
     case IsNotNull(a) if attrName(a).isDefined =>
-      f.stats.get(attrName(a).get).forall(_.nullCount < f.rows)
+      f.stats.get(attrName(a).get).forall(_.nullCount.forall(_ < f.rows))
     case _ => true
   }
 
@@ -498,6 +631,25 @@ object TxLog {
   private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL(ddl))
+
+  /** File reads report every column nullable (Spark file sources
+    * force nullability on read) — mirror that so a schema-driven read
+    * is plan-identical to today's plain parquet read.
+    */
+  private def nullable(t: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    t match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = nullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = nullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+  private def schemaRead(spark: SparkSession, ddl: String) =
+    if (ddl.isEmpty) spark.read
+    else spark.read.schema(nullable(StructType.fromDDL(ddl)).asInstanceOf[StructType])
 
   /** Version 0: schema + initial data. `txn` rides the same commit
     * (watermark + data atomically — the maintained-view contract).
@@ -522,18 +674,30 @@ object TxLog {
       s"txlog: append schema '${df.schema.toDDL}' != table schema '$expected' " +
         "(schema evolution goes through overwrite)")
     val adds = stageWrite(spark, df, table, bloomCols)
-    var v = snapshot(table).version + 1
-    var attempts = 0
-    while (true) {
-      try { commit(table, v, CommitInfo("append") +: adds.map(Add)); return v }
-      catch {
-        case _: CommitConflictException =>
-          attempts += 1
-          require(attempts < 1000, s"txlog: append starved at $table")
-          v = snapshot(table).version + 1
-      }
-    }
-    v
+    commitWithRebase(table, snapshot(table).version + 1,
+      CommitInfo("append") +: adds.map(Add), Set.empty, "append")
+  }
+
+  /** ADDITIVE schema evolution as a METADATA-ONLY commit: the new
+    * nullable column(s) are appended to the table schema; files
+    * already on disk are untouched and read back with nulls in the
+    * new positions (the snapshot schema drives every read). This is
+    * the one schema change a 100 TB table can afford — anything else
+    * (type change, drop, rename) still goes through `overwrite`,
+    * which rewrites the data under the new schema.
+    */
+  def addColumn(table: String, colDdl: String): Long = {
+    val snap = snapshot(table)
+    val add = StructType.fromDDL(colDdl)
+    val cur = StructType.fromDDL(snap.schemaDdl)
+    require(add.fields.nonEmpty, s"txlog: empty column DDL '$colDdl'")
+    require(add.forall(_.nullable),
+      s"txlog: added columns must be nullable (existing rows have no value): '$colDdl'")
+    val dup = add.fieldNames.toSet.intersect(cur.fieldNames.toSet)
+    require(dup.isEmpty, s"txlog: column(s) ${dup.mkString(", ")} already exist")
+    val ddl = StructType(cur.fields ++ add.fields).toDDL
+    commitWithRebase(table, snap.version + 1,
+      Seq(CommitInfo("add-column"), Meta(ddl)), Set.empty, "add-column")
   }
 
   /** Replace the whole table contents (schema may change). `txn`
@@ -543,11 +707,11 @@ object TxLog {
                 txn: Option[(String, Long)] = None): Long = {
     val snap = snapshot(table)
     val adds = stageWrite(spark, df, table)
-    val v = snap.version + 1
-    commit(table, v, CommitInfo("overwrite") +: Meta(df.schema.toDDL) +:
-      (txn.map { case (a, w) => SetTxn(a, w) }.toSeq ++
-        snap.livePaths.map(Remove) ++ adds.map(Add)))
-    v
+    commitWithRebase(table, snap.version + 1,
+      CommitInfo("overwrite") +: Meta(df.schema.toDDL) +:
+        (txn.map { case (a, w) => SetTxn(a, w) }.toSeq ++
+          snap.livePaths.map(Remove) ++ adds.map(Add)),
+      Set.empty, "overwrite", exclusive = true)
   }
 
   /** Rows of `paths` with each file's deletion vector applied — the
@@ -558,9 +722,13 @@ object TxLog {
     * join sized by the hidden-row count, never the table.
     */
   private def readEffective(spark: SparkSession, table: String, snap: Snapshot,
-                            paths: Seq[String]): DataFrame = {
-    if (paths.isEmpty) return emptyDf(spark, snap.schemaDdl)
-    val base = spark.read.parquet(paths.map(dataPath(table, _)): _*)
+                            paths: Seq[String], schemaDdl: Option[String] = None): DataFrame = {
+    val ddl = schemaDdl.getOrElse(snap.schemaDdl)
+    if (paths.isEmpty) return emptyDf(spark, ddl)
+    // the SNAPSHOT schema drives the read (nullable, matching what a
+    // plain parquet read reports): files written before an additive
+    // schema evolution lack the new columns and surface them as nulls
+    val base = schemaRead(spark, ddl).parquet(paths.map(dataPath(table, _)): _*)
     val withDv = paths.filter(snap.dvs.contains)
     if (withDv.isEmpty) base
     else {
@@ -594,11 +762,10 @@ object TxLog {
     val expr = Shims.expression(cond)
     val victims = snap.adds.values.filter(f => mayMatch(f, expr)).map(_.path).toSeq.sorted
     val v = snap.version + 1
-    if (victims.isEmpty) {
-      commit(table, v, Seq(CommitInfo("delete-dv")))
-      return v
-    }
-    val base = spark.read.parquet(victims.map(dataPath(table, _)): _*)
+    if (victims.isEmpty)
+      return commitWithRebase(table, v, Seq(CommitInfo("delete-dv")), Set.empty, "delete-dv")
+    val base = schemaRead(spark, snap.schemaDdl)
+      .parquet(victims.map(dataPath(table, _)): _*)
       .withColumn("_f", col("_metadata.file_name"))
       .withColumn("_i", col("_metadata.row_index"))
     val oldDvFiles = victims.flatMap(p => snap.dvs.get(p).map(_.dvPath)).distinct
@@ -629,8 +796,8 @@ object TxLog {
       .groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val dvActs = victims.flatMap(p => counts.get(p).map(n => Dv(p, dvName, n)))
-    commit(table, v, CommitInfo("delete-dv") +: dvActs)
-    v
+    commitWithRebase(table, v, CommitInfo("delete-dv") +: dvActs,
+      victims.toSet, "delete-dv")
   }
 
   /** Delete rows matching `cond`. Only files whose statistics overlap
@@ -649,9 +816,9 @@ object TxLog {
           .filter(not(coalesce(cond, lit(false))))
         stageWrite(spark, survivors, table)
       }
-    val v = snap.version + 1
-    commit(table, v, CommitInfo("delete") +: (victims.map(Remove) ++ adds.map(Add)))
-    v
+    commitWithRebase(table, snap.version + 1,
+      CommitInfo("delete") +: (victims.map(Remove) ++ adds.map(Add)),
+      victims.toSet, "delete")
   }
 
   /** Merge `source` into the table on equality of `key` (upsert:
@@ -677,9 +844,9 @@ object TxLog {
         .join(source.select(col(key)), Seq(key), "left_anti")
         .unionByName(source)
     val adds = stageWrite(spark, merged, table)
-    val v = snap.version + 1
-    commit(table, v, CommitInfo("upsert") +: (victims.map(Remove) ++ adds.map(Add)))
-    v
+    commitWithRebase(table, snap.version + 1,
+      CommitInfo("upsert") +: (victims.map(Remove) ++ adds.map(Add)),
+      victims.toSet, "upsert")
   }
 
   /** Bin-pack files smaller than `smallBytes` into rewritten groups —
@@ -698,9 +865,9 @@ object TxLog {
     val grouped = readEffective(spark, table, snap, small.map(_.path))
       .coalesce(nOut)
     val adds = stageWrite(spark, grouped, table)
-    val v = snap.version + 1
-    commit(table, v, CommitInfo("compact") +: (small.map(f => Remove(f.path)) ++ adds.map(Add)))
-    v
+    commitWithRebase(table, snap.version + 1,
+      CommitInfo("compact") +: (small.map(f => Remove(f.path)) ++ adds.map(Add)),
+      small.map(_.path).toSet, "compact")
   }
 
   /** Z-ORDER the whole table on two numeric columns (the OPTIMIZE
@@ -723,6 +890,8 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, floor, max => smax, min => smin}
     val all = readEffective(spark, table, snap, snap.livePaths)
     val r = all.agg(smin(col(xCol)), smax(col(xCol)), smin(col(yCol)), smax(col(yCol))).head
+    // every remaining row hidden by deletion vectors → nothing to cluster
+    if (r.isNullAt(0) || r.isNullAt(2)) return snap.version
     def bound(i: Int): Long = r.get(i) match {
       case l: Long => l
       case n: Number => n.longValue
@@ -737,9 +906,9 @@ object TxLog {
       .sortWithinPartitions("_z")
       .drop("_z")
     val adds = stageWrite(spark, clustered, table, bloomCols)
-    val v = snap.version + 1
-    commit(table, v, CommitInfo("cluster") +: (snap.livePaths.map(Remove) ++ adds.map(Add)))
-    v
+    commitWithRebase(table, snap.version + 1,
+      CommitInfo("cluster") +: (snap.livePaths.map(Remove) ++ adds.map(Add)),
+      snap.livePaths.toSet, "cluster")
   }
 
   /** The table as a DataFrame at `asOf` (default: latest). Plain
@@ -773,9 +942,11 @@ object TxLog {
       !b.adds.contains(p) || ident(a, p) != ident(b, p)).toSeq.sorted
     val added = b.adds.keySet.filter(p =>
       !a.adds.contains(p) || ident(a, p) != ident(b, p)).toSeq.sorted
+    // both sides read under the TO-version schema, so a feed spanning
+    // an additive schema evolution still lines up column-for-column
     val ins = readEffective(spark, table, b, added)
-      .exceptAll(readEffective(spark, table, a, removed))
-    val del = readEffective(spark, table, a, removed)
+      .exceptAll(readEffective(spark, table, a, removed, Some(b.schemaDdl)))
+    val del = readEffective(spark, table, a, removed, Some(b.schemaDdl))
       .exceptAll(readEffective(spark, table, b, added))
     ins.withColumn("_change", lit("insert"))
       .unionByName(del.withColumn("_change", lit("delete")))
@@ -807,21 +978,34 @@ object TxLog {
   def streamCommit(spark: SparkSession, df: DataFrame, table: String,
                    app: String, batchId: Long,
                    bloomCols: Seq[String] = Nil): Boolean = {
+    val snap0 = snapshot(table)
+    if (snap0.txns.get(app).exists(_ >= batchId)) return false
+    val adds = stageWrite(spark, df, table, bloomCols)
+    def dropStaged(): Unit =
+      adds.foreach(a => Files.deleteIfExists(Paths.get(dataPath(table, a.path))))
+    var v = snap0.version + 1
     var attempts = 0
     while (true) {
-      val snap = snapshot(table)
-      if (snap.txns.get(app).exists(_ >= batchId)) return false
-      val adds = stageWrite(spark, df, table, bloomCols)
       try {
-        commit(table, snap.version + 1,
-          Seq(CommitInfo("stream"), SetTxn(app, batchId)) ++ adds.map(Add))
+        commit(table, v, Seq(CommitInfo("stream"), SetTxn(app, batchId)) ++ adds.map(Add))
         return true
       } catch {
         case _: CommitConflictException =>
-          // another writer advanced the log: drop our staged files and retry
-          adds.foreach(a => Files.deleteIfExists(Paths.get(dataPath(table, a.path))))
+          // rebase: the staged files stay valid across interleaved
+          // commits unless the schema changed or OUR OWN app already
+          // committed this batch (a racing replay)
           attempts += 1
           require(attempts < 1000, s"txlog: stream commit starved at $table")
+          val latest = latestVersion(table).getOrElse(v)
+          val inter = (v to latest).flatMap(actionsOf(table, _))
+          if (inter.exists { case SetTxn(a, w) => a == app && w >= batchId; case _ => false }) {
+            dropStaged(); return false
+          }
+          if (inter.exists { case Meta(_) => true; case _ => false }) {
+            dropStaged()
+            throw new ConcurrentWriteException(table, "stream", "table schema changed")
+          }
+          v = latest + 1
       }
     }
     false
@@ -842,8 +1026,7 @@ object TxLog {
       cur.livePaths.map(Remove) ++
       tgt.adds.toSeq.sortBy(_._1).map { case (_, f) => Add(f) } ++
       tgt.dvs.toSeq.sortBy(_._1).map { case (p, d) => Dv(p, d.dvPath, d.hidden) }
-    commit(table, v, acts)
-    v
+    commitWithRebase(table, v, acts, Set.empty, "restore", exclusive = true)
   }
 
   /** Retention-aware vacuum: delete data files and DV sidecars not
@@ -872,23 +1055,57 @@ object TxLog {
     sweep(table, snap.adds.keySet, snap.dvs.values.map(_.dvPath).toSet)
   }
 
+  /** Grace window for files the log has NEVER referenced: stageWrite
+    * moves data files into the table directory BEFORE the commit that
+    * adds them, so a young unreferenced file may belong to an
+    * in-flight writer — deleting it would make that writer's commit
+    * reference missing bytes (Delta guards the same window with its
+    * retention check). Files a log version HAS referenced carry no
+    * such risk: they are deletable the moment they fall outside the
+    * keep set, whatever their age.
+    */
+  val stagedGraceMs: Long = 20L * 60 * 1000
+
+  /** Every data file / DV path any log version or checkpoint has ever
+    * referenced — the "committed at some point" set sweep() consults
+    * to tell superseded files from in-flight staged ones.
+    */
+  private def everReferenced(table: String): (Set[String], Set[String]) = {
+    val adds = scala.collection.mutable.HashSet.empty[String]
+    val dvs = scala.collection.mutable.HashSet.empty[String]
+    val dir = logDir(table)
+    listNames(dir).filter(n => n.endsWith(".json") && !n.startsWith(".tmp-")).foreach { n =>
+      Files.readAllLines(dir.resolve(n)).asScala.filter(_.nonEmpty).foreach { l =>
+        parseAction(l) match {
+          case Add(f) => adds += f.path
+          case Dv(_, dvp, _) => dvs += dvp
+          case _ => ()
+        }
+      }
+    }
+    (adds.toSet, dvs.toSet)
+  }
+
   private def sweep(table: String, live: Set[String], liveDvs: Set[String]): Seq[String] = {
     val tableDir = Paths.get(table)
-    val victims = Files.list(tableDir).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !live.contains(n))
-      .toSeq.sorted
+    val (everAdds, everDvs) = everReferenced(table)
+    val youngest = System.currentTimeMillis() - stagedGraceMs
+    def maybeStaged(p: Path, ever: Boolean): Boolean =
+      !ever && Files.getLastModifiedTime(p).toMillis >= youngest
+    val victims = listNames(tableDir)
+      .filter(n => n.endsWith(".parquet") && !live.contains(n) &&
+        !maybeStaged(tableDir.resolve(n), everAdds.contains(n)))
+      .sorted
     victims.foreach(n => Files.delete(tableDir.resolve(n)))
-    val dvDir = tableDir.resolve("_dv")
-    val dvVictims =
-      if (!Files.isDirectory(dvDir)) Seq.empty
-      else Files.list(dvDir).iterator.asScala
-        .map(p => "_dv/" + p.getFileName.toString)
-        .filterNot(n => liveDvs.contains(n) || n.contains(".staging-"))
-        .toSeq.sorted
+    val dvVictims = listNames(tableDir.resolve("_dv"))
+      .map("_dv/" + _)
+      .filterNot(n => liveDvs.contains(n) || n.contains(".staging-") ||
+        maybeStaged(tableDir.resolve(n), everDvs.contains(n)))
+      .sorted
     dvVictims.foreach { n =>
-      val p = tableDir.resolve(n)
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val w = Files.walk(tableDir.resolve(n))
+      val all = try w.iterator.asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
     victims ++ dvVictims
   }

@@ -20,7 +20,7 @@ class ParquetFooterSpec extends SparkSpec {
     info.columns.foreach { c =>
       assert(c.codec === "SNAPPY", c.path)
       assert(c.numValues === 200L, c.path)
-      assert(c.nullCount === 0L, c.path)
+      assert(c.nullCount === Some(0L), c.path)
     }
     val df = spark.read.parquet(path("part"))
     val r = df.agg(
@@ -71,7 +71,7 @@ class ParquetFooterSpec extends SparkSpec {
           }
           assert(c.ptype === mrType, s"$t/${c.path}")
           val st = mr.getStatistics
-          if (st != null && !st.isEmpty) assert(c.nullCount === st.getNumNulls, s"$t/${c.path}")
+          if (st != null && !st.isEmpty) assert(c.nullCount === Some(st.getNumNulls), s"$t/${c.path}")
         }
       } finally reader.close()
     }

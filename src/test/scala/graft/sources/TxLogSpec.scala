@@ -129,8 +129,8 @@ class TxLogSpec extends SparkSpec {
 
   test("stats pruning is conservative and exact on eq/range/in/null") {
     val add = TxLog.AddFile("f.parquet", 10L, 100L, Map(
-      "k" -> TxLog.ColStat(0L, Some(10.0), Some(20.0), None, None),
-      "s" -> TxLog.ColStat(2L, None, None, Some("bb"), Some("dd"))))
+      "k" -> TxLog.ColStat(Some(0L), Some(10.0), Some(20.0), None, None),
+      "s" -> TxLog.ColStat(Some(2L), None, None, Some("bb"), Some("dd"))))
     def may(c: org.apache.spark.sql.Column): Boolean =
       TxLog.mayMatch(add, org.apache.spark.sql.graft.Shims.expression(c))
     assert(!may(col("k") === 9))
@@ -335,6 +335,155 @@ class TxLogSpec extends SparkSpec {
     assert(contents(t).map(_._1) === Set(3L))
     intercept[Exception](contents(t, Some(0L)).map(_._1)) // pre-window version gone
     assert(TxLog.vacuumKeeping(t, 2).isEmpty, "idempotent")
+  }
+
+  test("stageWrite runs its footer/stats/bloom walk as a cluster job, one task per staged file") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import scala.jdk.CollectionConverters._
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stages.add(sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val t = freshTable()
+      TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+        .repartition(4), t, bloomCols = Seq("k"))
+      // the parquet write's result stage AND the stats walk each run 4
+      // tasks (one per staged part) — the walk itself refuses to run
+      // outside a task (statsOfStagedFile's TaskContext require), so a
+      // driver-side regression would fail every test in this suite
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline && stages.asScala.count(_ == 4) < 2)
+        Thread.sleep(50)
+      assert(stages.asScala.count(_ == 4) >= 2,
+        s"expected a 4-task write stage and a 4-task stats stage; saw $stages")
+      val snap = TxLog.snapshot(t, None)
+      assert(snap.adds.values.map(_.rows).sum === 4L)
+      assert(snap.adds.values.forall(f => f.stats.contains("k") && f.blooms.contains("k")),
+        "task-computed stats and blooms round-tripped into the log")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("optimistic rebase: disjoint commits land; read-set and schema conflicts throw") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)).repartition(1), t) // v0 → file f0
+    val f0 = TxLog.snapshot(t, None).adds.keySet.head
+    TxLog.append(spark, df((2L, "b", 2.0)).repartition(1), t) // v1: the interleaved commit
+    // a commit planned at v1 with an empty read set rebases to v2
+    assert(TxLog.commitWithRebase(t, 1L, Seq(TxLog.CommitInfo("noop")), Set.empty, "noop") === 2L)
+    TxLog.deleteWhere(spark, t, col("k") === 1L)              // v3: removes f0
+    // a stale commit whose read set lost a file must re-plan
+    intercept[TxLog.ConcurrentWriteException](
+      TxLog.commitWithRebase(t, 3L, Seq(TxLog.CommitInfo("stale")), Set(f0), "stale"))
+    TxLog.overwrite(spark, Seq((1L, 1L)).toDF("k", "n"), t)   // v4: schema change
+    intercept[TxLog.ConcurrentWriteException](
+      TxLog.commitWithRebase(t, 4L, Seq(TxLog.CommitInfo("x")), Set.empty, "x"))
+    val base = TxLog.latestVersion(t).get
+    TxLog.append(spark, Seq((2L, 2L)).toDF("k", "n"), t)
+    // exclusive ops (overwrite/restore) conflict with any data commit
+    intercept[TxLog.ConcurrentWriteException](
+      TxLog.commitWithRebase(t, base + 1, Seq(TxLog.CommitInfo("ow")), Set.empty, "ow",
+        exclusive = true))
+  }
+
+  test("an append racing a DV delete: both land (WriteSerializable)") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0)).repartition(1), t)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val a = new Thread(() => {
+      try TxLog.append(spark, df((10L, "x", 0.0)).repartition(1), t)
+      catch { case e: Throwable => failures.add(e) }
+    })
+    val b = new Thread(() => {
+      try TxLog.deleteWhereDV(spark, t, col("k") === 1L)
+      catch { case e: Throwable => failures.add(e) }
+    })
+    a.start(); b.start(); a.join(); b.join()
+    assert(failures.isEmpty, s"racing commits must both land: ${failures.peek()}")
+    assert(contents(t).map(_._1) === Set(2L, 10L))
+  }
+
+  test("additive schema evolution: metadata-only commit, old files read as nulls") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)).repartition(1), t)
+    val filesBefore = TxLog.snapshot(t, None).adds.keySet
+    TxLog.addColumn(t, "tag STRING")
+    assert(TxLog.snapshot(t, None).adds.keySet === filesBefore, "no data rewrite")
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq === Seq("k", "s", "v", "tag"))
+    TxLog.append(spark, Seq((2L, "b", 2.0, "fresh")).toDF("k", "s", "v", "tag"), t)
+    assert(TxLog.read(spark, t).as[(Long, String, Double, Option[String])].collect().toSet ===
+      Set((1L, "a", 1.0, None), (2L, "b", 2.0, Some("fresh"))))
+    // the pre-evolution schema no longer appends
+    intercept[IllegalArgumentException](TxLog.append(spark, df((3L, "c", 3.0)), t))
+    // non-nullable and duplicate additions are rejected
+    intercept[IllegalArgumentException](TxLog.addColumn(t, "k2 BIGINT NOT NULL"))
+    intercept[IllegalArgumentException](TxLog.addColumn(t, "k BIGINT"))
+    // time travel before the evolution shows the old schema
+    assert(TxLog.read(spark, t, Some(0L)).schema.fieldNames.toSeq === Seq("k", "s", "v"))
+    // row-level ops span mixed-schema files: old file has no 'tag'
+    // stats at all → conservative victim; new file's nullCount=0 prunes
+    TxLog.deleteWhere(spark, t, col("tag").isNull)
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().toSeq === Seq(2L))
+    // change feed across the evolution reads both sides under the new schema
+    assert(TxLog.changes(spark, t, 0L, 3L).columns.contains("tag"))
+  }
+
+  test("a failing checkpoint write does not fail the commit and is observable") {
+    val t = freshTable()
+    TxLog.create(spark, df((0L, "z", 0.0)).repartition(1), t)
+    // sabotage the interval checkpoint target: a NON-EMPTY directory at
+    // its path makes the atomic rename fail every time
+    val ck = Paths.get(t, "_txlog", f"${TxLog.checkpointInterval}%020d.checkpoint.json")
+    Files.createDirectories(ck)
+    Files.write(ck.resolve("block"), Array[Byte](1))
+    (1L to TxLog.checkpointInterval.toLong).foreach(i =>
+      TxLog.append(spark, df((i, s"s$i", 0.0)).repartition(1), t))
+    assert(TxLog.latestVersion(t) === Some(TxLog.checkpointInterval.toLong),
+      "commits survive the checkpoint failure")
+    assert(TxLog.checkpointFailures(t).exists(_.startsWith(s"${TxLog.checkpointInterval} ")),
+      s"failure recorded; got ${TxLog.checkpointFailures(t)}")
+    // the unreadable checkpoint degrades snapshot to full replay
+    assert(contents(t).size === TxLog.checkpointInterval + 1)
+  }
+
+  test("vacuum spares young never-referenced files (in-flight staged), deletes aged junk") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)).repartition(1), t)
+    TxLog.overwrite(spark, df((2L, "b", 2.0)).repartition(1), t)
+    // simulate another writer's staged-but-uncommitted file: real
+    // parquet bytes under a name no log version has ever referenced
+    val stagedName = java.util.UUID.randomUUID().toString + ".parquet"
+    val anyLive = TxLog.snapshot(t, None).adds.keySet.head
+    Files.copy(Paths.get(t, anyLive), Paths.get(t, stagedName))
+    val removed = TxLog.vacuum(t)
+    assert(removed.size === 1 && !removed.contains(stagedName),
+      s"the superseded v0 file goes; the in-flight staged file survives: $removed")
+    // aged past the grace window it is junk, not an in-flight write
+    Files.setLastModifiedTime(Paths.get(t, stagedName),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TxLog.stagedGraceMs - 60000))
+    assert(TxLog.vacuum(t) === Seq(stagedName))
+  }
+
+  test("unknown null counts never prune; known ones prune exactly") {
+    def may(f: TxLog.AddFile, c: org.apache.spark.sql.Column): Boolean =
+      TxLog.mayMatch(f, org.apache.spark.sql.graft.Shims.expression(c))
+    def file(nc: Option[Long]) = TxLog.AddFile("f.parquet", 10L, 100L,
+      Map("s" -> TxLog.ColStat(nc, None, None, Some("a"), Some("b"))))
+    assert(may(file(None), col("s").isNull) && may(file(None), col("s").isNotNull))
+    assert(!may(file(Some(0L)), col("s").isNull) && may(file(Some(0L)), col("s").isNotNull))
+    assert(may(file(Some(10L)), col("s").isNull) && !may(file(Some(10L)), col("s").isNotNull))
+  }
+
+  test("cluster on a fully DV-hidden table is a no-op") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0), (2L, "b", 2.0)).repartition(1), t)
+    TxLog.deleteWhereDV(spark, t, lit(true))
+    val v = TxLog.snapshot(t, None).version
+    assert(TxLog.cluster(spark, t, "k", "v", nFiles = 4) === v)
+    assert(contents(t).isEmpty)
   }
 
   test("overwrite replaces contents and can change schema") {
