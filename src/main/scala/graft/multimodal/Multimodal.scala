@@ -347,6 +347,31 @@ object Multimodal {
       })
   }
 
+  case class PdfImageMeta(
+      doc_id: Long, img_idx: Int, width: Int, height: Int,
+      n_bytes: Int, sum_r: Long, sum_g: Long, sum_b: Long, valid: Boolean)
+
+  /** REAL embedded-image extraction (`Pdf.decodeImages` — the page
+    * tree's /XObject /Subtype /Image entries through the full filter
+    * CHAIN: FlateDecode, LZWDecode and DCTDecode via the in-repo
+    * Jpeg decoder; pdf_extractor.py pairs its text pull with exactly
+    * this per-page image walk). Explode-per-image (flatMap), the
+    * same map-only crawl shape as [[sampleFrames]]: a document
+    * yields zero rows when unreadable, and a single bad image yields
+    * its own `valid=false` row without hiding its siblings.
+    */
+  def pdfImageStats(df: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload"): Dataset[PdfImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Pdf.decodeImages(bytes).map(im =>
+          PdfImageMeta(id, im.imgIdx, im.width, im.height, im.nBytes,
+            im.sumR, im.sumG, im.sumB, im.valid))
+      }
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
     * (explode-per-item, bounded by content size).

@@ -35,10 +35,14 @@ import scala.collection.mutable.ArrayBuffer
   * /DecodeParms) with OBJECT STREAMS (/Type /ObjStm — compressed
   * non-stream objects addressed by type-2 entries), plus hybrid
   * files (/XRefStm in a classic trailer). Incremental updates via
-  * `/Prev` chains are followed in both forms. Scope boundaries
-  * (→ `valid=false`, never an exception — the crawl-scale contract
-  * shared by every decoder in this package): encryption, filters
-  * other than FlateDecode.
+  * `/Prev` chains are followed in both forms. Stream filters:
+  * FlateDecode, LZWDecode (ISO 32000-1 §7.4.4 TIFF-variant with
+  * EarlyChange) and DCTDecode (the in-repo [[Jpeg]] decoder), as a
+  * chain, each with its own /DecodeParms predictor. [[decodeImages]]
+  * walks the page tree's /XObject /Subtype /Image entries through
+  * the same filter path. Scope boundaries (→ `valid=false`, never an
+  * exception — the crawl-scale contract shared by every decoder in
+  * this package): encryption, filters beyond those three.
   *
   * The [[encode]] side is the established oracle pattern (q70/q80/q83/
   * q90/q94): synthesize documents with our own writer — uncompressed
@@ -112,10 +116,12 @@ object Pdf {
 
   /** An image to embed as a /Subtype /Image XObject on the first
     * page. `filter` is "DCTDecode" (`data` = a complete JPEG),
-    * "FlateDecode" or "LZWDecode" (`data` = raw 8-bit /DeviceRGB
-    * samples, compressed by the writer), or "" (raw, stored).
+    * "FlateDecode" or "LZWDecode" (`data` = raw 8-bit samples,
+    * compressed by the writer), or "" (raw, stored). `colorSpace`
+    * is "DeviceRGB" (3 samples/px) or "DeviceGray" (1 sample/px).
     */
-  final case class ImageFixture(width: Int, height: Int, filter: String, data: Array[Byte])
+  final case class ImageFixture(width: Int, height: Int, filter: String,
+                                data: Array[Byte], colorSpace: String = "DeviceRGB")
 
   /** Build a complete PDF: one content stream per page (optionally
     * FlateDecode- or LZWDecode-compressed), a shared Type1 font, and
@@ -183,7 +189,7 @@ object Pdf {
       }
       obj(imgBase + 1 + i) {
         w(s"<< /Type /XObject /Subtype /Image /Width ${img.width} /Height ${img.height} " +
-          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+          s"/ColorSpace /${img.colorSpace} /BitsPerComponent 8 " +
           (if (img.filter.nonEmpty) s"/Filter /${img.filter} " else "") +
           s"/Length ${data.length} >>\nstream\n")
         out.write(data)
@@ -597,16 +603,38 @@ object Pdf {
         case PName("DCTDecode") =>
           val px = Jpeg.decodePixels(d)
           if (px == null) throw new IllegalArgumentException("bad DCTDecode payload")
-          val out = new Array[Byte](px.rgb.length * 3)
-          var j = 0
-          while (j < px.rgb.length) {
-            val p = px.rgb(j)
-            out(3 * j) = ((p >> 16) & 0xff).toByte
-            out(3 * j + 1) = ((p >> 8) & 0xff).toByte
-            out(3 * j + 2) = (p & 0xff).toByte
-            j += 1
+          // emit samples at the stream's DECLARED component count —
+          // a /DeviceGray stream must not silently yield 3-byte RGB
+          // (the consumer sizes buffers by Width*Height*components)
+          resolve(dict.getOrElse("ColorSpace", PNull)) match {
+            case PName("DeviceRGB") | PNull => // absent → the decoder's native RGB
+              val out = new Array[Byte](px.rgb.length * 3)
+              var j = 0
+              while (j < px.rgb.length) {
+                val p = px.rgb(j)
+                out(3 * j) = ((p >> 16) & 0xff).toByte
+                out(3 * j + 1) = ((p >> 8) & 0xff).toByte
+                out(3 * j + 2) = (p & 0xff).toByte
+                j += 1
+              }
+              out
+            case PName("DeviceGray") =>
+              // a grayscale JPEG decodes with r=g=b exactly; anything
+              // else under a /DeviceGray label is malformed
+              val out = new Array[Byte](px.rgb.length)
+              var j = 0
+              while (j < px.rgb.length) {
+                val p = px.rgb(j)
+                val r = (p >> 16) & 0xff
+                if (r != ((p >> 8) & 0xff) || r != (p & 0xff))
+                  throw new IllegalArgumentException("color JPEG under /DeviceGray")
+                out(j) = r.toByte
+                j += 1
+              }
+              out
+            case other =>
+              throw new IllegalArgumentException(s"unsupported DCT colorspace $other")
           }
-          out
         case other => throw new IllegalArgumentException(s"unsupported filter $other")
       }
     }
@@ -1086,19 +1114,26 @@ object Pdf {
     catch { case _: Exception => Invalid }
   }
 
-  private def decodeOrThrow(bytes: Array[Byte]): PdfText = {
-    if (bytes == null || bytes.length < 32) return Invalid
-    if (!(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F')) return Invalid
+  /** Shared open path: xref chain → object graph → ordered page
+    * list (each with its inherited-or-own /Resources). Throws on any
+    * structural problem — callers translate to their invalid shape.
+    */
+  private def openDoc(bytes: Array[Byte]): (Doc, Seq[(Map[String, PVal], Option[PVal])]) = {
+    if (bytes == null || bytes.length < 32)
+      throw new IllegalArgumentException("too short")
+    if (!(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'))
+      throw new IllegalArgumentException("no %PDF magic")
 
     // locate the LAST 'startxref' keyword near the end of the file
     val tailStart = math.max(0, bytes.length - 2048)
     val tail = new String(bytes, tailStart, bytes.length - tailStart, ISO_8859_1)
     val sx = tail.lastIndexOf("startxref")
-    if (sx < 0) return Invalid
+    if (sx < 0) throw new IllegalArgumentException("no startxref")
     val sxLex = new Lexer(bytes, tailStart + sx)
     sxLex.expect("startxref")
     val xrefOff = sxLex.keyword().toInt
-    if (xrefOff < 0 || xrefOff >= bytes.length) return Invalid
+    if (xrefOff < 0 || xrefOff >= bytes.length)
+      throw new IllegalArgumentException("startxref out of range")
 
     val (xref, trailer) = readXref(bytes, xrefOff)
     val doc = new Doc(bytes, xref)
@@ -1131,7 +1166,12 @@ object Pdf {
       }
     }
     walk(pagesRoot, 0, None)
-    if (pages.isEmpty) return Invalid
+    if (pages.isEmpty) throw new IllegalArgumentException("no pages")
+    (doc, pages.toSeq)
+  }
+
+  private def decodeOrThrow(bytes: Array[Byte]): PdfText = {
+    val (doc, pages) = openDoc(bytes)
 
     /** Font-resource-name → /ToUnicode code map for one page. */
     def fontsOf(res: Option[PVal]): Map[String, Map[Int, String]] =
@@ -1173,5 +1213,102 @@ object Pdf {
     }
     val text = pageTexts.mkString("\n")
     PdfText(pages.length, text.length.toLong, text, valid = true)
+  }
+
+  // ------------------------------------------------------------------
+  // Image XObject extraction
+  // ------------------------------------------------------------------
+
+  /** One extracted /Subtype /Image XObject. `imgIdx` counts across
+    * the document in (page, resource-name) order; sums are over the
+    * DECODED sample bytes (a /DeviceGray image reports its gray sum
+    * in all three channels). `valid=false` rows carry zeros — a bad
+    * filter chain or a geometry mismatch never throws and never
+    * hides the image's existence.
+    */
+  final case class PdfImage(imgIdx: Int, width: Int, height: Int, nBytes: Int,
+                            sumR: Long, sumG: Long, sumB: Long, valid: Boolean)
+
+  private def InvalidImage(idx: Int) = PdfImage(idx, 0, 0, 0, 0L, 0L, 0L, valid = false)
+
+  /** Extract every image XObject reachable from the page tree, in
+    * (page, sorted resource name) order — the image twin of
+    * [[decode]]: the filter CHAIN (Flate/LZW/DCT) runs through the
+    * same [[applyFilters]] path the text layer uses, and the decoded
+    * sample buffer is validated against Width×Height×components of
+    * the declared /ColorSpace. A structurally unreadable document
+    * yields an empty list; a single bad image yields its own
+    * `valid=false` row without hiding its siblings.
+    */
+  def decodeImages(bytes: Array[Byte]): Seq[PdfImage] = {
+    val (doc, pages) =
+      try openDoc(bytes)
+      catch { case _: Exception => return Seq.empty }
+    val out = ArrayBuffer.empty[PdfImage]
+    val seen = scala.collection.mutable.Set.empty[Int] // an XObject shared across pages counts once
+    pages.foreach { case (_, res) =>
+      val xobjs: Seq[(String, Int)] = (try doc.resolve(res.getOrElse(PNull)) catch {
+        case _: Exception => PNull
+      }) match {
+        case PDict(r) => (try doc.resolve(r.getOrElse("XObject", PNull)) catch {
+          case _: Exception => PNull
+        }) match {
+          case PDict(xm) => xm.toSeq.collect { case (name, PRef(n)) => (name, n) }.sortBy(_._1)
+          case _         => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      xobjs.foreach { case (_, n) =>
+        if (!seen.contains(n)) {
+          seen += n
+          val idx = out.length
+          out += (try {
+            val d = doc.obj(n)._1 match {
+              case PDict(m) => m
+              case _        => throw new IllegalArgumentException("XObject is not a dict")
+            }
+            if (doc.resolve(d.getOrElse("Subtype", PNull)) != PName("Image"))
+              throw new IllegalArgumentException("not an image XObject")
+            val w = doc.resolve(d.getOrElse("Width", PNull)) match {
+              case PNum(x) if x > 0 && x <= (1 << 16) => x.toInt
+              case o => throw new IllegalArgumentException(s"bad /Width $o")
+            }
+            val h = doc.resolve(d.getOrElse("Height", PNull)) match {
+              case PNum(x) if x > 0 && x <= (1 << 16) => x.toInt
+              case o => throw new IllegalArgumentException(s"bad /Height $o")
+            }
+            val comps = doc.resolve(d.getOrElse("ColorSpace", PNull)) match {
+              case PName("DeviceRGB")  => 3
+              case PName("DeviceGray") => 1
+              case o => throw new IllegalArgumentException(s"unsupported colorspace $o")
+            }
+            doc.resolve(d.getOrElse("BitsPerComponent", PNum(8))) match {
+              case PNum(x) if x == 8 => ()
+              case o => throw new IllegalArgumentException(s"unsupported bpc $o")
+            }
+            val samples = doc.streamData(n)
+            if (samples.length.toLong != w.toLong * h * comps)
+              throw new IllegalArgumentException(
+                s"sample buffer ${samples.length} != ${w}x${h}x$comps")
+            var sr = 0L; var sg = 0L; var sb = 0L
+            if (comps == 3) {
+              var j = 0
+              while (j < samples.length) {
+                sr += samples(j) & 0xff
+                sg += samples(j + 1) & 0xff
+                sb += samples(j + 2) & 0xff
+                j += 3
+              }
+            } else {
+              var j = 0
+              while (j < samples.length) { sr += samples(j) & 0xff; j += 1 }
+              sg = sr; sb = sr
+            }
+            PdfImage(idx, w, h, samples.length, sr, sg, sb, valid = true)
+          } catch { case _: Exception => InvalidImage(idx) })
+        }
+      }
+    }
+    out.toSeq
   }
 }

@@ -274,12 +274,20 @@ class PdfSpec extends AnyFunSuite {
         b(s.replaceAll("startxref\n\\d+", "startxref\n999999999"))
       },
       {
-        // unsupported filter
+        // garbage bytes labeled LZW (code beyond table → decode throws)
         buildPdf(Seq(
           b("<< /Type /Catalog /Pages 2 0 R >>"),
           b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
           b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
           stream("/Filter /LZWDecode", b("BT (x) Tj ET"))))
+      },
+      {
+        // genuinely unsupported filter
+        buildPdf(Seq(
+          b("<< /Type /Catalog /Pages 2 0 R >>"),
+          b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+          b("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+          stream("/Filter /JBIG2Decode", b("BT (x) Tj ET"))))
       },
       {
         // PDF 1.5 xref STREAM (startxref points at an object, not 'xref') — declared out of scope
@@ -299,6 +307,135 @@ class PdfSpec extends AnyFunSuite {
     val bad = good.clone()
     (sIdx + 2 until sIdx + 10).foreach(i => bad(i) = 0)
     assert(!Pdf.decode(bad).valid)
+  }
+
+  // ------------------------------------------------------------------
+  // LZW filter
+  // ------------------------------------------------------------------
+
+  test("LZW content streams round-trip: every opMode x xref form") {
+    val pages = Seq(Seq("lzw compressed line", "second lzw line"), Seq("page two"))
+    val want = "lzw compressed line\nsecond lzw line\npage two"
+    for (op <- 0 to 2; xs <- Seq(false, true)) {
+      val got = Pdf.decode(Pdf.encode(pages, flate = false, op, xrefStream = xs, lzw = true))
+      assert(got.valid && got.text === want, s"op=$op xrefStream=$xs")
+    }
+  }
+
+  test("lzwEncode/lzwDecode round-trips: width bumps, table reset, KwKwK") {
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      Array[Byte](7),
+      "aaaaaaaaaaaaaaaa".getBytes(ISO_8859_1),             // KwKwK chains
+      Array.tabulate(5000)(i => (i % 251).toByte),         // width 9→10→11
+      Array.tabulate(40000)(i => ((i * 7919 + (i >> 3)) % 256).toByte), // forces a mid-stream Clear
+      ("to be or not to be that is the question " * 50).getBytes(ISO_8859_1))
+    cases.foreach { data =>
+      val enc = Pdf.lzwEncode(data)
+      assert(java.util.Arrays.equals(Pdf.lzwDecode(enc), data),
+        s"round-trip failed for ${data.length} bytes")
+    }
+  }
+
+  test("LZW EarlyChange=0 DecodeParms honored; hand bit-fixture pins MSB-first 9-bit codes") {
+    // hand-packed: Clear(256), 'A'(65), 'B'(66), EOD(257) as 9-bit
+    // MSB-first codes = 100000000 001000001 001000010 100000001 + pad
+    val bits = "100000000" + "001000001" + "001000010" + "100000001"
+    val padded = bits + "0" * (8 - bits.length % 8)
+    val data = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    assert(new String(Pdf.lzwDecode(data, earlyChange = true), ISO_8859_1) === "AB")
+    assert(new String(Pdf.lzwDecode(data, earlyChange = false), ISO_8859_1) === "AB")
+  }
+
+  // ------------------------------------------------------------------
+  // image XObjects
+  // ------------------------------------------------------------------
+
+  private def rgbSamples(w: Int, h: Int)(f: Int => Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(k => (f(k) & 0xff).toByte)
+
+  private def sums(data: Array[Byte], comps: Int): (Long, Long, Long) =
+    if (comps == 3) {
+      val by = data.grouped(3).toSeq
+      (by.map(p => (p(0) & 0xff).toLong).sum,
+        by.map(p => (p(1) & 0xff).toLong).sum,
+        by.map(p => (p(2) & 0xff).toLong).sum)
+    } else {
+      val s = data.map(b => (b & 0xff).toLong).sum
+      (s, s, s)
+    }
+
+  test("image XObjects extract through every filter: raw, Flate, LZW, DCT") {
+    val rgbRaw = rgbSamples(4, 3)(k => k * 17 + 5)
+    val rgbFlate = rgbSamples(5, 2)(k => 250 - k * 7)
+    val rgbLzw = rgbSamples(3, 3)(k => k * k + 1)
+    val jpeg = Jpeg.encodeFlatBlocks(2, 1, (bx, _) => (100 + 50 * bx, 128, 128))
+    val pdf = Pdf.encode(Seq(Seq("text with images")), flate = true, images = Seq(
+      Pdf.ImageFixture(4, 3, "", rgbRaw),
+      Pdf.ImageFixture(5, 2, "FlateDecode", rgbFlate),
+      Pdf.ImageFixture(3, 3, "LZWDecode", rgbLzw),
+      Pdf.ImageFixture(16, 8, "DCTDecode", jpeg)))
+    // the text layer still extracts alongside the images
+    assert(Pdf.decode(pdf).text === "text with images")
+    val imgs = Pdf.decodeImages(pdf)
+    assert(imgs.length === 4)
+    assert(imgs.forall(_.valid))
+    // fixture order is by resource name /Im0../Im3
+    Seq((rgbRaw, 4, 3), (rgbFlate, 5, 2), (rgbLzw, 3, 3)).zipWithIndex.foreach {
+      case ((data, w, h), i) =>
+        val im = imgs(i)
+        val (sr, sg, sb) = sums(data, 3)
+        assert((im.width, im.height, im.nBytes) === ((w, h, w * h * 3)), s"img $i")
+        assert((im.sumR, im.sumG, im.sumB) === ((sr, sg, sb)), s"img $i")
+    }
+    // DCT: cb=cr=128 (centered 0) → r=g=b=y exactly; flat blocks are
+    // 64 copies of the block color
+    val dct = imgs(3)
+    assert((dct.width, dct.height, dct.nBytes) === ((16, 8, 16 * 8 * 3)))
+    val wantSum = 64L * (100 + 150)
+    assert((dct.sumR, dct.sumG, dct.sumB) === ((wantSum, wantSum, wantSum)))
+    // and the stats agree with the Jpeg decoder's own view of the bytes
+    val ji = Jpeg.decode(jpeg)
+    assert((dct.sumR, dct.sumG, dct.sumB) === ((ji.sumR, ji.sumG, ji.sumB)))
+  }
+
+  test("DeviceGray images: 1 byte/pixel through Flate and DCT") {
+    val gray = Array.tabulate(6 * 4)(k => (k * 11 + 3).toByte)
+    val grayJpeg = Jpeg.encodeFlatBlocks(1, 1, (_, _) => (77, 128, 128))
+    val pdf = Pdf.encode(Seq(Seq("gray")), flate = false, images = Seq(
+      Pdf.ImageFixture(6, 4, "FlateDecode", gray, colorSpace = "DeviceGray"),
+      Pdf.ImageFixture(8, 8, "DCTDecode", grayJpeg, colorSpace = "DeviceGray")))
+    val imgs = Pdf.decodeImages(pdf)
+    assert(imgs.length === 2 && imgs.forall(_.valid))
+    val (s0, _, _) = sums(gray, 1)
+    assert((imgs(0).width, imgs(0).height, imgs(0).nBytes) === ((6, 4, 24)))
+    assert((imgs(0).sumR, imgs(0).sumG, imgs(0).sumB) === ((s0, s0, s0)))
+    // DCT under DeviceGray: r=g=b collapses to ONE sample per pixel
+    assert((imgs(1).width, imgs(1).height, imgs(1).nBytes) === ((8, 8, 64)))
+    assert(imgs(1).sumR === 64L * 77)
+  }
+
+  test("bad images yield valid=false rows without hiding siblings") {
+    val good = rgbSamples(2, 2)(k => k)
+    val colorJpeg = Jpeg.encodeFlatBlocks(1, 1, (_, _) => (90, 200, 60)) // NOT gray
+    val pdf = Pdf.encode(Seq(Seq("mixed")), flate = true, images = Seq(
+      Pdf.ImageFixture(2, 2, "", good),
+      Pdf.ImageFixture(9, 9, "", good), // geometry lie: 81*3 != 12 bytes
+      Pdf.ImageFixture(8, 8, "DCTDecode", colorJpeg, colorSpace = "DeviceGray"),
+      Pdf.ImageFixture(2, 2, "", good, colorSpace = "Indexed"))) // unsupported colorspace
+    val imgs = Pdf.decodeImages(pdf)
+    assert(imgs.length === 4)
+    assert(imgs.map(_.valid) === Seq(true, false, false, false))
+    assert(imgs(0).sumR === sums(good, 3)._1)
+    assert(imgs(1) === Pdf.PdfImage(1, 0, 0, 0, 0, 0, 0, valid = false))
+    // indices stay stable across invalid rows
+    assert(imgs.map(_.imgIdx) === Seq(0, 1, 2, 3))
+  }
+
+  test("decodeImages: unreadable document yields empty; imageless document yields empty") {
+    assert(Pdf.decodeImages(null) === Seq.empty)
+    assert(Pdf.decodeImages(b("junk that is long enough to pass the gate")) === Seq.empty)
+    assert(Pdf.decodeImages(Pdf.encode(Seq(Seq("no images")), flate = true)) === Seq.empty)
   }
 
   test("q118 synthesis shape: sanitized prefix chunks round-trip through the pdf layer") {
