@@ -801,7 +801,10 @@ object Pdf {
           } else {
             table((cur, b)) = next
             next += 1
-            if (next + 1 == (1 << width) && width < 12) width += 1
+            // The decoder's table lags this one by a single entry at the same
+            // stream position, so with early change the width must flip one
+            // entry LATER here than lzwDecode's next+1==1<<width trigger.
+            if (next == (1 << width) && width < 12) width += 1
           }
           cur = b
       }

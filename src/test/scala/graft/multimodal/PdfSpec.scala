@@ -337,6 +337,20 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("LZW published vector (TIFF 6.0 spec §13 example) pins both directions") {
+    // TIFF 6.0 §13 worked example: input bytes 7,7,7,8,8,7,7,6,6 encode to
+    // the code sequence Clear(256), 7, 258, 8, 8, 258, 6, 6, EOD(257) — an
+    // external anchor for the table-build convention, independent of our
+    // encoder.
+    val bytes = Array[Byte](7, 7, 7, 8, 8, 7, 7, 6, 6)
+    val codes = Seq(256, 7, 258, 8, 8, 258, 6, 6, 257)
+    val bits = codes.map(c => ("000000000" + c.toBinaryString).takeRight(9)).mkString
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val packed = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    assert(java.util.Arrays.equals(Pdf.lzwDecode(packed), bytes))
+    assert(java.util.Arrays.equals(Pdf.lzwEncode(bytes), packed))
+  }
+
   test("LZW EarlyChange=0 DecodeParms honored; hand bit-fixture pins MSB-first 9-bit codes") {
     // hand-packed: Clear(256), 'A'(65), 'B'(66), EOD(257) as 9-bit
     // MSB-first codes = 100000000 001000001 001000010 100000001 + pad
