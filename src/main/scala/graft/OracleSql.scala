@@ -1976,6 +1976,74 @@ object OracleSql {
         |  extracted, true AS valid
         |FROM y ORDER BY doc_id""".stripMargin,
 
+    // PDF embedded images: every per-image sum is rebuilt from the
+    // synthesis arithmetic alone (modular sample generators over
+    // unnest(range(...)); the q90 fixed-point YCbCr constants for the
+    // DCT leg — flat blocks are 64 copies of the clamped block
+    // color), so the hash match proves the XObject walk + the full
+    // raw/Flate/LZW/DCT filter chain, DeviceGray collapse, and the
+    // geometry-mismatch valid=false row on the id%7 residue.
+    "q162_pdf_images" ->
+      """WITH dims AS (SELECT doc_id,
+        |    2 + doc_id % 3 AS w0, 1 + doc_id % 2 AS h0,
+        |    3 + doc_id % 4 AS w1, 2 + doc_id % 3 AS h1,
+        |    16 + doc_id % 5 AS w2, 10 AS h2,
+        |    1 + doc_id % 2 AS bw,
+        |    4 + doc_id % 3 AS wg, 3 AS hg
+        |  FROM documents),
+        |k0 AS (SELECT doc_id, w0 AS w, h0 AS h, unnest(range(0, w0*h0*3)) AS k FROM dims),
+        |s0 AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    CAST(sum(CASE WHEN k % 3 = 0 THEN (5*k + doc_id) % 256 ELSE 0 END) AS BIGINT) AS sr,
+        |    CAST(sum(CASE WHEN k % 3 = 1 THEN (5*k + doc_id) % 256 ELSE 0 END) AS BIGINT) AS sg,
+        |    CAST(sum(CASE WHEN k % 3 = 2 THEN (5*k + doc_id) % 256 ELSE 0 END) AS BIGINT) AS sb
+        |  FROM k0 GROUP BY doc_id),
+        |k1 AS (SELECT doc_id, w1 AS w, h1 AS h, unnest(range(0, w1*h1*3)) AS k FROM dims),
+        |s1 AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    CAST(sum(CASE WHEN k % 3 = 0 THEN (11*k + 3*doc_id) % 256 ELSE 0 END) AS BIGINT) AS sr,
+        |    CAST(sum(CASE WHEN k % 3 = 1 THEN (11*k + 3*doc_id) % 256 ELSE 0 END) AS BIGINT) AS sg,
+        |    CAST(sum(CASE WHEN k % 3 = 2 THEN (11*k + 3*doc_id) % 256 ELSE 0 END) AS BIGINT) AS sb
+        |  FROM k1 GROUP BY doc_id),
+        |k2 AS (SELECT doc_id, w2 AS w, h2 AS h, unnest(range(0, w2*h2*3)) AS k FROM dims),
+        |s2 AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    CAST(sum(CASE WHEN k % 3 = 0 THEN (7*k + doc_id) % 256 ELSE 0 END) AS BIGINT) AS sr,
+        |    CAST(sum(CASE WHEN k % 3 = 1 THEN (7*k + doc_id) % 256 ELSE 0 END) AS BIGINT) AS sg,
+        |    CAST(sum(CASE WHEN k % 3 = 2 THEN (7*k + doc_id) % 256 ELSE 0 END) AS BIGINT) AS sb
+        |  FROM k2 GROUP BY doc_id),
+        |bxs AS (SELECT doc_id, bw, unnest(range(0, bw)) AS bx FROM dims),
+        |ycc AS (SELECT doc_id, bw,
+        |    (23*bx + doc_id) % 256 AS y,
+        |    ((5*bx + 3*doc_id) % 97) - 48 AS cb,
+        |    ((7*bx + 5*doc_id) % 89) - 44 AS cr
+        |  FROM bxs),
+        |rgbb AS (SELECT doc_id, bw,
+        |    least(greatest(y + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS r,
+        |    least(greatest(y + CAST(floor((-22554*cb - 46802*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS g,
+        |    least(greatest(y + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT), 0), 255) AS b
+        |  FROM ycc),
+        |s3 AS (SELECT doc_id, any_value(bw) AS bw,
+        |    CAST(64*sum(r) AS BIGINT) AS sr,
+        |    CAST(64*sum(g) AS BIGINT) AS sg,
+        |    CAST(64*sum(b) AS BIGINT) AS sb
+        |  FROM rgbb GROUP BY doc_id),
+        |kg AS (SELECT doc_id, wg AS w, hg AS h, unnest(range(0, wg*hg)) AS k FROM dims),
+        |s4 AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    CAST(sum((9*k + 2*doc_id) % 256) AS BIGINT) AS sr
+        |  FROM kg GROUP BY doc_id),
+        |allrows AS (
+        |  SELECT doc_id, 0 AS img_idx, w AS width, h AS height, w*h*3 AS n_bytes,
+        |         sr, sg, sb, true AS valid FROM s0
+        |  UNION ALL SELECT doc_id, 1, w, h, w*h*3, sr, sg, sb, true FROM s1
+        |  UNION ALL SELECT doc_id, 2, w, h, w*h*3, sr, sg, sb, true FROM s2
+        |  UNION ALL SELECT doc_id, 3, 8*bw, 8, 8*bw*8*3, sr, sg, sb, true FROM s3
+        |  UNION ALL SELECT doc_id, 4, w, h, w*h, sr, sr, sr, true FROM s4
+        |  UNION ALL SELECT doc_id, 5, 0, 0, 0, 0, 0, 0, false FROM dims WHERE doc_id % 7 = 0)
+        |SELECT doc_id, CAST(img_idx AS BIGINT) AS img_idx,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+        |  CAST(sb AS BIGINT) AS sum_b, valid
+        |FROM allrows ORDER BY doc_id, img_idx""".stripMargin,
+
     // PQ scoring tier: the oracle replays nearest-sub-centroid
     // assignment (min over (dist, cid) — Spark's array_min struct
     // order) and the ADC distance chain with the SAME sequential

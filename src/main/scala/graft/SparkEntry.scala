@@ -2555,7 +2555,10 @@ object SparkEntry {
     * PNG-Up-predictor-coded rows on id%4>=2 — the modern-writer
     * layout) — and the engine recovers it through the full
     * public-format chain: xref walk → object graph → page tree →
-    * JDK Inflater → BT/Tj/TJ/' operators. The
+    * JDK Inflater → BT/Tj/TJ/' operators. id%5==0 swaps the
+    * content-stream filter to LZWDecode (the third spec filter;
+    * boundary-length streams are pinned by PdfSpec and the q162
+    * image leg), so all three stream codings reach the oracle. The
     * oracle rebuilds the expected text from the source column with
     * pure string SQL (never sees a PDF byte), so the hash match
     * proves decode correctness end to end, compression and operator
@@ -2572,12 +2575,66 @@ object SparkEntry {
       val lines = prefix.grouped(40).toSeq.filter(_.nonEmpty)
       val pages = if (lines.isEmpty) Seq(Seq.empty[String]) else lines.grouped(2).toSeq
       (id, graft.multimodal.Pdf.encode(pages, flate = id % 2 == 0, opMode = (id % 3).toInt,
-        xrefStream = id % 4 >= 2))
+        xrefStream = id % 4 >= 2, lzw = id % 5 == 0))
     }).toDF("doc_id", "payload")
     graft.multimodal.Multimodal.pdfTextStats(pdfs).toDF()
       .select(col("doc_id"), col("n_pages").cast("long").as("n_pages"),
         col("n_chars"), col("text").as("extracted"), col("valid"))
       .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C61b — PDF EMBEDDED-IMAGE EXTRACTION (Pdf.decodeImages /
+    * Multimodal.pdfImageStats): the image half of the reference's PDF
+    * stage (pdf_extractor.py pairs extract_text with per-page image
+    * walks). Each document carries five /Subtype /Image XObjects —
+    * raw, FlateDecode, LZWDecode, DCTDecode (through the in-repo
+    * baseline Jpeg decoder) and a DeviceGray Flate — plus, on
+    * id%7==0, a geometry-lying sixth whose declared Width×Height
+    * disagrees with its sample count (must surface as a valid=false
+    * zero row without hiding siblings). The LZW leg is 480–600
+    * samples of near-novel pairs, so every document's stream crosses
+    * the 9→10-bit code-width boundary — the exact boundary the r12
+    * encoder bug sat on — under the oracle gate. The oracle rebuilds
+    * every sum from the synthesis arithmetic alone (modular sample
+    * generators; the q90 fixed-point YCbCr constants for the DCT
+    * leg), never touching a PDF byte. Explode-per-image flatMap:
+    * map-only, no shuffle, linear in executors at any corpus scale.
+    */
+  private def q162PdfImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+    val pdfs = docs.mapPartitions(_.map { id =>
+      import graft.multimodal.{Jpeg, Pdf}
+      def rgb(w: Int, h: Int)(f: Int => Long): Array[Byte] =
+        Array.tabulate(w * h * 3)(k => (f(k) & 0xff).toByte)
+      val w0 = (2 + id % 3).toInt; val h0 = (1 + id % 2).toInt
+      val w1 = (3 + id % 4).toInt; val h1 = (2 + id % 3).toInt
+      val w2 = (16 + id % 5).toInt; val h2 = 10
+      val bw = (1 + id % 2).toInt
+      val wg = (4 + id % 3).toInt; val hg = 3
+      val jpeg = Jpeg.encodeFlatBlocks(bw, 1, (bx, _) =>
+        (((23 * bx + id) % 256).toInt,
+          (128 + ((5 * bx + 3 * id) % 97) - 48).toInt,
+          (128 + ((7 * bx + 5 * id) % 89) - 44).toInt))
+      val base = Seq(
+        Pdf.ImageFixture(w0, h0, "", rgb(w0, h0)(k => (5 * k + id) % 256)),
+        Pdf.ImageFixture(w1, h1, "FlateDecode", rgb(w1, h1)(k => (11 * k + 3 * id) % 256)),
+        Pdf.ImageFixture(w2, h2, "LZWDecode", rgb(w2, h2)(k => (7 * k + id) % 256)),
+        Pdf.ImageFixture(8 * bw, 8, "DCTDecode", jpeg),
+        Pdf.ImageFixture(wg, hg, "FlateDecode",
+          Array.tabulate(wg * hg)(k => ((9 * k + 2 * id) % 256).toByte),
+          colorSpace = "DeviceGray"))
+      val imgs = if (id % 7 == 0)
+        base :+ Pdf.ImageFixture(9, 9, "", Array.tabulate(12)(_.toByte))
+      else base
+      (id, Pdf.encode(Seq(Seq("image carrier")), flate = id % 2 == 0, images = imgs))
+    }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.pdfImageStats(pdfs).toDF()
+      .select(col("doc_id"), col("img_idx").cast("long").as("img_idx"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("valid"))
+      .transform(sorted1(_, col("doc_id"), col("img_idx")))
   }
 
   /** C58b — PQ SCORING TIER, oracle-eligible (the q40 move applied
@@ -4321,6 +4378,7 @@ object SparkEntry {
     "q159_ingest_orc" -> (q159IngestOrc _),
     "q160_kneser_ney3" -> (q160KneserNey3 _),
     "q161_txlog_deletion_vectors" -> (q161TxlogDeletionVectors _),
+    "q162_pdf_images" -> (q162PdfImages _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

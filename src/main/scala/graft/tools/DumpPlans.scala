@@ -106,6 +106,8 @@ object DumpPlans {
       "BOM explosion: a driver-paced level-synchronous sweep — each round is one keyed join (current level ⋈ edges on parent) + a map-side-combined fold into per-node totals, localCheckpoint-truncated at a stride so deep BOMs keep flat per-round plans (depth-200 spec-asserted); rounds are DEPTH-bound, not data-bound, and the only driver value per round is the next-level row count. The loop runs eagerly, so the dump below shows the final aggregate over the accumulated contributions.",
     "q118_pdf_text" ->
       "PDF text extraction: synthesis AND the full decode chain (xref walk → object graph → FlateDecode/Inflater → BT/Tj/TJ text operators) run inside one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, no shuffle until the harness sort; the canonical CPU-bound decode-stage shape (q90's contract): throughput scales linearly with executors and the decoder rides the task closure.",
+    "q162_pdf_images" ->
+      "PDF embedded-image extraction: the image twin of q118 — synthesis (five filter variants per doc) and the XObject walk + raw/Flate/LZW/DCT filter chain run in one flatMap (SerializeFromObject over MapPartitions), exploding ~5-6 stat rows per document map-side; no shuffle until the harness sort, no image bytes ever leave the task, and a document's row count is bounded by its own XObject dictionary — the explode-per-item crawl contract (q131/q132's shape applied to PDFs).",
     "q119_pq_scoring" ->
       "PQ scoring tier (the oracled face of q114): the codebook is a LITERAL in the plan — encode (nearest-sub-centroid array_min folds) and ADC distance are codegen'd projection arithmetic over the embeddings scan, so the corpus pass is map-only with no join and no broadcast; the only exchange is the per-query top-k (TakeOrderedAndProject class — per-partition heads, k rows per query to the final stage). At serving scale this same projection rides the IVF-pruned partition reads.",
     "q120_jpeg_progressive" ->
