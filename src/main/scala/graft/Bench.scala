@@ -12,14 +12,68 @@ import org.apache.spark.sql.SparkSession
   * at the target SF first (JIT + codegen caches + file-listing caches
   * warm for every query, not just the first), then N timed iterations
   * per query (default 3, SPARK_GRAFT_BENCH_ITERS to override). The
-  * headline per-query number and the total are MEDIANS; min/max are
+  * headline per-query number is the MIN of batch MEDIANS; min/max are
   * published alongside so the spread is visible in the artifact.
+  *
+  * Load gating (r13, [[BenchGate]]): the suite sleep-waits at start
+  * until the 1-minute loadavg drops under 0.5 (budget 600 s, then it
+  * REFUSES and publishes a refusal artifact); any query tripping a
+  * contention trigger re-measures until two consecutive batch medians
+  * agree within 1.3×. Gate evidence is stamped into both JSON outputs.
   */
 object Bench {
+  // Locale.ROOT: under a comma-decimal default locale f"%.3f" would
+  // emit {"value":52,918} — invalid JSON (ADVICE r4).
+  private def r3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+  private def r2(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+  private def r1(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+
+  // 1-minute system load average: the one pre-start signal that sees
+  // PARTIAL multicore load (3-4 external busy cores leave a 1-thread
+  // spin untouched while costing a 32-thread query ~10%+).
+  private def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+
+    // ---- suite-start load gate (r13; three rounds of artifacts were
+    // published off a contaminated box with the sentinels flagging it).
+    // Sleep-wait — NOT spin-wait, which would hold loadavg up — until
+    // the 1-minute loadavg decays under the threshold, then proceed;
+    // if the budget runs out the suite REFUSES and publishes a
+    // refusal artifact instead of numbers. SPARK_GRAFT_BENCH_FORCE=1
+    // overrides (flagged in the artifact as forced:true).
+    val gateThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_LOAD", "0.5").toDouble
+    val gateBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_WAIT_S", "600").toInt
+    val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE").exists(_.nonEmpty)
+    val gateStart = load1()
+    if (gateStart > gateThreshold)
+      System.err.println(f"[bench] gate: 1-min loadavg $gateStart%.2f > $gateThreshold%.2f — " +
+        f"sleep-waiting up to ${gateBudgetS}s for the box to go idle")
+    val (gateLoad, gateWaited) = BenchGate.gateWait(
+      load1 _, s => Thread.sleep(s * 1000L), gateThreshold, gateBudgetS)
+    val gateJson = s""""gate":{"load_start":${r2(gateStart)},"load_go":${r2(gateLoad)},""" +
+      s""""waited_s":$gateWaited,"threshold":$gateThreshold,"forced":$forced}"""
+    if (gateLoad > gateThreshold && !forced) {
+      val refusal = s"""{"metric":"total","value":0.0,"unit":"sec","queries":{},""" +
+        s""""refused":true,$gateJson,"sf":"$sfName"}"""
+      System.err.println(s"[bench] REFUSING to publish: loadavg ${r2(gateLoad)} still > " +
+        s"$gateThreshold after ${gateWaited}s — an external workload owns this box")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), refusal + "\n")
+      catch { case _: Throwable => () }
+      println(refusal)
+      return
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,16 +101,9 @@ object Bench {
       if (x == 42L) System.err.println("unreachable") // keep the loop live
       (System.nanoTime() - t0) / 1e6
     }
-    // 1-minute system load average brackets the suite: the spin
-    // sentinel is single-threaded and cannot see PARTIAL multicore
-    // load (3-4 external busy cores leave a 1-thread spin untouched
-    // while costing a 32-thread query ~10%+) — loadavg sees exactly
-    // that. Published as evidence, not a trigger: during the suite
-    // the figure includes our own executor threads.
-    def load1(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    // loadavg brackets the suite as published evidence (during the
+    // suite the figure includes our own executor threads, so it is
+    // not a trigger here — the start gate above is the trigger).
     val loadPre = load1()
     val spinPre = spinMs()
     // Per-query sentinel work size: quarter spins (~25 ms) interleaved
@@ -121,9 +168,10 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
-    // Two per-query contention triggers, either of which earns a
-    // second batch of iterations (median then taken over ALL samples,
-    // so one descheduled window can't set the headline):
+    // Three per-query contention triggers, any of which starts the
+    // re-measure escalation (r13 — previously one flat rerun whose
+    // samples merged into the median, which let three rounds of
+    // contaminated batches set published headlines):
     //  - spread: max/min > 3× within the batch (round-4: q41 spanned
     //    4.2–25.7 s inside one driver run) — catches a spike that hit
     //    SOME iterations;
@@ -133,7 +181,15 @@ object Bench {
     //    inflated under a load window that opened AFTER the single
     //    pre-batch spin, so spin ratio published ~0.95× and the 2×
     //    trigger never fired. With brackets, a window overlapping any
-    //    iteration also overlaps an adjacent spin.
+    //    iteration also overlaps an adjacent spin;
+    //  - external cores: > 0.3 cores of non-us CPU burned during the
+    //    batch window (was 1.0 through r12 — r12's q140 published 5.7×
+    //    inflated at ext 1.4, under the old bar for that batch).
+    // Escalation: keep running batches until the LAST TWO batch
+    // medians agree within 1.3× (BenchGate.settled), up to
+    // SPARK_GRAFT_BENCH_MAX_BATCHES (default 4). The headline is the
+    // MIN of the batch medians — a contaminated batch can only lose
+    // to a cleaner one.
     // returns (spins, times, externalCores) — externalCores measured
     // over the whole batch window via /proc/stat (see cpuJiffies)
     def spinBracketedBatch(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -149,33 +205,37 @@ object Bench {
         else math.max(0.0, ((sys1 - sys0) - (own1 - own0)) / UserHz / wall)
       (spins, pairs.map(_._2), ext)
     }
+    val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_BATCHES", "4").toInt.max(2)
     val results = queries.map { case (name, fn) =>
-      val (spins1, first, ext1) = spinBracketedBatch(name, fn)
+      var batches = Vector(spinBracketedBatch(name, fn))
+      val (spins1, first, ext1) = batches.head
       val spreadNoisy = iters > 1 && first.max > 0.25 && first.max / math.max(first.min, 1e-9) > 3.0
       val spinNoisy = spins1.max > qSpinBase * 2.0
-      // external-CPU trigger: someone else burned >1 core during the
-      // batch AND the batch was long enough for jiffy granularity to
-      // be signal (a 0.1 s batch is ~10 jiffies/core — too coarse)
-      val extNoisy = ext1 > 1.0 && first.sum > 0.2
+      // external-CPU trigger gated on batch length: jiffy granularity
+      // makes ext meaningless on a 0.1 s batch (~10 jiffies/core)
+      val extNoisy = ext1 > 0.3 && first.sum > 0.2
       val noisy = spreadNoisy || spinNoisy || extNoisy
-      val (spins, times, exts) = if (noisy) {
-        System.err.println(f"[bench] $name spread ${first.min}%.3f-${first.max}%.3f s spin max ${spins1.max}%.1f ms " +
-          f"ext $ext1%.2f cores (spread>3x=$spreadNoisy spin>2x=$spinNoisy ext>1=$extNoisy) — re-running")
-        val (spins2, second, ext2) = spinBracketedBatch(name, fn)
-        (spins1 ++ spins2, first ++ second, Seq(ext1, ext2))
-      } else (spins1, first, Seq(ext1))
-      (name, median(times), times.min, times.max, noisy, spins.max, exts.max)
+      if (noisy)
+        System.err.println(f"[bench] $name spread ${first.min}%.3f-${first.max}%.3f s " +
+          f"spin max ${spins1.max}%.1f ms ext $ext1%.2f cores " +
+          f"(spread>3x=$spreadNoisy spin>2x=$spinNoisy ext>0.3=$extNoisy) — escalating")
+      def medians = batches.map(b => median(b._2))
+      while ((noisy && !BenchGate.settled(medians)) && batches.length < maxBatches) {
+        batches = batches :+ spinBracketedBatch(name, fn)
+        System.err.println(f"[bench] $name batch ${batches.length}: " +
+          f"median ${median(batches.last._2)}%.3f s ext ${batches.last._3}%.2f cores " +
+          f"(settled=${BenchGate.settled(medians)})")
+      }
+      val unsettled = noisy && !BenchGate.settled(medians)
+      if (unsettled)
+        System.err.println(s"[bench] $name UNSETTLED after ${batches.length} batches — " +
+          "publishing min batch median, flagged in spread map")
+      val allTimes = batches.flatMap(_._2)
+      (name, BenchGate.headline(medians), allTimes.min, allTimes.max, noisy,
+        batches.flatMap(_._1).max, batches.map(_._3).max, batches.length, unsettled)
     }
     val spinPost = spinMs()
 
-    // Locale.ROOT: under a comma-decimal default locale f"%.3f" would
-    // emit {"value":52,918} — invalid JSON (ADVICE r4).
-    def r3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    def r2(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
-    def r1(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
     // The harness captures only the LAST ~2000 chars of output and
     // parses the JSON line from that window (round-3 lesson: the line
     // grew past 2000 chars with full-precision spreads appended and the
@@ -200,7 +260,7 @@ object Bench {
       if (digits.nonEmpty) digits else name
     }
     val useShort = results.map(r => shortKey(r._1)).distinct.size == results.size
-    val qs = results.map { case (k, med, _, _, _, _, _) =>
+    val qs = results.map { case (k, med, _, _, _, _, _, _, _) =>
       "\"" + (if (useShort) shortKey(k) else k) + "\":" + r2t(med)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -213,18 +273,21 @@ object Bench {
     // harness capture window now that the suite is 75+ queries
     val loadPost = load1()
     val extMax = results.map(_._7).max
+    val unsettledCount = results.count(_._9)
+    // compact gate stamp for stdout: [waited_s, load_at_go, unsettled]
+    val gateCompact = s""""gate":[$gateWaited,${r1(gateLoad)},$unsettledCount]"""
     val sentinel = s""""spin":[${math.round(spinPre)},${math.round(spinPost)}],""" +
-      s""""load":[${r1(loadPre)},${r1(loadPost)}],"ext":${r1(extMax)},"reruns":${results.count(_._5)}"""
+      s""""load":[${r1(loadPre)},${r1(loadPost)}],"ext":${r1(extMax)},"reruns":${results.count(_._5)},$gateCompact"""
     val sentinelFull = s""""spin":[${r1(spinPre)},${r1(spinPost)}],""" +
-      s""""load":[${r1(loadPre)},${r1(loadPost)}],"ext_cores_max":${r2(extMax)},"reruns":${results.count(_._5)}"""
-    // sf as basename on stdout (full path in bench_result.json)
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      s""""load":[${r1(loadPre)},${r1(loadPost)}],"ext_cores_max":${r2(extMax)},""" +
+      s""""reruns":${results.count(_._5)},"unsettled":$unsettledCount,$gateJson"""
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$sentinel,"sf":"$sfName"}"""
-    val qsFull = results.map { case (k, med, _, _, _, _, _) => "\"" + k + "\":" + med }
+    val qsFull = results.map { case (k, med, _, _, _, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx, rerun, qSpin, ext) =>
+    val spread = results.map { case (k, _, mn, mx, rerun, qSpin, ext, nb, uns) =>
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"rerun\":" + rerun +
-        ",\"spin_ms\":" + r1(qSpin) + ",\"ext_cores\":" + r2(ext) + "}"
+        ",\"spin_ms\":" + r1(qSpin) + ",\"ext_cores\":" + r2(ext) +
+        ",\"batches\":" + nb + ",\"unsettled\":" + uns + "}"
     }.mkString("{", ",", "}")
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spread,"iters":$iters,$sentinelFull,"qspin_base_ms":${r1(qSpinBase)},"sf":"$sfDir"}"""
     // Clean line on raw stdout (build.sbt routes fork output through
