@@ -242,9 +242,9 @@ object OracleSql {
         |FROM expected ORDER BY doc_id, item_name""".stripMargin,
 
     // Expected variant-parse explosion reconstructed directly from the
-    // deterministic construction (partkey mod 5 picks the rule branch).
+    // deterministic construction (partkey mod 6 picks the rule branch).
     "q42_variant_parse" ->
-      """WITH m AS (SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS c, p_partkey % 5 AS md FROM part),
+      """WITH m AS (SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS c, p_partkey % 6 AS md FROM part),
         |v AS (SELECT *, CAST(floor(c/2) AS BIGINT) AS ch, CAST(floor(c*8/10) AS BIGINT) AS cs, CAST(floor(c*12/10) AS BIGINT) AS cl FROM m),
         |expected AS (
         |  SELECT p_partkey AS doc_id, p_name || ' A' AS item_name, CAST(ch AS DOUBLE)/100.0 AS price,
@@ -258,7 +258,10 @@ object OracleSql {
         |  UNION ALL SELECT p_partkey, p_name, NULL,
         |    CAST(ch AS DOUBLE)/100.0, CAST(c AS DOUBLE)/100.0, NULL, NULL, NULL, NULL FROM v WHERE md = 2
         |  UNION ALL SELECT p_partkey, p_name, NULL, NULL, NULL, NULL, NULL, NULL, 'MP' FROM v WHERE md = 3
-        |  UNION ALL SELECT p_partkey, p_name, CAST(ch AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 4)
+        |  UNION ALL SELECT p_partkey, p_name, CAST(ch AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 4
+        |  UNION ALL SELECT p_partkey, p_name || ' - Chicken', CAST(ch AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 5
+        |  UNION ALL SELECT p_partkey, p_name || ' - Mutton', CAST(c AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 5
+        |  UNION ALL SELECT p_partkey, p_name || ' - Veg', CAST(cl AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 5)
         |SELECT doc_id, item_name, price, half_plate_price, full_plate_price, small_price, medium_price, large_price, price_display_hint
         |FROM expected ORDER BY doc_id, item_name""".stripMargin,
 
@@ -1983,6 +1986,25 @@ object OracleSql {
     // color), so the hash match proves the XObject walk + the full
     // raw/Flate/LZW/DCT filter chain, DeviceGray collapse, and the
     // geometry-mismatch valid=false row on the id%7 residue.
+    // A6d two-level hierarchy + rule-1 description joining: the
+    // oracle rebuilds the expected category/subcategory propagation
+    // (nearest subheader wins, a new ALL-CAPS header resets it,
+    // category repeats when no subheader) and the r=1 wrapped
+    // description directly from the four-residue construction.
+    "q163_menu_hierarchy" ->
+      """WITH base AS (SELECT p_partkey AS doc_id, p_name, p_partkey % 4 AS r,
+        |    CAST(round(p_retailprice*100) AS BIGINT) / 100.0 AS price FROM part),
+        |r1 AS (SELECT doc_id, p_name AS item_name, 'Starters' AS category,
+        |    CASE WHEN r = 0 THEN 'Starters' ELSE 'Veg Specials' END AS subcategory,
+        |    CASE WHEN r = 1 THEN 'extra crispy, served hot' END AS description, price
+        |  FROM base),
+        |r2 AS (SELECT doc_id, p_name || ' II' AS item_name,
+        |    CASE WHEN r = 2 THEN 'Mains' ELSE 'Starters' END AS category,
+        |    CASE WHEN r = 2 THEN 'Mains' ELSE 'Tandoori Bites' END AS subcategory,
+        |    CAST(NULL AS VARCHAR) AS description, price
+        |  FROM base WHERE r IN (2, 3))
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY doc_id, item_name""".stripMargin,
+
     "q162_pdf_images" ->
       """WITH dims AS (SELECT doc_id,
         |    2 + doc_id % 3 AS w0, 1 + doc_id % 2 AS h0,

@@ -193,7 +193,9 @@ object SparkEntry {
     * deterministic exploding parser: slash-separated name/price lists
     * map index-to-index, one name + 3 prices → S/M/L, + 2 prices →
     * half/full, "Market Price" → MP hint, ranges take the lower
-    * bound. Synthesized from `part` (partkey mod 5 picks the rule);
+    * bound, "Choice of" option lists explode base × option with
+    * index-mapped prices and a " - <option>" label (rule 3 bullet 4 +
+    * rule 5). Synthesized from `part` (partkey mod 6 picks the rule);
     * the oracle reconstructs the expected explosion directly from the
     * construction.
     */
@@ -205,16 +207,56 @@ object SparkEntry {
     val ch = floor(c / 2).cast("long")
     val cs = floor(c * 8 / 10).cast("long")
     val cl = floor(c * 12 / 10).cast("long")
-    val m = pmod(col("p_partkey"), lit(5))
+    val m = pmod(col("p_partkey"), lit(6))
     val line =
       when(m === 0, concat(col("p_name"), lit(" A / "), col("p_name"), lit(" B / "),
         col("p_name"), lit(" C .... "), fmt(ch), lit("/"), fmt(c), lit("/"), fmt(cl)))
       .when(m === 1, concat(col("p_name"), lit(" .... "), fmt(cs), lit("/"), fmt(c), lit("/"), fmt(cl)))
       .when(m === 2, concat(col("p_name"), lit(" .... "), fmt(ch), lit("/"), fmt(c)))
       .when(m === 3, concat(col("p_name"), lit(" .... Market Price")))
-      .otherwise(concat(col("p_name"), lit(" .... "), fmt(ch), lit("-"), fmt(c)))
+      .when(m === 4, concat(col("p_name"), lit(" .... "), fmt(ch), lit("-"), fmt(c)))
+      .otherwise(concat(col("p_name"), lit(" - Choice of Chicken / Mutton / Veg .... "),
+        fmt(ch), lit("/"), fmt(c), lit("/"), fmt(cl)))
     graft.etl.VariantParser.parseVariants(
       fanOut(s, p.select(col("p_partkey").as("doc_id"), line.as("line"))))
+      .transform(sorted1(_, col("doc_id"), col("item_name")))
+  }
+
+  /** A6d — TWO-LEVEL category/subcategory hierarchy
+    * (BetterVersion/prompt_template.py:17-21 rule 2: map the nearest
+    * header(s) above an item; repeat the category into subcategory
+    * when no explicit one appears): ALL-CAPS section headers set the
+    * category, colon-suffixed subsection lines the subcategory, and a
+    * new section header RESETS the subcategory. Four deterministic
+    * document shapes by partkey residue (no subheader / one / reset
+    * by second header / two sibling subheaders), plus rule 1's
+    * multi-line description joining on the r=1 residue (a lowercase
+    * no-price line directly under the item folds into its
+    * description); the oracle rebuilds the expected propagation from
+    * the construction arithmetic.
+    */
+  private def q163MenuHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    def fmt(c: Column): Column =
+      format_string("%d.%02d", floor(c / 100).cast("long"), pmod(c, lit(100)))
+    val c = cents(col("p_retailprice"))
+    val item1 = concat(col("p_name"), lit(" .... $"), fmt(c))
+    val item2 = concat(col("p_name"), lit(" II .... $"), fmt(c))
+    val r = pmod(col("p_partkey"), lit(4))
+    val linesArr =
+      when(r === 0, array(lit("STARTERS"), item1))
+        .when(r === 1, array(lit("STARTERS"), lit("Veg Specials:"), item1,
+          lit("extra crispy"), lit("served hot")))
+        .when(r === 2, array(lit("STARTERS"), lit("Veg Specials:"), item1,
+          lit("MAINS"), item2))
+        .otherwise(array(lit("STARTERS"), lit("Veg Specials:"), item1,
+          lit("Tandoori Bites:"), item2))
+    val lines = fanOut(s, p.select(col("p_partkey").as("doc_id"), linesArr.as("arr")))
+      .select(col("doc_id"), posexplode(col("arr")))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"), col("col").as("line"))
+    MenuParser.parse(lines)
+      .select(col("doc_id"), col("item_name"), col("category"), col("subcategory"),
+        col("description"), col("price"))
       .transform(sorted1(_, col("doc_id"), col("item_name")))
   }
 
@@ -4379,6 +4421,7 @@ object SparkEntry {
     "q160_kneser_ney3" -> (q160KneserNey3 _),
     "q161_txlog_deletion_vectors" -> (q161TxlogDeletionVectors _),
     "q162_pdf_images" -> (q162PdfImages _),
+    "q163_menu_hierarchy" -> (q163MenuHierarchy _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _))

@@ -52,6 +52,16 @@ object MenuParser {
   private[etl] def isHeaderLine(line: Column): Column =
     !hasPriceLine(line) && line.rlike("^[A-Z0-9 &'\\-]{3,}$")
 
+  /** Subcategory header (prompt_template.py:17-21 — the reference
+    * tracks a two-level category/subcategory hierarchy): a no-price
+    * header-like line ENDING WITH ':' ("Veg Specials:"), the common
+    * way text menus mark a subsection under an ALL-CAPS section.
+    */
+  private[etl] def isSubheaderLine(line: Column): Column =
+    !hasPriceLine(line) && line.rlike("^[A-Za-z][A-Za-z0-9 &'\\-]+:$")
+  private[etl] def subheaderName(line: Column): Column =
+    initcap(trim(regexp_replace(line, ":\\s*$", "")))
+
   /** (doc_id, <other cols>, line_no, line, category) from a whole-doc
     * text column: normalize-split the doc and propagate section
     * headers to following lines WITHIN the array, before exploding.
@@ -72,26 +82,34 @@ object MenuParser {
   def sectionedLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val arrExpr = filter(split(graft.etl.TextNormalizer.normalize(col(textCol)), "\n"),
       l => length(trim(l)) > 0)
-    // bind arr once; then bind the header-index list once; all regex
-    // work happens exactly once per line.
+    // bind arr once; then bind the header- and subheader-index lists
+    // once each; all regex work happens exactly once per line.
     val zipExpr = element_at(transform(array(arrExpr), arr => {
       val idx = when(size(arr) > 0, sequence(lit(0), size(arr) - 1))
         .otherwise(array().cast("array<int>"))
       element_at(transform(
         array(filter(idx, i => isHeaderLine(element_at(arr, i + 1)))), hdrs =>
-          transform(filter(idx, i => !array_contains(hdrs, i)), i => {
-            val h = try_element_at(filter(hdrs, x => x < i), lit(-1))
-            struct(
-              i.cast("long").as("line_no"),
-              element_at(arr, i + 1).as("line"),
-              when(h.isNotNull, initcap(trim(element_at(arr, h + 1)))).as("category"))
-          })), 1)
+          element_at(transform(
+            array(filter(idx, i => isSubheaderLine(element_at(arr, i + 1)))), subs =>
+              transform(
+                filter(idx, i => !array_contains(hdrs, i) && !array_contains(subs, i)), i => {
+                  val h = try_element_at(filter(hdrs, x => x < i), lit(-1))
+                  val sh = try_element_at(filter(subs, x => x < i), lit(-1))
+                  val cat = when(h.isNotNull, initcap(trim(element_at(arr, h + 1))))
+                  struct(
+                    i.cast("long").as("line_no"),
+                    element_at(arr, i + 1).as("line"),
+                    cat.as("category"),
+                    when(sh.isNotNull && (h.isNull || sh > h),
+                      subheaderName(element_at(arr, sh + 1))).otherwise(cat).as("subcategory"))
+                })), 1)), 1)
     }), 1)
     docs
       .withColumn("_e", explode(zipExpr))
       .withColumn("line_no", col("_e.line_no"))
       .withColumn("line", col("_e.line"))
       .withColumn("category", col("_e.category"))
+      .withColumn("subcategory", col("_e.subcategory"))
       .drop("_e", textCol)
   }
 
@@ -101,10 +119,28 @@ object MenuParser {
   def parseFields(lines: DataFrame, lineCol: String = "line"): DataFrame =
     extractFields(lines, col(lineCol), dropHeaders = false)
 
+  /** Wrapped-description continuation line (prompt_template.py:15-16
+    * rule 1 — join broken lines belonging to a single item): no
+    * price, not a header/subheader, and starting lowercase or with a
+    * parenthesis.
+    */
+  private[etl] def isContinuationLine(line: Column): Column =
+    !hasPriceLine(line) && !isHeaderLine(line) && !isSubheaderLine(line) &&
+      line.rlike("^\\s*[a-z(]")
+
   /** Parse menu-item lines into the MenuItem schema. Section-header
     * lines (no price, ALL CAPS) become the `category` of the item
-    * lines that follow them within the same document, mirroring how
-    * the reference's LLM attributes categories to sections.
+    * lines that follow them within the same document; colon-suffixed
+    * subsection lines become their `subcategory`, which a NEW section
+    * header resets (prompt_template.py:17-21 — nearest header(s)
+    * above the item). Where no explicit subcategory applies, the
+    * category repeats into `subcategory` (prompt_template.py:21).
+    * Short lowercase/parenthesized no-price lines directly under an
+    * item fold into its `description`, comma-joined in line order
+    * (prompt_template.py:15-16 rule 1; a header boundary detaches
+    * them). One window pass carries the running headers and the
+    * owning-item attribution — both shuffles are per-document,
+    * never corpus-scale.
     */
   def parse(lines: DataFrame, docCol: String = "doc_id", lineNoCol: String = "line_no",
             lineCol: String = "line"): DataFrame = {
@@ -112,10 +148,33 @@ object MenuParser {
     // Propagate the most recent section header down to item lines.
     val w = Window.partitionBy(col(docCol)).orderBy(col(lineNoCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Continuations group under the nearest preceding NON-continuation
+    // line; only groups anchored at an item row survive, so a stray
+    // continuation after a header attaches to nothing.
+    val wOwn = Window.partitionBy(col(docCol), col("_own"))
     withFields
       .withColumn("category", last(col("header"), ignoreNulls = true).over(w))
-      .filter(!col("is_header"))
-      .drop("is_header", "header")
+      .withColumn("_hln",
+        last(when(col("is_header"), col(lineNoCol)), ignoreNulls = true).over(w))
+      .withColumn("_sln",
+        last(when(col("is_subheader"), col(lineNoCol)), ignoreNulls = true).over(w))
+      .withColumn("_sub", last(col("subheader"), ignoreNulls = true).over(w))
+      .withColumn("subcategory",
+        when(col("_sln").isNotNull && (col("_hln").isNull || col("_sln") > col("_hln")),
+          col("_sub")).otherwise(col("category")))
+      .withColumn("_cont", isContinuationLine(col(lineCol)))
+      .withColumn("_own",
+        last(when(!col("_cont"), col(lineNoCol)), ignoreNulls = true).over(w))
+      .withColumn("_extras", array_sort(collect_list(
+        when(col("_cont"), struct(col(lineNoCol).as("ln"), trim(col(lineCol)).as("txt"))))
+        .over(wOwn)))
+      .filter(!col("is_header") && !col("is_subheader") && !col("_cont"))
+      .withColumn("description",
+        when(size(col("_extras")) > 0, concat_ws(", ",
+          concat(array(col("description")), transform(col("_extras"), e => e.getField("txt")))))
+          .otherwise(col("description")))
+      .drop("is_header", "header", "is_subheader", "subheader",
+        "_hln", "_sln", "_sub", "_cont", "_own", "_extras")
   }
 
   private def extractFields(lines: DataFrame, line: Column, dropHeaders: Boolean): DataFrame = {
@@ -134,6 +193,8 @@ object MenuParser {
       if (dropHeaders)
         lines.withColumn("is_header", isHeader)
           .withColumn("header", when(isHeader, initcap(trim(line))))
+          .withColumn("is_subheader", isSubheaderLine(line))
+          .withColumn("subheader", when(isSubheaderLine(line), subheaderName(line)))
       else lines
     base
       .withColumn("item_name", when(isHeader, lit(null)).otherwise(itemName))

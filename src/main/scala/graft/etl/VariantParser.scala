@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *    (rule 3, "Margherita Pizza 250/350/450");
   *  - one name + 2 prices → half_plate/full_plate (rule 3,
   *    "Soup 19/35");
+  *  - a "Choice of" option list whose count matches the price list →
+  *    base item × each choice as separate items, prices mapped by
+  *    index, variant label appended to the name (rule 3 bullet 4 +
+  *    rule 5, "Biryani - Choice of Chicken / Mutton 200/250" →
+  *    "Biryani - Chicken":200, "Biryani - Mutton":250);
   *  - "Market Price" / "MP" → null price, price_display "MP"
   *    (rule 4);
   *  - a price RANGE "100-150" → lower bound as price (rule 4).
@@ -54,6 +59,14 @@ object VariantParser {
     val np = size(prices)
     val nullD = lit(null).cast("double")
 
+    // "Choice of" option list (rule 3 bullet 4): base × options,
+    // prices mapped by index; label appended per rule 5.
+    val choiceRe = "(?i)^(.+?)\\s*[-–]?\\s*choice\\s+of\\s+(.+)$"
+    val choiceBase = trim(regexp_extract(namePart, choiceRe, 1))
+    val choices = filter(transform(split(regexp_extract(namePart, choiceRe, 2), "/"),
+      n => trim(n)), n => length(n) > 0)
+    val nc = size(choices)
+
     // one output struct per item; multi-name lines explode by index
     val item = (name: Column, price: Column, half: Column, full: Column,
                 sm: Column, md: Column, lg: Column, hint: Column) =>
@@ -68,6 +81,11 @@ object VariantParser {
       .when(rangeLow =!= "",
         array(item(namePart, rangeLow.cast("double"), nullD, nullD, nullD, nullD, nullD,
           lit(null).cast("string"))))
+      .when(choiceBase =!= "" && nc === np && np >= 1,
+        transform(sequence(lit(0), np - 1), i =>
+          item(concat(choiceBase, lit(" - "), element_at(choices, i + 1)),
+            element_at(prices, i + 1),
+            nullD, nullD, nullD, nullD, nullD, lit(null).cast("string"))))
       .when(nn === np && np > 1,
         transform(sequence(lit(0), np - 1), i =>
           item(element_at(names, i + 1), element_at(prices, i + 1),

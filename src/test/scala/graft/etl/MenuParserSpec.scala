@@ -58,4 +58,59 @@ class MenuParserSpec extends SparkSpec {
   test("header lines are not emitted as items") {
     assert(parsed.count() == 4)
   }
+
+  test("subcategory repeats the category when no subheader appears") {
+    assert(parsed.filter($"item_name" === "Vegetable Samosa")
+      .head().getAs[String]("subcategory") == "Vegetarian Entrees")
+    assert(parsed.filter($"doc_id" === 2L).head().getAs[Any]("subcategory") == null)
+  }
+
+  private val hier = Seq(
+    (3L, 0L, "STARTERS"),
+    (3L, 1L, "Veg Specials:"),
+    (3L, 2L, "Gobi Manchurian .... $8.00"),
+    (3L, 3L, "Tandoori Bites:"),
+    (3L, 4L, "Paneer Tikka .... $9.00"),
+    (3L, 5L, "MAINS"),
+    (3L, 6L, "Butter Chicken .... $14.00")
+  ).toDF("doc_id", "line_no", "line")
+
+  test("two-level hierarchy: nearest subheader wins, a new header resets it") {
+    val h = MenuParser.parse(hier).orderBy("line_no")
+      .select("item_name", "category", "subcategory").as[(String, String, String)].collect()
+    assert(h.toSeq == Seq(
+      ("Gobi Manchurian", "Starters", "Veg Specials"),
+      ("Paneer Tikka", "Starters", "Tandoori Bites"),
+      ("Butter Chicken", "Mains", "Mains")))
+  }
+
+  test("wrapped description lines fold into the item, in order, after its own tail") {
+    val doc = Seq(
+      (4L, 0L, "SNACKS"),
+      (4L, 1L, "Samosa .... $5.00 - Fried pastry"),
+      (4L, 2L, "with mint chutney"),
+      (4L, 3L, "and tamarind dip"),
+      (4L, 4L, "MAINS"),
+      (4L, 5L, "orphan continuation under a header"),
+      (4L, 6L, "Dal Fry .... $9.00")
+    ).toDF("doc_id", "line_no", "line")
+    val out = MenuParser.parse(doc).orderBy("line_no")
+      .select("item_name", "description").as[(String, String)].collect()
+    assert(out.toSeq == Seq(
+      ("Samosa", "Fried pastry, with mint chutney, and tamarind dip"),
+      ("Dal Fry", null)))
+  }
+
+  test("array path (sectionedLines) matches the window path on hierarchy") {
+    val doc = Seq((3L, "STARTERS\nVeg Specials:\nGobi Manchurian .... $8.00\n" +
+      "Tandoori Bites:\nPaneer Tikka .... $9.00\nMAINS\nButter Chicken .... $14.00"))
+      .toDF("doc_id", "text")
+    val viaArray = MenuParser.parseFields(MenuParser.sectionedLines(doc))
+      .orderBy("line_no")
+      .select("item_name", "category", "subcategory").as[(String, String, String)].collect()
+    assert(viaArray.toSeq == Seq(
+      ("Gobi Manchurian", "Starters", "Veg Specials"),
+      ("Paneer Tikka", "Starters", "Tandoori Bites"),
+      ("Butter Chicken", "Mains", "Mains")))
+  }
 }

@@ -14,7 +14,9 @@ class VariantParserSpec extends SparkSpec {
     (3L, "Soup 19/35"),
     (4L, "Paneer Tikka .... Market Price"),
     (5L, "Biryani 100-150"),
-    (6L, "Plain Dosa .... 75.50")
+    (6L, "Plain Dosa .... 75.50"),
+    (7L, "Biryani - Choice of Chicken / Mutton / Veg .... 200/250/180"),
+    (8L, "Thali Choice of Veg / Non-Veg 150/200")
   ).toDF("doc_id", "line")).collect()
 
   private def rows(doc: Long) = out.filter(_.getAs[Long]("doc_id") == doc)
@@ -55,5 +57,16 @@ class VariantParserSpec extends SparkSpec {
   test("plain single price still parses") {
     val r = rows(6L).head
     assert(r.getAs[String]("item_name") == "Plain Dosa" && r.getAs[Double]("price") == 75.5)
+  }
+
+  test("Choice of explodes base x option with index-mapped prices (rule 3.4 + label rule 5)") {
+    val r = rows(7L).map(r => r.getAs[String]("item_name") -> r.getAs[Double]("price")).toMap
+    assert(r == Map("Biryani - Chicken" -> 200.0, "Biryani - Mutton" -> 250.0,
+      "Biryani - Veg" -> 180.0))
+  }
+
+  test("Choice of without a dash separator still splits") {
+    val r = rows(8L).map(r => r.getAs[String]("item_name") -> r.getAs[Double]("price")).toMap
+    assert(r == Map("Thali - Veg" -> 150.0, "Thali - Non-Veg" -> 200.0))
   }
 }
