@@ -285,11 +285,18 @@ object TxLog {
       try writeCheckpoint(table, version)
       catch {
         case scala.util.control.NonFatal(e) =>
-          try Files.write(logDir(table).resolve("_checkpoint_failures"),
-            s"$version ${e.getClass.getName}: ${e.getMessage}\n"
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-          catch { case scala.util.control.NonFatal(_) => () }
+          // bounded: keep the newest ~100 failure lines so a
+          // persistently failing checkpointer cannot grow this file
+          // without limit
+          try {
+            val p = logDir(table).resolve("_checkpoint_failures")
+            val prior =
+              if (Files.exists(p)) Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+              else Seq.empty
+            val kept = (prior :+ s"$version ${e.getClass.getName}: ${e.getMessage}").takeRight(100)
+            Files.write(p, kept.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } catch { case scala.util.control.NonFatal(_) => () }
       }
   }
 
@@ -368,12 +375,18 @@ object TxLog {
     val body = lines.map(actionJson).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val dir = logDir(table)
+    // temp files are cleaned up on ANY failure — a retried
+    // checkpointer must not strew .tmp- debris through the log dir
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
-    Files.write(tmp, body)
-    Files.move(tmp, dir.resolve(ckName(version)), StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, body)
+      Files.move(tmp, dir.resolve(ckName(version)), StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
     val ptr = Files.createTempFile(dir, ".tmp-", ".json")
-    Files.write(ptr, Json.write(Map("v" -> version)).getBytes("UTF-8"))
-    Files.move(ptr, dir.resolve("_last_checkpoint"), StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(ptr, Json.write(Map("v" -> version)).getBytes("UTF-8"))
+      Files.move(ptr, dir.resolve("_last_checkpoint"), StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(ptr)
   }
 
   /** State at `asOf` (default: latest). Replays from the newest
@@ -488,8 +501,14 @@ object TxLog {
         if (rows == 0) { Files.delete(src); None }
         else {
           val name = java.util.UUID.randomUUID().toString + ".parquet"
-          Files.move(src, tableDir.resolve(name))
-          Some(AddFile(name, rows, Files.size(tableDir.resolve(name)), stats, blooms))
+          val dst = tableDir.resolve(name)
+          Files.move(src, dst)
+          // anchor the staged-grace clock at MOVE-IN: a move keeps the
+          // original write mtime, so a slow stage would eat its own
+          // grace window before the commit even starts
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          Some(AddFile(name, rows, Files.size(dst), stats, blooms))
         }
       }
     } finally {
@@ -790,7 +809,11 @@ object TxLog {
     val dvName = "_dv/" + java.util.UUID.randomUUID().toString
     val staging = Files.createTempDirectory(dvDir, ".staging-")
     allPos.write.mode("overwrite").parquet(staging.toString)
-    Files.move(staging, Paths.get(table).resolve(dvName))
+    val dvDst = Paths.get(table).resolve(dvName)
+    Files.move(staging, dvDst)
+    // anchor the staged-grace clock at move-in (see stageWrite)
+    Files.setLastModifiedTime(dvDst,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     // per-file hidden counts: one row per touched file (model-sized)
     val counts = spark.read.parquet(dataPath(table, dvName))
       .groupBy("file").count().collect()
@@ -1064,24 +1087,30 @@ object TxLog {
     * such risk: they are deletable the moment they fall outside the
     * keep set, whatever their age.
     */
-  val stagedGraceMs: Long = 20L * 60 * 1000
+  def stagedGraceMs: Long =
+    sys.props.get("graft.txlog.stagedGraceMs").map(_.toLong).getOrElse(20L * 60 * 1000)
 
   /** Every data file / DV path any log version or checkpoint has ever
     * referenced — the "committed at some point" set sweep() consults
-    * to tell superseded files from in-flight staged ones.
+    * to tell superseded files from in-flight staged ones. A torn or
+    * corrupt sidecar (crash mid-checkpoint, a racing writer's temp)
+    * is SKIPPED, not fatal — the same degrade-don't-brick contract as
+    * snapshot(); missing references only make the sweep more
+    * conservative (an unreferenced-looking file still has the staged
+    * grace window, and liveness comes from snapshot(), not here).
     */
   private def everReferenced(table: String): (Set[String], Set[String]) = {
     val adds = scala.collection.mutable.HashSet.empty[String]
     val dvs = scala.collection.mutable.HashSet.empty[String]
     val dir = logDir(table)
     listNames(dir).filter(n => n.endsWith(".json") && !n.startsWith(".tmp-")).foreach { n =>
-      Files.readAllLines(dir.resolve(n)).asScala.filter(_.nonEmpty).foreach { l =>
+      try Files.readAllLines(dir.resolve(n)).asScala.filter(_.nonEmpty).foreach { l =>
         parseAction(l) match {
           case Add(f) => adds += f.path
           case Dv(_, dvp, _) => dvs += dvp
           case _ => ()
         }
-      }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     (adds.toSet, dvs.toSet)
   }

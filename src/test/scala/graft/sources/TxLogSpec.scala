@@ -448,6 +448,46 @@ class TxLogSpec extends SparkSpec {
     assert(contents(t).size === TxLog.checkpointInterval + 1)
   }
 
+  test("failing checkpoint retries stay clean: no temp debris, capped failure log") {
+    val t = freshTable()
+    TxLog.create(spark, df((0L, "z", 0.0)).repartition(1), t)
+    val logDir = Paths.get(t, "_txlog")
+    val ck = logDir.resolve(f"${TxLog.checkpointInterval}%020d.checkpoint.json")
+    Files.createDirectories(ck)
+    Files.write(ck.resolve("block"), Array[Byte](1))
+    // a long-failing history: the recorder must cap, not grow forever
+    Files.write(logDir.resolve("_checkpoint_failures"),
+      (1 to 150).map(i => s"$i fake.Exception: prior").mkString("", "\n", "\n").getBytes)
+    (1L to TxLog.checkpointInterval.toLong).foreach(i =>
+      TxLog.append(spark, df((i, s"s$i", 0.0)).repartition(1), t))
+    val fails = TxLog.checkpointFailures(t)
+    assert(fails.size <= 100, s"failure log capped, got ${fails.size}")
+    assert(fails.last.startsWith(s"${TxLog.checkpointInterval} "), "newest failure kept")
+    val s = Files.list(logDir)
+    val tmps =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith(".tmp-")).toList
+      } finally s.close()
+    assert(tmps.isEmpty, s"no .tmp- debris after failed checkpoints: $tmps")
+  }
+
+  test("vacuum survives a corrupt checkpoint: degrades to log replay, deletes only junk") {
+    val t = freshTable()
+    TxLog.create(spark, df((1L, "a", 1.0)).repartition(1), t)
+    (1L to TxLog.checkpointInterval.toLong).foreach(i =>
+      TxLog.append(spark, df((i + 1L, s"s$i", 0.0)).repartition(1), t))
+    val ck = Paths.get(t, "_txlog", f"${TxLog.checkpointInterval}%020d.checkpoint.json")
+    assert(Files.exists(ck), "interval checkpoint written")
+    Files.write(ck, "{torn garbage not an action".getBytes)
+    val before = contents(t)
+    TxLog.overwrite(spark, df((99L, "w", 9.0)).repartition(1), t)
+    val removed = TxLog.vacuum(t) // everReferenced must skip the corrupt file
+    assert(removed.nonEmpty, "superseded pre-overwrite files vacuumed")
+    assert(contents(t) === Set((99L, "w", 9.0)), "live state intact after vacuum")
+    assert(before.size === TxLog.checkpointInterval + 1, "pre-overwrite replay was complete")
+  }
+
   test("vacuum spares young never-referenced files (in-flight staged), deletes aged junk") {
     val t = freshTable()
     TxLog.create(spark, df((1L, "a", 1.0)).repartition(1), t)
