@@ -520,6 +520,35 @@ object OracleSql {
         |WHERE tc.doc_id < 25
         |ORDER BY tc.doc_id, tc.token""".stripMargin,
 
+    // C4 langid SCORING tier (r13): the Cavnar-Trenkle-style profile
+    // score is integer arithmetic over whitespace tokens and distinct
+    // char bigrams — mirrored exactly with DuckDB list lambdas; the
+    // argmax tiebreak (max score, then max language code) becomes the
+    // descending-language CASE chain.
+    "q23_langid" ->
+      """WITH d AS (SELECT doc_id, lang AS declared_lang,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |g AS (SELECT doc_id, declared_lang, toks,
+        |    list_distinct(list_transform(range(1, length(norm)), i -> substr(norm, CAST(i AS INTEGER), 2))) AS bigrams
+        |  FROM d),
+        |s AS (SELECT doc_id, declared_lang,
+        |    3 * len(list_filter(toks, t -> t IN ('the','and','of','to','is','with','that','for'))) + len(list_intersect(bigrams, ['th','he','in','er','an'])) AS s_en,
+        |    3 * len(list_filter(toks, t -> t IN ('el','la','de','que','los','una','por','con'))) + len(list_intersect(bigrams, ['de','en','os','la','ar'])) AS s_es,
+        |    3 * len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))) + len(list_intersect(bigrams, ['en','er','ch','de','ei'])) AS s_de,
+        |    3 * len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','pour'))) + len(list_intersect(bigrams, ['es','le','de','re','en'])) AS s_fr,
+        |    3 * len(list_filter(toks, t -> t IN ('的','是','不','了','在','人','有','我'))) + len(list_intersect(bigrams, ['的','是','不','了','在'])) AS s_zh
+        |  FROM g)
+        |SELECT doc_id, declared_lang,
+        |  CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS predicted_lang,
+        |  CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT) AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q24_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> substring(t, CAST(i AS BIGINT), 3))) AS sh FROM n),

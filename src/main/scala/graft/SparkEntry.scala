@@ -692,8 +692,11 @@ object SparkEntry {
         TextFunctions.fingerprintRollingOfNorm(col("_norm")).as("fp_roll"))
       .transform(sorted1(_, col("doc_id")))
 
-  /** C4 — language-ID heuristic (rows-only: profile scoring is not
-    * portably SQL-expressible).
+  /** C4 — language-ID heuristic. Oracled since r13: the profile
+    * score (3×word hits + distinct-bigram hits, integer arithmetic)
+    * and the (score, lang) argmax are mirrored in DuckDB list
+    * lambdas; only profile TRAINING would be rows-only, and these
+    * profiles are fixed literals.
     */
   private def q23LangId(s: SparkSession, dir: String): DataFrame =
     LangId.detected(fanOut(s, Tables.documents(s, dir)), "text").select(
@@ -4427,10 +4430,11 @@ object SparkEntry {
     "q148_txlog_prune" -> (q148TxlogPrune _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
-    * (q23, q25, q29, q33) are intentionally absent: their outputs
-    * depend on hash/sketch internals no portable SQL reproduces
-    * (LSH candidate sets, IVF probe routing); each has a ScalaTest
-    * spec bounding its semantics instead.
+    * (q25, q29, q33, q97, q114) are intentionally absent: their
+    * outputs depend on hash/sketch internals no portable SQL
+    * reproduces (LSH candidate sets, IVF probe routing, deflate
+    * bytes, PQ centroid training); each has a ScalaTest spec
+    * bounding its semantics instead.
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

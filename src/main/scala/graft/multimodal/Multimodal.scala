@@ -364,7 +364,10 @@ object Multimodal {
                     payloadCol: String = "payload"): Dataset[PdfImageMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    // a null id would NPE the non-nullable tuple encoder at runtime;
+    // crawl rows without an id yield nothing, like unreadable payloads
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         Pdf.decodeImages(bytes).map(im =>
           PdfImageMeta(id, im.imgIdx, im.width, im.height, im.nBytes,

@@ -56,10 +56,15 @@ object Webp {
         WebpInfo(w, h, sr, sg, sb, peak, hasAlpha, valid = true)
     }
 
-  /** Full ARGB pixel decode; None on anything malformed. */
+  /** Full ARGB pixel decode; None on anything malformed. Catches
+    * Throwable, not just Exception: the crawl contract is
+    * never-throw, and adversarial bytes can surface as
+    * StackOverflowError or OutOfMemoryError despite the allocation
+    * guard — an invalid row beats a dead executor.
+    */
   def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try Some(decodeUnsafe(bytes))
-    catch { case _: Exception => None }
+    catch { case _: Throwable => None }
 
   // --------------------------------------------------------- bit reader
   /** VP8L reads values LSB-first: the first bit read is the lowest
@@ -480,6 +485,14 @@ object Webp {
     val br = new Br(bytes, vp8lOff + 1)
     val w = br.bits(14) + 1
     val h = br.bits(14) + 1
+    // Allocation guard BEFORE any w*h-sized array exists: one VP8L
+    // symbol can paint at most a 4096-pixel backward reference and
+    // costs at least a bit, so a stream of `vp8lLen` bytes can never
+    // legitimately decode more than len*8*4096 pixels — a lying
+    // 16383x16383 header on a 30-byte chunk dies here as invalid
+    // instead of attempting a 1 GiB allocation.
+    require(w.toLong * h <= vp8lLen.toLong * 8L * 4096L,
+      "vp8l: claimed dimensions exceed payload capacity")
     br.bit1() // alpha hint
     require(br.bits(3) == 0, "vp8l: version")
 
