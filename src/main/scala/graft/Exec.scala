@@ -75,4 +75,21 @@ object Exec {
   private def materialize(result: DataFrame): DataFrame =
     if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
     else result.localCheckpoint(true)
+
+  /** Drop the block-manager blocks behind a (local)checkpointed frame.
+    * `Dataset.unpersist` only talks to the cache manager and is a
+    * silent NO-OP for checkpoint blocks — they live on the RDD inside
+    * the plan's LogicalRDD leaf, so an iterative operator that
+    * checkpoints per round and never frees leaks one block set per
+    * round for the session's lifetime (the q117 cross-round bench
+    * drift, adjudicated in r13). Iterative loops must free every
+    * retired round frame on exit; only the frame the RETURNED plan
+    * reads may survive. Safe on lazy frames — they have no such leaf.
+    */
+  def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 }

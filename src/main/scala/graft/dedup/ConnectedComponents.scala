@@ -53,6 +53,9 @@ object ConnectedComponents {
       .agg(least(min(col("dst")), col("src")).as("comp"))
       .select(col("src").as("id"), col("comp"))
       .localCheckpoint()
+    // retired round frames are freed on exit; only the final labels
+    // checkpoint (the returned plan's leaf) survives
+    val retired = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -66,16 +69,20 @@ object ConnectedComponents {
           (col("_nbr") < col("comp")).as("_chg"))
         .localCheckpoint() // materializes the round; truncates lineage
       converged = stepped.filter(col("_chg")).isEmpty
+      retired += labels
       labels = stepped.drop("_chg")
       iter += 1
     }
     sym.unpersist()
-    if (!converged)
+    retired.foreach(graft.Exec.freeCheckpoint)
+    if (!converged) {
+      graft.Exec.freeCheckpoint(labels)
       throw new IllegalStateException(
         s"ConnectedComponents did not converge after $maxIter iterations — " +
           "a component with diameter > maxIter would be silently split into " +
           "multiple groups. Raise maxIter (rounds are diameter-bounded, so " +
           "near-dup graphs converge in a handful) or use star-contraction.")
+    }
     labels
   }
 

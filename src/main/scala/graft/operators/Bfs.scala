@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Multi-source BFS hop distances over a directed edge list —
   * shortest unweighted path length from the nearest source to every
@@ -11,18 +14,29 @@ import org.apache.spark.sql.functions._
   * seed" quality signals.
   *
   * Frontier algorithm: round i expands the round-(i−1) frontier one
-  * edge hop, anti-joins out already-settled nodes (BFS settles a
-  * node at its FIRST visit, which in an unweighted graph is the
-  * minimal hop count), and unions the survivors into the distance
-  * table at dist = i. Terminates when the frontier is empty — at
-  * most eccentricity(sources) rounds, each one shuffle join keyed on
-  * node id plus one distinct and one anti join. Driver involvement
-  * is one count per round (the empty-frontier test); lineage is
-  * truncated per round with `localCheckpoint` so round N never
-  * replays rounds 1..N−1. Frontier size is the natural unit of
-  * parallelism — at 100 TB edge scale every round is a keyed
-  * shuffle, never a broadcast of the frontier (frontiers can be
-  * corpus-sized in the middle rounds of a small-diameter web graph).
+  * edge hop, drops already-settled nodes (BFS settles a node at its
+  * FIRST visit, which in an unweighted graph is the minimal hop
+  * count), and the survivors become round i's frontier at dist = i.
+  * Terminates when the frontier is empty — at most
+  * eccentricity(sources) rounds.
+  *
+  * r13: like Hierarchy, the loop runs on co-partitioned RDDs behind
+  * the DataFrame API (iterative frontier rounds pay a full Catalyst
+  * replan + codegen compile + AQE stage materialization per round —
+  * ~0.5 s of fixed driver cost regardless of data; the q117
+  * adjudication, PLANS.md). The edge table is hash-partitioned ONCE
+  * by src and persisted; the frontier, the per-round candidates and
+  * the settled-distance table all use the SAME partitioner, so the
+  * expand join and the settled check are NARROW (RDD.union of
+  * same-partitioner checkpointed leaves keeps the partitioner —
+  * PartitionerAwareUnionRDD — so the settled table never reshuffles).
+  * The only wide op per round is one frontier-scale reduceByKey
+  * dedup; the only driver value is the empty-frontier count. At
+  * 100 TB edge scale the frontier is never broadcast and never
+  * collected (mid-BFS frontiers of a small-diameter web graph are
+  * corpus-sized); per-round state is frontier-scale. Round frames
+  * are localCheckpoint-marked (lineage cut at materialization) and
+  * FREED on exit — only the caller's result checkpoint survives.
   *
   * Throws IllegalStateException if `maxIter` rounds leave a
   * non-empty frontier: a truncated BFS silently reports unreached
@@ -45,32 +59,46 @@ object Bfs {
       dstCol: String = "dst",
       idCol: String = "id",
       maxIter: Int = 50): DataFrame = {
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")).persist()
-    // Each round's frontier frame is localCheckpoint'ed ONCE; the
-    // settled set is a union over those cached frames, so it needs no
-    // re-checkpoint of its own (every leaf is already materialized —
-    // the lineage stays flat and no round ever replays a prior one).
-    // Per round that is one materializing job + one cache-read count.
-    var dist = sources.select(col(idCol).as("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
-    var frontier = dist.select("id")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    val raw = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long")).na.drop()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+    val e = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    retired += e
+
+    var frontier: RDD[(Long, Long)] = sources.select(col(idCol).cast("long")).na.drop()
+      .distinct().as[Long].rdd.map((_, 0L)).partitionBy(part)
+    frontier.localCheckpoint()
+    retired += frontier
+    // settled leaves, all on `part` — their union keeps the partitioner
+    val settled = scala.collection.mutable.ArrayBuffer(frontier)
+    def dist: RDD[(Long, Long)] = spark.sparkContext.union(settled.toSeq)
     var round = 0
     var frontierN = frontier.count()
     while (frontierN > 0 && round < maxIter) {
       round += 1
-      val next = e.join(frontier.withColumnRenamed("id", "_src"), "_src")
-        .select(col("_dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
-        .withColumn("dist", lit(round.toLong))
-        .localCheckpoint()
-      frontier = next.select("id")
-      dist = dist.union(next)
-      frontierN = frontier.count()
+      val cand = e.join(frontier) // narrow: both on `part`
+        .map { case (_, (dst, _)) => (dst, round.toLong) }
+        .reduceByKey(part, (a, _) => a) // the round's one shuffle: dedup new visits
+      val next = cand.leftOuterJoin(dist) // narrow: cand and every settled leaf on `part`
+        .filter { case (_, (_, old)) => old.isEmpty }
+        .mapValues(_._1)
+      next.localCheckpoint()
+      retired += next
+      frontierN = next.count()
+      if (frontierN > 0) { settled += next; frontier = next }
     }
-    e.unpersist()
-    if (frontierN > 0)
+    if (frontierN > 0) {
+      retired.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"BFS frontier still ${frontierN} nodes after $maxIter rounds — raise maxIter")
-    dist
+    }
+    val result = spark.createDataset(dist)
+      .toDF("id", "dist")
+      .localCheckpoint() // one block set survives: the caller's
+    retired.foreach(_.unpersist(blocking = false))
+    result
   }
 }

@@ -91,6 +91,9 @@ object BpeTrainer {
   def train(df: DataFrame, textCol: String, k: Int): Seq[Merge] = {
     require(k >= 1 && k <= 64, "k must be in [1, 64] (driver does one argmax per round)")
     var words = wordTable(df, textCol).localCheckpoint(true)
+    // the result is plain driver data (the merge table), so EVERY
+    // round checkpoint is freed on exit — nothing survives the call
+    val rounds = scala.collection.mutable.ArrayBuffer(words)
     val out = Vector.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -104,9 +107,11 @@ object BpeTrainer {
         words = words
           .withColumn("syms", applyMerge("syms", l, r))
           .localCheckpoint(true) // truncate the per-round lineage
+        rounds += words
         rank += 1
       }
     }
+    rounds.foreach(graft.Exec.freeCheckpoint)
     out.result()
   }
 

@@ -131,11 +131,15 @@ object GraphMetrics {
             maxIter: Int = 50): DataFrame = {
     require(k >= 1, s"k must be ≥ 1: $k")
     var canon = canonical(edges, srcCol, dstCol).localCheckpoint()
+    // retired peel-round checkpoints are freed on every exit path;
+    // only the final canon (the returned degree plan's leaf) survives
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var iter = 0
     while (iter < maxIter) {
       val deg = degrees(canon)
       val losers = deg.filter(col("degree") < k).select(col("node"))
-      if (losers.isEmpty) return deg
+      if (losers.isEmpty) { retired.foreach(graft.Exec.freeCheckpoint); return deg }
+      retired += canon
       canon = canon
         .join(losers.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
         .join(losers.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
@@ -144,11 +148,15 @@ object GraphMetrics {
     }
     // one fixpoint check after the last allowed peel
     val deg = degrees(canon)
+    retired.foreach(graft.Exec.freeCheckpoint)
     if (deg.filter(col("degree") < k).isEmpty) deg
-    else throw new IllegalStateException(
-      s"kCore(k=$k) did not reach the fixpoint after $maxIter peel rounds — " +
-        "returning now would yield a subgraph that is NOT the k-core. Raise " +
-        "maxIter (rounds are peel-depth-bounded).")
+    else {
+      graft.Exec.freeCheckpoint(canon)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach the fixpoint after $maxIter peel rounds — " +
+          "returning now would yield a subgraph that is NOT the k-core. Raise " +
+          "maxIter (rounds are peel-depth-bounded).")
+    }
   }
 
   private def joinMetrics(deg: DataFrame, oriented: DataFrame): DataFrame = {

@@ -46,6 +46,9 @@ object PageRank {
       .agg(count(lit(1)).cast("double").as("out_deg")).persist()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // retired per-round rank checkpoints are freed on exit; only the
+    // final one (the returned plan's leaf) survives
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
     var converged = false
     while (i < iters && !converged) {
@@ -70,10 +73,12 @@ object PageRank {
           .agg(sum(abs(col("rank") - col("_old")))).head().getDouble(0)
         if (delta < t) converged = true
       }
+      retired += ranks
       ranks = next
       i += 1
     }
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    retired.foreach(graft.Exec.freeCheckpoint)
     ranks
   }
 }

@@ -89,7 +89,7 @@ object DumpPlans {
     "q112_skyline" ->
       "Skyline: phase 1 is a map-only per-partition dominance scan (MapPartitions between codegen'd serialize spans — each partition emits only its local Pareto frontier); phase 2 re-runs the same scan over the union of frontiers in one partition, which is small BY THE ANTI-CHAIN ARGUMENT (the operator's output, not the input, bounds it) — the corpus is never self-joined and never globally sorted.",
     "q101_bfs" ->
-      "BFS hop distances: a driver-paced level-synchronous loop whose PER-ROUND plan is one keyed shuffle join (frontier ⋈ edges on src) + an anti-join against the settled set, localCheckpoint-truncated so round R's plan stays flat rather than R-deep; the frontier is NEVER broadcast (mid-traversal frontiers are corpus-sized on web graphs) and the only driver value per round is the new-node count scalar. The loop runs eagerly, so the dump below shows the FINAL distance join over the checkpointed settled table — the per-round shape is the same keyed join at every depth (the operator's scaladoc documents the round contract; cost is diameter-bound, not data-bound).",
+      "BFS hop distances — r13: the frontier loop runs on co-partitioned RDDs behind the DataFrame API, the q117 adjudication applied to the second iterative operator (per-round Catalyst replan + codegen + AQE stage cost ~0.5 s dominated the diameter-bound rounds). Edges hash-partitioned ONCE by src and persisted; frontier, per-round candidates and the settled table share the SAME partitioner, so the expand join and the settled check are NARROW — RDD.union of same-partitioner checkpointed leaves keeps the partitioner (PartitionerAwareUnionRDD), so the settled side never reshuffles. One frontier-scale reduceByKey dedup per round is the only wide op; one empty-frontier count the only driver value; the frontier is NEVER broadcast or collected (mid-traversal frontiers are corpus-sized on web graphs); round frames freed on exit. Idle-box sf0.1: ~7.2 s → ~2.2 s fresh. The dump below is the checkpointed result leaf — the traversal is RDD-land by design.",
     "q110_entity_resolution" ->
       "ER capstone (block → verify → CC → golden record): candidate pairs come from a BLOCK-key equi-join (never all-pairs — the plan's pair join is keyed on the prefix block), verification is the codegen'd length-band + levenshtein filter INSIDE that join's projection, components is the q43 per-round keyed-shuffle operator (eager, checkpoint-backed), and the golden-record stage is two keyed joins on component id behind a HashAggregate pair. No corpus-scale broadcast, no cartesian anywhere (PlanShapeSpec-asserted).",
     "q111_interval_coalesce" ->
