@@ -91,18 +91,31 @@ object MenuParser {
         array(filter(idx, i => isHeaderLine(element_at(arr, i + 1)))), hdrs =>
           element_at(transform(
             array(filter(idx, i => isSubheaderLine(element_at(arr, i + 1)))), subs =>
-              transform(
-                filter(idx, i => !array_contains(hdrs, i) && !array_contains(subs, i)), i => {
-                  val h = try_element_at(filter(hdrs, x => x < i), lit(-1))
-                  val sh = try_element_at(filter(subs, x => x < i), lit(-1))
-                  val cat = when(h.isNotNull, initcap(trim(element_at(arr, h + 1))))
-                  struct(
-                    i.cast("long").as("line_no"),
-                    element_at(arr, i + 1).as("line"),
-                    cat.as("category"),
-                    when(sh.isNotNull && (h.isNull || sh > h),
-                      subheaderName(element_at(arr, sh + 1))).otherwise(cat).as("subcategory"))
-                })), 1)), 1)
+              element_at(transform(
+                array(filter(idx, i => isContinuationLine(element_at(arr, i + 1)))), conts =>
+                  transform(
+                    filter(idx, i => !array_contains(hdrs, i) && !array_contains(subs, i) &&
+                      !array_contains(conts, i)), i => {
+                      val h = try_element_at(filter(hdrs, x => x < i), lit(-1))
+                      val sh = try_element_at(filter(subs, x => x < i), lit(-1))
+                      val cat = when(h.isNotNull, initcap(trim(element_at(arr, h + 1))))
+                      // continuation j belongs to item i iff every line
+                      // strictly between them is itself a continuation
+                      // (prompt_template.py rule 1; matches parse()'s
+                      // nearest-non-continuation attribution)
+                      val extras = filter(conts, j => j > i &&
+                        forall(filter(idx, k => k > i && k < j),
+                          k => array_contains(conts, k)))
+                      struct(
+                        i.cast("long").as("line_no"),
+                        element_at(arr, i + 1).as("line"),
+                        cat.as("category"),
+                        when(sh.isNotNull && (h.isNull || sh > h),
+                          subheaderName(element_at(arr, sh + 1))).otherwise(cat).as("subcategory"),
+                        when(size(extras) > 0, concat_ws(", ",
+                          transform(extras, j => trim(element_at(arr, j + 1)))))
+                          .as("desc_extra"))
+                    })), 1)), 1)), 1)
     }), 1)
     docs
       .withColumn("_e", explode(zipExpr))
@@ -110,23 +123,38 @@ object MenuParser {
       .withColumn("line", col("_e.line"))
       .withColumn("category", col("_e.category"))
       .withColumn("subcategory", col("_e.subcategory"))
+      .withColumn("desc_extra", col("_e.desc_extra"))
       .drop("_e", textCol)
   }
 
   /** Field extraction only — no header handling; expects a `category`
-    * column to already exist (e.g. from sectionedLines) or none.
+    * column to already exist (e.g. from sectionedLines) or none. A
+    * `desc_extra` column (sectionedLines' folded continuation lines)
+    * is appended to the extracted description, matching parse().
     */
-  def parseFields(lines: DataFrame, lineCol: String = "line"): DataFrame =
-    extractFields(lines, col(lineCol), dropHeaders = false)
+  def parseFields(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val f = extractFields(lines, col(lineCol), dropHeaders = false)
+    if (f.columns.contains("desc_extra"))
+      f.withColumn("description",
+        when(col("desc_extra").isNotNull,
+          concat_ws(", ", array(col("description"), col("desc_extra"))))
+          .otherwise(col("description")))
+        .drop("desc_extra")
+    else f
+  }
 
   /** Wrapped-description continuation line (prompt_template.py:15-16
     * rule 1 — join broken lines belonging to a single item): no
-    * price, not a header/subheader, and starting lowercase or with a
-    * parenthesis.
+    * price symbol, no labeled portion price ("Half: 5.00" lines are
+    * symbol-less ITEMS under the detected-currency fallback), no
+    * numeric price-ish tail (slash lists, ranges), not a
+    * header/subheader, and starting lowercase or with a parenthesis.
     */
   private[etl] def isContinuationLine(line: Column): Column =
     !hasPriceLine(line) && !isHeaderLine(line) && !isSubheaderLine(line) &&
-      line.rlike("^\\s*[a-z(]")
+      line.rlike("^\\s*[a-z(]") &&
+      !line.rlike("(?i)(half|full|small|medium|large)\\s*:") &&
+      !line.rlike("[0-9][0-9.,/\\s-]*$")
 
   /** Parse menu-item lines into the MenuItem schema. Section-header
     * lines (no price, ALL CAPS) become the `category` of the item

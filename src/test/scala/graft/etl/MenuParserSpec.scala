@@ -101,16 +101,18 @@ class MenuParserSpec extends SparkSpec {
       ("Dal Fry", null)))
   }
 
-  test("array path (sectionedLines) matches the window path on hierarchy") {
+  test("array path (sectionedLines) matches the window path on hierarchy + wrapping") {
     val doc = Seq((3L, "STARTERS\nVeg Specials:\nGobi Manchurian .... $8.00\n" +
+      "crispy florets\nin hot garlic sauce\n" +
       "Tandoori Bites:\nPaneer Tikka .... $9.00\nMAINS\nButter Chicken .... $14.00"))
       .toDF("doc_id", "text")
     val viaArray = MenuParser.parseFields(MenuParser.sectionedLines(doc))
       .orderBy("line_no")
-      .select("item_name", "category", "subcategory").as[(String, String, String)].collect()
+      .select("item_name", "category", "subcategory", "description")
+      .as[(String, String, String, String)].collect()
     assert(viaArray.toSeq == Seq(
-      ("Gobi Manchurian", "Starters", "Veg Specials"),
-      ("Paneer Tikka", "Starters", "Tandoori Bites"),
-      ("Butter Chicken", "Mains", "Mains")))
+      ("Gobi Manchurian", "Starters", "Veg Specials", "crispy florets, in hot garlic sauce"),
+      ("Paneer Tikka", "Starters", "Tandoori Bites", null),
+      ("Butter Chicken", "Mains", "Mains", null)))
   }
 }
