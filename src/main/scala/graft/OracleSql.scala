@@ -1877,18 +1877,19 @@ object OracleSql {
         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
         |      + CAST(l_quantity AS BIGINT) % 5 + 1 AS e0
         |  FROM lineitem),
-        |w AS (SELECT key, s0, e0,
+        |u AS (SELECT key, s0, e0, count(*) AS cnt FROM iv GROUP BY 1, 2, 3),
+        |w AS (SELECT key, s0, e0, cnt,
         |    max(e0) OVER (PARTITION BY key ORDER BY s0, e0
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |  FROM iv),
-        |o AS (SELECT key, s0, e0,
+        |  FROM u),
+        |o AS (SELECT key, s0, e0, cnt,
         |    CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS op FROM w),
-        |i AS (SELECT key, s0, e0,
+        |i AS (SELECT key, s0, e0, cnt,
         |    sum(op) OVER (PARTITION BY key ORDER BY s0, e0
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |  FROM o)
         |SELECT key, min(s0) AS island_start, max(e0) AS island_end,
-        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |  CAST(sum(cnt) AS BIGINT) AS n_intervals
         |FROM i GROUP BY key, island
         |ORDER BY key, island_start""".stripMargin,
 

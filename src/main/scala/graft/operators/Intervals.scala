@@ -26,21 +26,33 @@ object Intervals {
     * merged into the island. Intervals are treated as closed
     * [start, end]: touching (next.start == prev.end) merges; use
     * end−1 upstream for half-open semantics.
+    *
+    * Duplicate (key, start, end) rows are pre-aggregated to one row
+    * with a count BEFORE the window sweep. That makes the window's
+    * (start, end) order TOTAL — r13: with duplicates present, an
+    * engine is free to order the twins differently in the open-flag
+    * window and the island-sum window, and one twin's open flag then
+    * attaches to the other's island (caught at sf0.1 against DuckDB:
+    * islands overlapped). It is also the cheaper plan — the dedup is
+    * a partial-aggregated groupBy, so at scale the window sorts
+    * distinct spans, not raw rows.
     */
   def coalesceIntervals(
       df: DataFrame,
       keyCol: String,
       startCol: String,
       endCol: String): DataFrame = {
+    val uniq = df.groupBy(col(keyCol), col(startCol), col(endCol))
+      .agg(count(lit(1)).as("_cnt"))
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol)).over(byKey.rowsBetween(Window.unboundedPreceding, -1))
     val opens = when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L)
-    df.withColumn("_open", opens)
+    uniq.withColumn("_open", opens)
       .withColumn("_island", sum(col("_open")).over(byKey))
       .groupBy(col(keyCol), col("_island"))
       .agg(min(col(startCol)).as("island_start"),
         max(col(endCol)).as("island_end"),
-        count(lit(1)).as("n_intervals"))
+        sum(col("_cnt")).as("n_intervals"))
       .drop("_island")
   }
 }

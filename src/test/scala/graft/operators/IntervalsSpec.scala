@@ -41,4 +41,15 @@ class IntervalsSpec extends SparkSpec {
     val rows = Seq((5L, 0L, 100L), (5L, 10L, 20L), (5L, 30L, 40L))
     assert(run(rows) == Set((5L, 0L, 100L, 3L)))
   }
+
+  test("duplicate intervals count into their island and never split it") {
+    // the r13 sf0.1 regression shape: [16,19], [21,26]x2, [26,29],
+    // [26,31] — a tie-ordering bug could attach one [21,26] twin to
+    // the FIRST island (engines may order window ties differently
+    // across two window passes); pre-aggregated duplicates make the
+    // sweep order total, so the twins stay together
+    val rows = Seq((75L, 16L, 19L), (75L, 21L, 26L), (75L, 21L, 26L),
+      (75L, 26L, 29L), (75L, 26L, 31L), (75L, 32L, 33L))
+    assert(run(rows) == Set((75L, 16L, 19L, 1L), (75L, 21L, 31L, 4L), (75L, 32L, 33L, 1L)))
+  }
 }
