@@ -85,28 +85,43 @@ object GraphMetrics {
 
   /** (node, degree, triangles) for every node with at least one
     * edge; `triangles` counts the triangles the node is a corner of.
+    *
+    * ONE lazy plan, no explicit caching: the shared subtrees (the
+    * canonicalization `distinct`, the degree aggregate, the oriented
+    * edge set) each end at an exchange, and Spark's exchange reuse
+    * (`spark.sql.exchange.reuse`, on by default, AQE-preserved)
+    * dedupes the identical subtrees — the lineitem-scale work below
+    * each shuffle runs ONCE however many times the plan references
+    * it. Measured against the persist-count-checkpoint formulation
+    * this held in r13 (`Exec.withCachedChain`): the lazy plan is
+    * ~0.2-0.4 s faster per call at sf0.1 (saves the eager count job,
+    * the result-checkpoint job, and three persist/unpersist round
+    * trips) and leaves ZERO persistent blocks behind, where the
+    * cached version retired one result-checkpoint block set per call
+    * (the r13→r14 q86 bench-drift adjudication; PLANS.md). Callers
+    * that re-execute the RESULT many times should persist it
+    * themselves — `nodeMetricsCached` does exactly that.
     */
   def nodeMetrics(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = canonical(edges, srcCol, dstCol)
+    val deg = degrees(canon)
+    joinMetrics(deg, orient(canon, deg))
+  }
+
+  /** `nodeMetrics` materialized against an explicitly cached chain —
+    * for sessions running with exchange reuse DISABLED (where every
+    * plan reference re-runs the canonicalization shuffle) or callers
+    * that act on the result repeatedly. The result rides a
+    * (local)checkpoint whose blocks outlive the call by design; a
+    * caller discarding it must `Exec.freeCheckpoint` it.
+    */
+  def nodeMetricsCached(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = canonical(edges, srcCol, dstCol)
     val deg = degrees(canon)
     val oriented = orient(canon, deg)
     Exec.withCachedChain(Seq(canon, deg, oriented)) {
       joinMetrics(deg, oriented)
     }
-  }
-
-  /** `nodeMetrics` as ONE lazy uncached plan — every self-join
-    * reference re-derives its subtree (the canonicalization
-    * `distinct` shuffle runs once per reference), so prefer the
-    * cached `nodeMetrics` for execution; this exists as the
-    * plan-shape evidence surface (DumpPlans) and for callers
-    * embedding the metrics into a larger job that manages its own
-    * caching.
-    */
-  def nodeMetricsPlan(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = canonical(edges, srcCol, dstCol)
-    val deg = degrees(canon)
-    joinMetrics(deg, orient(canon, deg))
   }
 
   /** The k-CORE: nodes of the maximal subgraph in which every node

@@ -73,7 +73,7 @@ object DumpPlans {
     "q87_bm25" ->
       "BM25 retrieval: the (doc, token) count exchange is built once and REUSED by its three consumers (doc lengths, query-term df, contribution join — AQE ReusedExchange); the query-term and df sides are broadcasts, the corpus stats are a one-row broadcast cross join, and the only corpus-scale exchanges are the (doc, token) partial-agg pair and the per-(query, doc) score fold.",
     "q86_graph_metrics" ->
-      "Triangle counting (lazy nodeMetricsPlan shown — executed nodeMetrics caches canon/degrees/oriented so its visible plan is just the checkpoint scan): every step is a key-shuffle join — edges exchange on u for wedge enumeration, wedges exchange on (v1, v2) for the closing-edge left-semi; no broadcast (the edge set is unbounded at corpus scale) and the degree-ordered orientation caps any node's wedge fan-out at O(sqrt m) regardless of hub degree.",
+      "Triangle counting (nodeMetrics IS this lazy plan since r14 — shared subtrees dedupe via ReusedExchange instead of explicit caching): every step is a key-shuffle join — edges exchange on u for wedge enumeration, wedges exchange on (v1, v2) for the closing-edge left-semi; no broadcast (the edge set is unbounded at corpus scale) and the degree-ordered orientation caps any node's wedge fan-out at O(sqrt m) regardless of hub degree.",
     "q100_setsim_join" ->
       "Exact set-similarity join: the corpus-scale stages are the token-df HashAggregate pair, the rank join, and the per-record re-group — all keyed exchanges with map-side partials, NEVER an all-pairs product; the candidate self-join is keyed on PREFIX tokens only (rarest-first order pushes hot tokens out of prefixes — the WWW'07 bound on bucket sizes), and verification joins fetch the per-record arrays for candidate ids only. r13: the global (df, token) order is materialized as dense LONG ranks (distributed sort + zipWithIndex over the vocabulary — a bare row_number window would funnel the vocabulary through one task), so prefix keys and verification intersects work on longs, not string shingles: ~6× fewer verify-stage bytes, every join key a long, outputs bit-identical (counts and ids only); ~25% off q100 at sf0.1. (At this SF small sides sit under the broadcast threshold so AQE broadcasts them; the scale regime degrades each to the keyed shuffle join with the same aggregate-before-join structure.)",
     "q102_frequent_pairs" ->
@@ -203,7 +203,7 @@ object DumpPlans {
                            sf: String): Option[org.apache.spark.sql.DataFrame] =
     name match {
       case "q86_graph_metrics" => Some(graft.operators.GraphMetrics
-        .nodeMetricsPlan(SparkEntry.q86Edges(spark, sf), "src", "dst"))
+        .nodeMetrics(SparkEntry.q86Edges(spark, sf), "src", "dst"))
       case "q91_bpe_train" => Some(graft.operators.BpeTrainer.round1Plan(
         graft.Tables.documents(spark, sf).select("text"), "text"))
       case _ => None
