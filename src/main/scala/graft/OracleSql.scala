@@ -258,7 +258,8 @@ object OracleSql {
         |  UNION ALL SELECT p_partkey, p_name, NULL,
         |    CAST(ch AS DOUBLE)/100.0, CAST(c AS DOUBLE)/100.0, NULL, NULL, NULL, NULL FROM v WHERE md = 2
         |  UNION ALL SELECT p_partkey, p_name, NULL, NULL, NULL, NULL, NULL, NULL, 'MP' FROM v WHERE md = 3
-        |  UNION ALL SELECT p_partkey, p_name, CAST(ch AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 4
+        |  UNION ALL SELECT p_partkey, p_name, CAST(ch AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL,
+        |    printf('%d.%02d', ch//100, ch%100) || '-' || printf('%d.%02d', c//100, c%100) FROM v WHERE md = 4
         |  UNION ALL SELECT p_partkey, p_name || ' - Chicken', CAST(ch AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 5
         |  UNION ALL SELECT p_partkey, p_name || ' - Mutton', CAST(c AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 5
         |  UNION ALL SELECT p_partkey, p_name || ' - Veg', CAST(cl AS DOUBLE)/100.0, NULL, NULL, NULL, NULL, NULL, NULL FROM v WHERE md = 5)
@@ -2022,18 +2023,24 @@ object OracleSql {
     // category repeats when no subheader) and the r=1 wrapped
     // description directly from the four-residue construction.
     "q163_menu_hierarchy" ->
-      """WITH base AS (SELECT p_partkey AS doc_id, p_name, p_partkey % 4 AS r,
+      """WITH base AS (SELECT p_partkey AS doc_id, p_name, p_partkey % 6 AS r,
         |    CAST(round(p_retailprice*100) AS BIGINT) / 100.0 AS price FROM part),
         |r1 AS (SELECT doc_id, p_name AS item_name, 'Starters' AS category,
-        |    CASE WHEN r = 0 THEN 'Starters' ELSE 'Veg Specials' END AS subcategory,
+        |    CASE WHEN r IN (0, 5) THEN 'Starters' ELSE 'Veg Specials' END AS subcategory,
         |    CASE WHEN r = 1 THEN 'extra crispy, served hot' END AS description, price
         |  FROM base),
         |r2 AS (SELECT doc_id, p_name || ' II' AS item_name,
-        |    CASE WHEN r = 2 THEN 'Mains' ELSE 'Starters' END AS category,
-        |    CASE WHEN r = 2 THEN 'Mains' ELSE 'Tandoori Bites' END AS subcategory,
+        |    CASE WHEN r = 2 THEN 'Mains' WHEN r = 4 THEN 'Desserts' ELSE 'Starters' END AS category,
+        |    CASE WHEN r = 2 THEN 'Mains' WHEN r = 3 THEN 'Tandoori Bites'
+        |         WHEN r = 4 THEN 'Desserts' ELSE 'Starters' END AS subcategory,
         |    CAST(NULL AS VARCHAR) AS description, price
-        |  FROM base WHERE r IN (2, 3))
-        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY doc_id, item_name""".stripMargin,
+        |  FROM base WHERE r IN (2, 3, 4, 5)),
+        |r3 AS (SELECT doc_id, 'Chef Special' AS item_name, 'Starters' AS category,
+        |    'Starters' AS subcategory, CAST(NULL AS VARCHAR) AS description,
+        |    CAST(NULL AS DOUBLE) AS price
+        |  FROM base WHERE r = 5)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |ORDER BY doc_id, item_name""".stripMargin,
 
     "q162_pdf_images" ->
       """WITH dims AS (SELECT doc_id,

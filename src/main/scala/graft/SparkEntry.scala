@@ -227,13 +227,16 @@ object SparkEntry {
     * header(s) above an item; repeat the category into subcategory
     * when no explicit one appears): ALL-CAPS section headers set the
     * category, colon-suffixed subsection lines the subcategory, and a
-    * new section header RESETS the subcategory. Four deterministic
+    * new section header RESETS the subcategory. Six deterministic
     * document shapes by partkey residue (no subheader / one / reset
-    * by second header / two sibling subheaders), plus rule 1's
-    * multi-line description joining on the r=1 residue (a lowercase
-    * no-price line directly under the item folds into its
-    * description); the oracle rebuilds the expected propagation from
-    * the construction arithmetic.
+    * by second header / two sibling subheaders / a TITLE-CASE header
+    * legitimated by the empty line above it, prompt_template.py:18-19
+    * / the same Title-Case line with NO blank above staying an
+    * unpriced item — the negative control), plus rule 1's multi-line
+    * description joining on the r=1 residue (a lowercase no-price
+    * line directly under the item folds into its description); the
+    * oracle rebuilds the expected propagation from the construction
+    * arithmetic.
     */
   private def q163MenuHierarchy(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -242,15 +245,24 @@ object SparkEntry {
     val c = cents(col("p_retailprice"))
     val item1 = concat(col("p_name"), lit(" .... $"), fmt(c))
     val item2 = concat(col("p_name"), lit(" II .... $"), fmt(c))
-    val r = pmod(col("p_partkey"), lit(4))
+    val r = pmod(col("p_partkey"), lit(6))
     val linesArr =
       when(r === 0, array(lit("STARTERS"), item1))
         .when(r === 1, array(lit("STARTERS"), lit("Veg Specials:"), item1,
           lit("extra crispy"), lit("served hot")))
         .when(r === 2, array(lit("STARTERS"), lit("Veg Specials:"), item1,
           lit("MAINS"), item2))
-        .otherwise(array(lit("STARTERS"), lit("Veg Specials:"), item1,
+        .when(r === 3, array(lit("STARTERS"), lit("Veg Specials:"), item1,
           lit("Tandoori Bites:"), item2))
+        // r=4: Title-Case line with an EMPTY LINE above → header
+        // (prompt_template.py:18-19), resetting category AND
+        // subcategory like any section header
+        .when(r === 4, array(lit("STARTERS"), lit("Veg Specials:"), item1,
+          lit(""), lit("Desserts"), item2))
+        // r=5: the same Title-Case line with NO blank above stays an
+        // unpriced ITEM — the blank-above evidence is what
+        // disambiguates, so this is the negative control
+        .otherwise(array(lit("STARTERS"), item1, lit("Chef Special"), item2))
     val lines = fanOut(s, p.select(col("p_partkey").as("doc_id"), linesArr.as("arr")))
       .select(col("doc_id"), posexplode(col("arr")))
       .select(col("doc_id"), col("pos").cast("long").as("line_no"), col("col").as("line"))

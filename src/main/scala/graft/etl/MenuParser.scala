@@ -52,6 +52,21 @@ object MenuParser {
   private[etl] def isHeaderLine(line: Column): Column =
     !hasPriceLine(line) && line.rlike("^[A-Z0-9 &'\\-]{3,}$")
 
+  /** Title-Case header candidate (prompt_template.py:18-19: "ALL CAPS
+    * or Title Casing with empty line above → header"). Pure
+    * Title-Case only — every word leads with a capital then
+    * lowercase, connectives (and/of/the/&) may stay down; digits and
+    * trailing ':' (that's a subheader) disqualify. The blank-above
+    * evidence is NOT checked here: a Title-Case line is ambiguous
+    * with an unpriced item, so callers must AND this with a
+    * had-blank-line-above flag — `parse` carries it as a window lag,
+    * `sectionedLines` computes it on the raw array before blank
+    * lines are filtered out.
+    */
+  private[etl] def isTitleHeaderLine(line: Column): Column =
+    !hasPriceLine(line) && length(trim(line)) >= 3 &&
+      line.rlike("^[A-Z][a-z'’\\-]*(?: (?:[A-Z][a-z'’\\-]*|&|and|of|the))*$")
+
   /** Subcategory header (prompt_template.py:17-21 — the reference
     * tracks a two-level category/subcategory hierarchy): a no-price
     * header-like line ENDING WITH ':' ("Veg Specials:"), the common
@@ -79,16 +94,62 @@ object MenuParser {
     * regex work into O(lines²) × full-text re-normalization — measured
     * as a 15× slowdown on the sf0.1 pipeline before this binding.
     */
+  /** A line the normalizer drops as non-content: empty/1-char or
+    * punctuation-only (clean_text.py:13-17's junk rule). Such lines
+    * are exactly the "empty line above / visually separated"
+    * evidence of prompt_template.py:18-20 — a separator row or a
+    * page boundary above a Title-Case line legitimates it as a
+    * header, so the evidence must be read BEFORE the lines are
+    * dropped.
+    */
+  private[etl] def isJunkLine(line: Column): Column =
+    length(trim(line)) <= 1 || trim(line).rlike("^[\\W_]+$")
+
+  /** Per-line content normalization, identical to what
+    * `TextNormalizer.normalize` leaves on each surviving line
+    * (clean_text.py: strip, then `..`+ runs → space, then space/tab
+    * runs → one space — the join/collapse steps are per-line no-ops
+    * because the junk filter already removed every empty line).
+    */
+  private def normLine(line: Column): Column =
+    regexp_replace(regexp_replace(trim(line), "\\.{2,}", " "), "[ \\t]{2,}", " ")
+
   def sectionedLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val arrExpr = filter(split(graft.etl.TextNormalizer.normalize(col(textCol)), "\n"),
-      l => length(trim(l)) > 0)
-    // bind arr once; then bind the header- and subheader-index lists
-    // once each; all regex work happens exactly once per line.
-    val zipExpr = element_at(transform(array(arrExpr), arr => {
+    // Split the RAW text (page markers → line breaks first, as the
+    // normalizer does) instead of normalizing the whole document up
+    // front: whole-doc normalization drops the separator lines whose
+    // presence legitimates a Title-Case header, so the junk filter
+    // and per-line normalization run HERE, after the evidence is
+    // read. Surviving line content is byte-identical to
+    // TextNormalizer.normalize's output lines.
+    val rawExpr = split(regexp_replace(col(textCol),
+      "(?i)-{2,}\\s*Page\\s*\\d+\\s*-{2,}", "\n"), "\n")
+    // bind the raw array once, derive kept-line and had-separator-
+    // above lists, bind those once each; all regex work happens
+    // exactly once per line (see the evaluation-count note above).
+    val zipExpr = element_at(transform(array(rawExpr), raw => {
+      val idxRaw = when(size(raw) > 0, sequence(lit(0), size(raw) - 1))
+        .otherwise(array().cast("array<int>"))
+      val keep = filter(idxRaw, i => !isJunkLine(element_at(raw, i + 1)))
+      val arrE = transform(keep, i => normLine(element_at(raw, i + 1)))
+      val baE = transform(keep, i =>
+        when(i > 0, isJunkLine(element_at(raw, i))).otherwise(lit(false)))
+      element_at(transform(array(arrE), arr =>
+        element_at(transform(array(baE), ba => sectionedZip(arr, ba)), 1)), 1)
+    }), 1)
+    sectionedExplode(docs, textCol, zipExpr)
+  }
+
+  /** The per-document sectioning body over the blank-filtered line
+    * array `arr` and its aligned had-blank-above flags `ba` (both
+    * already bound once as lambda variables by sectionedLines).
+    */
+  private def sectionedZip(arr: Column, ba: Column): Column = {
       val idx = when(size(arr) > 0, sequence(lit(0), size(arr) - 1))
         .otherwise(array().cast("array<int>"))
       element_at(transform(
-        array(filter(idx, i => isHeaderLine(element_at(arr, i + 1)))), hdrs =>
+        array(filter(idx, i => isHeaderLine(element_at(arr, i + 1)) ||
+          (element_at(ba, i + 1) && isTitleHeaderLine(element_at(arr, i + 1))))), hdrs =>
           element_at(transform(
             array(filter(idx, i => isSubheaderLine(element_at(arr, i + 1)))), subs =>
               element_at(transform(
@@ -116,7 +177,9 @@ object MenuParser {
                           transform(extras, j => trim(element_at(arr, j + 1)))))
                           .as("desc_extra"))
                     })), 1)), 1)), 1)
-    }), 1)
+  }
+
+  private def sectionedExplode(docs: DataFrame, textCol: String, zipExpr: Column): DataFrame =
     docs
       .withColumn("_e", explode(zipExpr))
       .withColumn("line_no", col("_e.line_no"))
@@ -125,7 +188,6 @@ object MenuParser {
       .withColumn("subcategory", col("_e.subcategory"))
       .withColumn("desc_extra", col("_e.desc_extra"))
       .drop("_e", textCol)
-  }
 
   /** Field extraction only — no header handling; expects a `category`
     * column to already exist (e.g. from sectionedLines) or none. A
@@ -172,7 +234,18 @@ object MenuParser {
     */
   def parse(lines: DataFrame, docCol: String = "doc_id", lineNoCol: String = "line_no",
             lineCol: String = "line"): DataFrame = {
-    val withFields = extractFields(lines, col(lineCol), dropHeaders = true)
+    // Junk rows (empty / 1-char / punctuation-only separators — the
+    // normalizer's drop rule) are header EVIDENCE for the Title-Case
+    // arm (prompt_template.py:18-20), then dropped — attribution and
+    // propagation run over content lines only, exactly as
+    // sectionedLines' junk-filtered array does.
+    val w0 = Window.partitionBy(col(docCol)).orderBy(col(lineNoCol))
+    val pre = lines
+      .withColumn("_blank_above",
+        coalesce(lag(isJunkLine(col(lineCol)), 1).over(w0), lit(false)))
+      .filter(!isJunkLine(col(lineCol)))
+    val withFields = extractFields(pre, col(lineCol), dropHeaders = true,
+      blankAbove = col("_blank_above"))
     // Propagate the most recent section header down to item lines.
     val w = Window.partitionBy(col(docCol)).orderBy(col(lineNoCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -202,11 +275,12 @@ object MenuParser {
           concat(array(col("description")), transform(col("_extras"), e => e.getField("txt")))))
           .otherwise(col("description")))
       .drop("is_header", "header", "is_subheader", "subheader",
-        "_hln", "_sln", "_sub", "_cont", "_own", "_extras")
+        "_hln", "_sln", "_sub", "_cont", "_own", "_extras", "_blank_above")
   }
 
-  private def extractFields(lines: DataFrame, line: Column, dropHeaders: Boolean): DataFrame = {
-    val isHeader = isHeaderLine(line)
+  private def extractFields(lines: DataFrame, line: Column, dropHeaders: Boolean,
+                            blankAbove: Column = lit(false)): DataFrame = {
+    val isHeader = isHeaderLine(line) || (blankAbove && isTitleHeaderLine(line))
 
     // Name ends at the dot leader, a portion/size label, or the price
     // itself — dot leaders may already have been collapsed away by

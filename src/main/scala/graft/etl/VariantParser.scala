@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *    "Biryani - Chicken":200, "Biryani - Mutton":250);
   *  - "Market Price" / "MP" → null price, price_display "MP"
   *    (rule 4);
-  *  - a price RANGE "100-150" → lower bound as price (rule 4).
+  *  - a price RANGE "100-150" → lower bound as price, the range text
+  *    noted in `price_display_hint` (rule 4: "note range in
+  *    metadata").
   *
   * Everything is arrays + transform + one explode: map-side,
   * whole-stage-codegen'd, no shuffle — the LLM's judgment replaced by
@@ -43,6 +45,10 @@ object VariantParser {
 
     val isMp = line.rlike("(?i)market\\s+price|\\bMP\\s*$")
     val rangeLow = regexp_extract(line, s"($priceNum)\\s*-\\s*$priceNum\\s*$$", 1)
+    // rule 4: "if a price is a range 100-150, take the lower bound as
+    // price AND note range in metadata" — the note rides in
+    // price_display_hint as the range text, like the MP arm's "MP".
+    val rangeText = regexp_extract(line, s"($priceNum\\s*-\\s*$priceNum)\\s*$$", 1)
 
     // trailing slash-separated price list ("385/385/465" or "19/35")
     val priceList = regexp_extract(line, s"($priceNum(?:\\s*/\\s*$priceNum)*)\\s*$$", 1)
@@ -80,7 +86,7 @@ object VariantParser {
         array(item(namePart, nullD, nullD, nullD, nullD, nullD, nullD, lit("MP"))))
       .when(rangeLow =!= "",
         array(item(namePart, rangeLow.cast("double"), nullD, nullD, nullD, nullD, nullD,
-          lit(null).cast("string"))))
+          rangeText)))
       .when(choiceBase =!= "" && nc === np && np >= 1,
         transform(sequence(lit(0), np - 1), i =>
           item(concat(choiceBase, lit(" - "), element_at(choices, i + 1)),

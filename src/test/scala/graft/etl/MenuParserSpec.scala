@@ -101,6 +101,56 @@ class MenuParserSpec extends SparkSpec {
       ("Dal Fry", null)))
   }
 
+  test("Title-Case line with an empty line above is a header (prompt_template rule 2)") {
+    val doc = Seq(
+      (5L, 0L, "STARTERS"),
+      (5L, 1L, "Veg Specials:"),
+      (5L, 2L, "Gobi Manchurian .... $8.00"),
+      (5L, 3L, ""),
+      (5L, 4L, "Desserts"),
+      (5L, 5L, "Gulab Jamun .... $4.00")
+    ).toDF("doc_id", "line_no", "line")
+    val out = MenuParser.parse(doc).orderBy("line_no")
+      .select("item_name", "category", "subcategory").as[(String, String, String)].collect()
+    assert(out.toSeq == Seq(
+      ("Gobi Manchurian", "Starters", "Veg Specials"),
+      ("Gulab Jamun", "Desserts", "Desserts")))
+  }
+
+  test("Title-Case line with NO blank above stays an unpriced item, not a header") {
+    val doc = Seq(
+      (6L, 0L, "STARTERS"),
+      (6L, 1L, "Gobi Manchurian .... $8.00"),
+      (6L, 2L, "Chef Special"),
+      (6L, 3L, "Gulab Jamun .... $4.00")
+    ).toDF("doc_id", "line_no", "line")
+    val out = MenuParser.parse(doc).orderBy("line_no")
+      .select("item_name", "category", "price").as[(String, String, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("Gobi Manchurian", "Starters", Some(8.0)),
+      ("Chef Special", "Starters", None),
+      ("Gulab Jamun", "Starters", Some(4.0))))
+  }
+
+  test("array path matches the window path on Title-Case/blank-above headers") {
+    val text = "STARTERS\nVeg Specials:\nGobi Manchurian .... $8.00\n\nDesserts\n" +
+      "Gulab Jamun .... $4.00\nChef Special\nKheer .... $3.00"
+    val viaArray = MenuParser.parseFields(MenuParser.sectionedLines(
+      Seq((7L, text)).toDF("doc_id", "text")))
+      .orderBy("line_no")
+      .select("item_name", "category", "subcategory").as[(String, String, String)].collect()
+    assert(viaArray.toSeq == Seq(
+      ("Gobi Manchurian", "Starters", "Veg Specials"),
+      ("Gulab Jamun", "Desserts", "Desserts"),
+      ("Chef Special", "Desserts", "Desserts"),
+      ("Kheer", "Desserts", "Desserts")))
+    val lines = text.split("\n", -1).zipWithIndex.map { case (l, i) => (7L, i.toLong, l) }
+      .toSeq.toDF("doc_id", "line_no", "line")
+    val viaWindow = MenuParser.parse(lines).orderBy("line_no")
+      .select("item_name", "category", "subcategory").as[(String, String, String)].collect()
+    assert(viaWindow.toSeq == viaArray.toSeq)
+  }
+
   test("array path (sectionedLines) matches the window path on hierarchy + wrapping") {
     val doc = Seq((3L, "STARTERS\nVeg Specials:\nGobi Manchurian .... $8.00\n" +
       "crispy florets\nin hot garlic sauce\n" +

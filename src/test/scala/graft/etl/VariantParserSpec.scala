@@ -49,9 +49,12 @@ class VariantParserSpec extends SparkSpec {
     assert(r.getAs[String]("price_display_hint") == "MP")
   }
 
-  test("a price range takes the lower bound") {
+  test("a price range takes the lower bound and notes the range in the display hint") {
     val r = rows(5L).head
     assert(r.getAs[String]("item_name") == "Biryani" && r.getAs[Double]("price") == 100.0)
+    // rule 4: "note range in metadata" — the hint carries the range
+    // text, the way the MP arm carries "MP"
+    assert(r.getAs[String]("price_display_hint") == "100-150")
   }
 
   test("plain single price still parses") {

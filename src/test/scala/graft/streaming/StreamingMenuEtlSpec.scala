@@ -34,4 +34,34 @@ class StreamingMenuEtlSpec extends SparkSpec {
     assert(second.count() == 3) // only the new file was processed
     assert(second.filter($"item_name" === "Mango Lassi").count() == 1)
   }
+
+  test("hierarchy + description columns match the batch window path per micro-batch") {
+    val in = Files.createTempDirectory("graft_hin").toString
+    val out = Files.createTempDirectory("graft_hout").toString
+    val cp = Files.createTempDirectory("graft_hcp").toString
+
+    // subheader, continuation fold, a punctuation separator
+    // legitimating a Title-Case header, and category/subcategory reset
+    val text = "STARTERS\nVeg Specials:\nGobi Manchurian .... $8.00\n" +
+      "crispy florets\n-----\nDesserts\n" +
+      "Gulab Jamun .... $4.00 - Classic sweet\nwith rose syrup"
+    Files.writeString(java.nio.file.Paths.get(in, "h1.txt"), text)
+    StreamingMenuEtl.start(spark, in, out, cp).awaitTermination(60000)
+
+    val streamed = spark.read.parquet(out)
+      .select("item_name", "category", "subcategory", "description")
+      .as[(String, String, String, String)].collect().toSet
+
+    val lines = text.split("\n", -1).zipWithIndex
+      .map { case (l, i) => (1L, i.toLong, l) }.toSeq.toDF("doc_id", "line_no", "line")
+    val batch = graft.etl.MenuValidator.validate(graft.etl.MenuParser.parse(lines))
+      .filter($"is_valid")
+      .select("item_name", "category", "subcategory", "description")
+      .as[(String, String, String, String)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed == Set(
+      ("Gobi Manchurian", "Starters", "Veg Specials", "crispy florets"),
+      ("Gulab Jamun", "Desserts", "Desserts", "Classic sweet, with rose syrup")))
+  }
 }
