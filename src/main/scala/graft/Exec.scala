@@ -85,11 +85,14 @@ object Exec {
     * drift, adjudicated in r13). Iterative loops must free every
     * retired round frame on exit; only the frame the RETURNED plan
     * reads may survive. Safe on lazy frames — they have no such leaf.
+    * Frees EVERY LogicalRDD leaf in the plan — do not pass a frame
+    * that shares a checkpoint leaf with a still-live result, or the
+    * live frame's blocks silently go with it.
     */
   def freeCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -487,11 +487,13 @@ object Webp {
     val h = br.bits(14) + 1
     // Allocation guard BEFORE any w*h-sized array exists: one VP8L
     // symbol can paint at most a 4096-pixel backward reference and
-    // costs at least a bit, so a stream of `vp8lLen` bytes can never
-    // legitimately decode more than len*8*4096 pixels — a lying
-    // 16383x16383 header on a 30-byte chunk dies here as invalid
-    // instead of attempting a 1 GiB allocation.
-    require(w.toLong * h <= vp8lLen.toLong * 8L * 4096L,
+    // costs at least a bit, and the color-indexing transform can
+    // bundle up to 8 pixels into one coded pixel, so a stream of
+    // `vp8lLen` bytes can never legitimately decode more than
+    // len*8*4096*8 pixels — a lying 16383x16383 header on a tiny
+    // chunk still dies here as invalid instead of attempting a 1 GiB
+    // allocation, while a maximally-bundled palette image passes.
+    require(w.toLong * h <= vp8lLen.toLong * 8L * 4096L * 8L,
       "vp8l: claimed dimensions exceed payload capacity")
     br.bit1() // alpha hint
     require(br.bits(3) == 0, "vp8l: version")

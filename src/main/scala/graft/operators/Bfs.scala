@@ -61,6 +61,21 @@ object Bfs {
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Ids must be integral: the traversal joins on long keys, and an
+    // implicit cast from string/decimal ids would null-drop every
+    // edge — reporting all nodes unreachable instead of erroring.
+    // Callers with non-numeric ids dictionary-encode first.
+    def requireIntegral(df: DataFrame, c: String, what: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$what column '$c' must be an integral type (byte/short/int/long), got " +
+          s"${dt.simpleString} — encode ids to longs explicitly; an implicit " +
+          "cast would silently drop all edges")
+    }
+    requireIntegral(edges, srcCol, "edge source")
+    requireIntegral(edges, dstCol, "edge destination")
+    requireIntegral(sources, idCol, "source node")
     val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     val raw = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long")).na.drop()
       .rdd.map(r => (r.getLong(0), r.getLong(1)))

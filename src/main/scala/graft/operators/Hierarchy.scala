@@ -65,11 +65,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Hierarchy {
 
+  /** All three columns must be INTEGRAL types (byte/short/int/long)
+    * — ids join as longs and quantities sum as longs. Validated up
+    * front and loudly: a silent cast would truncate fractional
+    * quantities (qty 2.5 → 2) and null-drop string ids, returning
+    * wrong totals or an empty explosion instead of an error. Callers
+    * with decimal quantities should scale to an integer unit (cents,
+    * thousandths) first; callers with string ids should dictionary-
+    * encode them (a rank join) first.
+    */
+  private def requireIntegral(df: DataFrame, c: String, what: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val dt = df.schema(c).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$what column '$c' must be an integral type (byte/short/int/long), got " +
+        s"${dt.simpleString} — cast or encode it explicitly; an implicit cast " +
+        "would silently truncate or null-drop rows")
+  }
+
   /** (node, level, total_qty) for every node reachable from `rootId`
     * (the root itself at level 0, total 1). Parallel edges are
     * summed; rows with a null parent/child/qty are dropped;
     * unreachable nodes are absent. `maxIter` bounds the level
     * fixpoint's rounds (≥ the DAG's depth or the cycle guard fires).
+    * Ids and qty must be integral (see `requireIntegral`).
     */
   def bomExplode(
       edges: DataFrame,
@@ -100,6 +119,9 @@ object Hierarchy {
       rdd
     }
 
+    requireIntegral(edges, parentCol, "parent id")
+    requireIntegral(edges, childCol, "child id")
+    requireIntegral(edges, qtyCol, "quantity")
     val raw = edges.select(
         col(parentCol).cast("long"), col(childCol).cast("long"), col(qtyCol).cast("long"))
       .na.drop()

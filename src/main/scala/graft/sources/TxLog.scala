@@ -1088,7 +1088,11 @@ object TxLog {
     * keep set, whatever their age.
     */
   def stagedGraceMs: Long =
-    sys.props.get("graft.txlog.stagedGraceMs").map(_.toLong).getOrElse(20L * 60 * 1000)
+    // toLongOption, not toLong: a malformed knob value must not turn
+    // vacuum()/sweep() into a maintenance-path crash — fall back to
+    // the 20-minute default.
+    sys.props.get("graft.txlog.stagedGraceMs").flatMap(_.toLongOption)
+      .getOrElse(20L * 60 * 1000)
 
   /** Every data file / DV path any log version or checkpoint has ever
     * referenced — the "committed at some point" set sweep() consults

@@ -41,4 +41,11 @@ class BfsSpec extends SparkSpec {
       dists(Seq((0L, 1L), (1L, 2L), (2L, 3L)), Seq(0L), maxIter = 2))
     assert(e.getMessage.contains("raise maxIter"))
   }
+
+  test("string ids fail loudly instead of silently dropping every edge") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      Bfs.hopDistances(edges, Seq(0L).toDF("id")))
+    assert(e.getMessage.contains("integral"))
+  }
 }

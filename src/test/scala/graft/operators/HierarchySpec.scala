@@ -74,4 +74,13 @@ class HierarchySpec extends SparkSpec {
       assert(d(i.toLong) == (i.toLong, 1L << (i / 50)), s"node $i")
     }
   }
+
+  test("non-integral qty and non-numeric ids fail loudly, never truncate silently") {
+    val fractional = Seq((0L, 1L, 2.5)).toDF("parent", "child", "qty")
+    val e1 = intercept[IllegalArgumentException](Hierarchy.bomExplode(fractional, rootId = 0L))
+    assert(e1.getMessage.contains("integral"))
+    val stringIds = Seq(("a", "b", 1L)).toDF("parent", "child", "qty")
+    val e2 = intercept[IllegalArgumentException](Hierarchy.bomExplode(stringIds, rootId = 0L))
+    assert(e2.getMessage.contains("integral"))
+  }
 }

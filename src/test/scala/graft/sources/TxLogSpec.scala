@@ -507,6 +507,19 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.vacuum(t) === Seq(stagedName))
   }
 
+  test("a malformed stagedGraceMs knob falls back to the default, never crashes vacuum") {
+    val prev = sys.props.get("graft.txlog.stagedGraceMs")
+    try {
+      System.setProperty("graft.txlog.stagedGraceMs", "not-a-number")
+      assert(TxLog.stagedGraceMs === 20L * 60 * 1000)
+      System.setProperty("graft.txlog.stagedGraceMs", "1234")
+      assert(TxLog.stagedGraceMs === 1234L)
+    } finally prev match {
+      case Some(v) => System.setProperty("graft.txlog.stagedGraceMs", v)
+      case None => System.clearProperty("graft.txlog.stagedGraceMs"); ()
+    }
+  }
+
   test("unknown null counts never prune; known ones prune exactly") {
     def may(f: TxLog.AddFile, c: org.apache.spark.sql.Column): Boolean =
       TxLog.mayMatch(f, org.apache.spark.sql.graft.Shims.expression(c))
