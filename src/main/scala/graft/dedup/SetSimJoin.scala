@@ -86,34 +86,48 @@ object SetSimJoin {
     val tok = sets0.select(col("id"), col("n"), explode(col("toks")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
 
-    // Dense INTEGER ranks in exactly the global (df, tok) order the
-    // prefix theorem needs — assigned distributedly (range-sort +
-    // zipWithIndex over the vocabulary; a row_number window with no
-    // partition key would funnel the whole vocabulary through one
-    // task). Everything downstream — the per-record sort, the prefix
-    // self-join key, and the verification arrays — then works on
-    // LONGS instead of raw tokens: an exact bijection, and on string
-    // token spaces (shingles) it cut the verify stage's shuffle
-    // volume ~6× and its hash work ~2× (measured at sf0.1: 5.9 s →
-    // ~2 s for the same 125k candidates). Output columns are counts
-    // and ids only, so results are bit-identical.
-    val spark = df.sparkSession
-    val tokField = freq.schema("tok")
-    val rankRows = freq.orderBy(col("df"), col("tok")).select("tok").rdd
-      .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) }
-    val rank = spark.createDataFrame(rankRows,
-      org.apache.spark.sql.types.StructType(Seq(tokField,
-        org.apache.spark.sql.types.StructField("r",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    // INTEGER ranks in the global (df, tok) order the prefix theorem
+    // needs. The theorem needs a TOTAL order, injectively embedded in
+    // a long — NOT dense numbering — so ranks are
+    // `monotonically_increasing_id` over the range-partitioned,
+    // partition-sorted vocabulary: range partitioning puts every key
+    // of partition i before every key of partition i+1 (AQE-coalesced
+    // partitions stay contiguous and re-sort as one), the
+    // within-partition sort orders the rest, and mid() = (pid << 33)
+    // | row-in-partition is strictly increasing along exactly that
+    // order. Zero extra jobs — where the r13 formulation (range sort
+    // + RDD zipWithIndex + createDataFrame) paid a sample job, an
+    // eager per-partition count job, a SECOND execution of the sort,
+    // and a Row re-encoding of the vocabulary. Ranks never leave the
+    // operator (outputs are counts/ids/jaccard only), so any
+    // order-consistent injection yields bit-identical results; a
+    // row_number window would funnel the vocabulary through one task.
+    // Everything downstream — the per-record sort, the prefix
+    // self-join key, and the verification arrays — works on LONGS
+    // instead of raw tokens: on string token spaces (shingles) that
+    // cut the verify stage's shuffle volume ~6× and its hash work
+    // ~2× (r13, measured at sf0.1: 5.9 s → ~2 s for the same 125k
+    // candidates).
+    val rank = freq
+      .repartitionByRange(col("df"), col("tok"))
+      .sortWithinPartitions("df", "tok")
+      .select(col("tok"), monotonically_increasing_id().as("r"))
 
-    // One row per record: its tokens as sorted ranks. Feeds THREE
-    // consumers (prefix explode, both verification sides) whose
-    // exchanges differ, so nothing reuses across them — the
-    // withCached contract (result pairs are tiny vs the corpus).
-    val ranked0 = tok.join(rank, "tok")
+    // One row per record: its tokens as sorted ranks. Feeds FOUR
+    // consumers (the two prefix sides, both verification sides) — but
+    // they all sit above the SAME (id, n) aggregation exchange, so
+    // ReusedExchange runs the corpus-scale work below it (token
+    // explode, rank join, partial aggregation) ONCE; only the
+    // post-shuffle final aggregation re-runs per consumer. r14: this
+    // replaced an explicit withCached, whose eager count() paid one
+    // extra full materialization pass and whose result checkpoint
+    // paid another job — the lazy plan is ~15% faster end-to-end at
+    // sf0.1 and leaves no blocks behind (the q86 lesson applied;
+    // PLANS.md q100).
+    val sets = tok.join(rank, "tok")
       .groupBy("id", "n")
       .agg(sort_array(collect_list(col("r"))).as("rord"))
-    graft.Exec.withCached(ranked0) { sets =>
+    locally {
 
     // Rarest-first order per record; τ-prefix = first n − ⌈τn⌉ + 1.
     // Positions ride along for the PPJoin candidate bound below.
