@@ -2873,6 +2873,41 @@ object OracleSql {
 
     // Kneser-Ney: integer model statistics + the identical
     // parenthesized double chain for p_kn (the q127 discipline).
+    // LM quality gate: the model CTEs are q152's verbatim; scoring
+    // replays the one-formula seen/unseen chain and the ORDERED
+    // sequential fold (list_reduce over array_agg ORDER BY pos — the
+    // q119 discipline; Spark's aggregate(.., 0.0, +) matches because
+    // 0.0 + p == p bitwise for p >= 0).
+    "q164_lm_quality" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bgl AS (SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgl GROUP BY w1, w2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f FROM bg GROUP BY w1),
+        |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS b_total FROM bg),
+        |pairs AS (SELECT doc_id, unnest(range(0, len(t) - 1)) AS pos,
+        |    unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |sc AS (SELECT p.doc_id, p.pos,
+        |    CASE WHEN l.c1 IS NULL THEN 0.0
+        |         ELSE greatest(CAST(coalesce(bg.c12, 0) AS DOUBLE) - 0.75, 0.0) / CAST(l.c1 AS DOUBLE)
+        |              + ((0.75 * CAST(l.n1f AS DOUBLE)) / CAST(l.c1 AS DOUBLE))
+        |                * (CAST(coalesce(r.n1b, 0) AS DOUBLE) / CAST(b.b_total AS DOUBLE)) END AS p,
+        |    CASE WHEN bg.c12 IS NOT NULL THEN 1 ELSE 0 END AS seen,
+        |    CASE WHEN l.c1 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM pairs p LEFT JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+        |    LEFT JOIN l ON p.w1 = l.w1
+        |    LEFT JOIN r ON p.w2 = r.w2
+        |    CROSS JOIN b),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(seen) AS BIGINT) AS n_seen, CAST(sum(oov) AS BIGINT) AS n_oov_ctx,
+        |    list_reduce(array_agg(p ORDER BY pos), (a, x) -> a + x) / CAST(count(*) AS DOUBLE) AS mean_p
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_pairs, n_seen, n_oov_ctx, mean_p,
+        |  CASE WHEN mean_p >= 0.035 THEN 'head' WHEN mean_p >= 0.033 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "q152_kneser_ney" ->
       """WITH toks AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
         |  FROM documents),

@@ -272,6 +272,24 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id"), col("item_name")))
   }
 
+  /** C80 — LM QUALITY FILTER (functions.LmQuality, NEW r14): the
+    * CCNet-style gate — every document scored under the corpus-
+    * trained Kneser-Ney bigram model and bucketed head/middle/tail.
+    * Score = mean KN likelihood summed IN DOCUMENT ORDER as one
+    * sequential double fold (the q119 list_reduce discipline; a
+    * deliberate log/exp-free stand-in for perplexity, see the
+    * Scaladoc), so the oracle hash covers the double and the bucket
+    * verdicts. Integer evidence (n_pairs, n_seen, n_oov_ctx) rides
+    * along exactly.
+    */
+  private def q164LmQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    graft.functions.LmQuality.scoreDocuments(d)
+      .withColumn("bucket",
+        graft.functions.LmQuality.bucketExpr(col("mean_p"), 0.035, 0.033))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4439,7 +4457,8 @@ object SparkEntry {
     "q163_menu_hierarchy" -> (q163MenuHierarchy _),
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
-    "q148_txlog_prune" -> (q148TxlogPrune _))
+    "q148_txlog_prune" -> (q148TxlogPrune _),
+    "q164_lm_quality" -> (q164LmQuality _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their
