@@ -2878,6 +2878,31 @@ object OracleSql {
     // sequential fold (list_reduce over array_agg ORDER BY pos — the
     // q119 discipline; Spark's aggregate(.., 0.0, +) matches because
     // 0.0 + p == p bitwise for p >= 0).
+    // Exact AUC: replay q72's margin CTE, rank by score (the oracle
+    // may use a window — single-node), tie groups via min/max rank,
+    // all-integer numerator, one mirrored division (2.0 * p * n is
+    // left-associative on both engines).
+    "q165_classifier_auc" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+         |    t -> ${md5fold("t", 8)} % 2001 - 1000)), (a, v) -> a + v) AS margin
+         | FROM tk),
+         |lab AS (SELECT margin AS s, n_tokens >= 50 AS y FROM m),
+         |rk AS (SELECT s, y, row_number() OVER (ORDER BY s) AS r FROM lab),
+         |g AS (SELECT s, CAST(min(r) AS HUGEINT) AS lo, CAST(max(r) AS HUGEINT) AS hi,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS p,
+         |    CAST(count(*) AS HUGEINT) AS ng
+         |  FROM rk GROUP BY s),
+         |t AS (SELECT sum(p * (lo + hi)) AS rs2, sum(p) AS pt, sum(ng - p) AS nt FROM g)
+         |SELECT CAST(pt + nt AS BIGINT) AS n, CAST(pt AS BIGINT) AS n_pos,
+         |  CAST(nt AS BIGINT) AS n_neg,
+         |  CAST(rs2 - pt * (pt + 1) AS BIGINT) AS numer2,
+         |  CASE WHEN pt = 0 OR nt = 0 THEN NULL
+         |       ELSE CAST(rs2 - pt * (pt + 1) AS DOUBLE)
+         |            / (2.0 * CAST(pt AS DOUBLE) * CAST(nt AS DOUBLE)) END AS auc
+         |FROM t""".stripMargin,
+
     "q164_lm_quality" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
         |  FROM documents),

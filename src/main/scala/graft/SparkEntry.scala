@@ -290,6 +290,24 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** C81 — EXACT DISTRIBUTED AUC (functions.Stats.auc, NEW r14): the
+    * Mann-Whitney evaluation of a quality classifier at corpus scale
+    * — q72's margin scored against a deterministic length label.
+    * Ranks via distributed range-sort + zipWithIndex (no single-task
+    * rank window); tie groups are contiguous rank blocks so only
+    * (lo, hi, pos-count) per distinct score matter; the numerator is
+    * exact integers end-to-end and AUC is one mirrored division.
+    */
+  private def q165ClassifierAuc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LinearClassifier
+    val scored = fanOut(s, Tables.documents(s, dir))
+      .select(LinearClassifier.margin(col("text")).as("margin"),
+        (size(TextFunctions.tokens(lower(col("text")))) >= 50).as("label"))
+    graft.functions.Stats.auc(scored, col("margin"), col("label"))
+      .select(col("n"), col("n_pos"), col("n_neg"),
+        col("numer2").cast("long").as("numer2"), col("auc"))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4458,7 +4476,8 @@ object SparkEntry {
     "q150_orc_decode" -> (q150OrcDecode _),
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _),
-    "q164_lm_quality" -> (q164LmQuality _))
+    "q164_lm_quality" -> (q164LmQuality _),
+    "q165_classifier_auc" -> (q165ClassifierAuc _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

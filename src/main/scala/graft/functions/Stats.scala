@@ -184,4 +184,57 @@ object Stats {
         })
       .select(col("g"), col("n"), col("slope"), col("intercept"), col("r2"))
   }
+
+  /** EXACT distributed AUC (Mann-Whitney with tie correction) — the
+    * evaluation a quality classifier (q72, q164) needs at corpus
+    * scale: AUC = [#(pos, neg) pairs with score_pos > score_neg +
+    * ½·#tied pairs] / (P·N). Computed from per-distinct-score rank
+    * spans: ranks come from the house distributed range-sort +
+    * `zipWithIndex` (driver sees per-partition counts only, never
+    * data — the q109/SortedNeighborhood technique; a bare rank window
+    * would funnel the corpus through one task), and since the sort is
+    * by score alone, each tie group occupies a CONTIGUOUS rank block,
+    * so its average rank is (lo + hi)/2 regardless of how ties were
+    * ordered inside the block. Doubling keeps everything integer:
+    *
+    *   numer2 = Σ_groups p(g)·(lo(g) + hi(g)) − P·(P+1)   (1-based)
+    *   AUC    = numer2 / (2·P·N)
+    *
+    * — exact integer sums end-to-end (decimal(38,0) against overflow:
+    * rank sums reach n², which exceeds Long past ~3 billion rows),
+    * one mirrored final division; P = 0 or N = 0 yields a null AUC.
+    * Output: one row (n, n_pos, n_neg, numer2, auc).
+    */
+  def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = df.select(score.cast("long").as("_s"),
+        label.cast("boolean").as("_y"))
+      .repartitionByRange(col("_s"))
+      .sortWithinPartitions("_s")
+      .rdd.zipWithIndex()
+      .map { case (row, r) => (row.getLong(0), row.getBoolean(1), r + 1L) }
+      .toDF("_s", "_y", "_r")
+    val groups = ranked.groupBy(col("_s"))
+      .agg(min(col("_r")).as("_lo"), max(col("_r")).as("_hi"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_p"))
+    groups
+      .select(col("_p"), (col("_lo") + col("_hi")).as("_span"),
+        (col("_hi") - col("_lo") + 1L - col("_p")).as("_negInGroup"))
+      .agg(
+        sum(col("_p").cast("decimal(38,0)") * col("_span").cast("decimal(38,0)"))
+          .as("_rs2"),
+        sum(col("_p")).cast("decimal(38,0)").as("_pTot"),
+        sum(col("_negInGroup")).cast("decimal(38,0)").as("_nTot"))
+      .select(
+        (col("_pTot") + col("_nTot")).cast("long").as("n"),
+        col("_pTot").cast("long").as("n_pos"),
+        col("_nTot").cast("long").as("n_neg"),
+        (col("_rs2") - col("_pTot") * (col("_pTot") + 1)).cast("decimal(38,0)").as("numer2"),
+        when(col("_pTot") === 0 || col("_nTot") === 0, lit(null).cast("double"))
+          .otherwise(
+            (col("_rs2") - col("_pTot") * (col("_pTot") + 1)).cast("double") /
+              (lit(2.0) * col("_pTot").cast("double") * col("_nTot").cast("double")))
+          .as("auc"))
+  }
 }

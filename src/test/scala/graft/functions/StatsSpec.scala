@@ -208,4 +208,41 @@ class StatsSpec extends SparkSpec {
     val (ep, en) = seqCusum(xs, 0, 50)
     assert(a.map(_._1) === ep && a.map(_._2) === en)
   }
+
+  // ---- auc --------------------------------------------------------
+
+  private def aucOf(rows: Seq[(Long, Boolean)], parts: Int = 4): (Long, Long, Long, Double) = {
+    val df = rows.toDF("s", "y").repartition(parts)
+    val r = Stats.auc(df, col("s"), col("y")).head()
+    (r.getAs[Long]("n"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Double]("auc"))
+  }
+
+  test("auc: perfect separation is 1, reversed is 0, all-tied is 0.5") {
+    assert(aucOf(Seq((1L, false), (2L, false), (3L, true), (4L, true)))._4 == 1.0)
+    assert(aucOf(Seq((1L, true), (2L, true), (3L, false), (4L, false)))._4 == 0.0)
+    assert(aucOf(Seq((7L, true), (7L, false), (7L, true), (7L, false)))._4 == 0.5)
+  }
+
+  test("auc: tie correction matches the brute-force pair count") {
+    val rows = Seq(
+      (10L, true), (10L, false), (20L, true), (5L, false), (20L, false),
+      (15L, true), (5L, true), (30L, false), (10L, true), (15L, false))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val brute = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    val (nn, np, ng, a) = aucOf(rows)
+    assert(nn == 10L && np == pos.size && ng == neg.size)
+    assert(a == brute)
+    // partition invariance: same bits under any layout
+    assert(aucOf(rows, parts = 1)._4 == a && aucOf(rows, parts = 9)._4 == a)
+  }
+
+  test("auc: single-class input yields null auc, counts intact") {
+    val df = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val r = Stats.auc(df, col("s"), col("y")).head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
 }
