@@ -2882,6 +2882,30 @@ object OracleSql {
     // may use a window — single-node), tie groups via min/max rank,
     // all-integer numerator, one mirrored division (2.0 * p * n is
     // left-associative on both engines).
+    // ANN recall@k: both top-5 sides restate their own oracles (q28
+    // exact, q40 probed) with distinct CTE names, intersect by id.
+    "q166_ann_recall" ->
+      s"""WITH px AS (SELECT q.vec_id AS query_id, e.vec_id, q.embedding AS ea, e.embedding AS eb
+         |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 8),
+         |sx AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM px),
+         |cx AS (SELECT query_id, vec_id, CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM sx),
+         |rx AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM cx),
+         |ex AS (SELECT query_id, vec_id FROM rx WHERE rk <= 5),
+         |av AS (SELECT vec_id, embedding, vec_id % 8 AS cid FROM embeddings),
+         |pr AS (SELECT q.vec_id AS query_id, q.embedding AS qe, (q.vec_id + t.i) % 8 AS cid
+         |  FROM embeddings q CROSS JOIN range(0, 3) t(i) WHERE q.vec_id < 8),
+         |pa AS (SELECT pr.query_id, av.vec_id, pr.qe AS ea, av.embedding AS eb FROM pr JOIN av USING (cid)),
+         |sa AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM pa),
+         |ca AS (SELECT query_id, vec_id, CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM sa),
+         |ra AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM ca),
+         |iv AS (SELECT query_id, vec_id FROM ra WHERE rk <= 5),
+         |j AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id AND iv.vec_id = ex.vec_id
+         |  GROUP BY ex.query_id)
+         |SELECT query_id, k, n_hit, CAST(n_hit AS DOUBLE) / 5.0 AS recall
+         |FROM j ORDER BY query_id""".stripMargin,
+
     "q165_classifier_auc" ->
       s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
          |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

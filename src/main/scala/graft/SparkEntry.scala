@@ -308,6 +308,37 @@ object SparkEntry {
         col("numer2").cast("long").as("numer2"), col("auc"))
   }
 
+  /** C82 — ANN RECALL@K (NEW r14): the retrieval-quality evaluation
+    * of the IVF tier — per query, how much of the EXACT brute-force
+    * cosine top-k (the q28 side) the bucket-pruned IVF search (the
+    * q40 side) recovered. Both sides use the deterministic
+    * (cosine desc, vec_id) tiebreak their own oracles already pin,
+    * so the intersection count is well-defined; recall is one
+    * mirrored division. This is the measurement that justifies
+    * nprobe/centroid choices at 100 TB: the engine evaluates its own
+    * approximate tier against its own exact tier, corpus-side, no
+    * driver loops.
+    */
+  private def q166AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(s, Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
+      .select(col("query_id"), col("vec_id"))
+    val assigned = e.withColumn("cid", pmod(col("vec_id"), lit(8)).cast("int"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("_qvec"))
+      .withColumn("cid", explode(array((0 until 3).map(i =>
+        pmod(col("query_id") + i, lit(8)).cast("int")): _*)))
+    val ivf = IvfIndex.searchProbed(assigned, probes, k = 5)
+      .select(col("query_id"), col("vec_id"))
+    exact.join(ivf.withColumn("_hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(5.0))
+      .transform(sorted1(_, col("query_id")))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4477,7 +4508,8 @@ object SparkEntry {
     "q147_txlog_timetravel" -> (q147TxlogTimetravel _),
     "q148_txlog_prune" -> (q148TxlogPrune _),
     "q164_lm_quality" -> (q164LmQuality _),
-    "q165_classifier_auc" -> (q165ClassifierAuc _))
+    "q165_classifier_auc" -> (q165ClassifierAuc _),
+    "q166_ann_recall" -> (q166AnnRecall _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their
