@@ -65,11 +65,39 @@ object LmQuality {
     * lacks scores 0.0 and increments `n_oov_ctx`.
     */
   def scoreAgainst(train: DataFrame, docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    scoreWith(trainModel(train, textCol), docs, idCol, textCol)
+
+  /** The four model tables, built once. A repeated scorer (a
+    * streaming gate scoring every micro-batch — StreamingLmQuality)
+    * should persist these or land them as tables; rebuilding them per
+    * batch re-runs the corpus aggregation every trigger.
+    */
+  final case class Model(bg: DataFrame, c1: DataFrame, n1b: DataFrame, b: DataFrame) {
+    /** Cache all four tables (call once before a scoring loop). */
+    def persist(): Model = {
+      Seq(bg, c1, n1b, b).foreach(_.persist())
+      this
+    }
+    def unpersist(): Unit = Seq(bg, c1, n1b, b).foreach(_.unpersist())
+  }
+
+  def trainModel(train: DataFrame, textCol: String = "text"): Model = {
     val bg = KneserNey.bigramCounts(train, textCol)
-    val c1 = bg.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
-    val n1b = bg.groupBy("w2").agg(count(lit(1)).as("n1b"))
-    val b = bg.agg(count(lit(1)).as("b_total"))
+    Model(
+      bg,
+      bg.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1f")),
+      bg.groupBy("w2").agg(count(lit(1)).as("n1b")),
+      bg.agg(count(lit(1)).as("b_total")))
+  }
+
+  /** Score `docs` against an already-built model. */
+  def scoreWith(model: Model, docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val bg = model.bg
+    val c1 = model.c1
+    val n1b = model.n1b
+    val b = model.b
 
     val toks = docs
       .select(col(idCol).as("_lid"), TextFunctions.tokens(lower(col(textCol))).as("t"))
