@@ -2884,6 +2884,27 @@ object OracleSql {
     // left-associative on both engines).
     // ANN recall@k: both top-5 sides restate their own oracles (q28
     // exact, q40 probed) with distinct CTE names, intersect by id.
+    // Spearman: average-tie ranks via row_number min+max per distinct
+    // value (doubled to stay integer), HUGEINT moments, the same
+    // mirrored rho chain as the engine (two IEEE sqrts).
+    "q167_spearman" ->
+      s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS xv,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> length(t) > 0)) AS BIGINT) AS yv
+         |  FROM documents),
+         |rxr AS (SELECT xv, row_number() OVER (ORDER BY xv) AS r FROM d),
+         |rx AS (SELECT xv, CAST(min(r) + max(r) AS HUGEINT) AS xr2 FROM rxr GROUP BY xv),
+         |ryr AS (SELECT yv, row_number() OVER (ORDER BY yv) AS r FROM d),
+         |ry AS (SELECT yv, CAST(min(r) + max(r) AS HUGEINT) AS yr2 FROM ryr GROUP BY yv),
+         |j AS (SELECT xr2 AS rxv, yr2 AS ryv FROM d JOIN rx USING (xv) JOIN ry USING (yv)),
+         |t AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rxv) AS sx, sum(ryv) AS sy,
+         |    sum(rxv * ryv) AS sxy, sum(rxv * rxv) AS sxx, sum(ryv * ryv) AS syy FROM j)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0.0
+         |         OR CAST(n * syy - sy * sy AS DOUBLE) = 0.0 THEN NULL
+         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS rho
+         |FROM t""".stripMargin,
+
     "q166_ann_recall" ->
       s"""WITH px AS (SELECT q.vec_id AS query_id, e.vec_id, q.embedding AS ea, e.embedding AS eb
          |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 8),

@@ -339,6 +339,21 @@ object SparkEntry {
       .transform(sorted1(_, col("query_id")))
   }
 
+  /** C83 — EXACT DISTRIBUTED SPEARMAN (functions.Stats.spearman, NEW
+    * r14): rank-correlation agreement between two corpus signals
+    * (here the two length measures — stored n_chars vs tokenized
+    * count, genuinely tied on both sides so the average-tie machinery
+    * is exercised). Ranks via the q165 technique; five decimal(38,0)
+    * moments; rho one mirrored chain with two IEEE sqrts (the q127
+    * r² discipline).
+    */
+  private def q167Spearman(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+      .select(col("n_chars"),
+        size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n_toks"))
+    graft.functions.Stats.spearman(d, col("n_chars"), col("n_toks"))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4509,7 +4524,8 @@ object SparkEntry {
     "q148_txlog_prune" -> (q148TxlogPrune _),
     "q164_lm_quality" -> (q164LmQuality _),
     "q165_classifier_auc" -> (q165ClassifierAuc _),
-    "q166_ann_recall" -> (q166AnnRecall _))
+    "q166_ann_recall" -> (q166AnnRecall _),
+    "q167_spearman" -> (q167Spearman _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

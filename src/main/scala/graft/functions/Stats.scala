@@ -237,4 +237,62 @@ object Stats {
               (lit(2.0) * col("_pTot").cast("double") * col("_nTot").cast("double")))
           .as("auc"))
   }
+
+  /** Per-value average-tie rank table, DOUBLED to stay integer: for
+    * each distinct value of `v`, `r2` = lo + hi of its contiguous
+    * 1-based rank block (= 2 × the average tie rank). Ranks come
+    * from the same distributed range-sort + `zipWithIndex` pass as
+    * [[auc]]; join the result back on the value to rank a row set.
+    */
+  private def avgRank2(df: DataFrame, v: Column, as: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(v.cast("long").as(as))
+      .repartitionByRange(col(as))
+      .sortWithinPartitions(as)
+      .rdd.zipWithIndex()
+      .map { case (row, r) => (row.getLong(0), r + 1L) }
+      .toDF(as, "_r")
+      .groupBy(col(as))
+      .agg((min(col("_r")) + max(col("_r"))).as(s"${as}_r2"))
+  }
+
+  /** EXACT distributed SPEARMAN rank correlation between two integer
+    * signals — the agreement measurement between two quality scorers
+    * (heuristic vs LM, classifier vs length…): Pearson over
+    * average-tie ranks. Both rank passes use the [[auc]] technique
+    * (range-sort + zipWithIndex; tie blocks contiguous, so doubled
+    * average ranks are integers); the five moments accumulate as
+    * decimal(38,0) (order-independent, overflow-safe — doubled rank
+    * sums of squares reach 4n³), and rho derives through one
+    * mirrored chain: (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) ·
+    * sqrt(nΣy² − (Σy)²)) — sqrt is correctly-rounded IEEE on both
+    * engines (the q127 r² discipline). Doubling both rank vectors
+    * leaves the correlation unchanged. Zero variance on either side
+    * (all values tied) → null. Output: one row (n, rho).
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val rows = df.select(x.cast("long").as("_x"), y.cast("long").as("_y"))
+    val rx = avgRank2(rows, col("_x"), "_x")
+    val ry = avgRank2(rows, col("_y"), "_y")
+    val d = "decimal(38,0)"
+    rows.join(rx, "_x").join(ry, "_y")
+      .select(col("_x_r2").cast(d).as("rx"), col("_y_r2").cast(d).as("ry"))
+      .agg(
+        count(lit(1)).cast(d).as("_n"),
+        sum(col("rx")).as("_sx"), sum(col("ry")).as("_sy"),
+        sum(col("rx") * col("ry")).as("_sxy"),
+        sum(col("rx") * col("rx")).as("_sxx"),
+        sum(col("ry") * col("ry")).as("_syy"))
+      .select(
+        col("_n").cast("long").as("n"),
+        when((col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double") === 0.0 ||
+             (col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              (sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+                sqrt((col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double"))))
+          .as("rho"))
+  }
 }

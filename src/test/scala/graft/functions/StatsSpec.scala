@@ -245,4 +245,50 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 0L)
     assert(r.isNullAt(r.fieldIndex("auc")))
   }
+
+  // ---- spearman ---------------------------------------------------
+
+  private def rhoOf(rows: Seq[(Long, Long)], parts: Int = 4): Double = {
+    val df = rows.toDF("x", "y").repartition(parts)
+    Stats.spearman(df, col("x"), col("y")).head().getAs[Double]("rho")
+  }
+
+  /** Reference Spearman via average-tie ranks, straight from the
+    * definition (computed with the same doubled-rank integers).
+    */
+  private def refRho(rows: Seq[(Long, Long)]): Double = {
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1L) }
+      sorted.groupBy(_._1).map { case (v, g) =>
+        v -> (g.map(_._2).min + g.map(_._2).max)
+      }
+    }
+    val rx = rank2(rows.map(_._1)); val ry = rank2(rows.map(_._2))
+    val pts = rows.map { case (a, b) => (BigInt(rx(a)), BigInt(ry(b))) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val syy = pts.map(p => p._2 * p._2).sum
+    (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+  }
+
+  test("spearman: monotone ~1, reversed ~-1, ties match the definitional value bitwise") {
+    // sqrt(D)*sqrt(D) reproduces D only to within an ulp, so perfect
+    // correlation lands a hair inside ±1 — the refRho chain is the
+    // bit-exact contract, the magnitude check the semantic one.
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 25L), (7L, 90L))
+    assert(rhoOf(mono) == refRho(mono) && rhoOf(mono) > 0.999999)
+    val rev = mono.map { case (a, b) => (a, 100L - b) }
+    assert(rhoOf(rev) == refRho(rev) && rhoOf(rev) < -0.999999)
+    val tied = Seq((1L, 5L), (1L, 7L), (2L, 5L), (3L, 9L), (3L, 2L), (4L, 9L))
+    assert(rhoOf(tied) == refRho(tied))
+    assert(rhoOf(tied, parts = 1) == rhoOf(tied, parts = 9)) // partition-invariant bits
+  }
+
+  test("spearman: a constant side has zero rank variance and yields null") {
+    val df = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val r = Stats.spearman(df, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 3L && r.isNullAt(r.fieldIndex("rho")))
+  }
 }
