@@ -2887,6 +2887,27 @@ object OracleSql {
     // Spearman: average-tie ranks via row_number min+max per distinct
     // value (doubled to stay integer), HUGEINT moments, the same
     // mirrored rho chain as the engine (two IEEE sqrts).
+    // KS drift: cumulative counts over the per-distinct-value (a, b)
+    // table in value order (single-node window is fine oracle-side),
+    // integer cross products, one mirrored division.
+    "q168_ks_drift" ->
+      """WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 2 = 0 AS ia
+        |  FROM documents),
+        |g AS (SELECT v, CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM d GROUP BY v),
+        |t AS (SELECT CAST(sum(a) AS HUGEINT) AS na, CAST(sum(b) AS HUGEINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS nv FROM g),
+        |c AS (SELECT v, CAST(sum(a) OVER (ORDER BY v) AS HUGEINT) AS ca,
+        |    CAST(sum(b) OVER (ORDER BY v) AS HUGEINT) AS cb FROM g),
+        |m AS (SELECT max(abs(ca * t.nb - cb * t.na)) AS dnum FROM c CROSS JOIN t)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b, t.nv AS n_values,
+        |  CAST(m.dnum AS BIGINT) AS d_num,
+        |  CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+        |       ELSE CAST(m.dnum AS DOUBLE) / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) END AS d
+        |FROM m CROSS JOIN t""".stripMargin,
+
     "q167_spearman" ->
       s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS xv,
          |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> length(t) > 0)) AS BIGINT) AS yv

@@ -354,6 +354,22 @@ object SparkEntry {
     graft.functions.Stats.spearman(d, col("n_chars"), col("n_toks"))
   }
 
+  /** C84 — EXACT TWO-SAMPLE KS DRIFT (functions.Stats.ksTest, NEW
+    * r14): distribution-shape drift between two corpus slices —
+    * even-numbered vs odd-numbered sources over document length,
+    * which the testdata generator gives genuinely different length
+    * profiles, so D is live. The statistic is exact: cumulative
+    * counts via distributed prefix sums (range partitions +
+    * partition-local windows + per-partition offsets, no global
+    * window funnel), D_num = max |cumA·n_B − cumB·n_A| an integer,
+    * one final mirrored division.
+    */
+  private def q168KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    graft.functions.Stats.ksTest(d, col("n_chars"),
+      pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"), lit(2)) === 0)
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4525,7 +4541,8 @@ object SparkEntry {
     "q164_lm_quality" -> (q164LmQuality _),
     "q165_classifier_auc" -> (q165ClassifierAuc _),
     "q166_ann_recall" -> (q166AnnRecall _),
-    "q167_spearman" -> (q167Spearman _))
+    "q167_spearman" -> (q167Spearman _),
+    "q168_ks_drift" -> (q168KsDrift _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

@@ -257,6 +257,71 @@ object Stats {
       .agg((min(col("_r")) + max(col("_r"))).as(s"${as}_r2"))
   }
 
+  /** EXACT two-sample KOLMOGOROV-SMIRNOV statistic — distribution
+    * DRIFT detection between two corpus slices (crawl snapshot vs
+    * snapshot, source vs source, yesterday vs today) over an integer
+    * signal: D = sup_x |F_A(x) − F_B(x)|, evaluated exactly at every
+    * distinct value as an INTEGER cross-multiplication
+    * |cumA·n_B − cumB·n_A| (one division at the very end). The
+    * pointwise z-test (q106) sees a mean shift; KS sees ANY shape
+    * change — variance, bimodality, truncation — which is what a
+    * training-data distribution monitor actually needs.
+    *
+    * Shape: one keyed aggregation to per-distinct-value (a, b)
+    * counts, then cumulative sums via range partitioning +
+    * PARTITION-LOCAL running windows with per-partition offsets — the
+    * distributed prefix sum; no global window funnel. The offsets
+    * pass and the window pass must see the SAME partition layout, so
+    * the sorted count table rides `Exec.withCached` (range boundaries
+    * are sampled per execution — two uncached executions could split
+    * differently and mis-offset); the result is one row, the
+    * withCached contract exactly. decimal(38,0) cross products
+    * (cum·n reaches n²). Output: (n_a, n_b, n_values, d_num, d) with
+    * d_num = max |cumA·n_B − cumB·n_A| exact; either side empty →
+    * null d.
+    */
+  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val g = df.select(value.cast("long").as("_v"), isA.cast("boolean").as("_ia"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_ia"), 1L).otherwise(0L)).as("_a"),
+        sum(when(!col("_ia"), 1L).otherwise(0L)).as("_b"))
+      .repartitionByRange(col("_v"))
+      .sortWithinPartitions("_v")
+      .withColumn("_pid", spark_partition_id())
+    graft.Exec.withCached(g) { sg =>
+      val parts = sg.groupBy(col("_pid"))
+        .agg(sum(col("_a")).as("pa"), sum(col("_b")).as("pb"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val nA = parts.map(_._2).sum
+      val nB = parts.map(_._3).sum
+      val offA = parts.scanLeft(0L)(_ + _._2).init
+      val offB = parts.scanLeft(0L)(_ + _._3).init
+      val offAMap = parts.map(_._1).zip(offA).toMap
+      val offBMap = parts.map(_._1).zip(offB).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(col("_v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val offACol = offAMap.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+        when(col("_pid") === p, lit(o)).otherwise(acc) }
+      val offBCol = offBMap.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+        when(col("_pid") === p, lit(o)).otherwise(acc) }
+      val d = "decimal(38,0)"
+      sg.withColumn("_ca", (offACol + sum(col("_a")).over(w)).cast(d))
+        .withColumn("_cb", (offBCol + sum(col("_b")).over(w)).cast(d))
+        .agg(
+          count(lit(1)).as("n_values"),
+          max(abs(col("_ca") * lit(nB).cast(d) - col("_cb") * lit(nA).cast(d)))
+            .as("_dnum"))
+        .select(
+          lit(nA).as("n_a"), lit(nB).as("n_b"), col("n_values"),
+          col("_dnum").cast("long").as("d_num"),
+          when(lit(nA) === 0L || lit(nB) === 0L, lit(null).cast("double"))
+            .otherwise(col("_dnum").cast("double") /
+              (lit(nA).cast("double") * lit(nB).cast("double"))).as("d"))
+    }
+  }
+
   /** EXACT distributed SPEARMAN rank correlation between two integer
     * signals — the agreement measurement between two quality scorers
     * (heuristic vs LM, classifier vs length…): Pearson over

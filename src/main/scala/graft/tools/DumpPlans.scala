@@ -76,6 +76,9 @@ object DumpPlans {
       "Triangle counting — r14 drift adjudication (the r13 weak): BenchOne isolation on one idle box showed r12 code at 2.60 s median FRESH vs r13 code at 2.44 s on the same data — the r13 kCore-only change is not in q86's path and did not regress the operator; r12's 1.72 was a favorable min-of-batch-medians draw around a ~2.0-2.4 s steady state (r13-code aged median 2.08). r14 change: nodeMetrics IS this lazy plan now — the shared subtrees (canonical distinct / degree agg / oriented edges) all end at exchanges, so ReusedExchange runs each once where the old persist×3 + eager-count + result-checkpoint formulation paid two extra jobs and left one block set per call (that formulation remains as nodeMetricsCached). In-suite 2.27 → 1.83 s. An adjacency-array wedge enumeration would cut one more exchange but materializes O(d²) pair arrays per hub row — an OOM hazard the streaming join avoids; rejected for scale. Every step is a key-shuffle join — edges exchange on u for wedge enumeration, wedges exchange on (v1, v2) for the closing-edge left-semi; no broadcast (the edge set is unbounded at corpus scale) and the degree-ordered orientation caps any node's wedge fan-out at O(sqrt m) regardless of hub degree.",
     "q100_setsim_join" ->
       "Exact set-similarity join: the corpus-scale stages are the token-df HashAggregate pair, the rank join, and the per-record re-group — all keyed exchanges with map-side partials, NEVER an all-pairs product; the candidate self-join is keyed on PREFIX tokens only (rarest-first order pushes hot tokens out of prefixes — the WWW'07 bound on bucket sizes), and verification joins fetch the per-record arrays for candidate ids only. r13: the global (df, token) order rides as LONGS, so prefix keys and verification intersects work on longs, not string shingles (~6× fewer verify-stage bytes). r14 (the #1 cost three rounds running, 5.2 s): (1) the ranked per-record table went from an explicit withCached to a LAZY plan — all four consumers (two prefix sides, two verify sides) sit above the same (id, n) aggregation exchange, so ReusedExchange runs the corpus-scale work once and canonicalized self-join sides share exchanges, killing the eager count() pass and the result-checkpoint job; (2) ranks are monotonically_increasing_id over the range-partitioned, partition-sorted vocabulary — the prefix theorem needs an injective order-consistent long, NOT dense numbering, and mid() over ascending range partitions is exactly that (AQE-coalesced partitions stay contiguous and re-sort as one) — killing the zipWithIndex count job, the duplicate vocabulary sort, and the Row re-encoding; a bare row_number window would still funnel the vocabulary through one task. BenchOne fresh medians 4.96 → 4.07 s; in-suite 5.21 → 3.68 s; outputs hash-identical at sf0.001/0.01/0.1 (ranks never leave the operator). Stage timing that led here: token-df agg 1.0 s, ranked re-group 1.25 s, full join 4.7 s warm — the gap was rank machinery + cache, not the verify join. (At this SF small sides sit under the broadcast threshold so AQE broadcasts them; the scale regime degrades each to the keyed shuffle join with the same aggregate-before-join structure.)",
+    "q168_ks_drift" ->
+      "Exact two-sample KS: one keyed aggregation to per-distinct-value counts, then a distributed prefix sum — range exchange + partition-local running windows + per-partition offsets (the offsets pass and the window pass share ONE cached layout; range boundaries are sampled per execution, so uncached double execution could mis-offset). The only window is partition-local; nothing funnels.",
+
     "q167_spearman" ->
       "Exact Spearman: two independent rank passes (range exchange + partition sort + zipWithIndex each), one value-keyed join per side to attach doubled average-tie ranks, then a single one-row moment aggregate. No rank window, no corpus funnel; moments are decimal integers so the result is partitioning-independent to the bit.",
 

@@ -291,4 +291,44 @@ class StatsSpec extends SparkSpec {
     val r = Stats.spearman(df, col("x"), col("y")).head()
     assert(r.getAs[Long]("n") == 3L && r.isNullAt(r.fieldIndex("rho")))
   }
+
+  // ---- ks ----------------------------------------------------------
+
+  private def ksOf(rows: Seq[(Long, Boolean)], parts: Int = 4): (Long, Long, Long, Double) = {
+    val df = rows.toDF("v", "ia").repartition(parts)
+    val r = Stats.ksTest(df, col("v"), col("ia")).head()
+    (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("d_num"),
+      r.getAs[Double]("d"))
+  }
+
+  /** Brute KS over ECDFs evaluated at every sample value. */
+  private def refKs(rows: Seq[(Long, Boolean)]): (Long, Double) = {
+    val as = rows.filter(_._2).map(_._1); val bs = rows.filterNot(_._2).map(_._1)
+    val dnum = rows.map(_._1).distinct.map { x =>
+      math.abs(as.count(_ <= x).toLong * bs.size - bs.count(_ <= x).toLong * as.size)
+    }.max
+    (dnum, dnum.toDouble / (as.size.toDouble * bs.size.toDouble))
+  }
+
+  test("ks: hand case, brute-force parity, identical samples give D = 0") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 -> |2*4 - 0*4| = 8
+    val rows = Seq((1L, true), (2L, true), (3L, true), (4L, true),
+      (3L, false), (4L, false), (5L, false), (6L, false))
+    val (na, nb, dnum, d) = ksOf(rows)
+    assert(na == 4L && nb == 4L && dnum == 8L && d == 0.5)
+    assert((dnum, d) == refKs(rows))
+    val same = Seq(1L, 2L, 2L, 9L).flatMap(v => Seq((v, true), (v, false)))
+    assert(ksOf(same)._3 == 0L)
+    // noisy case: brute parity + partition invariance of the exact integers
+    val noisy = (1L to 60L).map(i => ((i * 37) % 23, i % 3 == 0))
+    assert((ksOf(noisy)._3, ksOf(noisy)._4) == refKs(noisy))
+    assert(ksOf(noisy, parts = 1) == ksOf(noisy, parts = 11))
+  }
+
+  test("ks: an empty side yields null d, counts intact") {
+    val r = Stats.ksTest(Seq((1L, true), (2L, true)).toDF("v", "ia"),
+      col("v"), col("ia")).head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("d")))
+  }
 }
