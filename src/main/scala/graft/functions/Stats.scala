@@ -280,11 +280,21 @@ object Stats {
     * d_num = max |cumA·n_B − cumB·n_A| exact; either side empty →
     * null d.
     */
-  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
-    val g = df.select(value.cast("long").as("_v"), isA.cast("boolean").as("_ia"))
+  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame =
+    ksTestCounts(df, value, lit(1L), isA)
+
+  /** [[ksTest]] over PRE-AGGREGATED counts — each input row carries a
+    * (value, weight, side) triple. This is the form a monitor reuses
+    * every tick against a standing reference histogram
+    * (StreamingDrift): the reference corpus aggregates once, the test
+    * then costs per-distinct-value work only.
+    */
+  def ksTestCounts(df: DataFrame, value: Column, weight: Column, isA: Column): DataFrame = {
+    val g = df.select(value.cast("long").as("_v"), weight.cast("long").as("_w"),
+        isA.cast("boolean").as("_ia"))
       .groupBy(col("_v"))
-      .agg(sum(when(col("_ia"), 1L).otherwise(0L)).as("_a"),
-        sum(when(!col("_ia"), 1L).otherwise(0L)).as("_b"))
+      .agg(sum(when(col("_ia"), col("_w")).otherwise(0L)).as("_a"),
+        sum(when(!col("_ia"), col("_w")).otherwise(0L)).as("_b"))
       .repartitionByRange(col("_v"))
       .sortWithinPartitions("_v")
       .withColumn("_pid", spark_partition_id())
