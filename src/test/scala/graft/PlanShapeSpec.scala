@@ -247,6 +247,30 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("r14 eval tier: no corpus-wide window, no payload shuffles") {
+    // q164: aggregate-before-join LM scoring — the only Window-free
+    // shape; the per-doc fold rides a groupBy, never a window.
+    val lm = formatted("q164_lm_quality")
+    assert(!lm.contains("Window"), s"unexpected Window in the LM scoring plan:\n$lm")
+    assert(lm.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation in:\n$lm")
+    // q165/q167: rank passes go through RDD zipWithIndex (Scan
+    // ExistingRDD), never a global row_number window.
+    Seq("q165_classifier_auc", "q167_spearman").foreach { q =>
+      val p = formatted(q)
+      assert(!p.contains("Window"), s"$q: rank must not use a window:\n$p")
+      assert(p.contains("MapPartitionsRDD"), s"$q: expected the zipWithIndex rank scan:\n$p")
+    }
+    // q168 executes eagerly inside withCached (the offsets pass and
+    // the window pass must share one cached range layout), so the
+    // returned plan is the materialized one-row scan — assert exactly
+    // that contract; the window's partition-locality is pinned
+    // behaviorally by StatsSpec/EvalPropertySpec partition-invariance.
+    val ks = formatted("q168_ks_drift")
+    assert(ks.contains("Scan ExistingRDD") && !ks.contains("Window"),
+      s"q168 must return the eagerly-materialized scan, not a lazy plan:\n$ks")
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
