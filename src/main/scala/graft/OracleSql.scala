@@ -566,6 +566,40 @@ object OracleSql {
          |${cosineCte("p")}
          |SELECT id_a, id_b, cosine FROM c WHERE cosine >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
 
+    // Sign-LSH near-dup (rows-only until r14): the splitmix64
+    // hyperplane stream has a CLOSED FORM per index (the generator is
+    // counter-based: x after k calls = seed + k*GAMMA mod 2^64), so
+    // the oracle regenerates all 2048 pseudo-gaussian components
+    // bit-for-bit (64x64 multiply-mod-2^64 via 32-bit-split HUGEINT
+    // products, xor via 32-bit halves, the 4-uniform sum as an
+    // ordered fold, REAL truncation), then replays bucket signs,
+    // collision pairs and the cosine chain exactly.
+    "q33_embed_lsh" ->
+      """WITH idx AS (SELECT unnest(range(0, 2048)) AS g),
+        |u AS (SELECT g, unnest(range(0, 4)) AS mm FROM idx),
+        |s0 AS (SELECT g, mm, (CAST(42 AS HUGEINT) + (CAST(4 AS HUGEINT)*g + mm + 1) * CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM u),
+        |s1 AS (SELECT g, mm, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(484763065 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(3210233709 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM s0),
+        |s2 AS (SELECT g, mm, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(321982955 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(2496678331 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM s1),
+        |s3 AS (SELECT g, mm, (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) AS uu FROM s2),
+        |terms AS (SELECT g, mm, CAST(uu // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 AS t FROM s3),
+        |gv AS (SELECT g, CAST(list_reduce(array_agg(t ORDER BY mm), (a, b) -> a + b) AS REAL) AS fv FROM terms GROUP BY g),
+        |pl AS (SELECT g // 512 AS tbl, (g // 64) % 8 AS bit, array_agg(fv ORDER BY g % 64) AS p
+        |  FROM gv GROUP BY g // 512, (g // 64) % 8),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |dots AS (SELECT e.vec_id, pl.tbl, pl.bit, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pl.p[i] AS DOUBLE))), (acc, v) -> acc + v) AS dp FROM e CROSS JOIN pl),
+        |bks AS (SELECT vec_id, tbl,
+        |    CAST(sum(CASE WHEN dp >= 0.0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, tbl),
+        |prs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bks a JOIN bks b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |cz AS (SELECT p.id_a, p.id_b, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), (acc, v) -> acc + v) AS dp,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) AS na,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)) AS nb
+        |  FROM prs p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b),
+        |res AS (SELECT id_a, id_b,
+        |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM cz)
+        |SELECT id_a, id_b, cosine FROM res WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
     "q28_ann_topk" ->
       s"""WITH p AS (SELECT q.vec_id AS query_id, e.vec_id, q.embedding AS ea, e.embedding AS eb
          |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 8),

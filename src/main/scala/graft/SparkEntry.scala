@@ -1014,6 +1014,7 @@ object SparkEntry {
   private def q33EmbedLsh(s: SparkSession, dir: String): DataFrame =
     graft.similarity.RandomProjectionLsh.nearDuplicates(
       fanOut(s, Tables.embeddings(s, dir)), dim = 64, threshold = 0.4, nBits = 8)
+      .transform(sorted1(_, col("id_a"), col("id_b")))
 
   /** C14 — heavy hitters as the classic TWO-PHASE EXACT plan: a
     * Misra-Gries sketch pass (k=32, O(k) buffer per group — see

@@ -10,9 +10,11 @@ package graft
 class EntryContractSpec extends SparkSpec {
 
   private val RowsOnlyByDesign = Set(
-    // q23 left this set in r13: fixed literal profiles + integer
-    // scoring are replayed exactly by DuckDB list lambdas
-    "q25_minhash_lsh", "q29_ann_ivf", "q33_embed_lsh",
+    // q23 left this set in r13 (fixed literal profiles + integer
+    // scoring replay exactly); q33 left in r14 (the splitmix64
+    // hyperplane stream is counter-based, so the oracle regenerates
+    // it closed-form)
+    "q25_minhash_lsh", "q29_ann_ivf",
     // q97: no SQL engine exposes deflate — exactness evidence lives
     // in CompressibilitySpec (driver-side java.util.zip parity)
     "q97_compressibility",
