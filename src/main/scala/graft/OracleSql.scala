@@ -566,6 +566,43 @@ object OracleSql {
          |${cosineCte("p")}
          |SELECT id_a, id_b, cosine FROM c WHERE cosine >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
 
+    // MinHash LSH candidates (rows-only until r14): the coefficient
+    // stream is the same counter-based splitmix64 as q33 (regenerated
+    // closed-form with signed floorMod), signatures are min-folds of
+    // (a*x+b) mod P over the mirrored shingle hashes, band buckets
+    // use the r14 PORTABLE md5 band hash, the size-200 bucket guard
+    // and the verify-tier jaccard replay exactly.
+    "q25_minhash_lsh" ->
+      """WITH co0 AS (SELECT unnest(range(0, 64)) AS j),
+        |c1 AS (SELECT j, (CAST(42 AS HUGEINT) + (j + 1) * CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM co0),
+        |c2 AS (SELECT j, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(484763065 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(3210233709 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM c1),
+        |c3 AS (SELECT j, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(321982955 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(2496678331 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM c2),
+        |c4 AS (SELECT j, CAST(CASE WHEN (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) >= CAST(1 AS HUGEINT) << 63 THEN (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) - CAST(18446744073709551616 AS HUGEINT) ELSE (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) END AS BIGINT) AS s FROM c3),
+        |coeff AS (SELECT a.j // 2 AS i,
+        |    CAST(((a.s % 1000000006) + 1000000006) % 1000000006 + 1 AS BIGINT) AS a,
+        |    CAST(((b.s % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS b
+        |  FROM c4 a JOIN c4 b ON b.j = a.j + 1 WHERE a.j % 2 = 0),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> CAST(((CAST(CASE WHEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) >= CAST(1 AS HUGEINT) << 63 THEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT) ELSE list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) END AS BIGINT) % 1000000007) + 1000000007) % 1000000007 AS BIGINT))) AS sh FROM n),
+        |sigv AS (SELECT g.doc_id, coeff.i,
+        |    coalesce(list_min(list_transform(g.sh, x -> (coeff.a * x + coeff.b) % 1000000007)), 1000000007) AS h
+        |  FROM g CROSS JOIN coeff),
+        |sig AS (SELECT doc_id, array_agg(h ORDER BY i) AS s FROM sigv GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest(range(0, 4)) AS band_idx, s FROM sig),
+        |bh AS (SELECT doc_id, band_idx,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substring(md5(CAST(band_idx AS VARCHAR) || ':' || array_to_string(list_transform(s[band_idx*8+1 : band_idx*8+8], x -> CAST(x AS VARCHAR)), ':')), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, v) -> a * 16 + v) AS band_hash
+        |  FROM bands),
+        |sized AS (SELECT doc_id, band_idx, band_hash,
+        |    count(*) OVER (PARTITION BY band_idx, band_hash) AS bn FROM bh),
+        |ok AS (SELECT * FROM sized WHERE bn <= 200),
+        |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |jj AS (SELECT p.id_a, p.id_b,
+        |    CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) / CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) END AS jaccard
+        |  FROM prs p JOIN g ga ON ga.doc_id = p.id_a JOIN g gb ON gb.doc_id = p.id_b)
+        |SELECT id_a, id_b, jaccard FROM jj WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
+
     // Sign-LSH near-dup (rows-only until r14): the splitmix64
     // hyperplane stream has a CLOSED FORM per index (the generator is
     // counter-based: x after k calls = seed + k*GAMMA mod 2^64), so

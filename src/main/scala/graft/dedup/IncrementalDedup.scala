@@ -55,7 +55,7 @@ object IncrementalDedup {
 
   /** Verified matches (batch_id, corpus_id, jaccard ≥ threshold).
     * Candidates come from the band join; Jaccard is exact over the
-    * stored hashed shingle sets (same rounding as
+    * stored hashed shingle sets (raw one-division double, same as
     * MinHashLsh.nearDuplicates, so results are comparable). The match
     * table (small: verified candidates only) is materialized eagerly
     * so the batch-signature cache is released before returning — a
@@ -79,8 +79,11 @@ object IncrementalDedup {
       candidates
         .join(index.select(col(idCol).as("corpus_id"), col("_bases").as("sh_a")), Seq("corpus_id"))
         .join(batchSigs.select(col(idCol).as("batch_id"), col("_bases").as("sh_b")), Seq("batch_id"))
+        // raw exact division (the r14 no-round change, matching
+        // MinHashLsh.nearDuplicates): one mirrored IEEE op any engine
+        // reproduces bit-for-bit
         .withColumn("jaccard",
-          round(graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
+          graft.functions.ShingleFunctions.sortedJaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
         .select(col("batch_id"), col("corpus_id"), col("jaccard"))
     }

@@ -111,10 +111,23 @@ object MinHashLsh {
     * table — public so an already-persisted signature index can be
     * (re-)banded without touching document text (IncrementalDedup).
     */
+  /** Portable band-bucket hash: md5 over "j:v1:...:vr" folded to a
+    * long (the q44 house pattern) — NOT Spark's `hash()` (Murmur3),
+    * which no other engine reproduces. Bucket membership must be
+    * engine-reproducible for the same reason signatures are: a
+    * persisted LSH index written by this engine has to be readable
+    * (and auditable) by any other, and the r14 DuckDB oracle for q25
+    * replays the whole banding chain bit-for-bit.
+    */
+  private def bandHash(sig: Column, j: Int, r: Int): Column =
+    conv(substring(md5(concat_ws(":",
+      lit(j.toString) +: (0 until r).map(i => element_at(sig, j * r + i + 1).cast("string")): _*)),
+      1, 15), 16, 10).cast("long")
+
   def banded(sigs: DataFrame, idCol: String, cfg: Config): DataFrame = {
     val r = cfg.rowsPerBand
     val bandHashes = array((0 until cfg.bands).map { j =>
-      hash(slice(col("sig"), j * r + 1, r), lit(j))
+      bandHash(col("sig"), j, r)
     }: _*)
     sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
   }
@@ -124,7 +137,7 @@ object MinHashLsh {
     val sigs = signatures(docs, idCol, textCol, cfg)
     val r = cfg.rowsPerBand
     val bandHashes = array((0 until cfg.bands).map { j =>
-      hash(slice(col("sig"), j * r + 1, r), lit(j))
+      bandHash(col("sig"), j, r)
     }: _*)
     sigs.select(col(idCol), col("sig"), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
   }
@@ -184,8 +197,11 @@ object MinHashLsh {
     graft.functions.ShingleFunctions.register(docs.sparkSession)
     graft.Exec.withCached(signatures(docs, idCol, textCol, cfg)) { sigs =>
       val pairs = pairsFromBanded(banded(sigs, idCol, cfg), idCol, cfg)
+      // raw exact division, no round(): the jaccard is a single
+      // mirrored IEEE op, so any engine reproduces it bit-for-bit
+      // (the house no-engine-round rule); a rounded presentation is
+      // the caller's choice, not the operator's.
       verifyPairs(pairs, sigs.select(col(idCol), col("_bases")), idCol)
-        .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }

@@ -11,10 +11,10 @@ class EntryContractSpec extends SparkSpec {
 
   private val RowsOnlyByDesign = Set(
     // q23 left this set in r13 (fixed literal profiles + integer
-    // scoring replay exactly); q33 left in r14 (the splitmix64
-    // hyperplane stream is counter-based, so the oracle regenerates
-    // it closed-form)
-    "q25_minhash_lsh", "q29_ann_ivf",
+    // scoring replay exactly); q33 AND q25 left in r14 (the
+    // splitmix64 streams are counter-based so the oracles regenerate
+    // them closed-form; q25's band hash became md5-portable)
+    "q29_ann_ivf",
     // q97: no SQL engine exposes deflate — exactness evidence lives
     // in CompressibilitySpec (driver-side java.util.zip parity)
     "q97_compressibility",
