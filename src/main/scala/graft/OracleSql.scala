@@ -2961,6 +2961,104 @@ object OracleSql {
     // KS drift: cumulative counts over the per-distinct-value (a, b)
     // table in value order (single-node window is fine oracle-side),
     // integer cross products, one mirrored division.
+    // MJPEG AVI frame sampling: every 2nd frame's flat DC-only blocks
+    // decode to exact integers (the q90 arithmetic with a frame axis);
+    // the oracle replays synthesis → sampled frames → the identical
+    // fixed-point YCbCr→RGB fold. duration is integer µs arithmetic.
+    "q169_video_frames" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh,
+        |    2 + doc_id % 5 AS nf, (40 + doc_id % 10) * 1000 AS us FROM documents),
+        |pf AS (SELECT doc_id, bw, bh, nf, us, unnest(range(0, nf, 2)) AS f FROM p),
+        |pby AS (SELECT doc_id, bw, bh, f, unnest(range(0, bh)) AS by FROM pf),
+        |pbx AS (SELECT doc_id, bw, bh, f, by, unnest(range(0, bw)) AS bx FROM pby),
+        |ycc AS (SELECT doc_id, f,
+        |  (17*bx + 29*by + 31*f + doc_id) % 256 AS y,
+        |  ((11*bx + 7*by + 13*f + 3*doc_id) % 97) - 48 AS cb,
+        |  ((13*bx + 5*by + 19*f + 7*doc_id) % 89) - 44 AS cr
+        | FROM pbx),
+        |rgb AS (SELECT doc_id, f,
+        |  least(greatest(y + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS r,
+        |  least(greatest(y + CAST(floor((-22554*cb - 46802*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS g,
+        |  least(greatest(y + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT), 0), 255) AS b
+        | FROM ycc),
+        |s AS (SELECT doc_id,
+        |  CAST(count(DISTINCT f) AS BIGINT) AS n_sampled,
+        |  CAST(64*sum(r) AS BIGINT) AS sum_r,
+        |  CAST(64*sum(g) AS BIGINT) AS sum_g,
+        |  CAST(64*sum(b) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS peak
+        | FROM rgb GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, s.n_sampled,
+        |  CAST(nf * us // 1000 AS BIGINT) AS duration_ms,
+        |  s.sum_r, s.sum_g, s.sum_b, s.peak, true AS valid
+        |FROM p JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // DSIR selection: the whole chain mirrored — hashed unigram+bigram
+    // buckets (the md5 fold), target/raw bucket masses, the exact
+    // cross-multiplied surrogate score in HUGEINT, top-50 by
+    // (score desc, doc_id).
+    "q170_dsir" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 2 = 0 AS tgt,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM documents),
+         |grams AS (SELECT doc_id, tgt, list_concat(
+         |    list_transform(t, x -> '1:' || x),
+         |    list_transform(range(len(t) - 1), i -> '2:' || t[i + 1] || ' ' || t[i + 2])) AS gs
+         |  FROM toks),
+         |f AS (SELECT doc_id, tgt, unnest(gs) AS gram FROM grams),
+         |fb AS (SELECT doc_id, tgt, ${md5fold("gram", 8)} % 4096 AS bucket FROM f),
+         |db AS (SELECT doc_id, tgt, bucket, CAST(count(*) AS BIGINT) AS n
+         |  FROM fb GROUP BY 1, 2, 3),
+         |model AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE n END) AS BIGINT) AS cr
+         |  FROM db GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(ct) AS HUGEINT) AS nt, CAST(sum(cr) AS HUGEINT) AS nr FROM model),
+         |sc AS (SELECT db.doc_id,
+         |    CAST(sum(n) AS BIGINT) AS n_feats,
+         |    CAST(sum(n * ct) AS BIGINT) AS sum_tgt,
+         |    CAST(sum(n * cr) AS BIGINT) AS sum_raw,
+         |    sum(CAST(n AS HUGEINT) * (CAST(ct AS HUGEINT) * nr - CAST(cr AS HUGEINT) * nt)) AS score
+         |  FROM db JOIN model USING (bucket) CROSS JOIN tot
+         |  WHERE NOT tgt GROUP BY db.doc_id),
+         |rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc)
+         |SELECT sc.doc_id, n_feats, sum_tgt, sum_raw,
+         |  CAST(score AS DECIMAL(38, 0)) AS score,
+         |  (rk.r <= 50) AS selected
+         |FROM sc JOIN rk USING (doc_id) ORDER BY sc.doc_id""".stripMargin,
+
+    // Image aHash near-dup: pixel synthesis → integer luma (gray ⇒
+    // luma = value) → exact 2×2 box sums → cross-multiplied mean bits
+    // → 16-bit bands → candidate join → popcount verify, replayed
+    // row-for-row.
+    "q171_image_neardup" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 2 AS b, doc_id % 2 = 1 AS odd FROM documents),
+        |g AS (SELECT doc_id, b, odd, x, y FROM ids, range(0, 16) rx(x), range(0, 16) ry(y)),
+        |v AS (SELECT doc_id, x, y,
+        |   (((3 + b % 251) * x * y + (1 + b % 127) * x + (2 + b % 61) * y) % 256
+        |    + CASE WHEN odd AND (x * 16 + y) % 53 = 0 THEN 40 ELSE 0 END) % 256 AS val
+        |  FROM g),
+        |cells AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS ci, CAST(sum(val) AS BIGINT) AS cs
+        |  FROM v GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS t FROM cells GROUP BY 1),
+        |bits AS (SELECT doc_id, ci, CASE WHEN cs * 64 >= t THEN 1 ELSE 0 END AS bit
+        |  FROM cells JOIN tot USING (doc_id)),
+        |bands AS (SELECT doc_id, ci // 16 AS band,
+        |   CAST(sum(bit * (1 << (15 - ci % 16))) AS BIGINT) AS bval
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.bval = b2.bval AND a.doc_id < b2.doc_id),
+        |ham AS (SELECT id_a, id_b,
+        |   CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand JOIN bits ba ON ba.doc_id = id_a
+        |   JOIN bits bb ON bb.doc_id = id_b AND bb.ci = ba.ci
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q168_ks_drift" ->
       """WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v,
         |    CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 2 = 0 AS ia

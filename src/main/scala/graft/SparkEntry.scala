@@ -370,6 +370,99 @@ object SparkEntry {
       pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"), lit(2)) === 0)
   }
 
+  /** C85 — REAL VIDEO FRAME SAMPLING (multimodal.Avi +
+    * Multimodal.videoFrameStats, NEW r14b): the video leg of the
+    * multimodal surface, completing the modality set. Each doc gets a
+    * genuine MJPEG AVI — a RIFF container (the WAV grammar, LE) whose
+    * `00dc` chunks are real baseline JPEGs from the q90 flat-block
+    * synthesis encoder — and the decoder runs the REAL path any MJPEG
+    * clip takes: container walk → avih/strh/strf validation → every
+    * 2nd frame through the full JPEG sample decode (Huffman → dequant
+    * → IDCT → fixed-point YCbCr→RGB). Flat DC-only blocks make the
+    * decode EXACT integer arithmetic, so the oracle rebuilds the
+    * sampled-frame statistics constant-for-constant (q90's pattern
+    * with a frame axis). MAP-ONLY at any corpus size — frame sampling
+    * (never decode-all) is the 100 TB contract for video.
+    */
+  private def q169VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bw = (1 + id % 3).toInt; val bh = (1 + id % 2).toInt
+        val nf = (2 + id % 5).toInt
+        val us = (40 + id % 10).toInt * 1000
+        val frames = (0 until nf).map { f =>
+          graft.multimodal.Jpeg.encodeFlatBlocks(bw, bh, (bx, by) =>
+            (((17 * bx + 29 * by + 31 * f + id) % 256).toInt,
+              (128 + ((11 * bx + 7 * by + 13 * f + 3 * id) % 97) - 48).toInt,
+              (128 + ((13 * bx + 5 * by + 19 * f + 7 * id) % 89) - 44).toInt))
+        }
+        (id, graft.multimodal.Avi.encodeMjpeg(bw * 8, bh * 8, us, frames))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.videoFrameStats(vids, step = 2).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("n_sampled"), col("duration_ms"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C86 — DSIR DATA SELECTION (functions.Dsir, NEW r14b): importance
+    * weighting of raw documents toward a target domain via hashed
+    * unigram+bigram bucket counts (Xie et al. 2023) — the published
+    * method for domain-matched pre-training mixes, engine-side. The
+    * target slice is q168's even-source split (genuinely different
+    * length/content profiles in the testdata), the bucket model is
+    * 4096 rows (broadcast — scoring is map-side at any corpus size),
+    * and the score is the exact cross-multiplied integer surrogate in
+    * decimal(38,0) (no log, no division — engine-portable). Top-50
+    * selection by (score desc, doc_id): TakeOrdered + a k-row
+    * broadcast back, never a corpus-scale collect.
+    */
+  private def q170Dsir(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    graft.functions.Dsir.select(d, "doc_id", "text",
+      pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"), lit(2)) === 0,
+      buckets = 4096, k = 50)
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C87 — IMAGE PERCEPTUAL-HASH NEAR-DUP (similarity.ImageNearDup,
+    * NEW r14b): the visual twin of the MinHash/SimHash text tier over
+    * REAL decoded pixels. Docs pair up by construction — 2k and 2k+1
+    * share a base pattern, the odd one perturbed at ~5 scattered
+    * pixels — and the banded aHash join must recover those pairs (and
+    * any accidental band collisions, verified by popcount). The base
+    * pattern's SPATIAL coefficients vary per base (aHash is invariant
+    * to constant luma shifts, so a constant offset would alias every
+    * image — the coefficients multiply x·y/x/y instead). Map-only
+    * decode+hash, bounded band buckets, never all-pairs.
+    */
+  private def q171ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16; val h = 16
+        val b = id / 2
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (((3 + b % 251) * x * y + (1 + b % 127) * x +
+              (2 + b % 61) * y) % 256).toInt
+            val v = if (id % 2 == 1 && (x * 16 + y) % 53 == 0) (base + 40) % 256 else base
+            val p = (y * w + x) * 3
+            rgb(p) = v.toByte; rgb(p + 1) = v.toByte; rgb(p + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.multimodal.Bmp.encode(w, h, rgb))
+      }).toDF("doc_id", "payload")
+    graft.similarity.ImageNearDup.pairs(imgs, "doc_id", "payload", maxHamming = 10)
+      .transform(sorted1(_, col("id_a"), col("id_b")))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4543,7 +4636,10 @@ object SparkEntry {
     "q165_classifier_auc" -> (q165ClassifierAuc _),
     "q166_ann_recall" -> (q166AnnRecall _),
     "q167_spearman" -> (q167Spearman _),
-    "q168_ks_drift" -> (q168KsDrift _))
+    "q168_ks_drift" -> (q168KsDrift _),
+    "q169_video_frames" -> (q169VideoFrames _),
+    "q170_dsir" -> (q170Dsir _),
+    "q171_image_neardup" -> (q171ImageNeardup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

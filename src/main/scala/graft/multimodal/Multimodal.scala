@@ -375,9 +375,41 @@ object Multimodal {
       }
   }
 
+  case class VideoMeta(
+      doc_id: Long, width: Long, height: Long, n_frames: Long,
+      n_sampled: Long, duration_ms: Long, sum_r: Long, sum_g: Long,
+      sum_b: Long, peak: Long, valid: Boolean)
+
+  /** REAL video frame sampling (`Avi.decode` — RIFF/AVI container
+    * walk + per-frame baseline-JPEG sample decode through the proven
+    * `Jpeg` path): every `step`-th frame of each clip is decoded and
+    * folded into exact integer statistics. This is the frame-sampling
+    * contract of a training-data pipeline at 100 TB — sample k frames
+    * per clip, never decode-all — and it is MAP-ONLY: one row in, one
+    * row out, no shuffle, the per-partition cost bounded by
+    * frames/step × pixels. Malformed clips yield `valid=false` rows.
+    * Transform-coded video (H.264+) stays on the declared native-stub
+    * tier (SURVEY §6); [[sampleFrames]] remains the format-agnostic
+    * fingerprint stub for those payloads.
+    */
+  def videoFrameStats(df: DataFrame, step: Int = 1,
+                      idCol: String = "doc_id",
+                      payloadCol: String = "payload"): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val v = Avi.decode(bytes, step)
+        VideoMeta(id, v.width, v.height, v.nFrames, v.nSampled,
+          v.durationMs, v.sumR, v.sumG, v.sumB, v.peak, v.valid)
+      })
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
-    * (explode-per-item, bounded by content size).
+    * (explode-per-item, bounded by content size) for the codecs that
+    * stay on the native-stub tier; RIFF/AVI MJPEG clips get the real
+    * decode in [[videoFrameStats]].
     */
   def sampleFrames(df: DataFrame, step: Int = 64, idCol: String = "doc_id",
                    payloadCol: String = "payload"): Dataset[Frame] = {

@@ -1,0 +1,114 @@
+package graft.similarity
+
+import graft.multimodal.Bmp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash NEAR-DUPLICATE detection for images — the visual
+  * twin of the text MinHash/SimHash tier, closing the multimodal
+  * dedup loop: LAION-style corpus curation dedups images by a
+  * perceptual fingerprint over DECODED PIXELS (not payload bytes, so
+  * re-encodes and metadata edits still collide), bucketed so the
+  * candidate set is never all-pairs.
+  *
+  * The fingerprint is the classic 8×8 AVERAGE HASH (aHash), exact
+  * integer end-to-end: BT.601 integer luma (77·R+150·G+29·B)>>8
+  * (weights sum to 256, so grayscale pixels hash on their raw
+  * value), an exact box-mean downsample to an 8×8 cell grid (cell
+  * sums compared cross-multiplied — 64·cellᵢ ≥ Σcells — so no
+  * division ever happens), one bit per cell, MSB = cell 0. Candidate
+  * generation is the SimHash/LSH band trick: the 64-bit hash splits
+  * into four 16-bit bands, images bucket-join on (band, value) —
+  * any pair within Hamming ≤ 3 shares a clean band by pigeonhole,
+  * and near pairs beyond that collide with the usual LSH
+  * probability. At 100 TB this is a keyed shuffle on band values
+  * (bounded buckets), the verify is popcount-of-xor on rows the
+  * bands already matched, and the decode+hash pass is MAP-ONLY.
+  *
+  * Decode runs the real in-repo pixel tier (BMP here — the format
+  * whose decode is the proven inverse of its encode; the other
+  * decoders produce the same (w, h, rgb) shape and plug in the same
+  * way). Images whose dimensions are not multiples of 8 fall outside
+  * the exact-box-mean contract and are skipped (a resize tier would
+  * feed them in production).
+  */
+object ImageNearDup {
+
+  /** Exact-integer 8×8 average hash over top-down row-major RGB
+    * triplets; None when the grid cannot divide the image exactly.
+    */
+  def aHash64(width: Int, height: Int, rgb: Array[Byte]): Option[Long] = {
+    if (width <= 0 || height <= 0 || width % 8 != 0 || height % 8 != 0 ||
+      rgb == null || rgb.length != width * height * 3) return None
+    val cw = width / 8
+    val ch = height / 8
+    val cell = new Array[Long](64)
+    var y = 0
+    while (y < height) {
+      val cy = y / ch
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        val luma = (77 * (rgb(p) & 0xff) + 150 * (rgb(p + 1) & 0xff) +
+          29 * (rgb(p + 2) & 0xff)) >> 8
+        cell(cy * 8 + x / cw) += luma
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += cell(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cell(i) * 64L >= total) hash |= 1L << (63 - i)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Map-only decode+hash pass: (id, ahash) for every decodable,
+    * 8-aligned image; undecodable payloads yield nothing (they have
+    * no pixels to be near-duplicates of).
+    */
+  def hashes(df: DataFrame, idCol: String = "doc_id",
+             payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Bmp.decodePixels(bytes).flatMap { case (w, h, rgb) =>
+          aHash64(w, h, rgb).map(hsh => (id, hsh))
+        }
+      }.toDF(idCol, "ahash")
+  }
+
+  /** Banded near-duplicate pairs: (id_a, id_b, hamming) with
+    * id_a < id_b and hamming ≤ `maxHamming`, for pairs sharing at
+    * least one of the four 16-bit bands. Hashes ride through the
+    * band join, so verification is a popcount on the matched row —
+    * no second fetch.
+    */
+  def pairs(df: DataFrame, idCol: String = "doc_id",
+            payloadCol: String = "payload", maxHamming: Int = 10): DataFrame = {
+    val hashed = hashes(df, idCol, payloadCol)
+    val banded = hashed.select(col(idCol), col("ahash"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftrightunsigned(col("ahash"), 48 - 16 * b)
+          .bitwiseAND(lit(0xffffL)).as("bval"))): _*)).as("bb"))
+      .select(col(idCol), col("ahash"), col("bb.band"), col("bb.bval"))
+    val a = banded.select(col("band"), col("bval"),
+      col(idCol).as("id_a"), col("ahash").as("_ha"))
+    val b = banded.select(col("band"), col("bval"),
+      col(idCol).as("id_b"), col("ahash").as("_hb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_ha"), col("_hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
