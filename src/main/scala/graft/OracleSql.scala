@@ -153,6 +153,39 @@ object OracleSql {
       |  CASE WHEN regexp_extract(line, '([\$₹€£¥])', 1) <> '' THEN regexp_extract(line, '([\$₹€£¥])', 1) END AS currency
       |FROM l)""".stripMargin
 
+  /** Shared MinHash-LSH CTE chain — splitmix64 coefficients,
+    * normalized text, FNV-1a hashed 3-char shingles, 32-hash
+    * signatures, md5 band hashes, capped buckets, DISTINCT
+    * candidate pairs (`prs`) — used by q25 (the candidate tier)
+    * and q174 (the recall evaluation) so the two replays stay in
+    * lockstep with `MinHashLsh` by construction.
+    */
+  private def minhashPrsCtes(docsRel: String = "documents"): String =
+    """WITH co0 AS (SELECT unnest(range(0, 64)) AS j),
+        |c1 AS (SELECT j, (CAST(42 AS HUGEINT) + (j + 1) * CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM co0),
+        |c2 AS (SELECT j, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(484763065 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(3210233709 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM c1),
+        |c3 AS (SELECT j, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(321982955 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(2496678331 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM c2),
+        |c4 AS (SELECT j, CAST(CASE WHEN (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) >= CAST(1 AS HUGEINT) << 63 THEN (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) - CAST(18446744073709551616 AS HUGEINT) ELSE (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) END AS BIGINT) AS s FROM c3),
+        |coeff AS (SELECT a.j // 2 AS i,
+        |    CAST(((a.s % 1000000006) + 1000000006) % 1000000006 + 1 AS BIGINT) AS a,
+        |    CAST(((b.s % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS b
+        |  FROM c4 a JOIN c4 b ON b.j = a.j + 1 WHERE a.j % 2 = 0),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM GRAFT_DOCS_REL),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> CAST(((CAST(CASE WHEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) >= CAST(1 AS HUGEINT) << 63 THEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT) ELSE list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) END AS BIGINT) % 1000000007) + 1000000007) % 1000000007 AS BIGINT))) AS sh FROM n),
+        |sigv AS (SELECT g.doc_id, coeff.i,
+        |    coalesce(list_min(list_transform(g.sh, x -> (coeff.a * x + coeff.b) % 1000000007)), 1000000007) AS h
+        |  FROM g CROSS JOIN coeff),
+        |sig AS (SELECT doc_id, array_agg(h ORDER BY i) AS s FROM sigv GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest(range(0, 4)) AS band_idx, s FROM sig),
+        |bh AS (SELECT doc_id, band_idx,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substring(md5(CAST(band_idx AS VARCHAR) || ':' || array_to_string(list_transform(s[band_idx*8+1 : band_idx*8+8], x -> CAST(x AS VARCHAR)), ':')), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, v) -> a * 16 + v) AS band_hash
+        |  FROM bands),
+        |sized AS (SELECT doc_id, band_idx, band_hash,
+        |    count(*) OVER (PARTITION BY band_idx, band_hash) AS bn FROM bh),
+        |ok AS (SELECT * FROM sized WHERE bn <= 200),
+        |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),""".stripMargin.replace("GRAFT_DOCS_REL", docsRel)
+
   val all: Map[String, String] = Map(
 
     "q01_extract_meta" ->
@@ -573,35 +606,31 @@ object OracleSql {
     // use the r14 PORTABLE md5 band hash, the size-200 bucket guard
     // and the verify-tier jaccard replay exactly.
     "q25_minhash_lsh" ->
-      """WITH co0 AS (SELECT unnest(range(0, 64)) AS j),
-        |c1 AS (SELECT j, (CAST(42 AS HUGEINT) + (j + 1) * CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM co0),
-        |c2 AS (SELECT j, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(484763065 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(3210233709 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM c1),
-        |c3 AS (SELECT j, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(321982955 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)))) * CAST(2496678331 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM c2),
-        |c4 AS (SELECT j, CAST(CASE WHEN (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) >= CAST(1 AS HUGEINT) << 63 THEN (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) - CAST(18446744073709551616 AS HUGEINT) ELSE (xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT))) END AS BIGINT) AS s FROM c3),
-        |coeff AS (SELECT a.j // 2 AS i,
-        |    CAST(((a.s % 1000000006) + 1000000006) % 1000000006 + 1 AS BIGINT) AS a,
-        |    CAST(((b.s % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS b
-        |  FROM c4 a JOIN c4 b ON b.j = a.j + 1 WHERE a.j % 2 = 0),
-        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> CAST(((CAST(CASE WHEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) >= CAST(1 AS HUGEINT) << 63 THEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT) ELSE list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) END AS BIGINT) % 1000000007) + 1000000007) % 1000000007 AS BIGINT))) AS sh FROM n),
-        |sigv AS (SELECT g.doc_id, coeff.i,
-        |    coalesce(list_min(list_transform(g.sh, x -> (coeff.a * x + coeff.b) % 1000000007)), 1000000007) AS h
-        |  FROM g CROSS JOIN coeff),
-        |sig AS (SELECT doc_id, array_agg(h ORDER BY i) AS s FROM sigv GROUP BY doc_id),
-        |bands AS (SELECT doc_id, unnest(range(0, 4)) AS band_idx, s FROM sig),
-        |bh AS (SELECT doc_id, band_idx,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substring(md5(CAST(band_idx AS VARCHAR) || ':' || array_to_string(list_transform(s[band_idx*8+1 : band_idx*8+8], x -> CAST(x AS VARCHAR)), ':')), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, v) -> a * 16 + v) AS band_hash
-        |  FROM bands),
-        |sized AS (SELECT doc_id, band_idx, band_hash,
-        |    count(*) OVER (PARTITION BY band_idx, band_hash) AS bn FROM bh),
-        |ok AS (SELECT * FROM sized WHERE bn <= 200),
-        |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |jj AS (SELECT p.id_a, p.id_b,
+      (minhashPrsCtes() + "\n" +
+      """|jj AS (SELECT p.id_a, p.id_b,
         |    CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 0.0
         |         ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) / CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) END AS jaccard
         |  FROM prs p JOIN g ga ON ga.doc_id = p.id_a JOIN g gb ON gb.doc_id = p.id_b)
-        |SELECT id_a, id_b, jaccard FROM jj WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
+        |SELECT id_a, id_b, jaccard FROM jj WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin),
+
+    // LSH dedup recall: the SAME shared chain produces the candidate
+    // tier (`prs`), and the successor-pair audit set gets its exact
+    // Jaccard plus the did-LSH-surface-it flag — the confusion table
+    // of the banding, certified end-to-end.
+    "q174_lsh_recall" ->
+      (minhashPrsCtes(
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - (doc_id % 40), 1)) FROM documents) AS aug") + "\n" +
+      """|sp AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents),
+         |jv AS (SELECT sp.id_a, sp.id_b,
+         |    CASE WHEN len(ga.sh) = 0 AND len(gb.sh) = 0 THEN 0.0
+         |         ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) / CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) END AS jaccard
+         |  FROM sp JOIN g ga ON ga.doc_id = sp.id_a JOIN g gb ON gb.doc_id = sp.id_b)
+         |SELECT jv.id_a, jv.id_b, jv.jaccard,
+         |  (prs.id_a IS NOT NULL) AS is_candidate,
+         |  jv.jaccard >= CAST(0.8 AS DOUBLE) AS is_true_dup
+         |FROM jv LEFT JOIN prs ON prs.id_a = jv.id_a AND prs.id_b = jv.id_b
+         |ORDER BY 1, 2""".stripMargin),
 
     // Sign-LSH near-dup (rows-only until r14): the splitmix64
     // hyperplane stream has a CLOSED FORM per index (the generator is
@@ -3058,6 +3087,69 @@ object OracleSql {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact-integer PageRank: the edge synthesis (1+id%3 out-edges,
+    // id%7==3 dangling, self-loop deflection) and FOUR power-iteration
+    // rounds unrolled as CTE layers — shares as floor divisions,
+    // dangling mass redistributed uniformly, teleport
+    // (100-85)*scale//100 — so the hash certifies every round, not
+    // just the last table. All non-negative integers; DuckDB's // is
+    // floor division, identical to long division here.
+    "q172_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |base AS (SELECT doc_id AS src, unnest(range(0, 1 + doc_id % 3)) AS k
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |e0 AS (SELECT src, (src * (k + 3) + k + 1) % n AS d0, n FROM base CROSS JOIN nn),
+        |ed AS (SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst FROM e0),
+        |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+        |un AS (SELECT count(*) AS u FROM nodes),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+        |d1 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r0 LEFT JOIN deg USING (id) WHERE dg IS NULL),
+        |c1 AS (SELECT dst AS id, CAST(sum(r // dg) AS BIGINT) AS c FROM ed JOIN r0 ON r0.id = ed.src JOIN deg ON deg.id = ed.src GROUP BY dst),
+        |r1 AS (SELECT nodes.id, CAST(150000000000 + (85 * (coalesce(c, 0) + dm // u)) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c1 USING (id) CROSS JOIN d1 CROSS JOIN un),
+        |d2 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r1 LEFT JOIN deg USING (id) WHERE dg IS NULL),
+        |c2 AS (SELECT dst AS id, CAST(sum(r // dg) AS BIGINT) AS c FROM ed JOIN r1 ON r1.id = ed.src JOIN deg ON deg.id = ed.src GROUP BY dst),
+        |r2 AS (SELECT nodes.id, CAST(150000000000 + (85 * (coalesce(c, 0) + dm // u)) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c2 USING (id) CROSS JOIN d2 CROSS JOIN un),
+        |d3 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r2 LEFT JOIN deg USING (id) WHERE dg IS NULL),
+        |c3 AS (SELECT dst AS id, CAST(sum(r // dg) AS BIGINT) AS c FROM ed JOIN r2 ON r2.id = ed.src JOIN deg ON deg.id = ed.src GROUP BY dst),
+        |r3 AS (SELECT nodes.id, CAST(150000000000 + (85 * (coalesce(c, 0) + dm // u)) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c3 USING (id) CROSS JOIN d3 CROSS JOIN un),
+        |d4 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r3 LEFT JOIN deg USING (id) WHERE dg IS NULL),
+        |c4 AS (SELECT dst AS id, CAST(sum(r // dg) AS BIGINT) AS c FROM ed JOIN r3 ON r3.id = ed.src JOIN deg ON deg.id = ed.src GROUP BY dst),
+        |r4 AS (SELECT nodes.id, CAST(150000000000 + (85 * (coalesce(c, 0) + dm // u)) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c4 USING (id) CROSS JOIN d4 CROSS JOIN un)
+        |SELECT r4.id AS node_id, CAST(coalesce(dg, 0) AS BIGINT) AS out_degree,
+        |  r AS rank_scaled
+        |FROM r4 LEFT JOIN deg ON deg.id = r4.id ORDER BY node_id""".stripMargin,
+
+    // ISO-BMFF container walk: every field reconstructed from the
+    // synthesis arithmetic — integer duration divisions, the per-
+    // sample size fold, the every-3rd sync table (or the no-stss
+    // all-sync fallback). The box/version/free knobs change the BYTES
+    // but not the parsed VALUES, which is exactly what the walk must
+    // guarantee.
+    "q173_mp4_meta" ->
+      """WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS n,
+        |    600 + (doc_id % 5) * 100 AS mts, 1000 + doc_id % 7 AS medts,
+        |    100 + doc_id % 50 AS delta FROM documents),
+        |szi AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
+        |sz AS (SELECT doc_id, CAST(sum((i * 17 + doc_id) % 211 + 1) AS BIGINT) AS ssum,
+        |    CAST(max((i * 17 + doc_id) % 211 + 1) AS BIGINT) AS smax
+        |  FROM szi GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(mts AS BIGINT) AS movie_timescale,
+        |  CAST((2 + doc_id % 10) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(1 AS BIGINT) AS n_tracks,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+        |  CAST(medts AS BIGINT) AS media_timescale,
+        |  CAST((n * delta * 1000) // medts AS BIGINT) AS media_duration_ms,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN n ELSE (n + 2) // 3 END AS BIGINT) AS n_keyframes,
+        |  sz.ssum AS sum_sample_bytes, sz.smax AS max_sample_bytes,
+        |  true AS valid
+        |FROM p JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q168_ks_drift" ->
       """WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v,

@@ -463,6 +463,119 @@ object SparkEntry {
       .transform(sorted1(_, col("id_a"), col("id_b")))
   }
 
+  /** B46 — PAGERANK, exact-integer tier (operators.PageRank
+    * .ranksScaled, NEW r14b): the C42 library operator GRADUATED to
+    * the cross-engine oracle — power iteration with uniform
+    * dangling-mass redistribution, replayed bit-exact because every
+    * step is integer (scaled longs, floor divisions on non-negatives,
+    * associative sums; the double path's float reductions cannot be
+    * order-pinned). Fixture graph from `documents`: 1+id%3 out-edges
+    * per node, id%7==3 nodes DANGLING (crawl frontiers are full of
+    * them — the dangling arm is live, not decorative), dst by a
+    * mixing formula mod corpus count with self-loops deflected,
+    * multigraph semantics kept identically on both sides. Four
+    * rounds, unrolled as CTE layers in the oracle, so the hash
+    * certifies degrees, share floors, dangling mass, teleport and
+    * the final join — not just the last table. Execution: the
+    * co-partitioned RDD core (one wide reduceByKey per round, narrow
+    * joins otherwise, driver touch = one scalar fold per round).
+    */
+  private def q172PageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nRow = docs.agg(count(lit(1)).as("_n"))
+    val edges = fanOut(s, docs).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), pmod(col("doc_id"), lit(3)))).as("k"), col("_n"))
+      .withColumn("_d0", pmod(col("src") * (col("k") + 3) + col("k") + 1, col("_n")))
+      .select(col("src"),
+        when(col("_d0") === col("src"), pmod(col("_d0") + 1, col("_n")))
+          .otherwise(col("_d0")).as("dst"))
+    graft.operators.PageRank.ranksScaled(edges, iters = 4)
+      .select(col("id").as("node_id"), col("out_degree"), col("rank_scaled"))
+      .transform(sorted1(_, col("node_id")))
+  }
+
+  /** C88 — ISO-BMFF (MP4) CONTAINER WALK (multimodal.Mp4, NEW r14b):
+    * the other major container family next to RIFF — big-endian
+    * nested boxes, 64-bit largesize and version-1 time arms, unknown-
+    * box skipping. The synthesis sweeps the knob space by doc_id
+    * (v0/v1 boxes, stss present/absent, free-box insertion, both
+    * handlers) through OUR OWN writer, and the oracle reconstructs
+    * every field from the synthesis arithmetic — so the hash
+    * certifies the box walk, the sample-size fold, the sync-table
+    * fallback and both integer duration divisions. MAP-ONLY at any
+    * corpus size: the route/filter/sample fields (duration, keyframe
+    * density, bytes/sample) are exactly what a 100 TB pipeline reads
+    * before any codec runs.
+    */
+  private def q173Mp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (5 + id % 9).toInt
+        val p = graft.multimodal.Mp4.Mp4Params(
+          movieTimescale = (600 + (id % 5) * 100).toInt,
+          movieDurationUnits = (2 + id % 10) * (600 + (id % 5) * 100),
+          mediaTimescale = (1000 + id % 7).toInt,
+          sampleDeltaUnits = (100 + id % 50).toInt,
+          handler = if (id % 2 == 0) "vide" else "soun",
+          sampleFormat = if (id % 2 == 0) "mp4v" else "mp4a",
+          sampleSizes = (0 until n).map(i => ((i * 17 + id) % 211 + 1).toInt),
+          syncSamples = if (id % 4 == 1) None else Some((1 to n by 3).toList),
+          version1 = id % 3 == 2,
+          addFreeBox = id % 5 == 3)
+        (id, graft.multimodal.Mp4.encode(p))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.mp4Meta(vids).toDF()
+      .select(col("doc_id"), col("movie_timescale"), col("duration_ms"),
+        col("n_tracks"), col("handler"), col("media_timescale"),
+        col("media_duration_ms"), col("n_samples"), col("n_keyframes"),
+        col("sum_sample_bytes"), col("max_sample_bytes"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C89 — LSH DEDUP RECALL (NEW r14b): the near-dup tier evaluated
+    * against its own exact tier, completing the evaluation suite
+    * (q166 did this for ANN). The audit set is PLANTED at the
+    * banding's operating region: every document pairs with a
+    * suffix-truncated twin (id + 1e6, last id%40 chars dropped), so
+    * exact Jaccard spreads across ~0.1-1.0 with the mass near the
+    * b=4/r=8 design point J≈0.84 — long docs mostly caught, short
+    * docs mostly missed, the S-curve live in both directions (the
+    * successor-pair set q24/q39 use never exceeds J≈0.7, which would
+    * leave the candidate flag all-false). Each audit pair gets its
+    * EXACT Jaccard (verification tier) plus whether the MinHash-LSH
+    * candidate tier SURFACED it — the banding's confusion table read
+    * off directly. The signature table over the 2n-doc corpus
+    * computes ONCE (Exec.withCached) and feeds both the banding
+    * branch and the verify branch; the audit join costs pairs-scale,
+    * never corpus². Oracle replays the whole chain (coefficients →
+    * shingles → signatures → band hashes → capped buckets →
+    * candidates) AND the exact-Jaccard side on the same augmented
+    * corpus, so the hash certifies the evaluation end-to-end.
+    */
+  private def q174LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir)).select("doc_id", "text")
+    val twins = d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      col("text").substr(lit(1),
+        greatest(length(col("text")) - pmod(col("doc_id"), lit(40)), lit(1))).as("text"))
+    val corpus = d.unionByName(twins)
+    val cfg = MinHashLsh.Config()
+    graft.Exec.withCached(MinHashLsh.signatures(corpus, "doc_id", "text", cfg)) { sigs =>
+      val cand = MinHashLsh.candidatePairsFromSignatures(sigs, "doc_id", cfg)
+      val pairs = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + lit(1000000L)).as("id_b"))
+      MinHashLsh.verifyPairs(pairs, sigs.select(col("doc_id"), col("_bases")))
+        .join(cand.withColumn("_c", lit(true)), Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          coalesce(col("_c"), lit(false)).as("is_candidate"),
+          (col("jaccard") >= 0.8).as("is_true_dup"))
+        .transform(sorted1(_, col("id_a")))
+    }
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4639,7 +4752,10 @@ object SparkEntry {
     "q168_ks_drift" -> (q168KsDrift _),
     "q169_video_frames" -> (q169VideoFrames _),
     "q170_dsir" -> (q170Dsir _),
-    "q171_image_neardup" -> (q171ImageNeardup _))
+    "q171_image_neardup" -> (q171ImageNeardup _),
+    "q172_pagerank" -> (q172PageRank _),
+    "q173_mp4_meta" -> (q173Mp4Meta _),
+    "q174_lsh_recall" -> (q174LshRecall _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

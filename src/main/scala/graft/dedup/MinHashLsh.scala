@@ -162,6 +162,15 @@ object MinHashLsh {
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
     pairsFromBanded(banded(signatures(docs, idCol, textCol, cfg), idCol, cfg), idCol, cfg)
 
+  /** Candidate pairs from an ALREADY-COMPUTED signature table —
+    * callers evaluating or composing the LSH tier branch candidates
+    * AND verification off one cached/persisted `signatures()` result
+    * instead of re-shingling the corpus per branch (at 100 TB the
+    * signature table is the thing you materialize once).
+    */
+  def candidatePairsFromSignatures(sigs: DataFrame, idCol: String, cfg: Config): DataFrame =
+    pairsFromBanded(banded(sigs, idCol, cfg), idCol, cfg)
+
   /** Verification tier: exact Jaccard over hashed shingle sets for a
     * given (id_a, id_b) candidate-pair set. Two id-keyed joins fetch
     * the 8-byte-long shingle hashes (never the text), then the native

@@ -405,6 +405,32 @@ object Multimodal {
       })
   }
 
+  case class Mp4Meta(
+      doc_id: Long, movie_timescale: Long, duration_ms: Long,
+      n_tracks: Long, handler: String, media_timescale: Long,
+      media_duration_ms: Long, n_samples: Long, n_keyframes: Long,
+      sum_sample_bytes: Long, max_sample_bytes: Long, valid: Boolean)
+
+  /** ISO-BMFF container metadata walk (`Mp4.decode`): the route/
+    * filter/sample fields a curation pipeline reads BEFORE any codec
+    * work — duration, track handler, sample counts/sizes, keyframe
+    * density. MAP-ONLY: one row in, one row out, no shuffle; sample
+    * DATA stays opaque (the declared native-stub tier for H.264/AAC,
+    * SURVEY §6). Malformed payloads yield `valid=false` rows.
+    */
+  def mp4Meta(df: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload"): Dataset[Mp4Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Mp4.decode(bytes)
+        Mp4Meta(id, m.movieTimescale, m.durationMs, m.nTracks, m.handler,
+          m.mediaTimescale, m.mediaDurationMs, m.nSamples, m.nKeyframes,
+          m.sumSampleBytes, m.maxSampleBytes, m.valid)
+      })
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
     * (explode-per-item, bounded by content size) for the codecs that

@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** PageRank over a directed edge list — the link-graph QUALITY PRIOR
   * for web-derived corpora: crawl curation weights documents by their
@@ -80,5 +83,99 @@ object PageRank {
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     retired.foreach(graft.Exec.freeCheckpoint)
     ranks
+  }
+
+  /** EXACT-INTEGER power iteration — the engine-portable twin of
+    * `ranks`: every quantity is a scaled long (`scale` units = rank
+    * 1/n·n = 1 initial unit per node), every division is a floor
+    * division on non-negative longs, and every sum is an associative
+    * integer sum — so the result is bit-identical whatever the
+    * partitioning, executor count, or engine (the determinism
+    * contract that lets the whole chain ride a cross-engine oracle
+    * hash; the double path's per-round float sums are
+    * reduction-order-dependent and cannot).
+    *
+    * Recurrence, all integer:
+    *   share(u)   = rank(u) div outdeg(u)
+    *   C(v)       = Σ_{u→v} share(u)           (multigraph: one term per edge)
+    *   D          = Σ_{outdeg(u)=0} rank(u)    (dangling mass)
+    *   rank'(v)   = ((dden−dnum)·scale) div dden
+    *              + (dnum·(C(v) + D div n)) div dden
+    * with d = dnum/dden (default 85/100). Floor remainders leak a few
+    * units of mass per round (bounded by dden−1 per node — the spec
+    * pins the bound); the fixed point ranks nodes identically to the
+    * float iteration at scale ≥ 1e9.
+    *
+    * Execution shape (the r13 iterative-operator contract, like Bfs/
+    * Hierarchy): the loop runs on co-partitioned RDDs — edges hash-
+    * partitioned ONCE by src; ranks, degrees and the node universe on
+    * the SAME partitioner, so the share join and the rank rebuild are
+    * NARROW; the one wide op per round is the contribution
+    * reduceByKey on dst. Driver touch per round = the dangling-mass
+    * scalar (a fold, never a collect). Round frames localCheckpoint +
+    * freed on exit; a DataFrame loop here would pay ~0.5 s/round of
+    * Catalyst replan regardless of data (the q117 adjudication).
+    *
+    * Overflow contract: requires dnum·(n·scale) < Long.Max (total
+    * mass times the damping numerator) — checked after the node
+    * count; at web scale (1e9 nodes) pass scale ≈ 1e6.
+    */
+  def ranksScaled(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                  scale: Long = 1000000000000L, dampNum: Long = 85,
+                  dampDen: Long = 100, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(scale > 0 && dampDen > dampNum && dampNum > 0,
+      s"bad params: scale=$scale damp=$dampNum/$dampDen")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    val raw = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long")).na.drop()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+    val e = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    retired += e
+    // node universe = src ∪ dst, kept keyed on `part` throughout
+    val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a).persist(StorageLevel.MEMORY_AND_DISK)
+    retired += nodes
+    val n = nodes.count()
+    require(n > 0, "empty graph: edge list has no nodes")
+    require(BigInt(dampNum) * BigInt(n) * BigInt(scale) <= BigInt(Long.MaxValue),
+      s"dampNum*n*scale overflows long (n=$n, scale=$scale) — lower scale")
+    val deg = e.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    retired += deg
+    val teleport = ((dampDen - dampNum) * scale) / dampDen
+
+    var ranks: RDD[(Long, Long)] = nodes.mapValues(_ => scale)
+    ranks.localCheckpoint()
+    retired += ranks
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.leftOuterJoin(deg) // narrow: both on `part`
+      val dangling = withDeg.filter(_._2._2.isEmpty).map(_._2._1).fold(0L)(_ + _)
+      val dShare = dangling / n
+      val shares = withDeg.flatMapValues { case (r, od) =>
+        od.map(d => r / d)
+      } // flatMapVALUES keeps `part` — a bare flatMap would drop the
+        // partitioner and turn the share join wide
+      val contribs = e.join(shares) // narrow: both on `part`
+        .map { case (_, (dst, sh)) => (dst, sh) }
+        .reduceByKey(part, _ + _) // the round's one wide shuffle
+      val next = nodes.leftOuterJoin(contribs) // narrow
+        .mapValues { case (_, c) =>
+          teleport + (dampNum * (c.getOrElse(0L) + dShare)) / dampDen
+        }
+      next.localCheckpoint() // materialized by the NEXT round's
+      retired += next        // dangling fold (or the result build) —
+      ranks = next           // lineage never exceeds one round
+      i += 1
+    }
+    val result = spark.createDataset(
+      ranks.leftOuterJoin(deg).map { case (id, (r, od)) => (id, r, od.getOrElse(0L)) })
+      .toDF("id", "rank_scaled", "out_degree")
+      .localCheckpoint() // one block set survives: the caller's
+    retired.foreach(_.unpersist(blocking = false))
+    result
   }
 }

@@ -73,4 +73,83 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(r(2L) - e2) < 1e-9, s"${r(2L)} vs $e2")
     assert(math.abs(r(3L) - e3) < 1e-9, s"${r(3L)} vs $e3")
   }
+
+  // ---- ranksScaled: the exact-integer, oracle-portable tier ----
+
+  /** Sequential reference replay of the integer recurrence. */
+  private def scaledRef(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> scale).toMap
+    val teleport = (15L * scale) / 100L
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(deg.contains).map(r).sum
+      val dShare = dangling / n
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(v => v -> (teleport + (85L * (contrib.getOrElse(v, 0L) + dShare)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def scaledOf(edges: Seq[(Long, Long)], iters: Int,
+                       parts: Int = 4): Map[Long, Long] =
+    PageRank.ranksScaled(edges.toDF("src", "dst").repartition(parts), iters = iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("ranksScaled matches the sequential integer replay on a mixed graph") {
+    // cycle + chord + dangling sink + a multi-edge (multigraph semantics)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L),
+      (5L, 4L), (5L, 4L), (2L, 5L))
+    val got = scaledOf(edges, iters = 5)
+    val want = scaledRef(edges, iters = 5)
+    assert(got === want)
+  }
+
+  test("ranksScaled is partition-invariant bit-for-bit") {
+    val edges = (0L until 60L).flatMap(i => Seq((i, (i * 7 + 1) % 60), (i, (i * 3 + 2) % 60)))
+    assert(scaledOf(edges, iters = 4, parts = 1) === scaledOf(edges, iters = 4, parts = 13))
+  }
+
+  test("a ring graph is an exact integer fixed point: every rank stays at scale") {
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10))
+    val r = scaledOf(ring, iters = 6)
+    assert(r.values.forall(_ == 1000000000000L), s"ring drifted: ${r.values.toSet}")
+  }
+
+  test("scaled ranks track the double fixed point within floor-loss tolerance") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (2L, 4L))
+    val dbl = PageRank.ranks(edges.toDF("src", "dst"), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = dbl.size
+    val scl = scaledOf(edges, iters = 12)
+    scl.foreach { case (id, v) =>
+      // scaled units: rank_double * n * scale (r0 = scale ≙ 1/n each)
+      val expect = dbl(id) * n * 1e12
+      assert(math.abs(v - expect) / expect < 1e-6,
+        s"node $id: scaled $v vs double-implied $expect")
+    }
+  }
+
+  test("integer floor loss is bounded: total mass within n*(dampDen+1) of n*scale") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 1L), (1L, 4L), (6L, 2L))
+    val r = scaledOf(edges, iters = 8)
+    val n = r.size.toLong
+    val total = r.values.sum
+    // each round floors at most dampDen-1 units per node (share, damp
+    // and dangling divisions), but teleport replenishes: the steady
+    // state stays within one round's loss of full mass
+    assert(total <= n * 1000000000000L, s"mass created: $total")
+    assert(total >= n * (1000000000000L - 8 * 300L), s"mass leaked beyond bound: $total")
+  }
+
+  test("ranksScaled rejects an overflow-prone scale instead of wrapping") {
+    val edges = (0L until 4L).map(i => (i, (i + 1) % 4))
+    val ex = intercept[IllegalArgumentException](
+      PageRank.ranksScaled(edges.toDF("src", "dst"), scale = Long.MaxValue / 4))
+    assert(ex.getMessage.contains("overflow"))
+  }
 }
