@@ -1293,6 +1293,28 @@ object OracleSql {
          |SELECT doc_id, n_tokens, margin, margin >= 0 AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    // Calibration table: the q72 margin chain + the q165 label,
+    // equal-depth bins by the total order (margin, doc_id), exact
+    // integer evidence per bin, frac_pos the one mirrored division.
+    "q175_calibration" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+         |    t -> ${md5fold("t", 8)} % 2001 - 1000)), (a, v) -> a + v) AS margin,
+         |  len(toks) >= 50 AS label
+         | FROM tk),
+         |rk AS (SELECT margin, label,
+         |    row_number() OVER (ORDER BY margin, doc_id) - 1 AS r FROM m),
+         |nn AS (SELECT count(*) AS n FROM m),
+         |b AS (SELECT margin, label, (r * 10) // n AS bin FROM rk CROSS JOIN nn)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(min(margin) AS BIGINT) AS score_lo,
+         |  CAST(max(margin) AS BIGINT) AS score_hi,
+         |  CAST(sum(margin) AS BIGINT) AS score_sum,
+         |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     // Ordered funnel: events per user in deterministic (ts_us,
     // event_id) order, folded through the same 4-state automaton
     // (view→click→purchase, each step strictly after the previous).

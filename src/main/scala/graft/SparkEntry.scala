@@ -576,6 +576,28 @@ object SparkEntry {
     }
   }
 
+  /** C90 — CLASSIFIER CALIBRATION TABLE (functions.Stats
+    * .calibrationBins, NEW r14b): the reliability companion to q165's
+    * AUC — the same q72 margin scored against the same deterministic
+    * label, bucketed into 10 equal-depth bins by the total order
+    * (margin, doc_id); per bin the exact integer evidence (count,
+    * positives, margin lo/hi/sum) plus the one mirrored division
+    * frac_pos. Discrimination says the scorer ORDERS well; this says
+    * whether a margin VALUE means the same thing across the range —
+    * the table threshold tuning actually reads. Ranks by distributed
+    * range-sort + zipWithIndex (no global window funnel); output is
+    * bins-sized.
+    */
+  private def q175Calibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LinearClassifier
+    val scored = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"), LinearClassifier.margin(col("text")).as("margin"),
+        (size(TextFunctions.tokens(lower(col("text")))) >= 50).as("label"))
+    graft.functions.Stats.calibrationBins(scored, col("margin"), col("doc_id"),
+      col("label"), bins = 10)
+      .transform(sorted1(_, col("bin")))
+  }
+
   /** A7 — get_summary as per-category aggregate (cents-exact avg). */
   private def q07Summary(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -4755,7 +4777,8 @@ object SparkEntry {
     "q171_image_neardup" -> (q171ImageNeardup _),
     "q172_pagerank" -> (q172PageRank _),
     "q173_mp4_meta" -> (q173Mp4Meta _),
-    "q174_lsh_recall" -> (q174LshRecall _))
+    "q174_lsh_recall" -> (q174LshRecall _),
+    "q175_calibration" -> (q175Calibration _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

@@ -280,6 +280,39 @@ object Stats {
     * d_num = max |cumA·n_B − cumB·n_A| exact; either side empty →
     * null d.
     */
+  /** Reliability table for an integer-scored binary classifier — the
+    * CALIBRATION companion to [[auc]] (discrimination): rows ranked by
+    * the total order (score, tieBreak) land in `bins` equal-depth bins
+    * (sizes differ by at most 1); each bin reports exact integer
+    * evidence — count, positives, score min/max/sum — plus the one
+    * mirrored division `frac_pos`. A well-behaved quality gate's
+    * keep-fraction rises monotonically across bins, and this table is
+    * what threshold tuning reads. Ranks via the house distributed
+    * range-sort + zipWithIndex (driver sees per-partition counts
+    * only — a bare rank window would funnel the corpus through one
+    * task); everything after is a bins-sized aggregate.
+    */
+  def calibrationBins(df: DataFrame, score: Column, tieBreak: Column,
+                      label: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(score.cast("long").as("_s"),
+        tieBreak.cast("long").as("_t"), label.cast("boolean").as("_y"))
+      .repartitionByRange(col("_s"), col("_t"))
+      .sortWithinPartitions("_s", "_t")
+    val n = base.count()
+    val ranked = base.rdd.zipWithIndex()
+      .map { case (row, r) => (row.getLong(0), row.getBoolean(2), r * bins / n) }
+      .toDF("_s", "_y", "_bin")
+    ranked.groupBy(col("_bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        min(col("_s")).as("score_lo"), max(col("_s")).as("score_hi"),
+        sum(col("_s")).as("score_sum"))
+      .withColumn("frac_pos", col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
   def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame =
     ksTestCounts(df, value, lit(1L), isA)
 

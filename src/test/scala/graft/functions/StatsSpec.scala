@@ -331,4 +331,68 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 0L)
     assert(r.isNullAt(r.fieldIndex("d")))
   }
+
+  // ---- calibrationBins: the reliability table ----
+
+  private def calib(rows: Seq[(Long, Long, Boolean)], bins: Int = 10,
+                    parts: Int = 4): Seq[(Long, Long, Long, Long, Long, Long, Double)] =
+    Stats.calibrationBins(
+      rows.toDF("s", "t", "y").repartition(parts),
+      col("s"), col("t"), col("y"), bins)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .sortBy(_._1).toSeq
+
+  /** Sequential reference: rank by (s, t), bin = rank*bins/n. */
+  private def refCalib(rows: Seq[(Long, Long, Boolean)],
+                       bins: Int): Seq[(Long, Long, Long, Long, Long, Long, Double)] = {
+    val n = rows.size.toLong
+    rows.sortBy(r => (r._1, r._2)).zipWithIndex
+      .groupBy { case (_, r) => r.toLong * bins / n }
+      .toSeq.sortBy(_._1)
+      .map { case (bin, g) =>
+        val ss = g.map(_._1._1)
+        (bin, g.size.toLong, g.count(_._1._3).toLong,
+          ss.min, ss.max, ss.sum, g.count(_._1._3).toDouble / g.size)
+      }
+  }
+
+  test("calibration: hand case — 4 rows in 2 bins, exact evidence per bin") {
+    // sorted by (s, t): (1,a,F) (2,b,F) (3,c,T) (5,d,T) → bins {0,1}
+    val rows = Seq((3L, 3L, true), (1L, 1L, false), (5L, 4L, true), (2L, 2L, false))
+    val got = calib(rows, bins = 2)
+    assert(got === Seq(
+      (0L, 2L, 0L, 1L, 2L, 3L, 0.0),
+      (1L, 2L, 2L, 3L, 5L, 8L, 1.0)))
+  }
+
+  test("calibration: equal-depth bins differ by at most one, brute parity") {
+    val rows = (1L to 47L).map(i => ((i * 13) % 29, i, i % 3 == 0))
+    val got = calib(rows, bins = 10)
+    assert(got === refCalib(rows, 10))
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"bin sizes: $sizes")
+    assert(sizes.sum === 47L)
+  }
+
+  test("calibration: ties split deterministically by the tie-break column") {
+    // all scores equal: bin assignment rides entirely on the tie-break
+    val rows = (1L to 20L).map(i => (7L, i, i <= 10))
+    val got = calib(rows, bins = 2)
+    assert(got === Seq(
+      (0L, 10L, 10L, 7L, 7L, 70L, 1.0),
+      (1L, 10L, 0L, 7L, 7L, 70L, 0.0)))
+  }
+
+  test("calibration: partition-invariant bit-for-bit") {
+    val rows = (1L to 83L).map(i => ((i * 37) % 50, i, (i * 7) % 5 < 2))
+    assert(calib(rows, parts = 1) === calib(rows, parts = 13))
+  }
+
+  test("calibration: a perfectly separable scorer yields monotone frac_pos") {
+    val rows = (1L to 100L).map(i => (i, i, i > 50))
+    val fracs = calib(rows, bins = 10).map(_._7)
+    assert(fracs === fracs.sorted, s"not monotone: $fracs")
+    assert(fracs.head === 0.0 && fracs.last === 1.0)
+  }
 }
