@@ -576,6 +576,28 @@ object SparkEntry {
     }
   }
 
+  /** q174 without the signature cache — the lazy operator tree for
+    * DumpPlans (the executed form is Exec.withCached, whose dump
+    * would show only the checkpoint scan).
+    */
+  private[graft] def q174LazyPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir)).select("doc_id", "text")
+    val twins = d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      col("text").substr(lit(1),
+        greatest(length(col("text")) - pmod(col("doc_id"), lit(40)), lit(1))).as("text"))
+    val corpus = d.unionByName(twins)
+    val cfg = MinHashLsh.Config()
+    val sigs = MinHashLsh.signatures(corpus, "doc_id", "text", cfg)
+    val cand = MinHashLsh.candidatePairsFromSignatures(sigs, "doc_id", cfg)
+    val pairs = d.select(col("doc_id").as("id_a"),
+      (col("doc_id") + lit(1000000L)).as("id_b"))
+    MinHashLsh.verifyPairs(pairs, sigs.select(col("doc_id"), col("_bases")))
+      .join(cand.withColumn("_c", lit(true)), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        coalesce(col("_c"), lit(false)).as("is_candidate"),
+        (col("jaccard") >= 0.8).as("is_true_dup"))
+  }
+
   /** C90 — CLASSIFIER CALIBRATION TABLE (functions.Stats
     * .calibrationBins, NEW r14b): the reliability companion to q165's
     * AUC — the same q72 margin scored against the same deterministic

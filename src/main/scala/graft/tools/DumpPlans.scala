@@ -205,7 +205,23 @@ object DumpPlans {
     "q152_kneser_ney" ->
       "Kneser-Ney model: ONE corpus explode feeds the (w1,w2) HashAggregate pair (map-side partial); context totals, forward and backward continuation counts are vocab-scale RE-aggregations of that same bigram table (AQE stage reuse — the corpus explodes once, not four times), B rides a one-row broadcast cross join, and the final assembly joins at bigram-vocab scale. The canonical aggregate-before-join LM shape (q95's contract) with KN's extra statistics free-riding the same exchange.",
     "q151_orc_write" ->
-      "Native ORC write: each output task assembles its own stripe + footer with zero coordination (here one model-sized writer task); Spark's orc-core reader consuming the bytes is the plan's correctness witness — the q145 shape on the other columnar format.")
+      "Native ORC write: each output task assembles its own stripe + footer with zero coordination (here one model-sized writer task); Spark's orc-core reader consuming the bytes is the plan's correctness witness — the q145 shape on the other columnar format.",
+    "q166_ann_recall" ->
+      "ANN recall@k: both retrieval tiers run corpus-side — the exact side is the brute-force cosine + per-query top-k (TakeOrdered class, k rows per query), the approximate side reads only the probed buckets; the intersection is a (query, vec) keyed join between two k-row-per-query tables and the recall division is projection arithmetic — the evaluation costs two retrievals plus a result-sized join, never a corpus-scale comparison.",
+    "q169_video_frames" ->
+      "MJPEG AVI frame sampling: container synthesis, the RIFF chunk walk and every-2nd-frame JPEG sample decode all run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q90 decode-stage contract with a frame axis: per-clip cost is frames/step × pixels inside the task, no shuffle until the harness sort, throughput linear in executors. Sampling k frames (never decode-all) is the 100 TB video contract.",
+    "q170_dsir" ->
+      "DSIR selection: documents featurize map-side into hashed n-gram buckets (explode + HashAggregate pair — the raw gram stream partial-aggregates before its one exchange); the bucket model is ≤ 4096 rows and BROADCASTS back, so scoring is a map-side join however large the corpus; top-k selection is rank-based (k rows, never a corpus collect). The published importance-resampling recipe with the model at fixed O(buckets) size by construction.",
+    "q171_image_neardup" ->
+      "Image aHash near-dup: decode + 64-bit hash are MAP-ONLY (one kernel pass per payload); banding explodes 4 fixed-width (band, value, id) rows per image and the candidate join is keyed on (band, value) — bounded buckets, never all-pairs; the popcount verify is projection arithmetic inside the candidate join. The SimHash text-tier plan shape applied to decoded pixels.",
+    "q172_pagerank" ->
+      "Exact-integer PageRank: the loop runs on co-partitioned RDDs (the q117/q101 iterative-operator contract) — edges hash-partitioned ONCE by src and persisted; ranks, degrees and the node universe share the SAME partitioner so the share join and the rank rebuild are NARROW; the one wide op per round is the contribution reduceByKey (map-side combined), the one driver value per round is the dangling-mass scalar fold. Round frames localCheckpoint + freed on exit; a DataFrame loop would re-pay ~0.5 s/round of Catalyst replan. The dump below is the result leaf — the iteration is RDD-land by design.",
+    "q173_mp4_meta" ->
+      "ISO-BMFF container walk: synthesis (writer) and the box-tree parse (largesize/version arms, sample tables, sync fallback) run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q99/q143 container-metadata shape: the route/filter/sample fields a pipeline reads BEFORE any codec work, one task per payload, no shuffle until the harness sort.",
+    "q174_lsh_recall" ->
+      "LSH recall evaluation: the signature table over the 2n-doc corpus (originals + planted twins) computes ONCE (Exec.withCached) and feeds BOTH branches — banding (4 fixed-width rows per doc into the capped (band, hash) bucket join) and verification (8-byte shingle-hash arrays fetched for audit pairs only); the audit join is pairs-scale against the n planted pairs, and the candidate flag is a result-sized left join. The evaluation never does all-pairs work the operator itself wouldn't.",
+    "q175_calibration" ->
+      "Calibration table: the margin is a codegen'd in-row fold (q72's no-exchange scoring pass); ranking is a RANGE exchange + partition-local sort + zipWithIndex (per-partition counts to the driver, never rows — no rank window funnel); bin assignment is integer projection arithmetic and the per-bin evidence is a HashAggregate pair over 10 keys. One corpus scan, one range exchange, one 10-row aggregate.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
@@ -218,6 +234,7 @@ object DumpPlans {
         .nodeMetrics(SparkEntry.q86Edges(spark, sf), "src", "dst"))
       case "q91_bpe_train" => Some(graft.operators.BpeTrainer.round1Plan(
         graft.Tables.documents(spark, sf).select("text"), "text"))
+      case "q174_lsh_recall" => Some(SparkEntry.q174LazyPlan(spark, sf))
       case _ => None
     }
 
