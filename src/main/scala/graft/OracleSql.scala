@@ -2267,6 +2267,47 @@ object OracleSql {
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rk FROM adc)
         |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    // IVFADC composition: the q119 ADC chain restricted to the q40
+    // deterministic probe routing — codes for PROBED buckets only,
+    // then the same per-subspace term fold, ordered sum and ranking.
+    "q176_ivf_pq" ->
+      """WITH cents AS (
+        |  SELECT list_transform(range(0,8), s ->
+        |           list_transform(range(0,4), c ->
+        |             list_transform(range(0,8), j -> CAST((s + 2*c + 3*j) % 5 - 2 AS DOUBLE)))) AS cb),
+        |e AS (SELECT vec_id, embedding, vec_id % 8 AS cid FROM embeddings),
+        |sd AS (SELECT e.vec_id, s.s AS s, c.c AS c,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> cb[s.s+1][c.c+1][j] * cb[s.s+1][c.c+1][j])),
+        |           (a,v) -> a + v)
+        |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> CAST(e.embedding[s.s*8 + j] AS DOUBLE) * cb[s.s+1][c.c+1][j])),
+        |           (a,v) -> a + v) AS d
+        |       FROM e CROSS JOIN cents CROSS JOIN range(0,8) s(s) CROSS JOIN range(0,4) c(c)),
+        |codes AS (SELECT vec_id, s, c AS code FROM
+        |            (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM sd) z
+        |          WHERE rn = 1),
+        |pr AS (SELECT q.vec_id AS query_id, q.embedding AS qe, (q.vec_id + t.i) % 8 AS cid
+        |  FROM embeddings q CROSS JOIN range(0, 3) t(i) WHERE q.vec_id < 8),
+        |cand AS (SELECT pr.query_id, pr.qe, e.vec_id FROM pr JOIN e USING (cid)),
+        |tm AS (SELECT cand.query_id, cand.vec_id, cd.s,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> CAST(cand.qe[cd.s*8 + j] AS DOUBLE) * CAST(cand.qe[cd.s*8 + j] AS DOUBLE))),
+        |           (a,v) -> a + v)
+        |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> CAST(cand.qe[cd.s*8 + j] AS DOUBLE) * cb[cd.s+1][cd.code+1][j])),
+        |           (a,v) -> a + v)
+        |         + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1,9), j -> cb[cd.s+1][cd.code+1][j] * cb[cd.s+1][cd.code+1][j])),
+        |           (a,v) -> a + v) AS t
+        |       FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id CROSS JOIN cents),
+        |adc AS (SELECT query_id, vec_id,
+        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY s)), (a,v) -> a + v) AS adc_dist
+        |        FROM tm GROUP BY query_id, vec_id),
+        |r AS (SELECT query_id, vec_id, adc_dist,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rk FROM adc)
+        |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
     // Progressive JPEG: the q90 oracle pattern over the SOF2 path —
     // flat DC-only blocks decode exactly, so the statistics rebuild
     // from the synthesis arithmetic + the decoder's fixed-point

@@ -576,6 +576,38 @@ object SparkEntry {
     }
   }
 
+  /** C91 — IVFADC, the COMPOSED serving stack (similarity
+    * .ProductQuantizer.searchProbed, NEW r14b): coarse routing prunes
+    * buckets (q40's deterministic cid = vec_id mod 8, probes qid..
+    * qid+2 — the model-free routing that keeps the whole chain
+    * oracle-checkable), PQ codes compress (q119's closed-form literal
+    * codebook), ADC scores — the production ANN layout (Jégou et al.
+    * 2011) run END-TO-END instead of tier-by-tier: encode map-only,
+    * the probe join KEYED on the bucket so each query touches nprobe
+    * buckets' codes (never the corpus — q28's brute crossJoin is
+    * what this prunes), top-k per query over probed rows only. The
+    * oracle replays routing + encode + ADC + ranking in one chain.
+    */
+  private def q176IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.ProductQuantizer
+    val books = (0 until 8).map { sub =>
+      graft.similarity.IvfIndex.Model(8, (0 until 4).map(c =>
+        c -> Array.tabulate(8)(j => ((sub + 2 * c + 3 * j) % 5 - 2).toDouble)).toArray)
+    }
+    val model = ProductQuantizer.Model(dim = 64, m = 8, k = 4, books = books.toArray)
+    val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
+    val encoded = ProductQuantizer.encode(e, model)
+      .withColumn("cid", pmod(col("vec_id"), lit(8)).cast("int"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("_qvec"))
+      .withColumn("cid", explode(array((0 until 3).map(i =>
+        pmod(col("query_id") + i, lit(8)).cast("int")): _*)))
+    ProductQuantizer.searchProbed(encoded, model, probes, k = 5)
+      .withColumn("rk", col("rank").cast("long")).drop("rank")
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .transform(sorted1(_, col("query_id"), col("rk")))
+  }
+
   /** q174 without the signature cache — the lazy operator tree for
     * DumpPlans (the executed form is Exec.withCached, whose dump
     * would show only the checkpoint scan).
@@ -4800,7 +4832,8 @@ object SparkEntry {
     "q172_pagerank" -> (q172PageRank _),
     "q173_mp4_meta" -> (q173Mp4Meta _),
     "q174_lsh_recall" -> (q174LshRecall _),
-    "q175_calibration" -> (q175Calibration _))
+    "q175_calibration" -> (q175Calibration _),
+    "q176_ivf_pq" -> (q176IvfPq _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

@@ -126,4 +126,29 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("adc_dist"))
   }
+
+  /** IVFADC: ADC search restricted to PROBED buckets (Jégou et al.,
+    * TPAMI 2011 — the production serving layout: coarse routing
+    * prunes, PQ codes compress, ADC scores). `encoded` carries a
+    * bucket column; `probes` is (query, _qvec, bucket) — one row per
+    * probed bucket per query, however the caller routes (IvfIndex
+    * centroids, or a deterministic function for the oracled tier).
+    * The join is KEYED on the bucket — per query the scan touches
+    * nprobe buckets' codes, never the corpus (the crossJoin in
+    * [[search]] is the brute baseline this prunes); at serving scale
+    * `encoded` is partitioned by bucket so the probe read is a
+    * partition-pruned fetch (the q29/q40 layout).
+    */
+  def searchProbed(encoded: DataFrame, model: Model, probes: DataFrame, k: Int,
+                   qidCol: String = "query_id", idCol: String = "vec_id",
+                   bucketCol: String = "cid"): DataFrame = {
+    graft.functions.VectorExpressions.register(probes.sparkSession)
+    val rankW = Window.partitionBy(col(qidCol)).orderBy(col("adc_dist").asc, col(idCol))
+    probes.select(col(qidCol), col("_qvec"), col(bucketCol))
+      .join(encoded.select(col(idCol), col("pq_code"), col(bucketCol)), Seq(bucketCol))
+      .withColumn("adc_dist", model.adcDistExpr(col("_qvec"), col("pq_code")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("adc_dist"))
+  }
 }

@@ -221,7 +221,9 @@ object DumpPlans {
     "q174_lsh_recall" ->
       "LSH recall evaluation: the signature table over the 2n-doc corpus (originals + planted twins) computes ONCE (Exec.withCached) and feeds BOTH branches — banding (4 fixed-width rows per doc into the capped (band, hash) bucket join) and verification (8-byte shingle-hash arrays fetched for audit pairs only); the audit join is pairs-scale against the n planted pairs, and the candidate flag is a result-sized left join. The evaluation never does all-pairs work the operator itself wouldn't.",
     "q175_calibration" ->
-      "Calibration table: the margin is a codegen'd in-row fold (q72's no-exchange scoring pass); ranking is a RANGE exchange + partition-local sort + zipWithIndex (per-partition counts to the driver, never rows — no rank window funnel); bin assignment is integer projection arithmetic and the per-bin evidence is a HashAggregate pair over 10 keys. One corpus scan, one range exchange, one 10-row aggregate.")
+      "Calibration table: the margin is a codegen'd in-row fold (q72's no-exchange scoring pass); ranking is a RANGE exchange + partition-local sort + zipWithIndex (per-partition counts to the driver, never rows — no rank window funnel); bin assignment is integer projection arithmetic and the per-bin evidence is a HashAggregate pair over 10 keys. One corpus scan, one range exchange, one 10-row aggregate.",
+    "q176_ivf_pq" ->
+      "IVFADC serving stack: encode is map-side projection arithmetic (the codebook is a literal in the plan — q119's contract); the probe join is KEYED on the bucket (probes explode to nprobe rows per query map-side), so the ADC fold runs over probed buckets' codes only — q28's brute crossJoin is exactly the exchange this composition removes; the per-query top-k windows over probed candidates (result-scale). At serving scale the encoded table partitions by bucket and the probe side prunes partitions (the q29/q40 layout).")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -74,4 +74,32 @@ class ProductQuantizerSpec extends SparkSpec {
   test("geometry contracts fail fast") {
     intercept[IllegalArgumentException](ProductQuantizer.train(df, Dim, m = 3, k = 4))
   }
+
+  test("searchProbed equals brute ADC search restricted to the probed buckets") {
+    val enc = ProductQuantizer.encode(df, model)
+      .withColumn("cid", pmod(col("vec_id"), lit(4)).cast("int"))
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // probe two buckets per query: qid and qid+1 mod 4
+    val probes = queries
+      .select(col("query_id"), col("embedding").as("_qvec"))
+      .withColumn("cid", explode(array((0 until 2).map(i =>
+        pmod(col("query_id") + i, lit(4)).cast("int")): _*)))
+    val probed = ProductQuantizer.searchProbed(enc, model, probes, k = 5)
+      .select("query_id", "rank", "vec_id", "adc_dist")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // reference: brute search over ONLY the vectors in the probed buckets
+    val ref = (0L until 4L).flatMap { qid =>
+      val buckets = Set(qid % 4, (qid + 1) % 4).map(_.toInt)
+      val sub = enc.filter(col("cid").isin(buckets.toSeq: _*))
+      ProductQuantizer.search(sub, model,
+        queries.filter(col("query_id") === qid), k = 5)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+        .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    }
+    assert(probed === ref)
+    // pruning is real: results stay inside probed buckets
+    assert(probed.forall { case (qid, _, vid, _) =>
+      Set(qid % 4, (qid + 1) % 4).contains(vid % 4) })
+  }
 }
