@@ -2308,6 +2308,52 @@ object OracleSql {
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rk FROM adc)
         |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    // Adam7 PNG: the synthesis arithmetic replayed per pixel — channel
+    // sums, peak, and the position-weighted checksum that certifies
+    // the de-interleave PLACEMENT (sums alone are permutation-blind).
+    "q177_png_interlaced" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 30 AS w, 2 + doc_id % 23 AS h FROM documents),
+        |gy AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM p),
+        |gx AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM gy),
+        |v AS (SELECT doc_id, w, h, x, y,
+        |  (x*7 + y*3 + doc_id) % 256 AS r,
+        |  (x*5 + y*11 + 2*doc_id) % 256 AS g,
+        |  (x*13 + y + 3*doc_id) % 256 AS b FROM gx),
+        |s AS (SELECT doc_id,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max(greatest(r, g, b)) AS BIGINT) AS peak,
+        |  CAST(sum((y * w + x) * (r + g + b)) AS BIGINT) AS pos_sum
+        | FROM v GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  sum_r, sum_g, sum_b, peak, pos_sum, true AS valid
+        |FROM p JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Animated GIF: palette synthesis, every-2nd-frame sampling and
+    // the graphic-control delay sum replayed closed-form.
+    "q178_gif_frames" ->
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    2 + doc_id % 5 AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM p),
+        |dur AS (SELECT doc_id, CAST(10 * sum(4 + (f*3 + doc_id) % 12) AS BIGINT) AS duration_ms
+        |  FROM fr GROUP BY doc_id),
+        |sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled FROM sf GROUP BY doc_id),
+        |gy AS (SELECT doc_id, w, h, f, unnest(range(0, h)) AS y FROM sf),
+        |gx AS (SELECT doc_id, w, f, y, unnest(range(0, w)) AS x FROM gy),
+        |px AS (SELECT doc_id, (x*3 + y*5 + f*7 + doc_id) % 16 AS k FROM gx),
+        |cc AS (SELECT doc_id, (k*37 + doc_id) % 256 AS r,
+        |    (k*53 + 2*doc_id) % 256 AS g, (k*11 + 3*doc_id) % 256 AS b FROM px),
+        |st AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_r,
+        |    CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(max(greatest(r, g, b)) AS BIGINT) AS peak
+        |  FROM cc GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, ns.n_sampled, dur.duration_ms,
+        |  st.sum_r, st.sum_g, st.sum_b, st.peak, true AS valid
+        |FROM p JOIN dur USING (doc_id) JOIN ns USING (doc_id) JOIN st USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // Progressive JPEG: the q90 oracle pattern over the SOF2 path —
     // flat DC-only blocks decode exactly, so the statistics rebuild
     // from the synthesis arithmetic + the decoder's fixed-point

@@ -608,6 +608,98 @@ object SparkEntry {
       .transform(sorted1(_, col("query_id"), col("rk")))
   }
 
+  /** C11q — ADAM7 INTERLACED PNG DECODE (multimodal.Png r14b): the
+    * seven-pass interlace arm of the PNG tier — progressive PNGs are
+    * common in older web crawls, and the pre-r14b decoder routed them
+    * to invalid. Each pass is an independent filtered sub-image
+    * (filters reference neighbors WITHIN the pass) de-interleaved by
+    * the spec's offset/stride table; the fixture dims sweep empty and
+    * partial passes. The payloads come from the JDK's OWN progressive
+    * writer (an independent implementation — the spec also pins the
+    * raster pixel-for-pixel), and the output carries a
+    * POSITION-WEIGHTED checksum Σ (y·w+x)·(r+g+b) because channel
+    * sums alone are permutation-blind: a decoder that reconstructs
+    * filters correctly but places pixels wrong passes the sums and
+    * fails this. MAP-ONLY (synthesis, encode, decode, fold in one
+    * kernel pass).
+    */
+  private def q177PngInterlaced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (3 + id % 30).toInt
+        val h = (2 + id % 23).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            rgb(p) = ((x * 7 + y * 3 + id) % 256).toInt.toByte
+            rgb(p + 1) = ((x * 5 + y * 11 + 2 * id) % 256).toInt.toByte
+            rgb(p + 2) = ((x * 13 + y + 3 * id) % 256).toInt.toByte
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = graft.multimodal.Png.encodeViaImageIO(w, h, rgb, interlaced = true)
+        graft.multimodal.Png.decodePixels(bytes) match {
+          case Some((gw, gh, out)) =>
+            var sumR = 0L; var sumG = 0L; var sumB = 0L; var peak = 0L; var posSum = 0L
+            var i = 0
+            while (i < out.length) {
+              val r = out(i) & 0xff; val g = out(i + 1) & 0xff; val b = out(i + 2) & 0xff
+              sumR += r; sumG += g; sumB += b
+              val mx = math.max(r, math.max(g, b))
+              if (mx > peak) peak = mx
+              posSum += (i / 3).toLong * (r + g + b)
+              i += 3
+            }
+            (id, gw.toLong, gh.toLong, sumR, sumG, sumB, peak, posSum, true)
+          case None => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }).toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "peak", "pos_sum", "valid")
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C11r — ANIMATED GIF FRAME SAMPLING (multimodal.Gif.decodeFrames,
+    * NEW r14b): GIF is the web's de-facto third video container, and
+    * the pre-r14b decoder stopped at frame 1 — this walks the whole
+    * animation (graphic-control delays summed for the exact duration,
+    * every 2nd frame decoded under the q169 sample-k-frames
+    * contract). Payloads come from OUR OWN hand-rolled multi-frame
+    * writer (all-literals LZW mirroring the decoder's dictionary
+    * evolution; GifSpec cross-checks the JDK READER frame-for-frame),
+    * and the oracle replays palette synthesis, frame sampling and
+    * delay arithmetic closed-form. MAP-ONLY.
+    */
+  private def q178GifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gifs = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val nf = (2 + id % 5).toInt
+        val palette = Array.tabulate(16)(k =>
+          ((((k * 37 + id) % 256) << 16) | (((k * 53 + 2 * id) % 256) << 8) |
+            ((k * 11 + 3 * id) % 256)).toInt)
+        val frames = (0 until nf).map { f =>
+          Array.tabulate[Byte](w * h) { i =>
+            val x = i % w; val y = i / w
+            ((x * 3 + y * 5 + f * 7 + id) % 16).toByte
+          }
+        }
+        val delays = (0 until nf).map(f => (4 + (f * 3 + id) % 12).toInt)
+        (id, graft.multimodal.Gif.encodeAnimated(w, h, palette, frames, delays))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.gifFrameStats(gifs, step = 2).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("n_sampled"), col("duration_ms"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("peak"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** q174 without the signature cache — the lazy operator tree for
     * DumpPlans (the executed form is Exec.withCached, whose dump
     * would show only the checkpoint scan).
@@ -4833,7 +4925,9 @@ object SparkEntry {
     "q173_mp4_meta" -> (q173Mp4Meta _),
     "q174_lsh_recall" -> (q174LshRecall _),
     "q175_calibration" -> (q175Calibration _),
-    "q176_ivf_pq" -> (q176IvfPq _))
+    "q176_ivf_pq" -> (q176IvfPq _),
+    "q177_png_interlaced" -> (q177PngInterlaced _),
+    "q178_gif_frames" -> (q178GifFrames _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

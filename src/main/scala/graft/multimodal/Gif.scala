@@ -199,6 +199,190 @@ object Gif {
     out
   }
 
+  /** Animated-GIF statistics over SAMPLED frames (r14b): GIF is the
+    * web's third video container in practice — the q169 frame-
+    * sampling contract applies (decode every `step`-th frame, never
+    * all). `durationMs` sums every frame's graphic-control delay
+    * (centiseconds × 10) whether sampled or not; stats cover each
+    * sampled frame's OWN stored pixels (no inter-frame compositing —
+    * the curation signals are per-frame, and disposal compositing
+    * would couple a frame's stats to its predecessors').
+    */
+  final case class GifAnimInfo(
+      width: Int, height: Int, nFrames: Int, nSampled: Int,
+      durationMs: Long, sumR: Long, sumG: Long, sumB: Long, peak: Int,
+      valid: Boolean)
+
+  private val InvalidAnim =
+    GifAnimInfo(0, 0, 0, 0, 0L, 0L, 0L, 0L, 0, valid = false)
+
+  /** Walk every frame; decode frames 0, step, 2·step, …; malformed →
+    * invalid row, never a throw.
+    */
+  def decodeFrames(bytes: Array[Byte], step: Int = 1): GifAnimInfo = {
+    require(step > 0, s"bad sampling step: $step")
+    try decodeFramesOrThrow(bytes, step)
+    catch { case _: Exception => InvalidAnim }
+  }
+
+  private def decodeFramesOrThrow(bytes: Array[Byte], step: Int): GifAnimInfo = {
+    if (bytes == null || bytes.length < 13) return InvalidAnim
+    val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return InvalidAnim
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(6)
+    val screenW = buf.getShort & 0xffff
+    val screenH = buf.getShort & 0xffff
+    val packed = buf.get() & 0xff
+    buf.get(); buf.get() // background index, aspect ratio
+    val globalTable =
+      if ((packed & 0x80) != 0) readColorTable(buf, 2 << (packed & 0x07)) else null
+
+    var nFrames = 0; var nSampled = 0
+    var durationCs = 0L
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var peak = 0
+    while (buf.remaining() >= 1) {
+      (buf.get() & 0xff) match {
+        case 0x21 =>
+          if (buf.remaining() < 1) return InvalidAnim
+          val label = buf.get() & 0xff
+          if (label == 0xf9) { // graphic control: read the delay field
+            val blockLen = buf.get() & 0xff
+            if (blockLen < 4 || buf.remaining() < blockLen + 1) return InvalidAnim
+            buf.get() // packed (disposal/transparency — stats don't composite)
+            durationCs += buf.getShort & 0xffff
+            buf.position(buf.position() + (blockLen - 3))
+            if ((buf.get() & 0xff) != 0) return InvalidAnim // terminator
+          } else skipSubBlocks(buf)
+        case 0x2c =>
+          if (buf.remaining() < 9) return InvalidAnim
+          buf.getShort; buf.getShort // left, top
+          val w = buf.getShort & 0xffff
+          val h = buf.getShort & 0xffff
+          val ipacked = buf.get() & 0xff
+          if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return InvalidAnim
+          val table =
+            if ((ipacked & 0x80) != 0) readColorTable(buf, 2 << (ipacked & 0x07))
+            else globalTable
+          if (table == null) return InvalidAnim
+          if (buf.remaining() < 1) return InvalidAnim
+          val minCodeSize = buf.get() & 0xff
+          if (minCodeSize < 2 || minCodeSize > 11) return InvalidAnim
+          if (nFrames % step == 0) {
+            val data = concatSubBlocks(buf)
+            if (data == null) return InvalidAnim
+            val indices = lzwDecode(minCodeSize, data, w * h)
+            if (indices == null) return InvalidAnim
+            var i = 0
+            while (i < indices.length) {
+              val idx = indices(i) & 0xff
+              if (idx >= table.length / 3) return InvalidAnim
+              val r = table(idx * 3) & 0xff
+              val g = table(idx * 3 + 1) & 0xff
+              val b = table(idx * 3 + 2) & 0xff
+              sumR += r; sumG += g; sumB += b
+              val m = math.max(r, math.max(g, b))
+              if (m > peak) peak = m
+              i += 1
+            }
+            nSampled += 1
+          } else skipSubBlocks(buf) // unsampled frame: skip its LZW data
+          nFrames += 1
+        case 0x3b =>
+          if (nFrames == 0) return InvalidAnim
+          return GifAnimInfo(screenW, screenH, nFrames, nSampled,
+            durationCs * 10L, sumR, sumG, sumB, peak, valid = true)
+        case _ => return InvalidAnim
+      }
+    }
+    InvalidAnim // no trailer
+  }
+
+  /** Hand-rolled multi-frame GIF89a writer: global color table, one
+    * graphic-control extension (delay, centiseconds) per frame, every
+    * frame full-screen, LZW as an all-literals stream that mirrors
+    * the decoder's dictionary evolution (a CLEAR before the table
+    * would overflow) — conformant output any GIF reader accepts
+    * (GifSpec cross-checks the JDK reader frame-for-frame).
+    */
+  def encodeAnimated(width: Int, height: Int, palette: Array[Int],
+                     frames: Seq[Array[Byte]], delaysCs: Seq[Int]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(frames.size == delaysCs.size, "one delay per frame")
+    require(palette.nonEmpty && palette.length <= 256, "palette must be 1..256 entries")
+    frames.foreach(f => require(f.length == width * height, "frame must be w*h indices"))
+    // global color table size: next power of two >= palette length, min 2
+    var gctBits = 1
+    while ((1 << gctBits) < palette.length) gctBits += 1
+    val gctSize = 1 << gctBits
+    val minCodeSize = math.max(2, gctBits)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u16(width); u16(height)
+    u8(0x80 | (gctBits - 1)) // GCT present, size 2^gctBits
+    u8(0); u8(0)
+    (0 until gctSize).foreach { k =>
+      val c = if (k < palette.length) palette(k) else 0
+      u8((c >> 16) & 0xff); u8((c >> 8) & 0xff); u8(c & 0xff)
+    }
+    frames.zip(delaysCs).foreach { case (indices, delay) =>
+      u8(0x21); u8(0xf9); u8(4) // graphic control extension
+      u8(0); u16(delay); u8(0); u8(0) // no disposal, no transparency
+      u8(0x2c); u16(0); u16(0); u16(width); u16(height); u8(0) // descriptor
+      u8(minCodeSize)
+      val lzw = lzwLiteralEncode(minCodeSize, indices)
+      var off = 0
+      while (off < lzw.length) { // 255-byte sub-blocks
+        val n = math.min(255, lzw.length - off)
+        u8(n); out.write(lzw, off, n)
+        off += n
+      }
+      u8(0) // block terminator
+    }
+    u8(0x3b)
+    out.toByteArray
+  }
+
+  /** All-literals GIF LZW: each pixel emitted as its own root code,
+    * tracking the decoder's dictionary growth (an entry per emitted
+    * code after the first, width bump when the table fills the
+    * current width) and clearing before the 4096-entry cap.
+    */
+  private def lzwLiteralEncode(minCodeSize: Int, indices: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0; var curBits = 0
+    var codeSize = minCodeSize + 1
+    var dictSize = eoi + 1
+    var prev = -1
+    def put(code: Int): Unit = {
+      cur |= code << curBits
+      curBits += codeSize
+      while (curBits >= 8) { out.write(cur & 0xff); cur >>= 8; curBits -= 8 }
+    }
+    put(clear)
+    var i = 0
+    while (i < indices.length) {
+      put(indices(i) & 0xff)
+      if (prev >= 0 && dictSize < 4096) {
+        dictSize += 1
+        if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+      prev = indices(i) & 0xff
+      if (dictSize >= 4095) {
+        put(clear)
+        dictSize = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      }
+      i += 1
+    }
+    put(eoi)
+    if (curBits > 0) out.write(cur & 0xff)
+    out.toByteArray
+  }
+
   /** Encode an indexed image as GIF via the JDK's own ImageIO writer
     * (the decode side above is the hand-rolled half of the
     * round-trip). `palette` entries are 0xRRGGBB; indices must be

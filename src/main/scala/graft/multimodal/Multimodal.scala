@@ -431,6 +431,29 @@ object Multimodal {
       })
   }
 
+  case class GifAnimMeta(
+      doc_id: Long, width: Long, height: Long, n_frames: Long,
+      n_sampled: Long, duration_ms: Long, sum_r: Long, sum_g: Long,
+      sum_b: Long, peak: Long, valid: Boolean)
+
+  /** Animated-GIF frame sampling (`Gif.decodeFrames`): the web's
+    * de-facto third video container under the q169 contract — decode
+    * every `step`-th frame to exact integer statistics, sum every
+    * frame's graphic-control delay for the duration, MAP-ONLY.
+    */
+  def gifFrameStats(df: DataFrame, step: Int = 1,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload"): Dataset[GifAnimMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val v = Gif.decodeFrames(bytes, step)
+        GifAnimMeta(id, v.width, v.height, v.nFrames, v.nSampled,
+          v.durationMs, v.sumR, v.sumG, v.sumB, v.peak, v.valid)
+      })
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
     * (explode-per-item, bounded by content size) for the codecs that

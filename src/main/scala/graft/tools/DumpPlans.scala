@@ -223,7 +223,11 @@ object DumpPlans {
     "q175_calibration" ->
       "Calibration table: the margin is a codegen'd in-row fold (q72's no-exchange scoring pass); ranking is a RANGE exchange + partition-local sort + zipWithIndex (per-partition counts to the driver, never rows — no rank window funnel); bin assignment is integer projection arithmetic and the per-bin evidence is a HashAggregate pair over 10 keys. One corpus scan, one range exchange, one 10-row aggregate.",
     "q176_ivf_pq" ->
-      "IVFADC serving stack: encode is map-side projection arithmetic (the codebook is a literal in the plan — q119's contract); the probe join is KEYED on the bucket (probes explode to nprobe rows per query map-side), so the ADC fold runs over probed buckets' codes only — q28's brute crossJoin is exactly the exchange this composition removes; the per-query top-k windows over probed candidates (result-scale). At serving scale the encoded table partitions by bucket and the probe side prunes partitions (the q29/q40 layout).")
+      "IVFADC serving stack: encode is map-side projection arithmetic (the codebook is a literal in the plan — q119's contract); the probe join is KEYED on the bucket (probes explode to nprobe rows per query map-side), so the ADC fold runs over probed buckets' codes only — q28's brute crossJoin is exactly the exchange this composition removes; the per-query top-k windows over probed candidates (result-scale). At serving scale the encoded table partitions by bucket and the probe side prunes partitions (the q29/q40 layout).",
+    "q177_png_interlaced" ->
+      "Adam7 PNG decode: synthesis, the JDK progressive encode and the seven-pass de-interleave all run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q90 decode-stage contract; the interlace arm changes per-row CPU (pass bookkeeping), never the plan.",
+    "q178_gif_frames" ->
+      "Animated GIF frame sampling: the hand-rolled multi-frame encode, the block walk (delays summed frame-by-frame) and every-2nd-frame LZW decode run in one MapPartitions pass — MAP-ONLY with per-clip cost frames/step × pixels; the q169 video contract on the web's third video container.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -103,4 +103,88 @@ class GifSpec extends AnyFunSuite {
     corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x55).toByte
     Gif.decode(corrupt) // corrupt LZW data must not throw
   }
+
+  // ---- animation walk (decodeFrames + the hand-rolled writer) ----
+
+  private def animFixture(nf: Int, w: Int = 5, h: Int = 4):
+      (Array[Int], Seq[Array[Byte]], Seq[Int]) = {
+    val palette = Array.tabulate(16)(k => (k * 37 % 256 << 16) | (k * 53 % 256 << 8) | (k * 11 % 256))
+    val frames = (0 until nf).map { f =>
+      Array.tabulate[Byte](w * h)(i => ((i * 3 + f * 7) % 16).toByte)
+    }
+    val delays = (0 until nf).map(f => 4 + f * 3)
+    (palette, frames, delays)
+  }
+
+  test("animated round trip: frame count, sampled stats and delay sum are exact") {
+    val (palette, frames, delays) = animFixture(5)
+    val bytes = Gif.encodeAnimated(5, 4, palette, frames, delays)
+    val all = Gif.decodeFrames(bytes, step = 1)
+    assert(all.valid && all.width == 5 && all.height == 4)
+    assert(all.nFrames == 5 && all.nSampled == 5)
+    assert(all.durationMs == delays.map(_ * 10L).sum)
+    def frameSums(f: Array[Byte]): (Long, Long, Long) = {
+      val rs = f.map(i => (palette(i & 0xff) >> 16) & 0xff).map(_.toLong).sum
+      val gs = f.map(i => (palette(i & 0xff) >> 8) & 0xff).map(_.toLong).sum
+      val bs = f.map(i => palette(i & 0xff) & 0xff).map(_.toLong).sum
+      (rs, gs, bs)
+    }
+    val want = frames.map(frameSums)
+    assert((all.sumR, all.sumG, all.sumB) ===
+      ((want.map(_._1).sum, want.map(_._2).sum, want.map(_._3).sum)))
+    // step 2 samples frames 0, 2, 4 only; duration still covers all
+    val s2 = Gif.decodeFrames(bytes, step = 2)
+    assert(s2.nFrames == 5 && s2.nSampled == 3)
+    assert(s2.durationMs == all.durationMs)
+    val sampled = Seq(0, 2, 4).map(i => want(i))
+    assert((s2.sumR, s2.sumG, s2.sumB) ===
+      ((sampled.map(_._1).sum, sampled.map(_._2).sum, sampled.map(_._3).sum)))
+  }
+
+  test("the JDK GIF reader accepts the hand-rolled animated writer frame-for-frame") {
+    val (palette, frames, delays) = animFixture(4, w = 7, h = 3)
+    val bytes = Gif.encodeAnimated(7, 3, palette, frames, delays)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 4, "JDK reader must see every frame")
+    (0 until 4).foreach { f =>
+      val img = reader.read(f)
+      assert(img.getWidth == 7 && img.getHeight == 3)
+      for (y <- 0 until 3; x <- 0 until 7) {
+        val want = palette(frames(f)(y * 7 + x) & 0xff)
+        assert((img.getRGB(x, y) & 0xffffff) == want,
+          s"frame $f pixel ($x,$y)")
+      }
+    }
+    reader.dispose(); iis.close()
+  }
+
+  test("a long frame exercises the literal encoder's clear-on-cap path") {
+    // 70*70 = 4900 pixels > 4096: the encoder must emit a mid-stream
+    // CLEAR and the decoder must resynchronize
+    val palette = Array.tabulate(16)(k => k * 0x111111 / 16 * 16)
+    val frame = Array.tabulate[Byte](70 * 70)(i => (i % 16).toByte)
+    val bytes = Gif.encodeAnimated(70, 70, palette, Seq(frame), Seq(10))
+    val v = Gif.decodeFrames(bytes)
+    assert(v.valid && v.nFrames == 1)
+    val wantR = frame.map(i => ((palette(i & 0xff) >> 16) & 0xff).toLong).sum
+    assert(v.sumR == wantR)
+  }
+
+  test("animated malformed payloads are invalid rows, never exceptions") {
+    val (palette, frames, delays) = animFixture(3)
+    val good = Gif.encodeAnimated(5, 4, palette, frames, delays)
+    assert(!Gif.decodeFrames(null).valid)
+    assert(!Gif.decodeFrames("GIF89a junk".getBytes).valid)
+    assert(!Gif.decodeFrames(good.dropRight(1)).valid, "missing trailer")
+    (1 until good.length by 13).foreach(cut => Gif.decodeFrames(good.take(cut)))
+    // single-frame ImageIO GIFs also walk as 1-frame animations
+    val single = Gif.encodeViaImageIO(4, 4,
+      Array.tabulate[Byte](16)(i => (i % 4).toByte),
+      Array(0x000000, 0x404040, 0x808080, 0xc0c0c0))
+    val v = Gif.decodeFrames(single)
+    assert(v.valid && v.nFrames == 1 && v.nSampled == 1)
+  }
 }

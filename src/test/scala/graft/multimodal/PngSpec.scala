@@ -130,4 +130,38 @@ class PngSpec extends AnyFunSuite {
     }
     assert(!Png.decode(gray).valid, "non-truecolor must route to ImageIO tier")
   }
+
+  test("Adam7 interlaced PNGs decode pixel-for-pixel (JDK progressive writer)") {
+    // dims chosen to exercise empty and partial passes: 1x1 hits only
+    // pass 1; 5x3 leaves several passes empty; larger dims hit all 7
+    for ((w, h) <- Seq((1, 1), (2, 2), (5, 3), (8, 8), (16, 9), (33, 7), (13, 21))) {
+      val rgb = pattern(w, h)
+      val bytes = Png.encodeViaImageIO(w, h, rgb, interlaced = true)
+      // the file must actually BE interlaced (IHDR byte 28 after the
+      // 8-byte signature + 8-byte chunk header + 12 fields)
+      assert(bytes(8 + 8 + 12) == 1, s"${w}x$h: JDK writer did not interlace")
+      val got = Png.decodePixels(bytes)
+      assert(got.isDefined, s"${w}x$h: interlaced decode failed")
+      val (gw, gh, grgb) = got.get
+      assert((gw, gh) === ((w, h)))
+      assert(grgb.toSeq === rgb.toSeq,
+        s"${w}x$h: de-interlaced raster differs (placement, not just sums)")
+    }
+  }
+
+  test("interlaced and sequential encodings of the same image decode identically") {
+    val rgb = pattern(24, 17)
+    val seq = Png.decode(Png.encodeViaImageIO(24, 17, rgb))
+    val adam = Png.decode(Png.encodeViaImageIO(24, 17, rgb, interlaced = true))
+    assert(seq.valid && adam.valid)
+    assert(seq === adam)
+  }
+
+  test("truncated interlaced streams are invalid, never exceptions") {
+    val bytes = Png.encodeViaImageIO(16, 16, pattern(16, 16), interlaced = true)
+    (1 until bytes.length by 11).foreach { cut =>
+      Png.decode(bytes.take(cut)) // must not throw
+    }
+    assert(!Png.decode(bytes.take(bytes.length / 2)).valid)
+  }
 }
