@@ -2354,6 +2354,126 @@ object OracleSql {
         |FROM p JOIN dur USING (doc_id) JOIN ns USING (doc_id) JOIN st USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // HITS hubs/authorities: the q172 link graph, three exact-integer
+    // normalize-by-max rounds unrolled as CTE layers — each layer
+    // certifies a fan-in sum, a max fold and a floor-division rescale
+    // on both the authority and the hub side. HUGEINT carries the
+    // x*scale products; // on non-negatives mirrors Scala Long '/'.
+    "q179_hits" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |base AS (SELECT doc_id AS src, unnest(range(0, 1 + doc_id % 3)) AS k
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |e0 AS (SELECT src, (src * (k + 3) + k + 1) % n AS d0, n FROM base CROSS JOIN nn),
+        |ed AS (SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst FROM e0),
+        |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+        |odeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+        |ideg AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+        |h0 AS (SELECT id, CAST(1000000 AS HUGEINT) AS h FROM nodes),
+        |ar1 AS (SELECT dst AS id, CAST(sum(h) AS HUGEINT) AS x FROM ed JOIN h0 ON h0.id = ed.src GROUP BY dst),
+        |ma1 AS (SELECT max(x) AS m FROM ar1),
+        |a1 AS (SELECT id, CASE WHEN m = 0 THEN 0 ELSE (x * 1000000) // m END AS a FROM ar1 CROSS JOIN ma1),
+        |hr1 AS (SELECT src AS id, CAST(sum(a) AS HUGEINT) AS x FROM ed JOIN a1 ON a1.id = ed.dst GROUP BY src),
+        |mh1 AS (SELECT max(x) AS m FROM hr1),
+        |h1 AS (SELECT nodes.id, coalesce(CASE WHEN m = 0 THEN 0 ELSE (x * 1000000) // m END, 0) AS h
+        |  FROM nodes LEFT JOIN hr1 USING (id) CROSS JOIN mh1),
+        |ar2 AS (SELECT dst AS id, CAST(sum(h) AS HUGEINT) AS x FROM ed JOIN h1 ON h1.id = ed.src GROUP BY dst),
+        |ma2 AS (SELECT max(x) AS m FROM ar2),
+        |a2 AS (SELECT id, CASE WHEN m = 0 THEN 0 ELSE (x * 1000000) // m END AS a FROM ar2 CROSS JOIN ma2),
+        |hr2 AS (SELECT src AS id, CAST(sum(a) AS HUGEINT) AS x FROM ed JOIN a2 ON a2.id = ed.dst GROUP BY src),
+        |mh2 AS (SELECT max(x) AS m FROM hr2),
+        |h2 AS (SELECT nodes.id, coalesce(CASE WHEN m = 0 THEN 0 ELSE (x * 1000000) // m END, 0) AS h
+        |  FROM nodes LEFT JOIN hr2 USING (id) CROSS JOIN mh2),
+        |ar3 AS (SELECT dst AS id, CAST(sum(h) AS HUGEINT) AS x FROM ed JOIN h2 ON h2.id = ed.src GROUP BY dst),
+        |ma3 AS (SELECT max(x) AS m FROM ar3),
+        |a3 AS (SELECT id, CASE WHEN m = 0 THEN 0 ELSE (x * 1000000) // m END AS a FROM ar3 CROSS JOIN ma3),
+        |hr3 AS (SELECT src AS id, CAST(sum(a) AS HUGEINT) AS x FROM ed JOIN a3 ON a3.id = ed.dst GROUP BY src),
+        |mh3 AS (SELECT max(x) AS m FROM hr3),
+        |h3 AS (SELECT nodes.id, coalesce(CASE WHEN m = 0 THEN 0 ELSE (x * 1000000) // m END, 0) AS h
+        |  FROM nodes LEFT JOIN hr3 USING (id) CROSS JOIN mh3)
+        |SELECT nodes.id AS node_id, CAST(h3.h AS BIGINT) AS hub_scaled,
+        |  CAST(coalesce(a3.a, 0) AS BIGINT) AS auth_scaled,
+        |  CAST(coalesce(odeg.dg, 0) AS BIGINT) AS out_degree,
+        |  CAST(coalesce(ideg.dg, 0) AS BIGINT) AS in_degree
+        |FROM nodes JOIN h3 ON h3.id = nodes.id LEFT JOIN a3 ON a3.id = nodes.id
+        |LEFT JOIN odeg ON odeg.id = nodes.id LEFT JOIN ideg ON ideg.id = nodes.id
+        |ORDER BY node_id""".stripMargin,
+
+    // Chi-square homogeneity: exact HUGEINT D_c = a·nB − b·nA per
+    // category, the per-term double chain ((dD·dD)/dT)/(dA·dB)
+    // folded IN CATEGORY ORDER via list_reduce — mirroring Spark's
+    // aggregate() over the sorted struct array bit-for-bit.
+    "q180_chisq_drift" ->
+      """WITH d AS (SELECT lang AS c, doc_id % 2 = 0 AS ia FROM documents
+        |  WHERE NOT (doc_id % 2 = 1 AND lang = 'en' AND doc_id % 3 = 0)),
+        |g AS (SELECT c, CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS b FROM d GROUP BY c),
+        |t AS (SELECT CAST(sum(a) AS HUGEINT) AS na, CAST(sum(b) AS HUGEINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS k FROM g),
+        |terms AS (SELECT g.c,
+        |    CAST(CAST(g.a AS HUGEINT) * t.nb - CAST(g.b AS HUGEINT) * t.na AS DOUBLE) AS dd,
+        |    CAST(g.a + g.b AS DOUBLE) AS dt,
+        |    CAST(t.na AS DOUBLE) AS dna, CAST(t.nb AS DOUBLE) AS dnb
+        |  FROM g CROSS JOIN t),
+        |f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(dd * dd / dt / (dna * dnb) ORDER BY c)), (x, y) -> x + y) AS chi2
+        |  FROM terms)
+        |SELECT t.k AS k_categories, CAST(t.na AS BIGINT) AS n_a,
+        |  CAST(t.nb AS BIGINT) AS n_b, t.k - 1 AS df,
+        |  CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL ELSE f.chi2 END AS chi2
+        |FROM t CROSS JOIN f""".stripMargin,
+
+    // Ogg container walk: every output field reconstructs from the
+    // synthesis arithmetic — page/packet counts (id header + per-page
+    // packets + the spanning packet), granule clock, integer-floor
+    // duration. Packet SIZES vary the lacing bytes but not the parsed
+    // counts, which is exactly what the walk must guarantee.
+    "q181_ogg_meta" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    8000 + (doc_id % 5) * 4000 AS rate, 1 + doc_id % 4 AS np,
+        |    240 + (doc_id % 7) * 16 AS gs,
+        |    (doc_id % 5 = 2 AND 1 + doc_id % 4 >= 2) AS span FROM documents),
+        |pg AS (SELECT doc_id, unnest(range(0, np)) AS i FROM p),
+        |pk AS (SELECT doc_id, CAST(sum(1 + (doc_id + i) % 3) AS BIGINT) AS audio_pkts
+        |  FROM pg GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(1 + np AS BIGINT) AS n_pages,
+        |  CAST(1 + audio_pkts + CASE WHEN span THEN 1 ELSE 0 END AS BIGINT) AS n_packets,
+        |  CAST(1 AS BIGINT) AS n_streams, CAST(ch AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate, CAST(np * gs AS BIGINT) AS granule_max,
+        |  CAST((np * gs * 1000) // rate AS BIGINT) AS duration_ms, true AS valid
+        |FROM p JOIN pk USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Arrow IPC read: the writer's synthesis replayed closed-form —
+    // per-column null masks and value formulas over the (batch, row)
+    // grid; the float column is integer-valued by construction so its
+    // sum is exact. The hash certifies schema parse, footer/block
+    // walk, validity-bitmap decode (incl. the empty-buffer no-null
+    // arm), int/double/utf8 buffer layouts and batch boundaries.
+    "q182_arrow_read" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nb FROM documents),
+        |bt AS (SELECT doc_id, unnest(range(0, nb)) AS b FROM p),
+        |rw AS (SELECT doc_id, b, 3 + (doc_id + b) % 5 AS n FROM bt),
+        |rws AS (SELECT doc_id, b, unnest(range(0, n)) AS i FROM rw),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN (i + b + doc_id) % 5 = 0 THEN NULL
+        |         ELSE doc_id * 7 + b * 31 + i * 3 END AS a,
+        |    CASE WHEN (i * 2 + b + doc_id) % 7 = 0 THEN NULL
+        |         ELSE (doc_id + b * 2 + i * 5) % 97 END AS x,
+        |    CASE WHEN (i + 2 * b + doc_id) % 4 = 0 THEN NULL
+        |         ELSE (i + b + doc_id) % 6 END AS slen
+        |  FROM rws),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a_nulls,
+        |    CAST(coalesce(sum(a), 0) AS BIGINT) AS a_sum,
+        |    CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x_nulls,
+        |    CAST(coalesce(sum(x), 0) AS BIGINT) AS x_sum,
+        |    CAST(sum(CASE WHEN slen IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+        |    CAST(coalesce(sum(slen), 0) AS BIGINT) AS s_len_sum
+        |  FROM c GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(nb AS BIGINT) AS n_batches, g.n_rows,
+        |  g.a_nulls, g.a_sum, g.x_nulls, g.x_sum, g.s_nulls, g.s_len_sum,
+        |  true AS valid
+        |FROM p JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // Progressive JPEG: the q90 oracle pattern over the SOF2 path —
     // flat DC-only blocks decode exactly, so the statistics rebuild
     // from the synthesis arithmetic + the decoder's fixed-point

@@ -463,7 +463,7 @@ object SparkEntry {
       .transform(sorted1(_, col("id_a"), col("id_b")))
   }
 
-  /** B46 — PAGERANK, exact-integer tier (operators.PageRank
+  /** B49 — PAGERANK, exact-integer tier (operators.PageRank
     * .ranksScaled, NEW r14b): the C42 library operator GRADUATED to
     * the cross-engine oracle — power iteration with uniform
     * dangling-mass redistribution, replayed bit-exact because every
@@ -480,10 +480,21 @@ object SparkEntry {
     * co-partitioned RDD core (one wide reduceByKey per round, narrow
     * joins otherwise, driver touch = one scalar fold per round).
     */
-  private def q172PageRank(s: SparkSession, dir: String): DataFrame = {
+  private def q172PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.ranksScaled(linkEdges(s, dir), iters = 4)
+      .select(col("id").as("node_id"), col("out_degree"), col("rank_scaled"))
+      .transform(sorted1(_, col("node_id")))
+
+  /** The synthesized directed link graph shared by the link-analysis
+    * queries (q172 PageRank, q179 HITS): multigraph fan-out by
+    * doc_id, modulo-wrapped destinations, id%7==3 nodes dangling
+    * (link-TO-able, never link out) — dangling mass and hub/authority
+    * separation both live.
+    */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nRow = docs.agg(count(lit(1)).as("_n"))
-    val edges = fanOut(s, docs).select(col("doc_id"))
+    fanOut(s, docs).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(7)) =!= 3)
       .crossJoin(broadcast(nRow))
       .select(col("doc_id").as("src"),
@@ -492,9 +503,150 @@ object SparkEntry {
       .select(col("src"),
         when(col("_d0") === col("src"), pmod(col("_d0") + 1, col("_n")))
           .otherwise(col("_d0")).as("dst"))
-    graft.operators.PageRank.ranksScaled(edges, iters = 4)
-      .select(col("id").as("node_id"), col("out_degree"), col("rank_scaled"))
+  }
+
+  /** B50 — HITS HUBS/AUTHORITIES (operators.Hits.scoresScaled, NEW
+    * r14c): the second classic link-analysis prior next to q172's
+    * PageRank, on the SAME synthesized link graph — PageRank scores
+    * global endorsement flow, HITS separates the two roles curation
+    * weighs differently (directory/aggregator pages = high hub, low
+    * authority → boilerplate-heavy; high-authority pages = quality
+    * anchors). The id%7==3 nodes never link out, so they are pure
+    * authorities (hub 0) and the separation is live in the fixture.
+    * Exact-integer normalize-by-max rounds (scaled longs, floor
+    * divisions, integer max folds — bit-identical whatever the
+    * partitioning or engine); the oracle unrolls all three rounds as
+    * CTE layers, certifying both fan-in sums, both max folds and
+    * both rescales per round, not just the final table.
+    */
+  private def q179Hits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hits.scoresScaled(linkEdges(s, dir), iters = 3)
+      .select(col("id").as("node_id"), col("hub_scaled"), col("auth_scaled"),
+        col("out_degree"), col("in_degree"))
       .transform(sorted1(_, col("node_id")))
+
+  /** C92 — CATEGORICAL DRIFT: exact two-sample CHI-SQUARE of
+    * homogeneity (functions.Stats.chiSquare, NEW r14c) over the
+    * corpus LANGUAGE MIX — the drift test q168's KS cannot run (KS
+    * needs an ordered signal; the language/source mix is unordered,
+    * and a silently shifted mix — one feed dries up, a spam source
+    * floods in — is the classic way a crawl goes wrong between
+    * snapshots). The fixture plants real drift: slice B (odd ids)
+    * loses a third of its English documents, so the statistic is
+    * live, not a near-zero null case. D_c = a_c·n_B − b_c·n_A exact
+    * in decimal(38,0); per-category terms fold IN CATEGORY ORDER as
+    * one sequential double chain (the q164/q119 discipline), so the
+    * double rides the oracle hash.
+    */
+  private def q180ChisqDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(s, Tables.documents(s, dir))
+      .filter(!(pmod(col("doc_id"), lit(2)) === 1 && col("lang") === "en" &&
+        pmod(col("doc_id"), lit(3)) === 0))
+    graft.functions.Stats.chiSquare(docs, col("lang"),
+      pmod(col("doc_id"), lit(2)) === 0)
+  }
+
+  /** C93 — OGG CONTAINER WALK (multimodal.Ogg, NEW r14c): the third
+    * major container family next to RIFF (q169) and ISO-BMFF (q173)
+    * — page framing with CRC-verified headers (the Ogg-specific
+    * forward CRC-32, checked on EVERY page), segment-lacing packet
+    * counts (0-byte packets, ≥ 255-byte multi-lacing runs, and a
+    * page-SPANNING packet with the continuation flag all live in the
+    * sweep), Vorbis id-header channels/rate, and the granule-clock
+    * exact duration. What a pipeline reads from crawled Ogg audio
+    * BEFORE any codec work; Vorbis sample decode stays on the
+    * declared native-stub tier (§6, the MP3/AAC reason). MAP-ONLY;
+    * the oracle reconstructs every field from synthesis arithmetic.
+    */
+  private def q181OggMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val oggs = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nAudio = (1 + id % 4).toInt
+        val pagePackets = (0 until nAudio).map { i =>
+          (0 until (1 + (id + i) % 3).toInt).map(j => ((i * 53 + j * 17 + id) % 300).toInt)
+        }
+        val p = graft.multimodal.Ogg.OggParams(
+          channels = (1 + id % 2).toInt,
+          sampleRate = (8000 + (id % 5) * 4000).toInt,
+          pagePackets = pagePackets,
+          granuleStep = 240 + (id % 7) * 16,
+          spanTail = id % 5 == 2 && nAudio >= 2,
+          seed = id)
+        (id, graft.multimodal.Ogg.encode(p))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.oggMeta(oggs).toDF()
+      .select(col("doc_id"), col("n_pages"), col("n_packets"), col("n_streams"),
+        col("channels"), col("sample_rate"), col("granule_max"),
+        col("duration_ms"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C94 — ARROW IPC FILE READ (sources.ArrowIpc, NEW r14c): the
+    * interchange format of ML data tooling (feature stores, dataframe
+    * libraries, GPU loaders) read NATIVELY like q136 Avro / q137
+    * TFRecord / q143 Parquet — magic + encapsulated flatbuffer
+    * messages + footer blocks, all on graft's own minimal flatbuffers
+    * layer (util.FlatBuf), with Int64/Float64/Utf8 columns, validity
+    * bitmaps (both the bitmap arm and the null_count=0 empty-buffer
+    * arm live in the sweep), multiple record batches. ArrowIpcSpec
+    * cross-checks BOTH directions against the real Arrow Java
+    * library on the Spark classpath (the JPEG/ImageIO independent-
+    * implementation pattern); the oracle replays the writer's
+    * synthesis closed-form. MAP-ONLY: one encode+decode kernel per
+    * payload. The float column is synthesized integer-valued so its
+    * sum rides the oracle as an exact long.
+    */
+  private def q182ArrowRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ArrowIpc
+    val schema = Seq(
+      ArrowIpc.Col("a", ArrowIpc.I64, nullable = true),
+      ArrowIpc.Col("x", ArrowIpc.F64, nullable = true),
+      ArrowIpc.Col("s", ArrowIpc.Str, nullable = true))
+    fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nb = (1 + id % 3).toInt
+        val batches = (0 until nb).map { b =>
+          val n = (3 + (id + b) % 5).toInt
+          Seq(
+            (0 until n).map { i =>
+              if ((i + b + id) % 5 == 0) None
+              else Some((id * 7 + b * 31 + i * 3): Any)
+            }: IndexedSeq[Option[Any]],
+            (0 until n).map { i =>
+              if ((i * 2 + b + id) % 7 == 0) None
+              else Some((((id + b * 2 + i * 5) % 97).toDouble): Any)
+            }: IndexedSeq[Option[Any]],
+            (0 until n).map { i =>
+              if ((i + 2 * b + id) % 4 == 0) None
+              else Some(("abc".charAt(((i + id) % 3).toInt).toString *
+                ((i + b + id) % 6).toInt): Any)
+            }: IndexedSeq[Option[Any]])
+        }
+        ArrowIpc.decode(ArrowIpc.encode(schema, batches)) match {
+          case Some(f) =>
+            var aN = 0L; var aS = 0L; var xN = 0L; var xS = 0L; var sN = 0L; var sL = 0L
+            f.batches.foreach { batch =>
+              batch.cols(0).foreach {
+                case None => aN += 1
+                case Some(v) => aS += v.asInstanceOf[Long]
+              }
+              batch.cols(1).foreach {
+                case None => xN += 1
+                case Some(v) => xS += v.asInstanceOf[Double].toLong
+              }
+              batch.cols(2).foreach {
+                case None => sN += 1
+                case Some(v) => sL += v.asInstanceOf[String].length
+              }
+            }
+            (id, f.batches.size.toLong, f.nRows, aN, aS, xN, xS, sN, sL, true)
+          case None => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }).toDF("doc_id", "n_batches", "n_rows", "a_nulls", "a_sum",
+        "x_nulls", "x_sum", "s_nulls", "s_len_sum", "valid")
+      .transform(sorted1(_, col("doc_id")))
   }
 
   /** C88 — ISO-BMFF (MP4) CONTAINER WALK (multimodal.Mp4, NEW r14b):
@@ -4927,7 +5079,11 @@ object SparkEntry {
     "q175_calibration" -> (q175Calibration _),
     "q176_ivf_pq" -> (q176IvfPq _),
     "q177_png_interlaced" -> (q177PngInterlaced _),
-    "q178_gif_frames" -> (q178GifFrames _))
+    "q178_gif_frames" -> (q178GifFrames _),
+    "q179_hits" -> (q179Hits _),
+    "q180_chisq_drift" -> (q180ChisqDrift _),
+    "q181_ogg_meta" -> (q181OggMeta _),
+    "q182_arrow_read" -> (q182ArrowRead _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

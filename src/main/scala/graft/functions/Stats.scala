@@ -403,4 +403,66 @@ object Stats {
                 sqrt((col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double"))))
           .as("rho"))
   }
+
+  /** EXACT two-sample Pearson CHI-SQUARE test of homogeneity over a
+    * CATEGORICAL signal — the drift test [[ksTest]] cannot run: KS
+    * needs an ordered signal (lengths, scores); the source/language/
+    * domain MIX of a corpus is unordered, and a shifted mix is
+    * exactly how a crawl goes wrong silently (one feed dries up, a
+    * spam source floods in). Identity used, algebraically equal to
+    * the textbook Σ(O−E)²/E over the 2×k table:
+    *
+    *   χ² = Σ_c D_c² / (t_c·n_A·n_B),   D_c = a_c·n_B − b_c·n_A,
+    *                                    t_c = a_c + b_c
+    *
+    * D_c is EXACT in decimal(38,0) (products reach N², fine to 1e19
+    * rows); D_c² would reach N⁴ and overflow any fixed decimal, so
+    * each category's term converts to double ONCE and χ² accumulates
+    * as a SEQUENTIAL FOLD IN CATEGORY ORDER (the q164/q119
+    * list-fold discipline — `aggregate` over a sorted struct array —
+    * so the double ride the cross-engine oracle hash; a float `sum`
+    * would be reduction-order-dependent). The per-term chain is
+    * pinned: ((dD·dD)/dT)/(dA·dB).
+    *
+    * Scale: the category table is a BOUNDED-KEY aggregate (map-side
+    * partials absorb corpus scale); the fold runs over one
+    * categories-sized array in one final reduce. Contract: distinct
+    * categories must fit one executor's memory (sources/languages/
+    * domains — thousands, not billions); a corpus-cardinality
+    * category column is a misuse. Output: one row (k_categories,
+    * n_a, n_b, df, chi2); chi2 is null when either side is empty.
+    */
+  def chiSquare(df: DataFrame, category: Column, isA: Column): DataFrame =
+    chiSquareCounts(df, category, lit(1L), isA)
+
+  /** [[chiSquare]] over PRE-AGGREGATED counts — each row a
+    * (category, weight, side) triple; the monitor form (a standing
+    * reference histogram tests each arriving batch at
+    * categories-scale cost, the [[ksTestCounts]] pattern).
+    */
+  def chiSquareCounts(df: DataFrame, category: Column, weight: Column,
+                      isA: Column): DataFrame = {
+    val d = "decimal(38,0)"
+    val g = df.select(category.cast("string").as("_c"),
+        weight.cast("long").as("_w"), isA.cast("boolean").as("_ia"))
+      .groupBy(col("_c"))
+      .agg(sum(when(col("_ia"), col("_w")).otherwise(0L)).as("_a"),
+        sum(when(!col("_ia"), col("_w")).otherwise(0L)).as("_b"))
+    g.agg(
+        count(lit(1)).as("_k"),
+        sum(col("_a")).cast(d).as("_na"), sum(col("_b")).cast(d).as("_nb"),
+        sort_array(collect_list(struct(col("_c"), col("_a"), col("_b")))).as("_cells"))
+      .select(
+        col("_k").as("k_categories"),
+        col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        (col("_k") - 1L).as("df"),
+        when(col("_na") === lit(0).cast(d) || col("_nb") === lit(0).cast(d),
+          lit(null).cast("double"))
+          .otherwise(aggregate(col("_cells"), lit(0.0), (acc, x) => {
+            val dD = (x.getField("_a").cast(d) * col("_nb") -
+              x.getField("_b").cast(d) * col("_na")).cast("double")
+            val dT = (x.getField("_a") + x.getField("_b")).cast("double")
+            acc + dD * dD / dT / (col("_na").cast("double") * col("_nb").cast("double"))
+          })).as("chi2"))
+  }
 }

@@ -454,6 +454,28 @@ object Multimodal {
       })
   }
 
+  case class OggMeta(
+      doc_id: Long, n_pages: Long, n_packets: Long, n_streams: Long,
+      channels: Long, sample_rate: Long, granule_max: Long,
+      duration_ms: Long, valid: Boolean)
+
+  /** Ogg container walk (`Ogg.decode`): CRC-verified pages, lacing
+    * packet counts, stream serials, Vorbis id-header channels/rate
+    * and the granule-clock duration — the pre-codec route/filter
+    * metadata tier, MAP-ONLY at any corpus size.
+    */
+  def oggMeta(df: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload"): Dataset[OggMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val o = Ogg.decode(if (bytes == null) Array.emptyByteArray else bytes)
+        OggMeta(id, o.nPages.toLong, o.nPackets, o.nStreams.toLong,
+          o.channels.toLong, o.sampleRate, o.granuleMax, o.durationMs, o.valid)
+      })
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
     * (explode-per-item, bounded by content size) for the codecs that

@@ -77,4 +77,54 @@ object StreamingDrift {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // ---- D32: the CATEGORICAL arm (chi-square, q180/C92 core) --------
+  // KS above monitors an ORDERED signal's shape; the language/source
+  // MIX of an arriving batch is unordered — its drift test is the
+  // exact chi-square of homogeneity against the same kind of standing
+  // pre-aggregated reference.
+
+  /** Pre-aggregate a reference corpus category to the (c, n) table
+    * each batch tests against. Call once, persist or land as a table.
+    */
+  def referenceCategoryCounts(reference: DataFrame,
+                              category: org.apache.spark.sql.Column): DataFrame =
+    reference.select(category.cast("string").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+
+  /** One categorical monitoring step; public for the spec. `category`
+    * derives the batch rows' category from the (doc_id, text) schema.
+    */
+  private[graft] def testBatchCategorical(batch: DataFrame, batchId: Long,
+                                          refCounts: DataFrame, monitorDir: String,
+                                          chi2Alarm: Double,
+                                          category: org.apache.spark.sql.Column): Unit = {
+    if (batch.isEmpty) return
+    val b = batch.select(category.cast("string").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+    val unioned =
+      refCounts.select(col("c"), col("n"), lit(true).as("ia"))
+        .unionByName(b.select(col("c"), col("n"), lit(false).as("ia")))
+    val verdict = Stats.chiSquareCounts(unioned, col("c"), col("n"), col("ia"))
+      .withColumn("drifted", col("chi2").isNotNull && col("chi2") >= chi2Alarm)
+      .withColumn("batch_no", lit(batchId))
+    verdict.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_no").parquet(monitorDir)
+  }
+
+  /** Wire the categorical monitor (same exactly-once sink contract as
+    * [[start]]).
+    */
+  def startCategorical(spark: SparkSession, inDir: String, refCounts: DataFrame,
+                       monitorDir: String, checkpointDir: String,
+                       category: org.apache.spark.sql.Column,
+                       chi2Alarm: Double = 30.0): StreamingQuery =
+    readDocs(spark, inDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        testBatchCategorical(batch, batchId, refCounts, monitorDir, chi2Alarm, category)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -227,7 +227,15 @@ object DumpPlans {
     "q177_png_interlaced" ->
       "Adam7 PNG decode: synthesis, the JDK progressive encode and the seven-pass de-interleave all run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q90 decode-stage contract; the interlace arm changes per-row CPU (pass bookkeeping), never the plan.",
     "q178_gif_frames" ->
-      "Animated GIF frame sampling: the hand-rolled multi-frame encode, the block walk (delays summed frame-by-frame) and every-2nd-frame LZW decode run in one MapPartitions pass — MAP-ONLY with per-clip cost frames/step × pixels; the q169 video contract on the web's third video container.")
+      "Animated GIF frame sampling: the hand-rolled multi-frame encode, the block walk (delays summed frame-by-frame) and every-2nd-frame LZW decode run in one MapPartitions pass — MAP-ONLY with per-clip cost frames/step × pixels; the q169 video contract on the web's third video container.",
+    "q179_hits" ->
+      "Exact-integer HITS: the loop runs on co-partitioned RDDs (the q172 contract) — the edge list materialized TWICE (keyed by src for the authority fan-in's hub join, keyed by dst for the hub fan-in's authority join), each hash-partitioned ONCE on the shared partitioner, so both per-round joins are NARROW; the two wide reduceByKeys per round (hub mass → dst, authority mass → src) ARE the algorithm, and both are map-side combined. Driver touch per round = two integer max folds (the normalize-by-max scalars). Round frames localCheckpoint + freed; overflow require()d against the measured max degree. The dump below is the result leaf — the iteration is RDD-land by design.",
+    "q180_chisq_drift" ->
+      "Categorical chi-square drift: ONE bounded-key HashAggregate pair builds the 2×k contingency table (map-side partials absorb corpus scale — the exchange carries k category rows per task, never documents), then a single-row aggregate collects the sorted cell array and the chi2 fold runs as in-row projection arithmetic (exact decimal D_c, the ordered double chain). One corpus scan, one k-row exchange, one 1-row aggregate — no corpus-scale sort, window or broadcast anywhere.",
+    "q181_ogg_meta" ->
+      "Ogg container walk: synthesis (writer) and the CRC-verified page walk (lacing packet counts, spanning-packet continuation, Vorbis id header, granule clock) run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q99/q143/q173 container-metadata shape: one task per payload, no shuffle until the harness sort.",
+    "q182_arrow_read" ->
+      "Arrow IPC read: the hand-rolled flatbuffers encode (schema message, record batches, footer) and the footer-driven decode (blocks, validity bitmaps, int/double/utf8 buffers) run in one MapPartitions pass — MAP-ONLY, one file per task, no shuffle until the harness sort. At ingest scale this kernel is the mapPartitions body over binary file payloads (the q131 WARC / q136 Avro shape): per-file cost is bytes-proportional, perfectly data-parallel, zero exchanges.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

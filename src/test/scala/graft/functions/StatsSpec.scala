@@ -395,4 +395,64 @@ class StatsSpec extends SparkSpec {
     assert(fracs === fracs.sorted, s"not monotone: $fracs")
     assert(fracs.head === 0.0 && fracs.last === 1.0)
   }
+
+  // ---- chiSquare: categorical homogeneity drift ----
+
+  private def chi(rows: Seq[(String, Boolean)], parts: Int = 3)
+      : (Long, Long, Long, Long, Option[Double]) = {
+    val r = Stats.chiSquare(rows.toDF("c", "ia").repartition(parts),
+      col("c"), col("ia")).head()
+    (r.getAs[Long]("k_categories"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("df"),
+      if (r.isNullAt(r.fieldIndex("chi2"))) None else Some(r.getAs[Double]("chi2")))
+  }
+
+  /** Textbook Σ(O−E)²/E over the 2×k table — the definitional form
+    * the identity-based fold must agree with (to float tolerance;
+    * the operator's own arithmetic is pinned by the oracle).
+    */
+  private def refChi(rows: Seq[(String, Boolean)]): Double = {
+    val cats = rows.map(_._1).distinct
+    val na = rows.count(_._2).toDouble
+    val nb = rows.size - na
+    val n = na + nb
+    cats.map { c =>
+      val a = rows.count(r => r._1 == c && r._2).toDouble
+      val b = rows.count(r => r._1 == c && !r._2).toDouble
+      val t = a + b
+      val ea = na * t / n; val eb = nb * t / n
+      (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
+    }.sum
+  }
+
+  test("chi2: hand case — one category fully shifted") {
+    // A = {x,x,y,y}, B = {x,x,x,x}: D_x = 2*4-4*4 = -8, D_y = 2*4-0 = 8
+    // chi2 = 64/(6*16) + 64/(2*16) = 2/3 + 2 = 8/3
+    val rows = Seq(("x", true), ("x", true), ("y", true), ("y", true),
+      ("x", false), ("x", false), ("x", false), ("x", false))
+    val (k, na, nb, df, chi2) = chi(rows)
+    assert(k == 2L && na == 4L && nb == 4L && df == 1L)
+    assert(math.abs(chi2.get - 8.0 / 3.0) < 1e-12)
+  }
+
+  test("chi2: identical mixes give 0; definitional parity on a noisy table") {
+    val same = Seq("a", "b", "b", "c").flatMap(c => Seq((c, true), (c, false)))
+    assert(chi(same)._5.get == 0.0)
+    val noisy = (1L to 90L).map(i => (s"c${(i * 7) % 5}", i % 3 == 0))
+    assert(math.abs(chi(noisy)._5.get - refChi(noisy)) < 1e-9)
+  }
+
+  test("chi2: bit-exact partition invariance (ordered fold, not a float sum)") {
+    val rows = (1L to 200L).map(i => (s"s${(i * 13) % 7}", (i * 31) % 2 == 0))
+    val one = chi(rows, parts = 1)
+    val many = chi(rows, parts = 17)
+    assert(one == many)
+    assert(java.lang.Double.doubleToLongBits(one._5.get) ==
+      java.lang.Double.doubleToLongBits(many._5.get))
+  }
+
+  test("chi2: an empty side yields null chi2, evidence intact") {
+    val (k, na, nb, df, chi2) = chi(Seq(("a", true), ("b", true)))
+    assert(k == 2L && na == 2L && nb == 0L && df == 1L && chi2.isEmpty)
+  }
 }

@@ -58,4 +58,58 @@ class StreamingDriftSpec extends SparkSpec {
       assert(streamed0.getAs[Long]("d_num") == batchKs.getAs[Long]("d_num"))
     } finally ref.unpersist()
   }
+
+  // ---- D32: the categorical (chi-square) arm ----
+
+  test("categorical: weighted chiSquareCounts equals row-level chiSquare") {
+    val rows = (1L to 60L).map(i => (s"c${(i * 7) % 5}", i % 3 == 0))
+    val rowLevel = Stats.chiSquare(rows.toDF("c", "ia"), col("c"), col("ia")).head()
+    val counts = rows.groupBy(identity).map { case (k, g) => (k._1, g.size.toLong, k._2) }.toSeq
+    val weighted = Stats.chiSquareCounts(counts.toDF("c", "n", "ia"),
+      col("c"), col("n"), col("ia")).head()
+    assert(rowLevel.toSeq == weighted.toSeq)
+  }
+
+  test("categorical: an in-mix batch passes, a shifted mix alarms; verdict equals batch chi2") {
+    val in = Files.createTempDirectory("graft_dcin").toString
+    val out = Files.createTempDirectory("graft_dcout").toString
+    val cp = Files.createTempDirectory("graft_dccp").toString
+
+    // category = first character; reference mix: a/b/c/d evenly
+    val cats = Seq("a", "b", "c", "d")
+    val reference = (0L until 200L).map(i => (i, cats((i % 4).toInt) + "rest"))
+      .toDF("doc_id", "text")
+    val ref = StreamingDrift.referenceCategoryCounts(
+      reference, substring(col("text"), 1, 1)).persist()
+    try {
+      def jsonl(docs: Seq[(Long, String)]): String =
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n")
+      // batch 0: same even mix; batch 1: all mass on one category
+      Files.writeString(java.nio.file.Paths.get(in, "b0.jsonl"),
+        jsonl((0L until 100L).map(i => (i, cats((i % 4).toInt) + "rest"))))
+      StreamingDrift.startCategorical(spark, in, ref, out, cp,
+        substring(col("text"), 1, 1), chi2Alarm = 30.0).awaitTermination(60000)
+      Files.writeString(java.nio.file.Paths.get(in, "b1.jsonl"),
+        jsonl((100L until 200L).map(i => (i, "arest"))))
+      StreamingDrift.startCategorical(spark, in, ref, out, cp,
+        substring(col("text"), 1, 1), chi2Alarm = 30.0).awaitTermination(60000)
+
+      val verdicts = spark.read.parquet(out)
+        .orderBy("batch_no")
+        .select("drifted", "chi2").as[(Boolean, Double)].collect()
+      assert(verdicts.length == 2)
+      assert(!verdicts(0)._1, s"in-mix batch must not alarm: ${verdicts(0)}")
+      assert(verdicts(0)._2 == 0.0, "identical mixes give exactly 0")
+      assert(verdicts(1)._1, s"shifted mix must alarm: ${verdicts(1)}")
+
+      // stream verdict ≡ batch chiSquare over reference ∪ batch-1 rows
+      val rows = (0L until 200L).map(i => (cats((i % 4).toInt), true)) ++
+        (0L until 100L).map(_ => ("a", false))
+      val batchChi = Stats.chiSquare(rows.toDF("c", "ia"), col("c"), col("ia")).head()
+      val streamed1 = spark.read.parquet(out).filter($"batch_no" === 1L).head()
+      assert(java.lang.Double.doubleToLongBits(streamed1.getAs[Double]("chi2")) ==
+        java.lang.Double.doubleToLongBits(batchChi.getAs[Double]("chi2")))
+      assert(streamed1.getAs[Long]("k_categories") == batchChi.getAs[Long]("k_categories"))
+    } finally ref.unpersist()
+  }
 }
