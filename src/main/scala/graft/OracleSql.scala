@@ -160,6 +160,32 @@ object OracleSql {
     * and q174 (the recall evaluation) so the two replays stay in
     * lockstep with `MinHashLsh` by construction.
     */
+  /** q183/q184 shared chain: the planted-community graph (`ed`) and
+    * four synchronous LPA rounds to `l4` — vote counts + the
+    * (count desc, label asc) argmax per layer, mirroring
+    * LabelPropagation.propagate round for round.
+    */
+  private val lpaChain: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""v$r AS (SELECT recv AS id, l.label, count(*) AS c FROM und
+         |  JOIN l${r - 1} l ON l.id = und.voter GROUP BY 1, 2),
+         |l$r AS (SELECT id, label FROM v$r
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+       |cq AS (SELECT doc_id AS src, doc_id + k AS dst
+       |  FROM (SELECT doc_id, unnest(range(1, 6)) AS k FROM documents) CROSS JOIN nn
+       |  WHERE doc_id % 6 + k < 6 AND doc_id + k < n),
+       |cl AS (SELECT doc_id AS src, doc_id + 6 AS dst
+       |  FROM documents CROSS JOIN nn WHERE doc_id % 29 = 0 AND doc_id + 6 < n),
+       |ed AS (SELECT src, dst FROM cq UNION ALL SELECT src, dst FROM cl),
+       |und AS (SELECT src AS voter, dst AS recv FROM ed
+       |  UNION ALL SELECT dst AS voter, src AS recv FROM ed),
+       |l0 AS (SELECT DISTINCT voter AS id, voter AS label FROM und),
+       |$rounds""".stripMargin
+  }
+
   private def minhashPrsCtes(docsRel: String = "documents"): String =
     """WITH co0 AS (SELECT unnest(range(0, 64)) AS j),
         |c1 AS (SELECT j, (CAST(42 AS HUGEINT) + (j + 1) * CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM co0),
@@ -2473,6 +2499,37 @@ object OracleSql {
         |  g.a_nulls, g.a_sum, g.x_nulls, g.x_sum, g.s_nulls, g.s_len_sum,
         |  true AS valid
         |FROM p JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // LPA communities: four synchronous rounds unrolled (the shared
+    // lpaChain fragment), each layer certifying the undirected vote
+    // count and the deterministic argmax.
+    "q183_label_prop" ->
+      s"""WITH $lpaChain
+         |SELECT id AS node_id, CAST(label AS BIGINT) AS label
+         |FROM l4 ORDER BY node_id""".stripMargin,
+
+    // Modularity of the q183 labels: same chain, then exact-integer
+    // evidence per community and the one mirrored division — HUGEINT
+    // numerator Σ (4m·e_c − d_c²), Q = num / (2m)².
+    "q184_modularity" ->
+      s"""WITH $lpaChain,
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM
+         |    (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed) GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ed),
+         |dc AS (SELECT l4.label, CAST(count(*) AS BIGINT) AS size,
+         |    CAST(sum(dg) AS HUGEINT) AS dsum
+         |  FROM l4 JOIN deg USING (id) GROUP BY 1),
+         |ec AS (SELECT la.label, CAST(count(*) AS HUGEINT) AS intra
+         |  FROM ed JOIN l4 la ON la.id = ed.src JOIN l4 lb ON lb.id = ed.dst
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |qn AS (SELECT CAST(sum(4 * m * coalesce(intra, 0) - dsum * dsum) AS HUGEINT) AS qnum
+         |  FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm)
+         |SELECT dc.label, dc.size, CAST(dc.dsum AS BIGINT) AS degree_sum,
+         |  CAST(coalesce(ec.intra, 0) AS BIGINT) AS intra_edges,
+         |  CAST(mm.m AS BIGINT) AS m_edges,
+         |  CAST(qn.qnum AS DOUBLE) / (CAST(2 * mm.m AS DOUBLE) * CAST(2 * mm.m AS DOUBLE)) AS q
+         |FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm CROSS JOIN qn
+         |ORDER BY label""".stripMargin,
 
     // Progressive JPEG: the q90 oracle pattern over the SOF2 path —
     // flat DC-only blocks decode exactly, so the statistics rebuild

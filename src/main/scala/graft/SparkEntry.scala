@@ -649,6 +649,65 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** Planted-community graph shared by q183/q184: 6-CLIQUES over
+    * consecutive id blocks (all 15 within-block pairs, emitted
+    * join-free as (id, id+k) for k=1..5 while the block holds) plus
+    * sparse id%29==0 bridges to the next block. Synchronous
+    * min-tie-break LPA provably converges on a clique by round 3
+    * (round 1: everyone adopts a block-minimal label; round 2: the
+    * block minimum wins by count; round 3: stable), so four rounds
+    * RECOVER the planted blocks exactly, the single-edge bridges
+    * never outvote five intra edges, and modularity scores the
+    * result strongly positive — every quadrant of the evaluation is
+    * live, not a degenerate all-singleton table.
+    */
+  private def communityEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nRow = docs.agg(count(lit(1)).as("_n"))
+    val base = fanOut(s, docs).select(col("doc_id")).crossJoin(broadcast(nRow))
+    val cliques = base
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1L), lit(5L))).as("k"), col("_n"))
+      .filter(pmod(col("src"), lit(6)) + col("k") < 6 &&
+        col("src") + col("k") < col("_n"))
+      .select(col("src"), (col("src") + col("k")).as("dst"))
+    val bridges = base
+      .filter(pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") + 6 < col("_n"))
+      .select(col("doc_id").as("src"), (col("doc_id") + 6).as("dst"))
+    cliques.unionByName(bridges)
+  }
+
+  /** B51 — LABEL PROPAGATION COMMUNITIES (operators.LabelPropagation,
+    * NEW r14c): deterministic synchronous LPA (min-label tie-break,
+    * undirected multigraph votes, simultaneous updates — the
+    * published algorithm's random/async choices replaced by the
+    * engine-portable ones) over the planted-community graph; four
+    * rounds unrolled by the oracle as CTE layers, each certifying the
+    * vote count and the (count desc, label asc) argmax. Community
+    * detection is the third whole-graph family next to components
+    * and centrality: domain clusters, near-dup families, topical
+    * neighborhoods for the q82 sampling tier.
+    */
+  private def q183LabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LabelPropagation.propagate(communityEdges(s, dir), iters = 4)
+      .select(col("id").as("node_id"), col("label"))
+      .transform(sorted1(_, col("node_id")))
+
+  /** B52 — MODULARITY EVALUATION (LabelPropagation.modularity, NEW
+    * r14c): the clustering counterpart of q165/q166/q174 — the engine
+    * scores its OWN community detection (q183's four-round LPA
+    * labels) with the exact modularity Q: the numerator
+    * Σ_c (4m·e_c − d_c²) all-integer in decimal(38,0), Q one mirrored
+    * division by the double (2m)²; per-community evidence rows (size,
+    * degree sum, intra edges) carry the whole chain under the hash.
+    */
+  private def q184Modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = communityEdges(s, dir)
+    val labels = graft.operators.LabelPropagation.propagate(edges, iters = 4)
+    graft.operators.LabelPropagation.modularity(edges, labels)
+      .transform(sorted1(_, col("label")))
+  }
+
   /** C88 — ISO-BMFF (MP4) CONTAINER WALK (multimodal.Mp4, NEW r14b):
     * the other major container family next to RIFF — big-endian
     * nested boxes, 64-bit largesize and version-1 time arms, unknown-
@@ -5083,7 +5142,9 @@ object SparkEntry {
     "q179_hits" -> (q179Hits _),
     "q180_chisq_drift" -> (q180ChisqDrift _),
     "q181_ogg_meta" -> (q181OggMeta _),
-    "q182_arrow_read" -> (q182ArrowRead _))
+    "q182_arrow_read" -> (q182ArrowRead _),
+    "q183_label_prop" -> (q183LabelProp _),
+    "q184_modularity" -> (q184Modularity _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

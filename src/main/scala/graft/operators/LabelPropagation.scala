@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Label propagation community detection (Raghavan et al. 2007) —
+  * the third whole-graph operator family next to ConnectedComponents
+  * (reachability islands) and PageRank/HITS (centrality): CC merges
+  * everything any path connects, LPA finds DENSELY-knit groups inside
+  * one component — domain clusters in a link graph, near-dup families
+  * in a similarity graph, topical neighborhoods for mixture balancing
+  * (the q82 cluster-sampling tier wants exactly these as input).
+  *
+  * DETERMINISTIC synchronous variant (the published algorithm breaks
+  * ties randomly and updates asynchronously — neither survives a
+  * cross-engine oracle): every node starts labeled with its own id;
+  * each round, every node adopts the most frequent label among its
+  * neighbors over the UNDIRECTED multigraph view (each directed edge
+  * votes both ways, multiplicity counts), ties broken by the SMALLEST
+  * label; all nodes update simultaneously. A fixed `iters` bounds the
+  * rounds (synchronous LPA can two-cycle on bipartite structure —
+  * the fixed round count makes the output well-defined regardless).
+  *
+  * Execution (the r13 iterative-operator contract, like Hits/
+  * PageRank): the undirected edge view materializes ONCE, hash-
+  * partitioned by the voting neighbor, co-partitioned with the label
+  * vector, so the per-round label fetch is NARROW; the two wide ops
+  * per round are the vote count reduceByKey on (node, label) and the
+  * argmax reduceByKey on node — both map-side combined, both keyed
+  * shuffles that never materialize a neighborhood in memory (a hub's
+  * votes aggregate distributively; no collect_list of neighbors
+  * anywhere). Driver touch per round: none (no scalar folds needed).
+  * Round frames localCheckpoint + freed on exit.
+  */
+object LabelPropagation {
+
+  /** (id, label) for every node in `edges` (either side) after
+    * `iters` synchronous rounds.
+    */
+  def propagate(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Ids must be integral (the Bfs/Hierarchy contract): an implicit
+    // cast from string ids would null-drop every edge silently.
+    def requireIntegral(c: String, what: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = edges.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$what column '$c' must be an integral type (byte/short/int/long), got " +
+          s"${dt.simpleString} — encode ids to longs explicitly")
+    }
+    requireIntegral(srcCol, "edge source")
+    requireIntegral(dstCol, "edge destination")
+    val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    val raw = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long")).na.drop()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+    // undirected view keyed by the VOTING endpoint: (voter, receiver)
+    // for both directions of every edge — partitioned once
+    val und = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    retired += und
+    val nodes = und.mapValues(_ => ()).reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    retired += nodes
+    require(!nodes.isEmpty(), "empty graph: edge list has no nodes")
+
+    var labels: RDD[(Long, Long)] = nodes.map { case (id, _) => (id, id) }
+      .partitionBy(part)
+    labels.localCheckpoint()
+    retired += labels
+    var i = 0
+    while (i < iters) {
+      val votes = und.join(labels) // narrow: both on `part`
+        .map { case (_, (receiver, voterLabel)) => ((receiver, voterLabel), 1L) }
+        .reduceByKey(_ + _) // wide #1: distributive count, hub-safe
+      val next = votes
+        .map { case ((node, label), c) => (node, (label, c)) }
+        .reduceByKey(part, { (x: (Long, Long), y: (Long, Long)) =>
+          // argmax: count desc, then SMALLEST label — associative and
+          // commutative, so map-side combine is sound
+          if (x._2 > y._2) x
+          else if (y._2 > x._2) y
+          else if (x._1 <= y._1) x else y
+        }) // wide #2, lands back on `part`
+        .mapValues(_._1)
+      next.localCheckpoint()
+      retired += next
+      labels = next
+      i += 1
+    }
+    val result = spark.createDataset(labels.map { case (id, l) => (id, l) })
+      .toDF("id", "label")
+      .localCheckpoint() // one block set survives: the caller's
+    retired.foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** EXACT MODULARITY of a community assignment over the undirected
+    * multigraph view of `edges` — the evaluation tier for [[propagate]]
+    * (the q165/q166 pattern: the engine scores its own clustering):
+    * Q = Σ_c (e_c/m − (d_c/2m)²) with e_c = intra-community edges,
+    * d_c = community degree sum, m = edge count (self-loops dropped).
+    * All evidence integer: the numerator Σ_c (4m·e_c − d_c²) is exact
+    * in decimal(38,0) (d_c ≤ 2m, so terms reach 4m² — fine past 1e17
+    * edges) and order-independent; Q is ONE mirrored division by the
+    * double (2m)². Output: one row per community (label, size,
+    * degree_sum, intra_edges) with the global m_edges and q repeated
+    * — the whole chain under a single oracle hash.
+    *
+    * Shape: two keyed joins (edge endpoints → labels), two bounded-key
+    * aggregates, a one-row edge count riding a broadcast cross join —
+    * no driver scalar enters the plan, nothing corpus-scale funnels.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 srcCol: String = "src", dstCol: String = "dst",
+                 idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    val d = "decimal(38,0)"
+    val e = edges.select(col(srcCol).cast("long").as("_a"),
+        col(dstCol).cast("long").as("_b"))
+      .na.drop().filter(col("_a") =!= col("_b"))
+    val lab = labels.select(col(idCol).cast("long").as("_id"),
+      col(labelCol).cast("long").as("_l"))
+    val mRow = e.agg(count(lit(1)).as("_m"))
+    val deg = e.select(col("_a").as("_id")).unionAll(e.select(col("_b").as("_id")))
+      .groupBy("_id").agg(count(lit(1)).as("_dg"))
+    val dc = lab.join(deg, "_id")
+      .groupBy(col("_l").as("label"))
+      .agg(count(lit(1)).as("size"), sum(col("_dg")).as("degree_sum"))
+    val ec = e.join(lab.select(col("_id").as("_a"), col("_l").as("_la")), "_a")
+      .join(lab.select(col("_id").as("_b"), col("_l").as("_lb")), "_b")
+      .filter(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val perComm = dc.join(ec, Seq("label"), "left")
+      .select(col("label"), col("size"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      .crossJoin(broadcast(mRow))
+    val qnumRow = perComm.agg(
+      sum(lit(4).cast(d) * col("_m").cast(d) * col("intra_edges").cast(d) -
+        col("degree_sum").cast(d) * col("degree_sum").cast(d)).as("_qnum"))
+    perComm.crossJoin(broadcast(qnumRow))
+      .withColumn("_d2m", (col("_m") * 2).cast("double"))
+      .select(col("label"), col("size"), col("degree_sum"), col("intra_edges"),
+        col("_m").as("m_edges"),
+        (col("_qnum").cast("double") / (col("_d2m") * col("_d2m"))).as("q"))
+  }
+}

@@ -235,7 +235,11 @@ object DumpPlans {
     "q181_ogg_meta" ->
       "Ogg container walk: synthesis (writer) and the CRC-verified page walk (lacing packet counts, spanning-packet continuation, Vorbis id header, granule clock) run in one MapPartitions pass between codegen'd serialize spans — MAP-ONLY, the q99/q143/q173 container-metadata shape: one task per payload, no shuffle until the harness sort.",
     "q182_arrow_read" ->
-      "Arrow IPC read: the hand-rolled flatbuffers encode (schema message, record batches, footer) and the footer-driven decode (blocks, validity bitmaps, int/double/utf8 buffers) run in one MapPartitions pass — MAP-ONLY, one file per task, no shuffle until the harness sort. At ingest scale this kernel is the mapPartitions body over binary file payloads (the q131 WARC / q136 Avro shape): per-file cost is bytes-proportional, perfectly data-parallel, zero exchanges.")
+      "Arrow IPC read: the hand-rolled flatbuffers encode (schema message, record batches, footer) and the footer-driven decode (blocks, validity bitmaps, int/double/utf8 buffers) run in one MapPartitions pass — MAP-ONLY, one file per task, no shuffle until the harness sort. At ingest scale this kernel is the mapPartitions body over binary file payloads (the q131 WARC / q136 Avro shape): per-file cost is bytes-proportional, perfectly data-parallel, zero exchanges.",
+    "q183_label_prop" ->
+      "Deterministic synchronous LPA: the loop runs on co-partitioned RDDs (the q172/q179 contract) — the undirected vote view keyed by the voting endpoint, partitioned once, so the per-round label fetch is narrow; the two wide ops per round are map-side-combined reduceByKeys (vote count on (node,label), then the (count desc, label asc) argmax on node) — both distributive, so a hub's million votes aggregate without ever materializing a neighborhood. Zero driver scalars per round; round frames localCheckpoint + freed. The dump below is the result leaf — the iteration is RDD-land by design.",
+    "q184_modularity" ->
+      "Modularity: two keyed joins tag each edge's endpoints with q183's labels (checkpoint leaf), two bounded-key HashAggregate pairs build the per-community evidence (degree sums, intra-edge counts), the edge count rides a broadcast one-row cross join, and the exact decimal numerator folds in a one-row aggregate — no driver scalar in the plan, no corpus-scale sort or window; Q is projection arithmetic above it.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
