@@ -2424,6 +2424,39 @@ object OracleSql {
         |LEFT JOIN odeg ON odeg.id = nodes.id LEFT JOIN ideg ON ideg.id = nodes.id
         |ORDER BY node_id""".stripMargin,
 
+    // Personalized PageRank (TrustRank): the q172 link graph, three
+    // exact-integer rounds unrolled — seed-gated teleport, dangling
+    // mass to seeds only, non-seed arm pure damped contribution.
+    "q185_trustrank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |base AS (SELECT doc_id AS src, unnest(range(0, 1 + doc_id % 3)) AS k
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |e0 AS (SELECT src, (src * (k + 3) + k + 1) % n AS d0, n FROM base CROSS JOIN nn),
+        |ed AS (SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst FROM e0),
+        |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+        |nds AS (SELECT id, id % 13 = 0 AS sd FROM nodes),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) AS s FROM nds WHERE sd),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+        |r0 AS (SELECT id, sd, CAST(CASE WHEN sd THEN 1000000000000 ELSE 0 END AS BIGINT) AS r FROM nds),
+        |d1 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r0 LEFT JOIN deg USING (id) WHERE dg IS NULL),
+        |c1 AS (SELECT dst AS id, CAST(sum(r // dg) AS BIGINT) AS c FROM ed JOIN r0 ON r0.id = ed.src JOIN deg ON deg.id = ed.src GROUP BY dst),
+        |r1 AS (SELECT nds.id, sd, CAST(CASE WHEN sd THEN 150000000000 + (85 * (coalesce(c, 0) + dm // s)) // 100
+        |    ELSE (85 * coalesce(c, 0)) // 100 END AS BIGINT) AS r
+        |  FROM nds LEFT JOIN c1 USING (id) CROSS JOIN d1 CROSS JOIN sc),
+        |d2 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r1 LEFT JOIN deg USING (id) WHERE dg IS NULL),
+        |c2 AS (SELECT dst AS id, CAST(sum(r // dg) AS BIGINT) AS c FROM ed JOIN r1 ON r1.id = ed.src JOIN deg ON deg.id = ed.src GROUP BY dst),
+        |r2 AS (SELECT nds.id, sd, CAST(CASE WHEN sd THEN 150000000000 + (85 * (coalesce(c, 0) + dm // s)) // 100
+        |    ELSE (85 * coalesce(c, 0)) // 100 END AS BIGINT) AS r
+        |  FROM nds LEFT JOIN c2 USING (id) CROSS JOIN d2 CROSS JOIN sc),
+        |d3 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r2 LEFT JOIN deg USING (id) WHERE dg IS NULL),
+        |c3 AS (SELECT dst AS id, CAST(sum(r // dg) AS BIGINT) AS c FROM ed JOIN r2 ON r2.id = ed.src JOIN deg ON deg.id = ed.src GROUP BY dst),
+        |r3 AS (SELECT nds.id, sd, CAST(CASE WHEN sd THEN 150000000000 + (85 * (coalesce(c, 0) + dm // s)) // 100
+        |    ELSE (85 * coalesce(c, 0)) // 100 END AS BIGINT) AS r
+        |  FROM nds LEFT JOIN c3 USING (id) CROSS JOIN d3 CROSS JOIN sc)
+        |SELECT r3.id AS node_id, r AS rank_scaled,
+        |  CAST(coalesce(dg, 0) AS BIGINT) AS out_degree, sd AS is_seed
+        |FROM r3 LEFT JOIN deg ON deg.id = r3.id ORDER BY node_id""".stripMargin,
+
     // Chi-square homogeneity: exact HUGEINT D_c = a·nB − b·nA per
     // category, the per-term double chain ((dD·dD)/dT)/(dA·dB)
     // folded IN CATEGORY ORDER via list_reduce — mirroring Spark's

@@ -693,6 +693,26 @@ object SparkEntry {
       .select(col("id").as("node_id"), col("label"))
       .transform(sorted1(_, col("node_id")))
 
+  /** B53 — PERSONALIZED PAGERANK / TRUSTRANK (PageRank
+    * .personalizedScaled, NEW r14c; Gyöngyi et al., VLDB 2004):
+    * teleport AND dangling mass return only to a trusted seed set
+    * (ids ≡ 0 mod 13 here), so centrality flows outward from the
+    * seeds — the spam-demotion / topic-anchored variant of q172's
+    * uniform prior, same exact-integer discipline (scaled longs,
+    * floor divisions, bit-identical across engines) and the same
+    * co-partitioned RDD core. The oracle unrolls all three rounds,
+    * certifying the seed-gated teleport arm, the non-seed damped-
+    * contribution arm and the dangling-to-seeds redistribution.
+    */
+  private def q185Trustrank(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .filter(pmod(col("id"), lit(13)) === 0)
+    graft.operators.PageRank.personalizedScaled(linkEdges(s, dir), seeds, iters = 3)
+      .select(col("id").as("node_id"), col("rank_scaled"),
+        col("out_degree"), col("is_seed"))
+      .transform(sorted1(_, col("node_id")))
+  }
+
   /** B52 — MODULARITY EVALUATION (LabelPropagation.modularity, NEW
     * r14c): the clustering counterpart of q165/q166/q174 — the engine
     * scores its OWN community detection (q183's four-round LPA
@@ -5144,7 +5164,8 @@ object SparkEntry {
     "q181_ogg_meta" -> (q181OggMeta _),
     "q182_arrow_read" -> (q182ArrowRead _),
     "q183_label_prop" -> (q183LabelProp _),
-    "q184_modularity" -> (q184Modularity _))
+    "q184_modularity" -> (q184Modularity _),
+    "q185_trustrank" -> (q185Trustrank _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

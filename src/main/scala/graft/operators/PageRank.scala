@@ -178,4 +178,92 @@ object PageRank {
     retired.foreach(_.unpersist(blocking = false))
     result
   }
+
+  /** PERSONALIZED (seeded) PageRank, exact-integer — the TrustRank
+    * shape (Gyöngyi et al., VLDB 2004): teleport mass returns ONLY to
+    * a trusted/topical seed set instead of uniformly, so centrality
+    * flows outward from the seeds and spam farms that bootstrap rank
+    * from nowhere are demoted — the curation prior when a vetted
+    * domain whitelist or topic anchor set exists. Same integer
+    * discipline and co-partitioned RDD execution as [[ranksScaled]]:
+    *
+    *   rank0(v)  = scale·[v ∈ S]
+    *   share/C   = as ranksScaled (one wide reduceByKey per round)
+    *   D         = dangling mass, redistributed to SEEDS: ds = D div |S|
+    *   rank'(v)  = [v∈S]·( ((dden−dnum)·scale) div dden )
+    *             + (dnum·(C(v) + [v∈S]·ds)) div dden
+    *
+    * Every quantity a scaled long, every division a floor division on
+    * non-negatives — bit-identical across engines/partitionings, so
+    * the chain rides the cross-engine oracle. Seeds are intersected
+    * with the graph's node universe (a seed with no edges cannot
+    * receive or emit mass); empty intersection fails fast.
+    */
+  def personalizedScaled(edges: DataFrame, seeds: DataFrame,
+                         srcCol: String = "src", dstCol: String = "dst",
+                         idCol: String = "id",
+                         scale: Long = 1000000000000L, dampNum: Long = 85,
+                         dampDen: Long = 100, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(scale > 0 && dampDen > dampNum && dampNum > 0,
+      s"bad params: scale=$scale damp=$dampNum/$dampDen")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    val raw = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long")).na.drop()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+    val e = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    retired += e
+    val seedRaw = seeds.select(col(idCol).cast("long")).na.drop()
+      .distinct().as[Long].rdd.map((_, ()))
+    // node universe with the seed flag joined ONCE, kept on `part`
+    val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a)
+      .leftOuterJoin(seedRaw.partitionBy(part))
+      .mapValues { case (_, sd) => sd.isDefined }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    retired += nodes
+    val n = nodes.count()
+    require(n > 0, "empty graph: edge list has no nodes")
+    val s = nodes.filter(_._2).count()
+    require(s > 0, "no seed intersects the graph's node universe")
+    require(BigInt(dampNum) * BigInt(s) * BigInt(scale) * 2 <= BigInt(Long.MaxValue),
+      s"dampNum*|S|*scale overflows long (s=$s, scale=$scale) — lower scale")
+    val deg = e.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    retired += deg
+    val teleport = ((dampDen - dampNum) * scale) / dampDen
+
+    var ranks: RDD[(Long, Long)] = nodes.mapValues(sd => if (sd) scale else 0L)
+    ranks.localCheckpoint()
+    retired += ranks
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.leftOuterJoin(deg) // narrow
+      val dangling = withDeg.filter(_._2._2.isEmpty).map(_._2._1).fold(0L)(_ + _)
+      val dSeedShare = dangling / s
+      val shares = withDeg.flatMapValues { case (r, od) => od.map(d => r / d) }
+      val contribs = e.join(shares) // narrow
+        .map { case (_, (dst, sh)) => (dst, sh) }
+        .reduceByKey(part, _ + _) // the round's one wide shuffle
+      val next = nodes.leftOuterJoin(contribs) // narrow
+        .mapValues { case (sd, c) =>
+          val cc = c.getOrElse(0L)
+          if (sd) teleport + (dampNum * (cc + dSeedShare)) / dampDen
+          else (dampNum * cc) / dampDen
+        }
+      next.localCheckpoint()
+      retired += next
+      ranks = next
+      i += 1
+    }
+    val result = spark.createDataset(
+      ranks.leftOuterJoin(deg).join(nodes)
+        .map { case (id, ((r, od), sd)) => (id, r, od.getOrElse(0L), sd) })
+      .toDF("id", "rank_scaled", "out_degree", "is_seed")
+      .localCheckpoint() // one block set survives: the caller's
+    retired.foreach(_.unpersist(blocking = false))
+    result
+  }
 }

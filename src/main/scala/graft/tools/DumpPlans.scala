@@ -239,7 +239,9 @@ object DumpPlans {
     "q183_label_prop" ->
       "Deterministic synchronous LPA: the loop runs on co-partitioned RDDs (the q172/q179 contract) — the undirected vote view keyed by the voting endpoint, partitioned once, so the per-round label fetch is narrow; the two wide ops per round are map-side-combined reduceByKeys (vote count on (node,label), then the (count desc, label asc) argmax on node) — both distributive, so a hub's million votes aggregate without ever materializing a neighborhood. Zero driver scalars per round; round frames localCheckpoint + freed. The dump below is the result leaf — the iteration is RDD-land by design.",
     "q184_modularity" ->
-      "Modularity: two keyed joins tag each edge's endpoints with q183's labels (checkpoint leaf), two bounded-key HashAggregate pairs build the per-community evidence (degree sums, intra-edge counts), the edge count rides a broadcast one-row cross join, and the exact decimal numerator folds in a one-row aggregate — no driver scalar in the plan, no corpus-scale sort or window; Q is projection arithmetic above it.")
+      "Modularity: two keyed joins tag each edge's endpoints with q183's labels (checkpoint leaf), two bounded-key HashAggregate pairs build the per-community evidence (degree sums, intra-edge counts), the edge count rides a broadcast one-row cross join, and the exact decimal numerator folds in a one-row aggregate — no driver scalar in the plan, no corpus-scale sort or window; Q is projection arithmetic above it.",
+    "q185_trustrank" ->
+      "Personalized PageRank: the q172 co-partitioned RDD loop with the seed flag joined into the node universe ONCE (narrow) — per round the same single wide contribution reduceByKey, one dangling scalar fold, and the seed-gated rebuild is pure mapValues arithmetic. Teleport and dangling mass route to seeds only; non-seeds are pure damped inflow. The dump below is the result leaf — the iteration is RDD-land by design.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

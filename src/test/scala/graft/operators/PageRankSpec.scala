@@ -152,4 +152,76 @@ class PageRankSpec extends SparkSpec {
       PageRank.ranksScaled(edges.toDF("src", "dst"), scale = Long.MaxValue / 4))
     assert(ex.getMessage.contains("overflow"))
   }
+
+  // ---- personalizedScaled: the TrustRank shape ----
+
+  /** Driver-side sequential replay of the documented recurrence. */
+  private def refPersonalized(edges: Seq[(Long, Long)], seeds: Set[Long],
+                              iters: Int, scale: Long = 1000000000000L)
+      : Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val inSeeds = nodes.filter(seeds).toSet
+    val s = inSeeds.size
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val teleport = (15L * scale) / 100L
+    var r = nodes.map(v => v -> (if (inSeeds(v)) scale else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filter(v => !deg.contains(v)).map(r).sum
+      val ds = dangling / s
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => r(e._1) / deg(e._1)).sum
+      }
+      r = nodes.map { v =>
+        val c = contrib.getOrElse(v, 0L)
+        v -> (if (inSeeds(v)) teleport + (85L * (c + ds)) / 100L
+              else (85L * c) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  private def personalizedOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                             iters: Int, parts: Int = 1): Map[Long, (Long, Boolean)] = {
+    import spark.implicits._
+    PageRank.personalizedScaled(
+      edges.toDF("src", "dst").repartition(parts), seeds.toDF("id"), iters = iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+  }
+
+  test("personalized: matches the sequential replay bit-for-bit (dangling + multigraph)") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L),
+      (5L, 3L), (2L, 6L), (7L, 1L), (1L, 3L))
+    val seeds = Seq(1L, 4L, 99L) // 99 not in the graph: must be ignored
+    (1 to 4).foreach { k =>
+      val want = refPersonalized(edges, Set(1L, 4L), k)
+      val got = personalizedOf(edges, seeds, iters = k)
+      want.foreach { case (id, r) =>
+        assert(got(id)._1 === r, s"iters=$k node $id: got ${got(id)._1}, want $r")
+      }
+      assert(got(1L)._2 && got(4L)._2 && !got(2L)._2)
+    }
+  }
+
+  test("personalized: nodes unreachable from the seeds hold rank 0") {
+    // component {1,2} seeded; component {10,11} has no path from seeds
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val r = personalizedOf(edges, Seq(1L), iters = 6)
+    assert(r(10L)._1 === 0L && r(11L)._1 === 0L, "no teleport, no inflow: zero")
+    assert(r(1L)._1 > 0L && r(2L)._1 > 0L)
+  }
+
+  test("personalized: bit-exact partition invariance") {
+    val edges = (0L until 150L).flatMap(i => Seq((i, (i * 11 + 1) % 60), (i % 40, i % 60)))
+    val seeds = (0L until 150L by 13).toSeq
+    assert(personalizedOf(edges, seeds, iters = 3, parts = 1) ===
+      personalizedOf(edges, seeds, iters = 3, parts = 11))
+  }
+
+  test("personalized: an empty seed intersection fails fast") {
+    val edges = Seq((1L, 2L))
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException](
+      PageRank.personalizedScaled(edges.toDF("src", "dst"), Seq(42L).toDF("id")))
+    assert(ex.getMessage.contains("seed"))
+  }
 }
