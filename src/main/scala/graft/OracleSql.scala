@@ -2424,6 +2424,32 @@ object OracleSql {
         |LEFT JOIN odeg ON odeg.id = nodes.id LEFT JOIN ideg ON ideg.id = nodes.id
         |ORDER BY node_id""".stripMargin,
 
+    // Matroska/WebM walk: every field reconstructs from the synthesis
+    // arithmetic. The vint/float/unknown-size/Void knobs change the
+    // BYTES but never the parsed VALUES — the walk's guarantee.
+    "q186_mkv_meta" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nc,
+        |    CASE WHEN doc_id % 3 = 0 THEN 500000 ELSE 1000000 END AS ts,
+        |    1000 + doc_id % 50 AS du, doc_id % 2 = 0 AS vid FROM documents),
+        |cl AS (SELECT doc_id, unnest(range(0, nc)) AS c FROM p),
+        |bl AS (SELECT doc_id, c, unnest(range(0, 1 + (doc_id + c) % 4)) AS b FROM cl),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN (b + c + doc_id) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nk
+        |  FROM bl GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CASE WHEN vid THEN 'webm' ELSE 'matroska' END AS doc_type,
+        |  CAST(ts AS BIGINT) AS timestamp_scale,
+        |  CAST((du * ts) // 1000000 AS BIGINT) AS duration_ms,
+        |  CAST(1 AS BIGINT) AS n_tracks,
+        |  CAST(CASE WHEN vid THEN 1 ELSE 2 END AS BIGINT) AS track_type,
+        |  CASE WHEN vid THEN 'V_VP9' ELSE 'A_OPUS' END AS codec_id,
+        |  CAST(CASE WHEN vid THEN 16 + doc_id % 8 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN vid THEN 9 + doc_id % 5 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN vid THEN 0 ELSE 2 END AS BIGINT) AS channels,
+        |  CAST(nc AS BIGINT) AS n_clusters, ag.nb AS n_blocks, ag.nk AS n_keyframes,
+        |  true AS valid
+        |FROM p JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // Personalized PageRank (TrustRank): the q172 link graph, three
     // exact-integer rounds unrolled — seed-gated teleport, dangling
     // mass to seeds only, non-seed arm pure damped contribution.

@@ -693,6 +693,49 @@ object SparkEntry {
       .select(col("id").as("node_id"), col("label"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C95 — MATROSKA/WEBM CONTAINER WALK (multimodal.Matroska, NEW
+    * r14c): the FOURTH container grammar — EBML's variable-length-
+    * integer TLV tree (RFC 8794), after RIFF chunks (q169), ISO-BMFF
+    * boxes (q173) and Ogg pages (q181). The sweep exercises vint
+    * widths, float32 AND float64 Duration, the all-ones unknown-size
+    * Segment (live-muxed files), Void/unknown-element skipping, both
+    * video and audio TrackEntry arms, and SimpleBlock keyframe flags.
+    * VP9/Opus sample decode stays on the declared native-stub tier
+    * (§6). MAP-ONLY; the oracle reconstructs every field from the
+    * synthesis arithmetic.
+    */
+  private def q186MkvMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nc = (1 + id % 3).toInt
+        val p = graft.multimodal.Matroska.MkvParams(
+          docType = if (id % 2 == 0) "webm" else "matroska",
+          timestampScale = if (id % 3 == 0) 500000L else 1000000L,
+          durationUnits = 1000 + id % 50,
+          float32Duration = id % 4 == 1,
+          video = id % 2 == 0,
+          codecId = if (id % 2 == 0) "V_VP9" else "A_OPUS",
+          width = (16 + id % 8).toInt, height = (9 + id % 5).toInt,
+          channels = (1 + id % 2).toInt,
+          clusterBlocks = (0 until nc).map { c =>
+            (0 until (1 + (id + c) % 4).toInt).map { b =>
+              (((id + 3 * c + 2 * b) % 40).toInt, (b + c + id) % 3 == 0)
+            }
+          },
+          unknownSegmentSize = id % 7 == 2,
+          insertVoid = id % 5 == 3,
+          seed = id)
+        (id, graft.multimodal.Matroska.encode(p))
+      }).toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.mkvMeta(vids).toDF()
+      .select(col("doc_id"), col("doc_type"), col("timestamp_scale"),
+        col("duration_ms"), col("n_tracks"), col("track_type"), col("codec_id"),
+        col("width"), col("height"), col("channels"),
+        col("n_clusters"), col("n_blocks"), col("n_keyframes"), col("valid"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** B53 — PERSONALIZED PAGERANK / TRUSTRANK (PageRank
     * .personalizedScaled, NEW r14c; Gyöngyi et al., VLDB 2004):
     * teleport AND dangling mass return only to a trusted seed set
@@ -5165,7 +5208,8 @@ object SparkEntry {
     "q182_arrow_read" -> (q182ArrowRead _),
     "q183_label_prop" -> (q183LabelProp _),
     "q184_modularity" -> (q184Modularity _),
-    "q185_trustrank" -> (q185Trustrank _))
+    "q185_trustrank" -> (q185Trustrank _),
+    "q186_mkv_meta" -> (q186MkvMeta _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

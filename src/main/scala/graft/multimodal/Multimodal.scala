@@ -476,6 +476,29 @@ object Multimodal {
       })
   }
 
+  case class MkvMeta(
+      doc_id: Long, doc_type: String, timestamp_scale: Long,
+      duration_ms: Long, n_tracks: Long, track_type: Long,
+      codec_id: String, width: Long, height: Long, channels: Long,
+      n_clusters: Long, n_blocks: Long, n_keyframes: Long, valid: Boolean)
+
+  /** Matroska/WebM container walk (`Matroska.decode`): EBML tree,
+    * track identity, granule-exact duration, cluster/block/keyframe
+    * counts — the pre-codec route/filter tier, MAP-ONLY.
+    */
+  def mkvMeta(df: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload"): Dataset[MkvMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Matroska.decode(if (bytes == null) Array.emptyByteArray else bytes)
+        MkvMeta(id, m.docType, m.timestampScale, m.durationMs, m.nTracks.toLong,
+          m.trackType, m.codecId, m.width, m.height, m.channels,
+          m.nClusters, m.nBlocks, m.nKeyframes, m.valid)
+      })
+  }
+
   /** Frame sampling stub: every media doc yields ceil(bytes/step)
     * frame fingerprints — the Spark shape of video frame extraction
     * (explode-per-item, bounded by content size) for the codecs that

@@ -241,7 +241,9 @@ object DumpPlans {
     "q184_modularity" ->
       "Modularity: two keyed joins tag each edge's endpoints with q183's labels (checkpoint leaf), two bounded-key HashAggregate pairs build the per-community evidence (degree sums, intra-edge counts), the edge count rides a broadcast one-row cross join, and the exact decimal numerator folds in a one-row aggregate — no driver scalar in the plan, no corpus-scale sort or window; Q is projection arithmetic above it.",
     "q185_trustrank" ->
-      "Personalized PageRank: the q172 co-partitioned RDD loop with the seed flag joined into the node universe ONCE (narrow) — per round the same single wide contribution reduceByKey, one dangling scalar fold, and the seed-gated rebuild is pure mapValues arithmetic. Teleport and dangling mass route to seeds only; non-seeds are pure damped inflow. The dump below is the result leaf — the iteration is RDD-land by design.")
+      "Personalized PageRank: the q172 co-partitioned RDD loop with the seed flag joined into the node universe ONCE (narrow) — per round the same single wide contribution reduceByKey, one dangling scalar fold, and the seed-gated rebuild is pure mapValues arithmetic. Teleport and dangling mass route to seeds only; non-seeds are pure damped inflow. The dump below is the result leaf — the iteration is RDD-land by design.",
+    "q186_mkv_meta" ->
+      "Matroska/WebM walk: synthesis (writer) and the recursive EBML descent (vint ids/sizes, unknown-size segment to EOF, Void skipping, SimpleBlock flags) run in one MapPartitions pass — MAP-ONLY, the q99/q143/q173/q181 container-metadata shape: one task per payload, no shuffle until the harness sort.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
