@@ -2424,6 +2424,47 @@ object OracleSql {
         |LEFT JOIN odeg ON odeg.id = nodes.id LEFT JOIN ideg ON ideg.id = nodes.id
         |ORDER BY node_id""".stripMargin,
 
+    // Robust MAD outliers: the q46 integer median interpolation at
+    // value level (cumulative weights over distinct values), twice
+    // (median, then MAD over re-aggregated deviations), then the
+    // all-long |x−med| > 3·MAD flag — no division anywhere.
+    "q187_mad_outliers" ->
+      """WITH src AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (CASE WHEN l_orderkey % 997 = 0 THEN 100 ELSE 1 END) AS v
+        |  FROM lineitem),
+        |vc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM vc),
+        |meda AS (SELECT g, max(n) AS n,
+        |    min(CASE WHEN cm >= ((n - 1) * 50) // 100 + 1 THEN v END) AS lo,
+        |    min(CASE WHEN cm >= ((n - 1) * 50) // 100 +
+        |      (CASE WHEN ((n - 1) * 50) % 100 > 0 THEN 1 ELSE 0 END) + 1 THEN v END) AS hi
+        |  FROM cum GROUP BY g),
+        |med AS (SELECT g, n,
+        |    (lo * (100 - ((n - 1) * 50) % 100) + hi * (((n - 1) * 50) % 100) + 50) // 100 AS md
+        |  FROM meda),
+        |dv AS (SELECT vc.g, abs(v - md) AS v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM vc JOIN med USING (g) GROUP BY 1, 2),
+        |dcum AS (SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM dv),
+        |mada AS (SELECT g, max(n) AS n,
+        |    min(CASE WHEN cm >= ((n - 1) * 50) // 100 + 1 THEN v END) AS lo,
+        |    min(CASE WHEN cm >= ((n - 1) * 50) // 100 +
+        |      (CASE WHEN ((n - 1) * 50) % 100 > 0 THEN 1 ELSE 0 END) + 1 THEN v END) AS hi
+        |  FROM dcum GROUP BY g),
+        |mad AS (SELECT g,
+        |    (lo * (100 - ((n - 1) * 50) % 100) + hi * (((n - 1) * 50) % 100) + 50) // 100 AS md
+        |  FROM mada)
+        |SELECT vc.g AS grp, CAST(max(med.n) AS BIGINT) AS n,
+        |  CAST(max(med.md) AS BIGINT) AS median, CAST(max(mad.md) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN abs(v - med.md) > 3 * mad.md THEN c ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(max(abs(v - med.md)) AS BIGINT) AS max_dev
+        |FROM vc JOIN med USING (g) JOIN mad USING (g)
+        |GROUP BY vc.g ORDER BY grp""".stripMargin,
+
     // Matroska/WebM walk: every field reconstructs from the synthesis
     // arithmetic. The vint/float/unknown-size/Void knobs change the
     // BYTES but never the parsed VALUES — the walk's guarantee.

@@ -693,6 +693,27 @@ object SparkEntry {
       .select(col("id").as("node_id"), col("label"))
       .transform(sorted1(_, col("node_id")))
 
+  /** B54 — ROBUST OUTLIERS: exact per-group MEDIAN/MAD flagging
+    * (functions.Stats.madOutliers, NEW r14c) — the robust companion
+    * to q106's k·σ z-test, which its own outliers blind (one extreme
+    * spike inflates σ until a moderate spike hides under 3σ; the
+    * spec demonstrates the masking). The fixture plants BOTH: every
+    * l_orderkey%997==0 line's price is 100×, so MAD flags spikes the
+    * z-test would mask. All integer: q46's median interpolation at
+    * value level (one corpus groupBy collapses to (group, value,
+    * count); every window after runs over bounded distinct values
+    * with weights — the q168 discipline), and the flag is the long
+    * comparison |x−med| > k·MAD, no division anywhere.
+    */
+  private def q187MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = fanOut(s, Tables.lineitem(s, dir))
+      .select(col("l_returnflag").as("g"),
+        (cents(col("l_extendedprice")) *
+          when(pmod(col("l_orderkey"), lit(997)) === 0, 100L).otherwise(1L)).as("v"))
+    graft.functions.Stats.madOutliers(li, col("g"), col("v"), k = 3)
+      .transform(sorted1(_, col("grp")))
+  }
+
   /** C95 — MATROSKA/WEBM CONTAINER WALK (multimodal.Matroska, NEW
     * r14c): the FOURTH container grammar — EBML's variable-length-
     * integer TLV tree (RFC 8794), after RIFF chunks (q169), ISO-BMFF
@@ -5209,7 +5230,8 @@ object SparkEntry {
     "q183_label_prop" -> (q183LabelProp _),
     "q184_modularity" -> (q184Modularity _),
     "q185_trustrank" -> (q185Trustrank _),
-    "q186_mkv_meta" -> (q186MkvMeta _))
+    "q186_mkv_meta" -> (q186MkvMeta _),
+    "q187_mad_outliers" -> (q187MadOutliers _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

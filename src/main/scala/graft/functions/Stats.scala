@@ -404,6 +404,73 @@ object Stats {
           .as("rho"))
   }
 
+  /** EXACT per-group MEDIAN / MAD robust outlier detection — the
+    * robust-statistics companion to q106's k·σ z-test and q128's
+    * CUSUM: mean/σ are themselves dragged by the outliers they hunt
+    * (one 100× spike inflates σ until nothing else flags), while the
+    * median and the MEDIAN ABSOLUTE DEVIATION have a 50% breakdown
+    * point. Flags values with |x − median| > k·MAD — ENTIRELY in
+    * integer arithmetic (the flag is a long comparison, no division,
+    * no 1.4826 consistency scaling — k is calibrated against raw MAD).
+    *
+    * Medians use the q46 integer interpolation ((lo·(100−rem) +
+    * hi·rem + 50) div 100 at p=50, so even-n medians round half-up)
+    * computed at VALUE level: one corpus-scale groupBy collapses to
+    * (group, value, count) rows first, and every window after that
+    * runs over the bounded distinct-value table with weights (the
+    * q168 weighted-prefix discipline) — a per-group window over raw
+    * corpus rows would funnel a 100 TB group through one task; over
+    * its distinct cents values it is bounded and cheap. The MAD pass
+    * re-aggregates |x − med| (collisions merge) and reuses the same
+    * median kernel.
+    *
+    * Output: one row per group (grp, n, median, mad, n_outliers,
+    * max_dev) — all longs, fully oracle-hashable.
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wg = Window.partitionBy("_g")
+    // (group, value, count) -> (group, n, med) via the q46 integer
+    // interpolation over the cumulative-weight rank
+    def medianOf(t: DataFrame): DataFrame = {
+      val cum = t.withColumn("_cum", sum(col("_c")).over(w))
+        .withColumn("_n", sum(col("_c")).over(wg))
+      val num = (col("_n") - 1) * 50
+      val loIdx = call_function("div", num, lit(100L))
+      val hiIdx = loIdx + when(pmod(num, lit(100L)) > 0, 1L).otherwise(0L)
+      val g = cum.groupBy(col("_g"))
+        .agg(max(col("_n")).as("_n"),
+          min(when(col("_cum") >= loIdx + 1, col("_v"))).as("_lo"),
+          min(when(col("_cum") >= hiIdx + 1, col("_v"))).as("_hi"))
+      val rem = pmod((col("_n") - 1) * 50, lit(100L))
+      g.select(col("_g"), col("_n"),
+        call_function("div",
+          col("_lo") * (lit(100L) - rem) + col("_hi") * rem + 50L, lit(100L))
+          .as("_med"))
+    }
+    val vc = df.select(group.cast("string").as("_g"), value.cast("long").as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    graft.Exec.withCached(vc) { v =>
+      val med = medianOf(v)
+      val dev = v.join(med.select(col("_g"), col("_med")), "_g")
+        .select(col("_g"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
+        .groupBy("_g", "_v").agg(sum(col("_c")).as("_c"))
+      val mad = medianOf(dev).select(col("_g"), col("_med").as("_mad"))
+      v.join(med, "_g").join(mad, "_g")
+        .groupBy(col("_g"))
+        .agg(max(col("_n")).as("n"), max(col("_med")).as("median"),
+          max(col("_mad")).as("mad"),
+          sum(when(abs(col("_v") - col("_med")) > lit(k.toLong) * col("_mad"),
+            col("_c")).otherwise(0L)).as("n_outliers"),
+          max(abs(col("_v") - col("_med"))).as("max_dev"))
+        .select(col("_g").as("grp"), col("n"), col("median"), col("mad"),
+          col("n_outliers"), col("max_dev"))
+    }
+  }
+
   /** EXACT two-sample Pearson CHI-SQUARE test of homogeneity over a
     * CATEGORICAL signal — the drift test [[ksTest]] cannot run: KS
     * needs an ordered signal (lengths, scores); the source/language/

@@ -243,7 +243,9 @@ object DumpPlans {
     "q185_trustrank" ->
       "Personalized PageRank: the q172 co-partitioned RDD loop with the seed flag joined into the node universe ONCE (narrow) — per round the same single wide contribution reduceByKey, one dangling scalar fold, and the seed-gated rebuild is pure mapValues arithmetic. Teleport and dangling mass route to seeds only; non-seeds are pure damped inflow. The dump below is the result leaf — the iteration is RDD-land by design.",
     "q186_mkv_meta" ->
-      "Matroska/WebM walk: synthesis (writer) and the recursive EBML descent (vint ids/sizes, unknown-size segment to EOF, Void skipping, SimpleBlock flags) run in one MapPartitions pass — MAP-ONLY, the q99/q143/q173/q181 container-metadata shape: one task per payload, no shuffle until the harness sort.")
+      "Matroska/WebM walk: synthesis (writer) and the recursive EBML descent (vint ids/sizes, unknown-size segment to EOF, Void skipping, SimpleBlock flags) run in one MapPartitions pass — MAP-ONLY, the q99/q143/q173/q181 container-metadata shape: one task per payload, no shuffle until the harness sort.",
+    "q187_mad_outliers" ->
+      "MAD outliers: ONE corpus-scale HashAggregate pair collapses to (group, value, count) — the only exchange that sees row volume; both median passes and the flag fold are windows and joins over the bounded distinct-value table (weighted cumulative ranks, the q168 discipline), so a 100 TB group costs its distinct cents values, not its rows. All arithmetic integer; Exec.withCached pins the value table across the three consumers.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -455,4 +455,66 @@ class StatsSpec extends SparkSpec {
     val (k, na, nb, df, chi2) = chi(Seq(("a", true), ("b", true)))
     assert(k == 2L && na == 2L && nb == 0L && df == 1L && chi2.isEmpty)
   }
+
+  // ---- madOutliers: robust median/MAD flagging ----
+
+  private def refMed(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    val num = (s.size - 1) * 50
+    val lo = s(num / 100)
+    val hi = s(num / 100 + (if (num % 100 > 0) 1 else 0))
+    (lo * (100 - num % 100) + hi * (num % 100) + 50) / 100
+  }
+
+  private def mad(rows: Seq[(String, Long)], k: Int = 3, parts: Int = 3)
+      : Map[String, (Long, Long, Long, Long, Long)] =
+    Stats.madOutliers(rows.toDF("g", "v").repartition(parts), col("g"), col("v"), k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("mad: hand cases — odd exact middle, even rounds half-up") {
+    val odd = mad(Seq(("a", 1L), ("a", 5L), ("a", 100L)))
+    // median 5, devs {4,0,95} -> mad 4, outlier: 95 > 12
+    assert(odd("a") == ((3L, 5L, 4L, 1L, 95L)))
+    val even = mad(Seq(("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L)))
+    // median (2+3+1)/2 = 3 (half-up); devs {2,1,0,1} -> mad (1+1+1)/2 = 1
+    assert(even("b")._2 == 3L && even("b")._3 == 1L && even("b")._4 == 0L)
+  }
+
+  test("mad: definitional parity on noisy groups; robust where the z-test breaks") {
+    // one extreme spike plus a MODERATE outlier: the extreme inflates
+    // sigma until the moderate one hides under 3-sigma (masking) —
+    // MAD's 50% breakdown point catches both
+    val rows = (1L to 90L).map(i => (s"g${i % 2}", (i * 37) % 50)) ++
+      Seq(("g0", 100000L), ("g0", 4000L))
+    val got = mad(rows)
+    Seq("g0", "g1").foreach { g =>
+      val xs = rows.filter(_._1 == g).map(_._2)
+      val m = refMed(xs)
+      val d = refMed(xs.map(x => math.abs(x - m)))
+      val out = xs.count(x => math.abs(x - m) > 3 * d)
+      assert(got(g) == ((xs.size.toLong, m, d,
+        out.toLong, xs.map(x => math.abs(x - m)).max)), s"group $g")
+    }
+    assert(got("g0")._4 >= 2L, "MAD flags the extreme AND the moderate outlier")
+    val xs = rows.filter(_._1 == "g0").map(_._2.toDouble)
+    val mean = xs.sum / xs.size
+    val sigma = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size)
+    val zFlagged = xs.count(x => math.abs(x - mean) > 3 * sigma)
+    assert(zFlagged == 1 && math.abs(4000.0 - mean) <= 3 * sigma,
+      "the z-test sees only the extreme spike; its own sigma masks the moderate one")
+  }
+
+  test("mad: identical values give mad 0, and any deviation then flags") {
+    val same = mad(Seq(("c", 7L), ("c", 7L), ("c", 7L), ("c", 7L)))
+    assert(same("c") == ((4L, 7L, 0L, 0L, 0L)))
+    val spiked = mad(Seq(("c", 7L), ("c", 7L), ("c", 7L), ("c", 7L), ("c", 8L)))
+    assert(spiked("c")._3 == 0L && spiked("c")._4 == 1L,
+      "dev 1 > 3*0: a zero-MAD group flags any deviation")
+  }
+
+  test("mad: bit-exact partition invariance") {
+    val rows = (1L to 200L).map(i => (s"p${i % 3}", (i * 13) % 40 + (if (i % 67 == 0) 5000L else 0L)))
+    assert(mad(rows, parts = 1) == mad(rows, parts = 17))
+  }
 }
