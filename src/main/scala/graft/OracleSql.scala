@@ -2424,6 +2424,42 @@ object OracleSql {
         |LEFT JOIN odeg ON odeg.id = nodes.id LEFT JOIN ideg ON ideg.id = nodes.id
         |ORDER BY node_id""".stripMargin,
 
+    // Suffix-array span dedup: the oracle sorts the ACTUAL truncated
+    // suffixes (window lag/lead over the same (key, id, p) total
+    // order the range sort produces) and replays the capped LCP fold
+    // per neighbor — certifying the rank, the join-shift and the fold.
+    "q188_suffix_dedup" ->
+      """WITH aug AS (SELECT d.doc_id AS id,
+        |    d.text || CASE WHEN d.doc_id % 11 = 0 AND d2.text IS NOT NULL
+        |      THEN substring(d2.text, 11, 30) ELSE '' END AS t
+        |  FROM documents d LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1),
+        |pos AS (SELECT id, unnest(range(1, length(t) + 1)) AS p, t FROM aug WHERE length(t) >= 1),
+        |kx AS (SELECT id, p, substring(t, p, 48) AS key FROM pos),
+        |nb AS (SELECT id, key,
+        |    lag(key) OVER w AS key_prev, coalesce(lag(id) OVER w, -1) AS id_prev,
+        |    lead(key) OVER w AS key_next, coalesce(lead(id) OVER w, -1) AS id_next
+        |  FROM kx WINDOW w AS (ORDER BY key, id, p)),
+        |lc AS (SELECT id, id_prev, id_next,
+        |    CASE WHEN key_prev IS NULL THEN 0 ELSE least(
+        |      list_reduce(list_prepend(0, range(1, 49)),
+        |        (acc, i) -> CASE WHEN acc = i - 1
+        |          AND substring(key, i, 1) = substring(key_prev, i, 1) THEN i ELSE acc END),
+        |      length(key), length(key_prev)) END AS lcp_prev,
+        |    CASE WHEN key_next IS NULL THEN 0 ELSE least(
+        |      list_reduce(list_prepend(0, range(1, 49)),
+        |        (acc, i) -> CASE WHEN acc = i - 1
+        |          AND substring(key, i, 1) = substring(key_next, i, 1) THEN i ELSE acc END),
+        |      length(key), length(key_next)) END AS lcp_next
+        |  FROM nb)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+        |  CAST(sum(CASE WHEN lcp_prev >= 20 OR lcp_next >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos,
+        |  CAST(sum(CASE WHEN (id_prev <> id AND lcp_prev >= 20)
+        |      OR (id_next <> id AND lcp_next >= 20) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_cross,
+        |  CAST(max(greatest(lcp_prev, lcp_next)) AS BIGINT) AS max_lcp,
+        |  CAST(max(greatest(CASE WHEN id_prev <> id THEN lcp_prev ELSE 0 END,
+        |    CASE WHEN id_next <> id THEN lcp_next ELSE 0 END)) AS BIGINT) AS max_lcp_cross
+        |FROM lc GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // Robust MAD outliers: the q46 integer median interpolation at
     // value level (cumulative weights over distinct values), twice
     // (median, then MAD over re-aggregated deviations), then the

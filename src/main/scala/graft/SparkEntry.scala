@@ -693,6 +693,32 @@ object SparkEntry {
       .select(col("id").as("node_id"), col("label"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C96 — EXACT SUFFIX-ARRAY SPAN DEDUP (dedup.SuffixSpans, NEW
+    * r14c; Lee et al. ACL 2022's ExactSubstr method): the EXACT tier
+    * above q71's hashed-window span dedup — sort the actual
+    * (truncated, k=48) suffixes, flag positions whose suffix-order
+    * neighbor shares ≥ 20 leading chars; a flag is a real duplicate
+    * by construction and the LCP measures its exact length (q71's
+    * 60-bit hashes are collision-probabilistic and length-blind).
+    * Fixture plants live cross-doc spans: every id%11==0 document
+    * appends 30 chars copied from its successor. Global order =
+    * distributed range sort + zipWithIndex; neighbor LCPs = ONE
+    * rank-keyed self-join with the fold computed once and
+    * rank-shifted for the other side.
+    */
+  private def q188SuffixDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir)).select(col("doc_id"), col("text"))
+    val d2 = Tables.documents(s, dir)
+      .select((col("doc_id") - 1).as("doc_id"), col("text").as("_t2"))
+    val aug = d.join(d2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(11)) === 0 && col("_t2").isNotNull,
+            substring(col("_t2"), 11, 30)).otherwise(lit(""))).as("text"))
+    graft.dedup.SuffixSpans.docStats(aug, "doc_id", "text", k = 48, minSpan = 20)
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** B54 — ROBUST OUTLIERS: exact per-group MEDIAN/MAD flagging
     * (functions.Stats.madOutliers, NEW r14c) — the robust companion
     * to q106's k·σ z-test, which its own outliers blind (one extreme
@@ -5231,7 +5257,8 @@ object SparkEntry {
     "q184_modularity" -> (q184Modularity _),
     "q185_trustrank" -> (q185Trustrank _),
     "q186_mkv_meta" -> (q186MkvMeta _),
-    "q187_mad_outliers" -> (q187MadOutliers _))
+    "q187_mad_outliers" -> (q187MadOutliers _),
+    "q188_suffix_dedup" -> (q188SuffixDedup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

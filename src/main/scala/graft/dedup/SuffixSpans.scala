@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT duplicated-span detection via a (truncated) SUFFIX ARRAY —
+  * the exact tier of q71's hashed-window span dedup, and the method
+  * the published substring-dedup work actually uses (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better", ACL
+  * 2022: build a suffix array over the corpus, duplicated spans are
+  * runs of adjacent suffixes with long common prefixes). q71 hashes
+  * 60-bit windows (collision-probabilistic, fixed width); this sorts
+  * the actual suffixes, so a flagged span is a REAL duplicate by
+  * construction and the neighbor LCP measures its exact length.
+  *
+  * TRUNCATED-KEY variant: suffixes compare by their first `k` (48)
+  * characters — sort keys are fixed-width (the property that makes a
+  * distributed range sort of 100 TB of positions feasible at all),
+  * and any duplicate span of length ∈ [minSpan, k] is detected
+  * exactly (longer duplicates still flag; only their measured LCP
+  * saturates at k). Detection is ADJACENT-NEIGHBOR: a position flags
+  * iff its rank-neighbor in suffix order shares ≥ `minSpan` leading
+  * characters — the standard SA-dedup criterion (equal spans sort
+  * adjacent, so every duplicated span ≥ minSpan flags; the cross-doc
+  * flag is a lower bound when a same-doc twin sorts between two
+  * cross-doc twins).
+  *
+  * Scale shape: positions explode map-side (one row per character,
+  * fixed-width key — at 100 TB this is the method's published cost
+  * and strides/sampling bound it); the global suffix ORDER is a
+  * distributed range sort + zipWithIndex (per-partition counts to
+  * the driver, never rows — the q108 rank technique); neighbor LCPs
+  * come from ONE rank-keyed self-join (each LCP computed once,
+  * reused for both sides via a rank-shift join); the LCP itself is a
+  * codegen'd in-row fold over ≤ k character compares, capped by both
+  * key lengths so equal SHORT suffixes do not overcount. No window
+  * over the global order (a bare ORDER BY window would funnel the
+  * corpus through one task).
+  */
+object SuffixSpans {
+
+  /** Per-document duplicated-span statistics: (doc_id, n_positions,
+    * n_dup_pos, n_dup_cross, max_lcp, max_lcp_cross) — positions
+    * whose suffix-order neighbor shares ≥ `minSpan` chars (any
+    * neighbor / a neighbor from a DIFFERENT document), and the
+    * longest observed neighbor LCPs.
+    */
+  def docStats(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 48, minSpan: Int = 20): DataFrame = {
+    require(k >= 1 && minSpan >= 1 && minSpan <= k,
+      s"need 1 <= minSpan <= k, got k=$k minSpan=$minSpan")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= 1) // sequence(1,0) would DESCEND, not empty
+      .select(col("id"), explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
+      .select(col("id"), col("p"), expr(s"substring(t, p, $k)").as("key"))
+    val ranked = pos
+      .repartitionByRange(col("key"), col("id"), col("p"))
+      .sortWithinPartitions(col("key"), col("id"), col("p"))
+      .as[(Long, Int, String)].rdd.zipWithIndex()
+      .map { case ((id, p, key), r) => (id, p, key, r) }
+      .toDF("id", "p", "key", "rank")
+
+    // LCP of two truncated keys: sequential fold over char compares
+    // (acc advances only while every prefix char matched), capped by
+    // both lengths — two equal short keys have LCP = their length,
+    // not k ('' == '' beyond both ends would otherwise overcount).
+    def lcp(a: Column, b: Column): Column =
+      when(b.isNull, lit(0)).otherwise(least(
+        aggregate(sequence(lit(1), lit(k)), lit(0), (acc, i) =>
+          when(acc === i - 1 && a.substr(i, lit(1)) === b.substr(i, lit(1)), i)
+            .otherwise(acc)),
+        length(a), length(b)))
+
+    val prevSide = ranked.select((col("rank") + 1).as("rank"),
+      col("key").as("key_prev"), col("id").as("id_prev"))
+    val withPrev = ranked.join(prevSide, Seq("rank"), "left")
+      .select(col("rank"), col("id"), col("p"),
+        coalesce(col("id_prev"), lit(-1L)).as("id_prev"),
+        lcp(col("key"), col("key_prev")).as("lcp_prev"))
+    // ranked is withPrev's ancestor: one chain materialization fills
+    // both caches (withCachedChain contract); the doc-scale result is
+    // checkpointed once and every positions-scale cache released.
+    graft.Exec.withCachedChain(Seq(ranked, withPrev)) {
+      // lcp_next(r) = lcp_prev(r+1): computed once, shifted back by a
+      // second rank-keyed join instead of re-folding
+      val nextSide = withPrev.select((col("rank") - 1).as("rank"),
+        col("lcp_prev").as("lcp_next"), col("id").as("id_next"))
+      val full = withPrev.join(nextSide, Seq("rank"), "left")
+        .select(col("id"), col("p"),
+          col("lcp_prev"), col("id_prev"),
+          coalesce(col("lcp_next"), lit(0)).as("lcp_next"),
+          coalesce(col("id_next"), lit(-1L)).as("id_next"))
+      val crossPrev = when(col("id_prev") =!= col("id"), col("lcp_prev")).otherwise(0)
+      val crossNext = when(col("id_next") =!= col("id"), col("lcp_next")).otherwise(0)
+      full.groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("lcp_prev") >= minSpan || col("lcp_next") >= minSpan, 1L)
+            .otherwise(0L)).as("n_dup_pos"),
+          sum(when(crossPrev >= minSpan || crossNext >= minSpan, 1L)
+            .otherwise(0L)).as("n_dup_cross"),
+          max(greatest(col("lcp_prev"), col("lcp_next"))).cast("long").as("max_lcp"),
+          max(greatest(crossPrev, crossNext)).cast("long").as("max_lcp_cross"))
+    }
+  }
+}

@@ -245,7 +245,9 @@ object DumpPlans {
     "q186_mkv_meta" ->
       "Matroska/WebM walk: synthesis (writer) and the recursive EBML descent (vint ids/sizes, unknown-size segment to EOF, Void skipping, SimpleBlock flags) run in one MapPartitions pass — MAP-ONLY, the q99/q143/q173/q181 container-metadata shape: one task per payload, no shuffle until the harness sort.",
     "q187_mad_outliers" ->
-      "MAD outliers: ONE corpus-scale HashAggregate pair collapses to (group, value, count) — the only exchange that sees row volume; both median passes and the flag fold are windows and joins over the bounded distinct-value table (weighted cumulative ranks, the q168 discipline), so a 100 TB group costs its distinct cents values, not its rows. All arithmetic integer; Exec.withCached pins the value table across the three consumers.")
+      "MAD outliers: ONE corpus-scale HashAggregate pair collapses to (group, value, count) — the only exchange that sees row volume; both median passes and the flag fold are windows and joins over the bounded distinct-value table (weighted cumulative ranks, the q168 discipline), so a 100 TB group costs its distinct cents values, not its rows. All arithmetic integer; Exec.withCached pins the value table across the three consumers.",
+    "q188_suffix_dedup" ->
+      "Suffix-span dedup: positions explode map-side to fixed-width (id, p, 48-char key) rows; the global suffix order is a RANGE exchange + partition sort + zipWithIndex (driver sees per-partition counts, never rows — no bare global window); neighbor LCPs are ONE rank-keyed self-join whose codegen'd fold runs once per boundary and a rank-shift join reuses it for the other side; the per-doc aggregate is a HashAggregate pair. Exec.withCachedChain pins the ranked and LCP tables across the two joins with one materialization.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
