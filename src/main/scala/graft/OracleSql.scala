@@ -2424,6 +2424,24 @@ object OracleSql {
         |LEFT JOIN odeg ON odeg.id = nodes.id LEFT JOIN ideg ON ideg.id = nodes.id
         |ORDER BY node_id""".stripMargin,
 
+    // Percentile normalization: the q72/q175 margin fragment, then
+    // doubled average ranks (min+max of each value's contiguous
+    // row_number block — tie-order-independent) and the integer
+    // basis-point division.
+    "q189_percentile_norm" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+         |    t -> ${md5fold("t", 8)} % 2001 - 1000)), (a, v) -> a + v) AS margin
+         | FROM tk),
+         |g AS (SELECT margin, CAST(min(r) + max(r) AS BIGINT) AS r2 FROM
+         |    (SELECT margin, row_number() OVER (ORDER BY margin) AS r FROM m)
+         |  GROUP BY margin),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+         |SELECT m.doc_id, CAST(m.margin AS BIGINT) AS margin,
+         |  CAST((g.r2 * 5000) // n AS BIGINT) AS pct_bp
+         |FROM m JOIN g USING (margin) CROSS JOIN nn ORDER BY doc_id""".stripMargin,
+
     // Suffix-array span dedup: the oracle sorts the ACTUAL truncated
     // suffixes (window lag/lead over the same (key, id, p) total
     // order the range sort produces) and replays the capped LCP fold

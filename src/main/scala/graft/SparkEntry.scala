@@ -693,6 +693,27 @@ object SparkEntry {
       .select(col("id").as("node_id"), col("label"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C97 — PERCENTILE SCORE NORMALIZATION (Stats.percentileTable,
+    * NEW r14c): the q72 classifier margin mapped onto its corpus
+    * MID-RANK PERCENTILE in integer basis points — the cross-scorer
+    * calibration step mixing pipelines need (q69/q56 say "keep the
+    * top 20%", which is a percentile, not a raw margin threshold;
+    * heterogeneous scorers only mix after this normalization). r2 =
+    * doubled average rank via range-sort + zipWithIndex (ties exact,
+    * no global window funnel); pct_bp = r2·5000 div n, entirely
+    * integer. The mapping is a distinct-values table joined back on
+    * the score key.
+    */
+  private def q189PercentileNorm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LinearClassifier
+    val scored = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"), LinearClassifier.margin(col("text")).as("margin"))
+    val table = graft.functions.Stats.percentileTable(scored, col("margin"))
+    scored.join(table.select(col("value").as("margin"), col("pct_bp")), Seq("margin"))
+      .select(col("doc_id"), col("margin"), col("pct_bp"))
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   /** C96 — EXACT SUFFIX-ARRAY SPAN DEDUP (dedup.SuffixSpans, NEW
     * r14c; Lee et al. ACL 2022's ExactSubstr method): the EXACT tier
     * above q71's hashed-window span dedup — sort the actual
@@ -5258,7 +5279,8 @@ object SparkEntry {
     "q185_trustrank" -> (q185Trustrank _),
     "q186_mkv_meta" -> (q186MkvMeta _),
     "q187_mad_outliers" -> (q187MadOutliers _),
-    "q188_suffix_dedup" -> (q188SuffixDedup _))
+    "q188_suffix_dedup" -> (q188SuffixDedup _),
+    "q189_percentile_norm" -> (q189PercentileNorm _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

@@ -404,6 +404,29 @@ object Stats {
           .as("rho"))
   }
 
+  /** EXACT corpus-percentile normalization table — the cross-scorer
+    * calibration primitive: heterogeneous quality scorers (heuristic
+    * counts, LM scores, classifier margins) are only mixable after
+    * mapping each onto its own corpus PERCENTILE (q69's temperature
+    * mixing and q56's budgets want "keep the top 20%", not "margin >
+    * 173"). Mid-rank percentile in integer BASIS POINTS: with r2 =
+    * doubled average rank (min+max of the value's contiguous rank
+    * block — ties exact, the q165/q167 machinery), pct_bp =
+    * r2·5000 div n ∈ (0, 10000]. Entirely integer; bit-identical
+    * across engines and partitionings.
+    *
+    * Returns the DISTINCT-VALUE mapping (value, pct_bp) — values-
+    * scale, broadcastable or joinable back onto the corpus; ranks via
+    * range-sort + zipWithIndex (no global window funnel).
+    */
+  def percentileTable(df: DataFrame, value: Column): DataFrame = {
+    val ranked = avgRank2(df.select(value.cast("long").as("_v")), col("_v"), "_v")
+    val nRow = df.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(nRow))
+      .select(col("_v").as("value"),
+        ((col("_v_r2") * 5000L) / col("_n")).cast("long").as("pct_bp"))
+  }
+
   /** EXACT per-group MEDIAN / MAD robust outlier detection — the
     * robust-statistics companion to q106's k·σ z-test and q128's
     * CUSUM: mean/σ are themselves dragged by the outliers they hunt

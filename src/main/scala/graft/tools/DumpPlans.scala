@@ -247,7 +247,9 @@ object DumpPlans {
     "q187_mad_outliers" ->
       "MAD outliers: ONE corpus-scale HashAggregate pair collapses to (group, value, count) — the only exchange that sees row volume; both median passes and the flag fold are windows and joins over the bounded distinct-value table (weighted cumulative ranks, the q168 discipline), so a 100 TB group costs its distinct cents values, not its rows. All arithmetic integer; Exec.withCached pins the value table across the three consumers.",
     "q188_suffix_dedup" ->
-      "Suffix-span dedup: positions explode map-side to fixed-width (id, p, 48-char key) rows; the global suffix order is a RANGE exchange + partition sort + zipWithIndex (driver sees per-partition counts, never rows — no bare global window); neighbor LCPs are ONE rank-keyed self-join whose codegen'd fold runs once per boundary and a rank-shift join reuses it for the other side; the per-doc aggregate is a HashAggregate pair. Exec.withCachedChain pins the ranked and LCP tables across the two joins with one materialization.")
+      "Suffix-span dedup: positions explode map-side to fixed-width (id, p, 48-char key) rows; the global suffix order is a RANGE exchange + partition sort + zipWithIndex (driver sees per-partition counts, never rows — no bare global window); neighbor LCPs are ONE rank-keyed self-join whose codegen'd fold runs once per boundary and a rank-shift join reuses it for the other side; the per-doc aggregate is a HashAggregate pair. Exec.withCachedChain pins the ranked and LCP tables across the two joins with one materialization.",
+    "q189_percentile_norm" ->
+      "Percentile normalization: the margin is q72's codegen'd in-row fold (no exchange); ranks are a RANGE exchange + zipWithIndex; the distinct-value percentile table aggregates to values-scale and joins back on the score key with the one-row count riding a broadcast cross join — one corpus scan, one range exchange, one values-scale join, zero global windows.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

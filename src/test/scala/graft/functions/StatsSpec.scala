@@ -517,4 +517,33 @@ class StatsSpec extends SparkSpec {
     val rows = (1L to 200L).map(i => (s"p${i % 3}", (i * 13) % 40 + (if (i % 67 == 0) 5000L else 0L)))
     assert(mad(rows, parts = 1) == mad(rows, parts = 17))
   }
+
+  // ---- percentileTable: corpus-percentile normalization ----
+
+  private def pct(xs: Seq[Long], parts: Int = 3): Map[Long, Long] =
+    Stats.percentileTable(xs.toDF("v").repartition(parts), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("percentile: hand case with ties — mid-rank basis points") {
+    // values 10,20,20,40: avg ranks 1, 2.5, 2.5, 4 -> r2 = 2,5,5,8
+    // pct_bp = r2*5000//4 = 2500, 6250, 6250, 10000
+    val p = pct(Seq(10L, 20L, 20L, 40L))
+    assert(p === Map(10L -> 2500L, 20L -> 6250L, 40L -> 10000L))
+  }
+
+  test("percentile: brute mid-rank parity, bounds, partition invariance") {
+    val xs = (1L to 150L).map(i => (i * 37) % 40)
+    val got = pct(xs)
+    val n = xs.size
+    val sorted = xs.sorted
+    xs.distinct.foreach { v =>
+      val lo = sorted.indexOf(v) + 1
+      val hi = sorted.lastIndexOf(v) + 1
+      assert(got(v) === (lo + hi).toLong * 5000L / n, s"value $v")
+    }
+    assert(got.values.max <= 10000L && got.values.min > 0L)
+    assert(got(sorted.last) === 10000L ||
+      sorted.count(_ == sorted.last) > 1, "a unique maximum maps to exactly 10000")
+    assert(pct(xs, parts = 1) === pct(xs, parts = 13))
+  }
 }
