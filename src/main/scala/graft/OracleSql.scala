@@ -2424,6 +2424,23 @@ object OracleSql {
         |LEFT JOIN odeg ON odeg.id = nodes.id LEFT JOIN ideg ON ideg.id = nodes.id
         |ORDER BY node_id""".stripMargin,
 
+    // KLL certification: the oracle replays the EXACT side (value-
+    // level cumulative first-cover quantiles) and the certificate
+    // literal — the sketch estimate is merge-order-dependent by
+    // design (like q34's Misra-Gries) and stays out of the hash; its
+    // bound is asserted engine-side and spec-pinned.
+    "q190_kll_certify" ->
+      """WITH src AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |vc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c, CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM vc),
+        |ps AS (SELECT unnest([100, 2500, 5000, 7500, 9900]) AS p)
+        |SELECT g AS grp, CAST(p AS BIGINT) AS p_bp, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cm > ((n - 1) * p) // 10000 THEN v END) AS BIGINT) AS exact_cents,
+        |  true AS kll_within_eps
+        |FROM cum CROSS JOIN ps GROUP BY g, p ORDER BY grp, p_bp""".stripMargin,
+
     // Percentile normalization: the q72/q175 margin fragment, then
     // doubled average ranks (min+max of each value's contiguous
     // row_number block — tie-order-independent) and the integer

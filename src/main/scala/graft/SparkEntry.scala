@@ -693,6 +693,60 @@ object SparkEntry {
       .select(col("id").as("node_id"), col("label"))
       .transform(sorted1(_, col("node_id")))
 
+  /** B55 — KLL QUANTILE SKETCH, CERTIFIED (functions.Kll, NEW r14c;
+    * Karnin-Lang-Liberty FOCS 2016): the mergeable quantile summary
+    * completing the sketch family (CMS/MG/HLL/Bloom/MinHash) — O(k
+    * log n) memory per group, merged associatively map-side. Like
+    * Misra-Gries (q34), compaction makes the estimate merge-order-
+    * dependent, so the query certifies BOUNDS: for each probe
+    * quantile, the sketch estimate's TRUE rank interval (computed
+    * exactly corpus-side) must lie within ε·n of the target — the
+    * certificate column is deterministic (the spec pins the bound
+    * under adversarial orders and arbitrary sharding at 2× margin),
+    * while the estimate itself stays out of the hashed output. The
+    * exact values ride the same value-level cumulative machinery as
+    * q187.
+    */
+  private def q190KllCertify(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kll
+    Kll.register(s)
+    val ps = Seq(100, 2500, 5000, 7500, 9900)
+    val li = fanOut(s, Tables.lineitem(s, dir))
+      .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
+    val vc = li.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vc.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+    // exact value covering each target rank (same first-cover rule
+    // the sketch uses), one conditional-min per probe
+    val exactAggs = ps.map(p => min(when(
+      col("cum") > (col("n") - 1) * p / 10000L, col("v"))).as(s"_e$p"))
+    val exact = cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), exactAggs: _*)
+      .select(col("g"), col("n"), expr(
+        s"stack(${ps.size}, ${ps.map(p => s"${p}L, _e$p").mkString(", ")}) AS (p_bp, exact_cents)"))
+    // sketch estimates, exploded to (g, p_bp, est)
+    val est = li.groupBy("g").agg(Kll.kllQuantiles(col("v"), ps, 200).as("s"))
+      .select(col("g"), posexplode(col("s.qs")).as(Seq("_i", "_est")))
+      .select(col("g"),
+        element_at(array(ps.map(p => lit(p.toLong)): _*), col("_i") + 1).as("p_bp"),
+        col("_est"))
+    // the estimate's exact rank interval, from the value table
+    val ranks = est.join(vc, Seq("g"))
+      .groupBy(col("g"), col("p_bp"))
+      .agg(max(col("_est")).as("_est"),
+        sum(when(col("v") < col("_est"), col("c")).otherwise(0L)).as("_lo"),
+        (sum(when(col("v") <= col("_est"), col("c")).otherwise(0L)) - 1L).as("_hi"))
+    val target = (col("n") - 1) * col("p_bp") / 10000L
+    exact.join(ranks, Seq("g", "p_bp"))
+      .select(col("g").as("grp"), col("p_bp"), col("n"), col("exact_cents"),
+        (when(target < col("_lo"), col("_lo") - target)
+          .when(target > col("_hi"), target - col("_hi"))
+          .otherwise(0L) <= ceil(col("n") * 0.03).cast("long")).as("kll_within_eps"))
+      .transform(sorted1(_, col("grp"), col("p_bp")))
+  }
+
   /** C97 — PERCENTILE SCORE NORMALIZATION (Stats.percentileTable,
     * NEW r14c): the q72 classifier margin mapped onto its corpus
     * MID-RANK PERCENTILE in integer basis points — the cross-scorer
@@ -5280,7 +5334,8 @@ object SparkEntry {
     "q186_mkv_meta" -> (q186MkvMeta _),
     "q187_mad_outliers" -> (q187MadOutliers _),
     "q188_suffix_dedup" -> (q188SuffixDedup _),
-    "q189_percentile_norm" -> (q189PercentileNorm _))
+    "q189_percentile_norm" -> (q189PercentileNorm _),
+    "q190_kll_certify" -> (q190KllCertify _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

@@ -249,7 +249,9 @@ object DumpPlans {
     "q188_suffix_dedup" ->
       "Suffix-span dedup: positions explode map-side to fixed-width (id, p, 48-char key) rows; the global suffix order is a RANGE exchange + partition sort + zipWithIndex (driver sees per-partition counts, never rows — no bare global window); neighbor LCPs are ONE rank-keyed self-join whose codegen'd fold runs once per boundary and a rank-shift join reuses it for the other side; the per-doc aggregate is a HashAggregate pair. Exec.withCachedChain pins the ranked and LCP tables across the two joins with one materialization.",
     "q189_percentile_norm" ->
-      "Percentile normalization: the margin is q72's codegen'd in-row fold (no exchange); ranks are a RANGE exchange + zipWithIndex; the distinct-value percentile table aggregates to values-scale and joins back on the score key with the one-row count riding a broadcast cross join — one corpus scan, one range exchange, one values-scale join, zero global windows.")
+      "Percentile normalization: the margin is q72's codegen'd in-row fold (no exchange); ranks are a RANGE exchange + zipWithIndex; the distinct-value percentile table aggregates to values-scale and joins back on the score key with the one-row count riding a broadcast cross join — one corpus scan, one range exchange, one values-scale join, zero global windows.",
+    "q190_kll_certify" ->
+      "KLL certification: the sketch side is an ObjectHashAggregate pair (fixed O(k log n) buffers merge map-side — the corpus never shuffles for the sketch); the exact side reuses the q187 value-level cumulative machinery; the certificate join touches 15 probe rows against the bounded value table. Two corpus scans total (one per tier), no corpus-scale sort for the sketch — that is the point.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
