@@ -93,6 +93,40 @@ object KllAgg {
     compress(buf, k)
   }
 
+  /** Serialized blob form — shared by the aggregate's buffer codec
+    * and the persisted sketch store (StreamingSketchStore's KLL arm),
+    * so stored blobs merge bit-compatibly with query-time buffers.
+    */
+  def write(buf: Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeLong(buf.compactions)
+    out.writeInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.length)
+      lvl.foreach(out.writeLong)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def read(bytes: Array[Byte]): Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val compactions = in.readLong()
+    val nl = in.readInt()
+    val levels = ArrayBuffer.tabulate(nl) { _ =>
+      val sz = in.readInt()
+      val lvl = new ArrayBuffer[Long](sz)
+      var i = 0
+      while (i < sz) { lvl += in.readLong(); i += 1 }
+      lvl
+    }
+    if (levels.isEmpty) levels += ArrayBuffer.empty[Long]
+    new Buffer(levels, n, compactions)
+  }
+
   /** Estimated value at 0-based rank target (0 ≤ target < n). */
   def valueAtRank(buf: Buffer, target: Long): Long = {
     val items = ArrayBuffer.empty[(Long, Long)] // (value, weight)
@@ -156,35 +190,9 @@ case class KllQuantilesAgg(
     InternalRow(buf.n, new GenericArrayData(qs.map(Long.box).toArray[Any]))
   }
 
-  override def serialize(buf: KllAgg.Buffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeLong(buf.n)
-    out.writeLong(buf.compactions)
-    out.writeInt(buf.levels.length)
-    buf.levels.foreach { lvl =>
-      out.writeInt(lvl.length)
-      lvl.foreach(out.writeLong)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: KllAgg.Buffer): Array[Byte] = KllAgg.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllAgg.Buffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readLong()
-    val compactions = in.readLong()
-    val nl = in.readInt()
-    val levels = ArrayBuffer.tabulate(nl) { _ =>
-      val sz = in.readInt()
-      val lvl = new ArrayBuffer[Long](sz)
-      var i = 0
-      while (i < sz) { lvl += in.readLong(); i += 1 }
-      lvl
-    }
-    if (levels.isEmpty) levels += ArrayBuffer.empty[Long]
-    new KllAgg.Buffer(levels, n, compactions)
-  }
+  override def deserialize(bytes: Array[Byte]): KllAgg.Buffer = KllAgg.read(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): KllQuantilesAgg =
     copy(mutableAggBufferOffset = o)

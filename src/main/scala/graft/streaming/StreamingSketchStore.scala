@@ -80,4 +80,56 @@ object StreamingSketchStore {
         MergedSketch(k, acc, HllAgg.estimate(acc, p), n)
       }
   }
+
+  // ---- the KLL arm: persisted QUANTILE sketches (q190/B55 core) ----
+  // Same store shape for ranks instead of cardinalities: one KLL blob
+  // per (key, micro-batch), merged months later at blob scale. Unlike
+  // HLL's union (idempotent max — bit-identical to one big sketch),
+  // KLL merge is order-dependent; what the store guarantees is the
+  // ε·n RANK BOUND of the merged sketch over every value any blob
+  // saw (KllSpec pins it under arbitrary sharding), not bit equality.
+
+  case class KeyedLong(key: String, value: Long)
+  case class KllBlob(key: String, batch_id: Long, blob: Array[Byte])
+  case class MergedQuantiles(key: String, n: Long, qs: Seq[Long], n_blobs: Long)
+
+  /** Start a stream appending one KLL blob per (key, micro-batch). */
+  def startKll(values: Dataset[KeyedLong], dir: String, checkpoint: String,
+               k: Int = 200): StreamingQuery = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[KeyedLong], batchId: Long) =>
+        batch.groupByKey(_.key).mapGroups { (key, it) =>
+          val buf = graft.functions.KllAgg.emptyBuffer()
+          it.foreach(kv => graft.functions.KllAgg.insert(buf, kv.value, k))
+          KllBlob(key, batchId, graft.functions.KllAgg.write(buf))
+        }.write.mode("append").parquet(dir)
+        ()
+      }
+      .start()
+  }
+
+  /** Merge all persisted KLL blobs per key and answer the requested
+    * basis-point quantiles. One keyed shuffle of blobs, never values.
+    */
+  def readMergedKll(spark: SparkSession, dir: String, psBp: Seq[Int],
+                    k: Int = 200): Dataset[MergedQuantiles] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[KllBlob]
+      .groupByKey(_.key)
+      .mapGroups { (key, it) =>
+        val acc = graft.functions.KllAgg.emptyBuffer()
+        var n = 0L
+        it.foreach { b =>
+          graft.functions.KllAgg.mergeInto(acc, graft.functions.KllAgg.read(b.blob), k)
+          n += 1
+        }
+        val qs = psBp.map(p =>
+          if (acc.n == 0) 0L
+          else graft.functions.KllAgg.valueAtRank(acc, (acc.n - 1) * p / 10000))
+        MergedQuantiles(key, acc.n, qs, n)
+      }
+  }
 }

@@ -88,4 +88,53 @@ class StreamingSketchStoreSpec extends SparkSpec {
       assert(err < 0.15, s"$k: estimate ${merged(k).estimate} vs true ${truth(k)}")
     }
   }
+
+  test("KLL arm: merged blobs answer quantiles within eps*n across sessions") {
+    val base = Files.createTempDirectory("graft_kllstore").toString
+    val blobs = s"$base/kll_blobs"
+    def jsonlL(rows: Seq[(String, Long)]): String =
+      rows.map { case (k, v) => s"""{"key":"$k","value":$v}""" }.mkString("\n")
+    def session(tag: String, drops: Seq[Seq[(String, Long)]]): Unit = {
+      val in = s"$base/in_$tag"
+      Files.createDirectories(Paths.get(in))
+      val src = spark.readStream
+        .schema("key STRING, value BIGINT")
+        .json(in)
+        .as[StreamingSketchStore.KeyedLong]
+      val q = StreamingSketchStore.startKll(src, blobs, s"$base/ckpt_$tag", k = 200)
+      try drops.zipWithIndex.foreach { case (rows, i) =>
+        Files.writeString(Paths.get(in, s"d$i.jsonl"), jsonlL(rows))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val b1 = (0 until 8000).map(i => ("len", (i.toLong * 48271) % 100003))
+    val b2 = (0 until 6000).map(i => ("len", (i.toLong * 69621) % 100003)) ++
+      (0 until 500).map(i => ("score", i.toLong))
+    val b3 = (0 until 5000).map(i => ("len", i.toLong)) // sorted batch, cold restart
+    session("k1", Seq(b1, b2))
+    session("k2", Seq(b3))
+
+    val ps = Seq(100, 5000, 9900)
+    val merged = StreamingSketchStore.readMergedKll(spark, blobs, ps, k = 200)
+      .collect().map(m => m.key -> m).toMap
+    assert(merged("len").n_blobs === 3L && merged("score").n_blobs === 1L)
+    val byKey = (b1 ++ b2 ++ b3).groupBy(_._1)
+    byKey.foreach { case (key, rows) =>
+      val xs = rows.map(_._2).sorted.toArray
+      val m = merged(key)
+      assert(m.n === xs.length.toLong, s"$key: weight not conserved")
+      ps.zip(m.qs).foreach { case (p, est) =>
+        val target = (m.n - 1) * p / 10000
+        var lo = 0; var hi = xs.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (xs(mid) < est) lo = mid + 1 else hi = mid }
+        val first = lo.toLong
+        var lo2 = 0; var hi2 = xs.length
+        while (lo2 < hi2) { val mid = (lo2 + hi2) >>> 1; if (xs(mid) <= est) lo2 = mid + 1 else hi2 = mid }
+        val last = lo2.toLong - 1
+        val dist = if (target < first) first - target
+          else if (target > last) target - last else 0L
+        assert(dist <= (0.03 * m.n).ceil.toLong, s"$key p=$p err $dist")
+      }
+    }
+  }
 }
