@@ -781,18 +781,28 @@ object SparkEntry {
     * rank-keyed self-join with the fold computed once and
     * rank-shifted for the other side.
     */
-  private def q188SuffixDedup(s: SparkSession, dir: String): DataFrame = {
+  private def q188Aug(s: SparkSession, dir: String): DataFrame = {
     val d = fanOut(s, Tables.documents(s, dir)).select(col("doc_id"), col("text"))
     val d2 = Tables.documents(s, dir)
       .select((col("doc_id") - 1).as("doc_id"), col("text").as("_t2"))
-    val aug = d.join(d2, Seq("doc_id"), "left")
+    d.join(d2, Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat(col("text"),
           when(pmod(col("doc_id"), lit(11)) === 0 && col("_t2").isNotNull,
             substring(col("_t2"), 11, 30)).otherwise(lit(""))).as("text"))
-    graft.dedup.SuffixSpans.docStats(aug, "doc_id", "text", k = 48, minSpan = 20)
-      .transform(sorted1(_, col("doc_id")))
   }
+
+  private def q188SuffixDedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SuffixSpans.docStats(q188Aug(s, dir), "doc_id", "text",
+      k = 48, minSpan = 20)
+      .transform(sorted1(_, col("doc_id")))
+
+  /** q188 without the eager chain — the operator tree for DumpPlans
+    * and PlanShapeSpec (the executed form shows only the checkpoint
+    * scan).
+    */
+  private[graft] def q188LazyPlan(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SuffixSpans.buildPlan(q188Aug(s, dir), "doc_id", "text", 48, 20)._3
 
   /** B54 — ROBUST OUTLIERS: exact per-group MEDIAN/MAD flagging
     * (functions.Stats.madOutliers, NEW r14c) — the robust companion

@@ -47,6 +47,19 @@ object SuffixSpans {
     */
   def docStats(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 48, minSpan: Int = 20): DataFrame = {
+    val (ranked, withPrev, result) = buildPlan(docs, idCol, textCol, k, minSpan)
+    // ranked is withPrev's ancestor: one chain materialization fills
+    // both caches (withCachedChain contract); the doc-scale result is
+    // checkpointed once and every positions-scale cache released.
+    graft.Exec.withCachedChain(Seq(ranked, withPrev))(result)
+  }
+
+  /** The operator tree without the eager chain materialization —
+    * (ranked, withPrev, result); `result` is what DumpPlans explains
+    * (docStats's executed form shows only the checkpoint scan).
+    */
+  private[graft] def buildPlan(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, minSpan: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k >= 1 && minSpan >= 1 && minSpan <= k,
       s"need 1 <= minSpan <= k, got k=$k minSpan=$minSpan")
     val spark = docs.sparkSession
@@ -80,29 +93,25 @@ object SuffixSpans {
       .select(col("rank"), col("id"), col("p"),
         coalesce(col("id_prev"), lit(-1L)).as("id_prev"),
         lcp(col("key"), col("key_prev")).as("lcp_prev"))
-    // ranked is withPrev's ancestor: one chain materialization fills
-    // both caches (withCachedChain contract); the doc-scale result is
-    // checkpointed once and every positions-scale cache released.
-    graft.Exec.withCachedChain(Seq(ranked, withPrev)) {
-      // lcp_next(r) = lcp_prev(r+1): computed once, shifted back by a
-      // second rank-keyed join instead of re-folding
-      val nextSide = withPrev.select((col("rank") - 1).as("rank"),
-        col("lcp_prev").as("lcp_next"), col("id").as("id_next"))
-      val full = withPrev.join(nextSide, Seq("rank"), "left")
-        .select(col("id"), col("p"),
-          col("lcp_prev"), col("id_prev"),
-          coalesce(col("lcp_next"), lit(0)).as("lcp_next"),
-          coalesce(col("id_next"), lit(-1L)).as("id_next"))
-      val crossPrev = when(col("id_prev") =!= col("id"), col("lcp_prev")).otherwise(0)
-      val crossNext = when(col("id_next") =!= col("id"), col("lcp_next")).otherwise(0)
-      full.groupBy(col("id").as("doc_id"))
-        .agg(count(lit(1)).as("n_positions"),
-          sum(when(col("lcp_prev") >= minSpan || col("lcp_next") >= minSpan, 1L)
-            .otherwise(0L)).as("n_dup_pos"),
-          sum(when(crossPrev >= minSpan || crossNext >= minSpan, 1L)
-            .otherwise(0L)).as("n_dup_cross"),
-          max(greatest(col("lcp_prev"), col("lcp_next"))).cast("long").as("max_lcp"),
-          max(greatest(crossPrev, crossNext)).cast("long").as("max_lcp_cross"))
-    }
+    // lcp_next(r) = lcp_prev(r+1): computed once, shifted back by a
+    // second rank-keyed join instead of re-folding
+    val nextSide = withPrev.select((col("rank") - 1).as("rank"),
+      col("lcp_prev").as("lcp_next"), col("id").as("id_next"))
+    val full = withPrev.join(nextSide, Seq("rank"), "left")
+      .select(col("id"), col("p"),
+        col("lcp_prev"), col("id_prev"),
+        coalesce(col("lcp_next"), lit(0)).as("lcp_next"),
+        coalesce(col("id_next"), lit(-1L)).as("id_next"))
+    val crossPrev = when(col("id_prev") =!= col("id"), col("lcp_prev")).otherwise(0)
+    val crossNext = when(col("id_next") =!= col("id"), col("lcp_next")).otherwise(0)
+    val result = full.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("lcp_prev") >= minSpan || col("lcp_next") >= minSpan, 1L)
+          .otherwise(0L)).as("n_dup_pos"),
+        sum(when(crossPrev >= minSpan || crossNext >= minSpan, 1L)
+          .otherwise(0L)).as("n_dup_cross"),
+        max(greatest(col("lcp_prev"), col("lcp_next"))).cast("long").as("max_lcp"),
+        max(greatest(crossPrev, crossNext)).cast("long").as("max_lcp_cross"))
+    (ranked, withPrev, result)
   }
 }

@@ -265,6 +265,7 @@ object DumpPlans {
       case "q91_bpe_train" => Some(graft.operators.BpeTrainer.round1Plan(
         graft.Tables.documents(spark, sf).select("text"), "text"))
       case "q174_lsh_recall" => Some(SparkEntry.q174LazyPlan(spark, sf))
+      case "q188_suffix_dedup" => Some(SparkEntry.q188LazyPlan(spark, sf))
       case _ => None
     }
 

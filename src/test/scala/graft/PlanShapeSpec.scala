@@ -271,6 +271,63 @@ class PlanShapeSpec extends SparkSpec {
       s"q168 must return the eagerly-materialized scan, not a lazy plan:\n$ks")
   }
 
+  test("q180: chi-square is two bounded-key aggregate pairs, no window, no raw-row join") {
+    val p = formatted("q180_chisq_drift")
+    assert(!p.contains("Window"), s"q180 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q180 cartesian:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"q180: expected partial+final pairs for the category table and the fold row:\n$p")
+  }
+
+  test("q187: MAD returns the withCached-materialized scan; its windows are group-partitioned") {
+    // madOutliers executes eagerly inside Exec.withCached (the value
+    // table feeds three consumers), so the returned plan is the
+    // materialized scan — assert that contract (the q168 precedent)
+    val p = formatted("q187_mad_outliers")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Window"),
+      s"q187 must return the eagerly-materialized scan:\n$p")
+    // and pin the INNER shape on a lazy reconstruction: cumulative
+    // windows over the value table partition by the group key
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val vc = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_returnflag").as("_g"),
+        (round(col("l_extendedprice") * 100)).cast("long").as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    val lazyCum = vc.withColumn("_cum",
+      sum(col("_c")).over(W.partitionBy("_g").orderBy("_v")))
+    val lp = lazyCum.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(lp.contains("Window"), s"expected the value-level window:\n$lp")
+    val winArgs = lp.linesIterator.filter(_.contains("windowspecdefinition")).mkString
+    assert(winArgs.contains("_g"), s"windows must partition by the group key:\n$winArgs")
+    assert(!lp.contains("CartesianProduct"))
+  }
+
+  test("q188: suffix dedup has no global-order window; rank joins are keyed") {
+    val p = SparkEntry.q188LazyPlan(spark, sf("sf0.001")).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"q188: the global suffix order must come from the " +
+      s"range-sort + zipWithIndex rank, never a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q188: neighbor LCPs must be keyed rank joins:\n$p")
+    assert(p.contains("MapPartitionsRDD"), s"q188: expected the zipWithIndex rank scan:\n$p")
+  }
+
+  test("q189: percentile rank is window-free; the mapping joins at values scale") {
+    val p = formatted("q189_percentile_norm")
+    assert(!p.contains("Window"), s"q189: ranks must come from zipWithIndex:\n$p")
+    assert(p.contains("MapPartitionsRDD"), s"q189: expected the rank scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q189 cartesian:\n$p")
+  }
+
+  test("q190: the KLL side is an ObjectHashAggregate pair — the corpus never sorts for the sketch") {
+    val p = formatted("q190_kll_certify")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q190: typed-buffer sketch aggregate expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q190 cartesian:\n$p")
+  }
+
   test("exact dedup shuffles only (fingerprint, id), never the payload") {
     // AQE wraps exchanges in query stages lazily; inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
