@@ -2459,6 +2459,43 @@ object OracleSql {
          |  CAST((g.r2 * 5000) // n AS BIGINT) AS pct_bp
          |FROM m JOIN g USING (margin) CROSS JOIN nn ORDER BY doc_id""".stripMargin,
 
+    // Exact substring decontamination: the oracle replays the side-
+    // aware nearest-train lookup with global ignore-null windows over
+    // the same (key, id, p) total order, then the capped LCP fold per
+    // side — certifying the rank, both boundary-carried lookups and
+    // the per-eval-doc aggregation.
+    "q191_decontaminate" ->
+      """WITH tr AS (SELECT doc_id AS id, text AS t, true AS is_tr FROM documents),
+        |ev AS (SELECT doc_id + 1000000 AS id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xq' || substring(text, 21, 40) || 'qx'
+        |         ELSE upper(text) END AS t, false AS is_tr FROM documents),
+        |u AS (SELECT * FROM tr UNION ALL SELECT * FROM ev),
+        |pos AS (SELECT id, is_tr, unnest(range(1, length(t) + 1)) AS p, t FROM u
+        |  WHERE length(t) >= 1),
+        |kx AS (SELECT id, is_tr, p, substring(t, p, 48) AS key FROM pos),
+        |nb AS (SELECT id, is_tr, key,
+        |    last_value(CASE WHEN is_tr THEN key END IGNORE NULLS)
+        |      OVER (ORDER BY key, id, p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kb,
+        |    first_value(CASE WHEN is_tr THEN key END IGNORE NULLS)
+        |      OVER (ORDER BY key, id, p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ka
+        |  FROM kx),
+        |lc AS (SELECT id, greatest(
+        |    CASE WHEN kb IS NULL THEN 0 ELSE least(
+        |      list_reduce(list_prepend(0, range(1, 49)),
+        |        (acc, i) -> CASE WHEN acc = i - 1
+        |          AND substring(key, i, 1) = substring(kb, i, 1) THEN i ELSE acc END),
+        |      length(key), length(kb)) END,
+        |    CASE WHEN ka IS NULL THEN 0 ELSE least(
+        |      list_reduce(list_prepend(0, range(1, 49)),
+        |        (acc, i) -> CASE WHEN acc = i - 1
+        |          AND substring(key, i, 1) = substring(ka, i, 1) THEN i ELSE acc END),
+        |      length(key), length(ka)) END) AS l
+        |  FROM nb WHERE NOT is_tr)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+        |  CAST(sum(CASE WHEN l >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(max(l) AS BIGINT) AS max_train_lcp
+        |FROM lc GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // Suffix-array span dedup: the oracle sorts the ACTUAL truncated
     // suffixes (window lag/lead over the same (key, id, p) total
     // order the range sort produces) and replays the capped LCP fold

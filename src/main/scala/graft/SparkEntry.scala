@@ -781,6 +781,35 @@ object SparkEntry {
     * rank-keyed self-join with the fold computed once and
     * rank-shifted for the other side.
     */
+  /** C98 — EXACT SUBSTRING DECONTAMINATION (SuffixSpans
+    * .contamination, NEW r14c): the cross-corpus deployment of q188's
+    * suffix machinery and the EXACT tier above q51's hashed-n-gram
+    * decontamination — for every eval document, does any ≥ 20-char
+    * span appear VERBATIM anywhere in the train corpus? Exact within
+    * the 48-char key truncation because in suffix order the max LCP
+    * against any train suffix is attained at the rank-NEAREST train
+    * suffix (side-aware: eval-suffix runs cannot mask a train match,
+    * spec-pinned against an O(n·m) brute force). The nearest-train
+    * lookup is partition-local ignore-null windows + numPartitions-
+    * sized boundary carries (the ksTestCounts offsets technique) —
+    * no global window funnel. Fixture: every id%7==0 eval doc embeds
+    * a 40-char train substring (contaminated); the rest are
+    * upper-cased train texts (case-exactness keeps them clean).
+    */
+  private def q191Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val train = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"), lit(true).as("is_train"))
+    val evalDocs = Tables.documents(s, dir)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("xq"), substring(col("text"), 21, 40), lit("qx")))
+          .otherwise(upper(col("text"))).as("text"),
+        lit(false).as("is_train"))
+    graft.dedup.SuffixSpans.contamination(train.unionByName(evalDocs),
+      "doc_id", "text", "is_train", k = 48, minSpan = 20)
+      .transform(sorted1(_, col("doc_id")))
+  }
+
   private def q188Aug(s: SparkSession, dir: String): DataFrame = {
     val d = fanOut(s, Tables.documents(s, dir)).select(col("doc_id"), col("text"))
     val d2 = Tables.documents(s, dir)
@@ -5345,7 +5374,8 @@ object SparkEntry {
     "q187_mad_outliers" -> (q187MadOutliers _),
     "q188_suffix_dedup" -> (q188SuffixDedup _),
     "q189_percentile_norm" -> (q189PercentileNorm _),
-    "q190_kll_certify" -> (q190KllCertify _))
+    "q190_kll_certify" -> (q190KllCertify _),
+    "q191_decontaminate" -> (q191Decontaminate _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

@@ -114,4 +114,107 @@ object SuffixSpans {
         max(greatest(crossPrev, crossNext)).cast("long").as("max_lcp_cross"))
     (ranked, withPrev, result)
   }
+
+  /** EXACT CROSS-CORPUS SUBSTRING CONTAMINATION — the decontamination
+    * deployment of the suffix machinery (the GPT-3/Lee-et-al. eval
+    * hygiene step q51 approximates with hashed n-grams): for every
+    * EVAL document, does any ≥ `minSpan`-char span of it appear
+    * verbatim ANYWHERE in the train corpus? Exact within the k-char
+    * key truncation, because in suffix order the maximum LCP between
+    * an eval suffix and ANY train suffix is attained at the rank-
+    * NEAREST train suffix (LCP is min-decreasing along the sorted
+    * order) — so each eval position needs only its nearest train
+    * suffix above and below, not a quadratic comparison. Unlike
+    * [[docStats]]' adjacent-neighbor lower bound, this is the exact
+    * side-aware criterion: runs of eval suffixes cannot mask a train
+    * match.
+    *
+    * Nearest-train lookup WITHOUT a global window funnel: rows are
+    * range-partitioned by rank and scanned with PARTITION-LOCAL
+    * ignore-null last/first windows; partition-boundary carries (the
+    * last/first train key of every partition) are one numPartitions-
+    * sized driver collect folded into case-when columns — the
+    * ksTestCounts offsets technique, never a data collect.
+    *
+    * `docs` carries BOTH corpora with an `is_train` flag; ids must be
+    * unique across the union (they tie-break the suffix order).
+    * Output, per EVAL document: (doc_id, n_positions, n_contaminated,
+    * max_train_lcp).
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    trainCol: String, k: Int = 48, minSpan: Int = 20): DataFrame = {
+    require(k >= 1 && minSpan >= 1 && minSpan <= k,
+      s"need 1 <= minSpan <= k, got k=$k minSpan=$minSpan")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+        col(trainCol).cast("boolean").as("tr"))
+      .filter(length(col("t")) >= 1)
+      .select(col("id"), col("tr"),
+        explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
+      .select(col("id"), col("tr"), col("p"), expr(s"substring(t, p, $k)").as("key"))
+    val ranked = pos
+      .repartitionByRange(col("key"), col("id"), col("p"))
+      .sortWithinPartitions(col("key"), col("id"), col("p"))
+      .as[(Long, Boolean, Int, String)].rdd.zipWithIndex()
+      .map { case ((id, tr, p, key), r) => (id, tr, p, key, r) }
+      .toDF("id", "tr", "p", "key", "rank")
+      .repartitionByRange(col("rank"))
+      .sortWithinPartitions(col("rank"))
+      .withColumn("_pid", spark_partition_id())
+
+    def lcp(a: Column, b: Column): Column =
+      when(b.isNull, lit(0)).otherwise(least(
+        aggregate(sequence(lit(1), lit(k)), lit(0), (acc, i) =>
+          when(acc === i - 1 && a.substr(i, lit(1)) === b.substr(i, lit(1)), i)
+            .otherwise(acc)),
+        length(a), length(b)))
+
+    graft.Exec.withCached(ranked) { rk =>
+      // per-partition first/last TRAIN key — numPartitions rows to the
+      // driver, never data
+      val parts = rk.groupBy(col("_pid"))
+        .agg(min_by(col("key"), when(col("tr"), col("rank"))).as("firstK"),
+          max_by(col("key"), when(col("tr"), col("rank"))).as("lastK"))
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)), Option(r.getString(2))))
+        .sortBy(_._1)
+      // carry(before)(pid) = last train key of any EARLIER partition
+      val before = parts.scanLeft(Option.empty[String]) {
+        (acc, p) => p._3.orElse(acc)
+      }.init
+      val after = parts.scanRight(Option.empty[String]) {
+        (p, acc) => p._2.orElse(acc)
+      }.tail
+      def carryCol(m: Seq[(Int, Option[String])]): Column =
+        m.foldLeft(lit(null).cast("string")) { case (acc, (pid, kOpt)) =>
+          kOpt.map(s => when(col("_pid") === pid, lit(s)).otherwise(acc)).getOrElse(acc)
+        }
+      val beforeCol = carryCol(parts.map(_._1).zip(before))
+      val afterCol = carryCol(parts.map(_._1).zip(after))
+      // BOTH lookups as RUNNING (unboundedPreceding → current) frames
+      // — Spark evaluates running frames incrementally in O(n), where
+      // an unbounded-FOLLOWING frame recomputes its aggregate per row
+      // (O(n²) per partition: a hang at corpus scale). "Nearest train
+      // after" = a running last() over the rank DESCENDING order.
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(col("rank"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(col("rank").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val withNearest = rk
+        .withColumn("_kb", coalesce(
+          last(when(col("tr"), col("key")), ignoreNulls = true).over(wB), beforeCol))
+        .withColumn("_ka", coalesce(
+          last(when(col("tr"), col("key")), ignoreNulls = true).over(wA), afterCol))
+      val evalRows = withNearest.filter(!col("tr"))
+        .select(col("id"), greatest(lcp(col("key"), col("_kb")),
+          lcp(col("key"), col("_ka"))).as("_l"))
+      evalRows.groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("_l") >= minSpan, 1L).otherwise(0L)).as("n_contaminated"),
+          max(col("_l")).cast("long").as("max_train_lcp"))
+    }
+  }
 }

@@ -251,7 +251,9 @@ object DumpPlans {
     "q189_percentile_norm" ->
       "Percentile normalization: the margin is q72's codegen'd in-row fold (no exchange); ranks are a RANGE exchange + zipWithIndex; the distinct-value percentile table aggregates to values-scale and joins back on the score key with the one-row count riding a broadcast cross join — one corpus scan, one range exchange, one values-scale join, zero global windows.",
     "q190_kll_certify" ->
-      "KLL certification: the sketch side is an ObjectHashAggregate pair (fixed O(k log n) buffers merge map-side — the corpus never shuffles for the sketch); the exact side reuses the q187 value-level cumulative machinery; the certificate join touches 15 probe rows against the bounded value table. Two corpus scans total (one per tier), no corpus-scale sort for the sketch — that is the point.")
+      "KLL certification: the sketch side is an ObjectHashAggregate pair (fixed O(k log n) buffers merge map-side — the corpus never shuffles for the sketch); the exact side reuses the q187 value-level cumulative machinery; the certificate join touches 15 probe rows against the bounded value table. Two corpus scans total (one per tier), no corpus-scale sort for the sketch — that is the point.",
+    "q191_decontaminate" ->
+      "Exact decontamination: positions explode map-side over both corpora; the suffix order is the q188 range sort + zipWithIndex; nearest-train lookups are PARTITION-LOCAL running ignore-null windows in both directions (ascending + descending running frames — an unbounded-FOLLOWING frame would recompute per row, O(n²) per partition) with numPartitions-sized boundary carries collected once; the LCP folds and per-eval-doc aggregate ride above. Executed form is withCached-materialized (the ranked table feeds the parts collect and the window pass), so the returned plan is the doc-scale scan.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -101,4 +101,82 @@ class SuffixSpansSpec extends SparkSpec {
       SuffixSpans.docStats(Seq((1L, "x")).toDF("doc_id", "text"),
         "doc_id", "text", k = 10, minSpan = 11))
   }
+
+  // ---- contamination: the cross-corpus exact tier ----
+
+  private def contam(docs: Seq[(Long, String, Boolean)], k: Int = 48, minSpan: Int = 20,
+                     parts: Int = 3): Map[Long, (Long, Long, Long)] =
+    SuffixSpans.contamination(
+      docs.toDF("doc_id", "text", "is_train").repartition(parts),
+      "doc_id", "text", "is_train", k, minSpan)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  /** Brute force: every eval position's max LCP over EVERY train
+    * position — the O(n·m) definition the nearest-in-rank-order
+    * implementation must match exactly.
+    */
+  private def refContam(docs: Seq[(Long, String, Boolean)], k: Int, minSpan: Int)
+      : Map[Long, (Long, Long, Long)] = {
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), k)
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    val trainSuf = for ((_, t, tr) <- docs if tr; p <- 0 until t.length) yield t.substring(p)
+    docs.filter(!_._3).map { case (id, t, _) =>
+      val ls = (0 until t.length).map { p =>
+        val s = t.substring(p)
+        if (trainSuf.isEmpty) 0 else trainSuf.map(lcp(s, _)).max
+      }
+      id -> ((t.length.toLong, ls.count(_ >= minSpan).toLong,
+        (if (ls.isEmpty) 0 else ls.max).toLong))
+    }.toMap
+  }
+
+  test("contamination: a planted 25-char train span flags exactly its qualifying positions") {
+    val span = "The quick brown fox jumps" // 25 chars
+    val docs = Seq(
+      (1L, "x" * 30 + span + "q" * 10, true), // train
+      (100L, "z" * 8 + span + "w" * 8, false), // eval: contaminated
+      (101L, "completely different words here", false)) // eval: clean
+    val got = contam(docs)
+    assert(got === refContam(docs, 48, 20))
+    assert(got(100L)._2 === 6L, s"6 span offsets qualify: $got")
+    assert(got(100L)._3 === 25L)
+    assert(got(101L)._2 === 0L)
+  }
+
+  test("contamination: eval-suffix runs cannot mask a train match (exact, not adjacent)") {
+    // many near-identical EVAL docs sort adjacent to each other around
+    // the contaminated suffixes; the train twin must still be found
+    val core = "shared contamination span!!"
+    val docs = Seq((1L, "TRAIN>" + core + "<TRAIN", true)) ++
+      (0 until 6).map(i => (200L + i, s"ev$i-" + core + s"-$i", false))
+    val got = contam(docs)
+    assert(got === refContam(docs, 48, 20))
+    (0 until 6).foreach(i => assert(got(200L + i)._2 > 0L, s"eval $i masked"))
+  }
+
+  test("contamination: brute parity on noisy corpora across partitionings and key widths") {
+    val rnd = (i: Long, s: Long) => ('a' + ((i * 17 + s * 7 + 3) % 23).toInt).toChar
+    val docs = (0L until 5L).map(d =>
+      (d, (0L until 70L).map(i => rnd(i, d + 2)).mkString, true)) ++
+      (0L until 5L).map { d =>
+        val t = (0L until 50L).map(i => rnd(i, d + 11)).mkString
+        val planted = if (d % 2 == 0)
+          t + (0L until 30L).map(i => rnd(i + 10, (d / 2) + 2)).mkString else t
+        (300L + d, planted, false)
+      }
+    assert(contam(docs) === refContam(docs, 48, 20))
+    assert(contam(docs, parts = 13) === contam(docs, parts = 1))
+    assert(contam(docs, k = 16, minSpan = 8) === refContam(docs, 16, 8))
+  }
+
+  test("contamination: no train corpus at all yields zero LCP everywhere") {
+    val docs = Seq((1L, "some eval text only here", false))
+    val got = contam(docs)
+    assert(got(1L)._2 === 0L && got(1L)._3 === 0L)
+  }
 }
