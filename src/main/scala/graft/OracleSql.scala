@@ -2468,7 +2468,8 @@ object OracleSql {
       """WITH tr AS (SELECT doc_id AS id, text AS t, true AS is_tr FROM documents),
         |ev AS (SELECT doc_id + 1000000 AS id,
         |    CASE WHEN doc_id % 7 = 0 THEN 'xq' || substring(text, 21, 40) || 'qx'
-        |         ELSE upper(text) END AS t, false AS is_tr FROM documents),
+        |         ELSE upper(text) END AS t, false AS is_tr FROM documents
+        |  WHERE doc_id % 5 = 0),
         |u AS (SELECT * FROM tr UNION ALL SELECT * FROM ev),
         |pos AS (SELECT id, is_tr, unnest(range(1, length(t) + 1)) AS p, t FROM u
         |  WHERE length(t) >= 1),

@@ -800,6 +800,9 @@ object SparkEntry {
     val train = fanOut(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"), lit(true).as("is_train"))
     val evalDocs = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0) // a held-out slice:
+      // eval corpora are small next to train (the realistic shape,
+      // and the method's cost scales with total positions)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit("xq"), substring(col("text"), 21, 40), lit("qx")))

@@ -154,22 +154,17 @@ object SuffixSpans {
       .select(col("id"), col("tr"),
         explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
       .select(col("id"), col("tr"), col("p"), expr(s"substring(t, p, $k)").as("key"))
+    // zipWithIndex assigns CONTIGUOUS ranks per partition in partition
+    // order, so the partition index IS a valid range-bucket id — no
+    // second rank exchange needed (3M-row shuffle saved)
     val ranked = pos
       .repartitionByRange(col("key"), col("id"), col("p"))
       .sortWithinPartitions(col("key"), col("id"), col("p"))
       .as[(Long, Boolean, Int, String)].rdd.zipWithIndex()
-      .map { case ((id, tr, p, key), r) => (id, tr, p, key, r) }
-      .toDF("id", "tr", "p", "key", "rank")
-      .repartitionByRange(col("rank"))
-      .sortWithinPartitions(col("rank"))
-      .withColumn("_pid", spark_partition_id())
-
-    def lcp(a: Column, b: Column): Column =
-      when(b.isNull, lit(0)).otherwise(least(
-        aggregate(sequence(lit(1), lit(k)), lit(0), (acc, i) =>
-          when(acc === i - 1 && a.substr(i, lit(1)) === b.substr(i, lit(1)), i)
-            .otherwise(acc)),
-        length(a), length(b)))
+      .mapPartitionsWithIndex { (pid, it) =>
+        it.map { case ((id, tr, p, key), r) => (id, tr, p, key, r, pid) }
+      }
+      .toDF("id", "tr", "p", "key", "rank", "_pid")
 
     graft.Exec.withCached(ranked) { rk =>
       // per-partition first/last TRAIN key — numPartitions rows to the
@@ -208,9 +203,28 @@ object SuffixSpans {
           last(when(col("tr"), col("key")), ignoreNulls = true).over(wB), beforeCol))
         .withColumn("_ka", coalesce(
           last(when(col("tr"), col("key")), ignoreNulls = true).over(wA), afterCol))
+      // LCP as a short-circuiting JVM kernel, not a Column fold: the
+      // fold evaluates all k steps with a substring allocation each
+      // (no short-circuit inside higher-order functions) — at 1.5M
+      // eval positions × 2 neighbors × 48 steps it dominated the
+      // query (~3× total runtime); random suffix pairs mismatch
+      // within a few chars, so the loop is ~20× cheaper. The ORACLE
+      // keeps its list_reduce form — same VALUES, different engine.
       val evalRows = withNearest.filter(!col("tr"))
-        .select(col("id"), greatest(lcp(col("key"), col("_kb")),
-          lcp(col("key"), col("_ka"))).as("_l"))
+        .select(col("id"), col("key"), col("_kb"), col("_ka"))
+        .as[(Long, String, String, String)]
+        .mapPartitions(_.map { case (id, key, kb, ka) =>
+          def l(b: String): Int = {
+            if (b == null) 0
+            else {
+              val n = math.min(key.length, b.length)
+              var i = 0
+              while (i < n && key.charAt(i) == b.charAt(i)) i += 1
+              i
+            }
+          }
+          (id, math.max(l(kb), l(ka)))
+        }).toDF("id", "_l")
       evalRows.groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_positions"),
           sum(when(col("_l") >= minSpan, 1L).otherwise(0L)).as("n_contaminated"),
