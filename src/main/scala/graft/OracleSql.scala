@@ -2464,6 +2464,86 @@ object OracleSql {
     // the same (key, id, p) total order, then the capped LCP fold per
     // side — certifying the rank, both boundary-carried lookups and
     // the per-eval-doc aggregation.
+    // k-core (k=2): the planted-clique graph plus bounded pendant
+    // chains; eight peel layers unrolled as plain CTEs (fixpoint is
+    // reached by round ≤ 6 on this fixture, so the tail layers are
+    // no-ops) — the surviving nodes AND their in-core degrees must
+    // match GraphMetrics.kCore's fixpoint exactly.
+    "q192_kcore" -> {
+      // AS MATERIALIZED: each layer references its predecessor several
+      // times — DuckDB inlines plain CTEs, which here would expand to
+      // ~5^8 scans of the base relation.
+      val peels = (1 to 8).map { r =>
+        s"""dg$r AS MATERIALIZED (SELECT id, count(*) AS dg
+           |  FROM (SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+           |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+           |  WHERE a NOT IN (SELECT id FROM dg$r WHERE dg < 2)
+           |    AND b NOT IN (SELECT id FROM dg$r WHERE dg < 2))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |cq AS (SELECT doc_id AS src, doc_id + k AS dst
+         |  FROM (SELECT doc_id, unnest(range(1, 6)) AS k FROM documents) CROSS JOIN nn
+         |  WHERE doc_id % 6 + k < 6 AND doc_id + k < n),
+         |cl AS (SELECT doc_id AS src, doc_id + 6 AS dst
+         |  FROM documents CROSS JOIN nn WHERE doc_id % 29 = 0 AND doc_id + 6 < n),
+         |ch AS (SELECT doc_id + (s - 1) * n AS src, doc_id + s * n AS dst
+         |  FROM (SELECT doc_id, n, unnest(range(1, 4)) AS s
+         |        FROM documents CROSS JOIN nn WHERE doc_id % 6 = 0)),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM (SELECT src, dst FROM cq UNION ALL SELECT src, dst FROM cl
+         |        UNION ALL SELECT src, dst FROM ch)
+         |  WHERE src <> dst),
+         |$peels
+         |SELECT CAST(id AS BIGINT) AS node_id, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT a AS id FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // Salted skew join: the oracle is the PLAIN join — agreement
+    // proves the 16-way hot-key salting lost and duplicated nothing.
+    "q195_salted_join" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_partkey END AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pc) AS BIGINT) AS sum_cents
+        |FROM f JOIN part ON p_partkey = k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bucketed co-located join: plain join + aggregate, with the
+    // Spark side's plan-derived exchange count pinned to 0 — the
+    // hash certifies both the result and the zero-shuffle property.
+    "q194_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(0 AS BIGINT) AS join_exchanges
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Additive schema evolution: old files (the %3==0 create) never
+    // carried the new columns → the NULL o_flag group with 0 scored
+    // rows and NULL sum; the %3==1 append carries real values. The
+    // metadata-only/no-rewrite half of the contract is pinned by
+    // in-query requires on the Spark side.
+    "q193_txlog_schema_evolution" ->
+      """WITH v0 AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    CAST(NULL AS VARCHAR) AS o_flag, CAST(NULL AS BIGINT) AS o_score
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'done' END AS o_flag,
+        |    o_orderkey % 7 AS o_score
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v2)
+        |SELECT o_flag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |  CAST(count(o_score) AS BIGINT) AS n_scored,
+        |  CAST(sum(o_score) AS BIGINT) AS sum_score
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q191_decontaminate" ->
       """WITH tr AS (SELECT doc_id AS id, text AS t, true AS is_tr FROM documents),
         |ev AS (SELECT doc_id + 1000000 AS id,

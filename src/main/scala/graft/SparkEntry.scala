@@ -813,6 +813,149 @@ object SparkEntry {
       .transform(sorted1(_, col("doc_id")))
   }
 
+  /** The k-core fixture: the planted 6-clique graph (communityEdges)
+    * plus a 3-edge pendant chain hung off every id%6==0 node (chain
+    * node ids live at doc_id + s·n, s = 1..3 — disjoint from the base
+    * id space by construction). Chains and ragged-tail stubs peel
+    * away under k = 2 in a PROVABLY bounded number of rounds
+    * (chain length 3 + ≤ 2 cascade rounds from a partial tail block,
+    * independent of SF), which is what lets the oracle unroll the
+    * peel as plain CTE layers; the K6 blocks (min degree 5) are the
+    * surviving core.
+    */
+  private[graft] def kcoreEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nRow = docs.agg(count(lit(1)).as("_n"))
+    val chains = fanOut(s, docs).select(col("doc_id")).crossJoin(broadcast(nRow))
+      .filter(pmod(col("doc_id"), lit(6)) === 0)
+      .select(col("doc_id"), explode(sequence(lit(1L), lit(3L))).as("st"), col("_n"))
+      .select((col("doc_id") + (col("st") - 1) * col("_n")).as("src"),
+        (col("doc_id") + col("st") * col("_n")).as("dst"))
+    communityEdges(s, dir).unionByName(chains)
+  }
+
+  /** B56 — k-CORE DECOMPOSITION, oracled (operators.GraphMetrics
+    * .kCore, C45 GRADUATED from library/spec the way q172 graduated
+    * PageRank): iterative degree-<k peel to the unique fixpoint —
+    * the density filter above triangles (tendrils and link chains
+    * peel away; spam farms and tight communities survive). The
+    * oracle unrolls eight peel layers as plain CTEs (the q183
+    * pattern — fixpoint by round ≤ 6 on this fixture, so the extra
+    * layers are provably no-ops) and certifies the surviving node
+    * set AND its in-core degrees; the Spark side fail-fasts if the
+    * fixpoint were not reached, so agreement proves peel-for-peel
+    * equivalence, not just a compatible end state.
+    */
+  private def q192Kcore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphMetrics.kCore(kcoreEdges(s, dir), "src", "dst", k = 2)
+      .select(col("node").as("node_id"), col("degree"))
+      .transform(sorted1(_, col("node_id")))
+
+  /** C103 — SALTED SKEW JOIN, oracled (C13 GRADUATED from
+    * library/spec): a third of the fact rows pile onto ONE key (the
+    * classic single-hot-key shape AQE's skew splitting can't always
+    * fix when the dim side isn't broadcastable), the hot key is
+    * salted 16 ways while the long tail joins normally
+    * (saltedJoinHotKeys — the production shape: replication cost
+    * paid only where needed). The oracle is the PLAIN join, so the
+    * hash proves salting is LOSSLESS: spreading the hot key across
+    * 16 reducers changed the execution layout, not one row of the
+    * result. Salt balance itself is pinned by SkewJoinSpec.
+    */
+  private def q195SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = fanOut(s, Tables.lineitem(s, dir))
+      .select(when(col("l_orderkey") % 3 === 0, lit(1L))
+        .otherwise(col("l_partkey")).as("k"),
+        cents(col("l_extendedprice")).as("pc"))
+    val dim = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand"))
+    graft.operators.SkewJoin.saltedJoinHotKeys(fact, dim, "k", Seq(1L), factor = 16)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_cents"))
+      .transform(sorted1(_, col("p_brand")))
+  }
+
+  /** B58 — BUCKETED CO-LOCATED JOIN, oracled (B15 GRADUATED from
+    * library/spec): both sides written bucketed+sorted by the join
+    * key into the same bucket count, then joined WITHOUT AN
+    * EXCHANGE — the on-disk layout §4 prescribes for repeatedly-
+    * joined 100 TB fact tables (pay the shuffle once at write time,
+    * never again at read time). The q148 trick puts the PLAN
+    * property in the oracle row: `join_exchanges` counts
+    * hashpartitioning exchanges on either join key in the executed
+    * plan and the oracle pins it to 0, so the hash certifies the
+    * join's RESULT and that bucketing actually eliminated the
+    * shuffle (a layout regression flips the column to 2 and fails
+    * the gate). The merge hint forces the SortMergeJoin path — a
+    * broadcast would also be exchange-free but would certify
+    * nothing about the layout.
+    */
+  private def q194BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q194").toString
+    s.sql("DROP TABLE IF EXISTS graft_q194_li")
+    s.sql("DROP TABLE IF EXISTS graft_q194_or")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li").saveAsTable("graft_q194_li")
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/or").saveAsTable("graft_q194_or")
+    val joined = s.table("graft_q194_li").hint("merge")
+      .join(s.table("graft_q194_or"), col("l_orderkey") === col("o_orderkey"))
+    val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findAllIn(joined.queryExecution.executedPlan.toString).size
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      .withColumn("join_exchanges", lit(exchanges.toLong))
+      .transform(sorted1(_, col("o_orderpriority")))
+  }
+
+  /** B57 — ADDITIVE SCHEMA EVOLUTION, oracled (TxLog.addColumn,
+    * spec-only since r10, GRADUATED): ADD COLUMN as a METADATA-ONLY
+    * commit — the one schema change a 100 TB table can afford. The
+    * lifecycle: create under the original schema, addColumn (two new
+    * nullable columns; in-query requires pin that the add-set is
+    * IDENTICAL across the commit — no data file rewritten — and that
+    * version-0 time travel still serves the pre-evolution schema),
+    * then append rows that carry the new columns. The read must blend
+    * old files (nulls in the new positions, synthesized at scan from
+    * the snapshot schema) with new files (real values) — the NULL
+    * group row in the output is the old files' evidence, the valued
+    * groups the new files', and count/sum over the nullable column
+    * certify the null semantics both engines agree on.
+    */
+  private def q193TxlogSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q193").toString
+    TxLog.create(s, orders.filter(col("o_orderkey") % 3 === 0).repartition(2), t)
+    val addsBefore = TxLog.snapshot(t).adds.keySet
+    TxLog.addColumn(t, "o_flag STRING, o_score BIGINT")
+    require(TxLog.snapshot(t).adds.keySet == addsBefore,
+      "q193: add-column must be metadata-only — the add-set changed")
+    require(TxLog.read(s, t, Some(0L)).columns.length == 3,
+      "q193: version-0 time travel must keep the pre-evolution schema")
+    // two-arm `when` with no `otherwise` (never null in practice, but
+    // NULLABLE in the schema — the table's evolved columns are
+    // nullable by contract and append requires an exact schema match)
+    TxLog.append(s, orders.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_flag",
+        when(col("o_orderstatus") === "O", lit("open"))
+          .when(col("o_orderstatus") =!= "O", lit("done")))
+      .withColumn("o_score", pmod(col("o_orderkey"), lit(7)).cast("long"))
+      .repartition(2), t)
+    TxLog.read(s, t)
+      .groupBy("o_flag")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"),
+        count(col("o_score")).as("n_scored"),
+        sum(col("o_score")).as("sum_score"))
+      .transform(sorted1(_, col("o_flag")))
+  }
+
   private def q188Aug(s: SparkSession, dir: String): DataFrame = {
     val d = fanOut(s, Tables.documents(s, dir)).select(col("doc_id"), col("text"))
     val d2 = Tables.documents(s, dir)
@@ -5378,7 +5521,11 @@ object SparkEntry {
     "q188_suffix_dedup" -> (q188SuffixDedup _),
     "q189_percentile_norm" -> (q189PercentileNorm _),
     "q190_kll_certify" -> (q190KllCertify _),
-    "q191_decontaminate" -> (q191Decontaminate _))
+    "q191_decontaminate" -> (q191Decontaminate _),
+    "q192_kcore" -> (q192Kcore _),
+    "q193_txlog_schema_evolution" -> (q193TxlogSchemaEvolution _),
+    "q194_bucketed_join" -> (q194BucketedJoin _),
+    "q195_salted_join" -> (q195SaltedJoin _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

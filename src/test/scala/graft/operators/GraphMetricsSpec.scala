@@ -102,6 +102,18 @@ class GraphMetricsSpec extends SparkSpec {
     assert(e.getMessage.contains("NOT the k-core"))
   }
 
+  test("q192 fixture peels to the 2-core fixpoint within 6 rounds") {
+    // the oracle unrolls EIGHT peel layers as plain CTEs; this pin
+    // proves the fixture's peel depth stays under that budget (kCore
+    // fail-fasts if maxIter rounds don't reach the fixpoint), so the
+    // oracle's tail layers are no-ops by construction
+    val deg = graft.SparkEntry.kcoreEdges(spark, sf()).transform(e =>
+      graft.operators.GraphMetrics.kCore(e, "src", "dst", k = 2, maxIter = 6))
+    // and the surviving core is the planted cliques: min degree ≥ 5
+    assert(deg.agg(org.apache.spark.sql.functions.min("degree"))
+      .collect().head.getLong(0) >= 5L)
+  }
+
   test("wedge volume is bounded by orientation: hub out-degree stays O(√m)") {
     // star + one far edge: the hub (degree 9) must orient OUTWARD
     // only toward higher-(degree,id) nodes — its oriented out-degree
