@@ -2499,6 +2499,26 @@ object OracleSql {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Int8 quantization: the whole matrix replayed — order-free
+    // max-abs scales, per-element floor codes (identical double
+    // arithmetic), integer-only aggregates (id-weighted sum pins the
+    // assignment). DuckDB lists are 1-based; posexplode dims 0-based.
+    "q196_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |sc AS (SELECT dim, max(abs(x)) AS scale FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, e.dim, sc.scale,
+        |    CASE WHEN sc.scale = 0.0 THEN 0
+        |         ELSE CAST(floor(x * 127.0 / sc.scale) AS BIGINT) END AS code
+        |  FROM e JOIN sc USING (dim))
+        |SELECT CAST(dim AS BIGINT) AS dim, max(scale) AS scale,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(code) AS BIGINT) AS sum_code,
+        |  CAST(min(code) AS BIGINT) AS min_code,
+        |  CAST(max(code) AS BIGINT) AS max_code,
+        |  CAST(sum(code * (vec_id + 1)) AS BIGINT) AS sum_code_weighted
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Salted skew join: the oracle is the PLAIN join — agreement
     // proves the 16-way hot-key salting lost and duplicated nothing.
     "q195_salted_join" ->

@@ -851,6 +851,20 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C104 — INT8 EMBEDDING QUANTIZATION (similarity.Quantize, NEW
+    * r14d): the serving-tier memory cut for the ANN stack — per-dim
+    * max-abs scales (order-free) + floor-based codes (per-element
+    * double arithmetic, no FP sums anywhere), so the DuckDB twin
+    * replays the ENTIRE quantization matrix bit-for-bit; the
+    * id-weighted code sum pins every (vector, code) assignment, not
+    * just the marginals. Round-trip error bounds live in
+    * QuantizeSpec.
+    */
+  private def q196EmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Quantize.int8Stats(
+      fanOut(s, Tables.embeddings(s, dir)), "vec_id", "embedding")
+      .transform(sorted1(_, col("dim")))
+
   /** C103 — SALTED SKEW JOIN, oracled (C13 GRADUATED from
     * library/spec): a third of the fact rows pile onto ONE key (the
     * classic single-hot-key shape AQE's skew splitting can't always
@@ -5525,7 +5539,8 @@ object SparkEntry {
     "q192_kcore" -> (q192Kcore _),
     "q193_txlog_schema_evolution" -> (q193TxlogSchemaEvolution _),
     "q194_bucketed_join" -> (q194BucketedJoin _),
-    "q195_salted_join" -> (q195SaltedJoin _))
+    "q195_salted_join" -> (q195SaltedJoin _),
+    "q196_embed_quantize" -> (q196EmbedQuantize _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their
