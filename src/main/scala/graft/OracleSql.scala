@@ -2499,6 +2499,25 @@ object OracleSql {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Distinct-n diversity: the q95 tokenization, parallel-unnest
+    // bigrams, exact distinct counts, integer-div basis points.
+    "q197_distinct_ngrams" ->
+      """WITH toks AS (SELECT lang AS grp,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (SELECT grp, unnest(t) AS w FROM toks),
+        |u AS (SELECT grp, CAST(count(*) AS BIGINT) AS total_1,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS distinct_1 FROM uni GROUP BY 1),
+        |big AS (SELECT grp, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |b AS (SELECT grp, CAST(count(*) AS BIGINT) AS total_2,
+        |    CAST(count(DISTINCT w1 || ' ' || w2) AS BIGINT) AS distinct_2 FROM big GROUP BY 1)
+        |SELECT u.grp, total_1, distinct_1,
+        |  CAST(distinct_1 * 10000 // total_1 AS BIGINT) AS d1_bp,
+        |  total_2, distinct_2,
+        |  CAST(distinct_2 * 10000 // total_2 AS BIGINT) AS d2_bp
+        |FROM u JOIN b USING (grp) ORDER BY 1""".stripMargin,
+
     // Int8 quantization: the whole matrix replayed — order-free
     // max-abs scales, per-element floor codes (identical double
     // arithmetic), integer-only aggregates (id-weighted sum pins the

@@ -851,6 +851,19 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C105 — DISTINCT-N DIVERSITY (functions.Diversity, NEW r14d; Li
+    * et al. NAACL 2016): per-language distinct-1/distinct-2 ratios in
+    * integer basis points — the corpus-health counterpart of q58's
+    * within-document repetition (a templated slice collapses
+    * distinct-2 long before any per-doc filter fires; q69's mixing
+    * wants this per slice). Distinct counting is the two-stage
+    * aggregate, never a per-slice vocabulary in one task.
+    */
+  private def q197DistinctNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Diversity.distinctNgrams(
+      fanOut(s, Tables.documents(s, dir)), "lang", "text")
+      .transform(sorted1(_, col("grp")))
+
   /** C104 — INT8 EMBEDDING QUANTIZATION (similarity.Quantize, NEW
     * r14d): the serving-tier memory cut for the ANN stack — per-dim
     * max-abs scales (order-free) + floor-based codes (per-element
@@ -5540,7 +5553,8 @@ object SparkEntry {
     "q193_txlog_schema_evolution" -> (q193TxlogSchemaEvolution _),
     "q194_bucketed_join" -> (q194BucketedJoin _),
     "q195_salted_join" -> (q195SaltedJoin _),
-    "q196_embed_quantize" -> (q196EmbedQuantize _))
+    "q196_embed_quantize" -> (q196EmbedQuantize _),
+    "q197_distinct_ngrams" -> (q197DistinctNgrams _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their
