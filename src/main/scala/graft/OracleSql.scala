@@ -2499,6 +2499,40 @@ object OracleSql {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Wavelet-hash near-dup: q171's replay with the MEDIAN threshold
+    // (32nd+33rd order stats, cross-multiplied) and the extreme-white
+    // outlier perturbation; grayscale pixels hash on their raw value.
+    "q198_whash_neardup" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 2 AS b, doc_id % 2 = 1 AS odd FROM documents),
+        |g AS (SELECT doc_id, b, odd, x, y FROM ids, range(0, 16) rx(x), range(0, 16) ry(y)),
+        |v AS (SELECT doc_id, x, y,
+        |   CASE WHEN odd AND (x * 16 + y) % 67 = 0 THEN 255
+        |        ELSE ((3 + b % 251) * x * y + (1 + b % 127) * x + (2 + b % 61) * y) % 256
+        |   END AS val
+        |  FROM g),
+        |cells AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS ci, CAST(sum(val) AS BIGINT) AS cs
+        |  FROM v GROUP BY 1, 2),
+        |ranked AS (SELECT doc_id, ci, cs,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY cs, ci) AS rk FROM cells),
+        |med AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN rk IN (32, 33) THEN cs ELSE 0 END) AS BIGINT) AS m2
+        |  FROM ranked GROUP BY 1),
+        |bits AS (SELECT cells.doc_id, ci, CASE WHEN cs * 2 > m2 THEN 1 ELSE 0 END AS bit
+        |  FROM cells JOIN med USING (doc_id)),
+        |bands AS (SELECT doc_id, ci // 16 AS band,
+        |   CAST(sum(bit * (1 << (15 - ci % 16))) AS BIGINT) AS bval
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.bval = b2.bval AND a.doc_id < b2.doc_id),
+        |ham AS (SELECT id_a, id_b,
+        |   CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand JOIN bits ba ON ba.doc_id = id_a
+        |   JOIN bits bb ON bb.doc_id = id_b AND bb.ci = ba.ci
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Distinct-n diversity: the q95 tokenization, parallel-unnest
     // bigrams, exact distinct counts, integer-div basis points.
     "q197_distinct_ngrams" ->

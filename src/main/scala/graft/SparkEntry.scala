@@ -851,6 +851,43 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C106 — WAVELET-HASH IMAGE NEAR-DUP (ImageNearDup.wPairs, NEW
+    * r14d): the imagehash-style wHash next to q171's aHash — the
+    * same Haar LL band (power-of-two cell sums), thresholded at the
+    * MEDIAN coefficient instead of the mean, all order-stat integer
+    * arithmetic. The median is what survives the perturbation this
+    * fixture plants: odd images take EXTREME white outlier pixels
+    * (the lens-flare/watermark class), which drag a mean threshold
+    * but cannot move the middle order statistic — the robustness
+    * contrast is spec-pinned, and the oracle replays cell sums,
+    * order stats, bits, bands and popcounts closed-form.
+    */
+  private def q198WhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = fanOut(s, Tables.documents(s, dir)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16; val h = 16
+        val b = id / 2
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (((3 + b % 251) * x * y + (1 + b % 127) * x +
+              (2 + b % 61) * y) % 256).toInt
+            val v = if (id % 2 == 1 && (x * 16 + y) % 67 == 0) 255 else base
+            val p = (y * w + x) * 3
+            rgb(p) = v.toByte; rgb(p + 1) = v.toByte; rgb(p + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.multimodal.Bmp.encode(w, h, rgb))
+      }).toDF("doc_id", "payload")
+    graft.similarity.ImageNearDup.wPairs(imgs, "doc_id", "payload", maxHamming = 10)
+      .transform(sorted1(_, col("id_a"), col("id_b")))
+  }
+
   /** C105 — DISTINCT-N DIVERSITY (functions.Diversity, NEW r14d; Li
     * et al. NAACL 2016): per-language distinct-1/distinct-2 ratios in
     * integer basis points — the corpus-health counterpart of q58's
@@ -5554,7 +5591,8 @@ object SparkEntry {
     "q194_bucketed_join" -> (q194BucketedJoin _),
     "q195_salted_join" -> (q195SaltedJoin _),
     "q196_embed_quantize" -> (q196EmbedQuantize _),
-    "q197_distinct_ngrams" -> (q197DistinctNgrams _))
+    "q197_distinct_ngrams" -> (q197DistinctNgrams _),
+    "q198_whash_neardup" -> (q198WhashNeardup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

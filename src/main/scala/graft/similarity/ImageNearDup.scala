@@ -37,7 +37,25 @@ object ImageNearDup {
   /** Exact-integer 8×8 average hash over top-down row-major RGB
     * triplets; None when the grid cannot divide the image exactly.
     */
-  def aHash64(width: Int, height: Int, rgb: Array[Byte]): Option[Long] = {
+  def aHash64(width: Int, height: Int, rgb: Array[Byte]): Option[Long] =
+    cellSums(width, height, rgb).map { cell =>
+      var total = 0L
+      var i = 0
+      while (i < 64) { total += cell(i); i += 1 }
+      var hash = 0L
+      i = 0
+      while (i < 64) {
+        if (cell(i) * 64L >= total) hash |= 1L << (63 - i)
+        i += 1
+      }
+      hash
+    }
+
+  /** The 8×8 luma cell sums both hashes threshold — for
+    * power-of-two cell sizes these ARE the k-level unnormalized Haar
+    * LL (approximation) band, k = log2(width/8).
+    */
+  private def cellSums(width: Int, height: Int, rgb: Array[Byte]): Option[Array[Long]] = {
     if (width <= 0 || height <= 0 || width % 8 != 0 || height % 8 != 0 ||
       rgb == null || rgb.length != width * height * 3) return None
     val cw = width / 8
@@ -56,16 +74,34 @@ object ImageNearDup {
       }
       y += 1
     }
-    var total = 0L
-    var i = 0
-    while (i < 64) { total += cell(i); i += 1 }
-    var hash = 0L
-    i = 0
-    while (i < 64) {
-      if (cell(i) * 64L >= total) hash |= 1L << (63 - i)
-      i += 1
+    Some(cell)
+  }
+
+  /** WAVELET (Haar) HASH — the imagehash-style wHash: the same LL
+    * band, thresholded at the MEDIAN coefficient instead of the
+    * mean. The median is the robust choice: a few extreme-bright
+    * cells (a lens flare, a watermark patch) drag the mean and flip
+    * bits corpus-wide, but cannot move the middle order statistic.
+    * Exact integers: median of 64 cell sums = the (32nd, 33rd)
+    * order-stat pair, compared cross-multiplied (bit = 2·cellᵢ >
+    * s₃₂+s₃₃) — no division. Power-of-two cell sizes required so the
+    * coefficients are genuinely the Haar approximation band.
+    */
+  def wHash64(width: Int, height: Int, rgb: Array[Byte]): Option[Long] = {
+    def pow2(v: Int) = v > 0 && (v & (v - 1)) == 0
+    if (width % 8 != 0 || height % 8 != 0) return None
+    if (!pow2(width / 8) || !pow2(height / 8)) return None
+    cellSums(width, height, rgb).map { cell =>
+      val sorted = cell.sorted
+      val m2 = sorted(31) + sorted(32)
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (cell(i) * 2L > m2) hash |= 1L << (63 - i)
+        i += 1
+      }
+      hash
     }
-    Some(hash)
   }
 
   /** Map-only decode+hash pass: (id, ahash) for every decodable,
@@ -84,6 +120,19 @@ object ImageNearDup {
       }.toDF(idCol, "ahash")
   }
 
+  /** Map-only decode+wHash pass (the wavelet twin of `hashes`). */
+  def wHashes(df: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Bmp.decodePixels(bytes).flatMap { case (w, h, rgb) =>
+          wHash64(w, h, rgb).map(hsh => (id, hsh))
+        }
+      }.toDF(idCol, "ahash")
+  }
+
   /** Banded near-duplicate pairs: (id_a, id_b, hamming) with
     * id_a < id_b and hamming ≤ `maxHamming`, for pairs sharing at
     * least one of the four 16-bit bands. Hashes ride through the
@@ -91,8 +140,15 @@ object ImageNearDup {
     * no second fetch.
     */
   def pairs(df: DataFrame, idCol: String = "doc_id",
-            payloadCol: String = "payload", maxHamming: Int = 10): DataFrame = {
-    val hashed = hashes(df, idCol, payloadCol)
+            payloadCol: String = "payload", maxHamming: Int = 10): DataFrame =
+    pairsOf(hashes(df, idCol, payloadCol), idCol, maxHamming)
+
+  /** Banded wHash near-duplicate pairs (the wavelet twin of `pairs`). */
+  def wPairs(df: DataFrame, idCol: String = "doc_id",
+             payloadCol: String = "payload", maxHamming: Int = 10): DataFrame =
+    pairsOf(wHashes(df, idCol, payloadCol), idCol, maxHamming)
+
+  private def pairsOf(hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col(idCol), col("ahash"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
