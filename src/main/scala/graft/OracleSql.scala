@@ -2499,6 +2499,26 @@ object OracleSql {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // JSONL quarantine ingest: DuckDB parses the SAME lines with its
+    // own JSON engine — a genuine cross-engine parse equivalence.
+    "q199_jsonl_ingest" ->
+      """WITH l AS (SELECT doc_id, lang,
+        |    '{"id": ' || doc_id || ', "lang": "' || lang || '", "nc": ' || length(text)
+        |      || ', "tags": ["a' || (doc_id % 5) || '", "b' || (doc_id % 3)
+        |      || CASE WHEN doc_id % 7 = 3 THEN '"]' ELSE '"]}' END AS line
+        |  FROM documents),
+        |p AS (SELECT line, try_cast(line AS JSON) IS NOT NULL AS ok FROM l),
+        |g AS (SELECT
+        |    CASE WHEN ok THEN json_extract_string(line, '$.lang')
+        |         ELSE '__quarantined' END AS grp,
+        |    CASE WHEN ok THEN CAST(json_extract(line, '$.id') AS BIGINT) END AS id,
+        |    CASE WHEN ok THEN CAST(json_extract(line, '$.nc') AS BIGINT) END AS nc,
+        |    CASE WHEN ok THEN CAST(json_array_length(json_extract(line, '$.tags')) AS BIGINT) END AS ntags
+        |  FROM p)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc, CAST(sum(ntags) AS BIGINT) AS sum_tags
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Wavelet-hash near-dup: q171's replay with the MEDIAN threshold
     // (32nd+33rd order stats, cross-multiplied) and the extreme-white
     // outlier perturbation; grayscale pixels hash on their raw value.

@@ -851,6 +851,40 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C107 — JSONL QUARANTINE INGESTION (sources.Jsonl, NEW r14d):
+    * the record format dataset releases actually ship, parsed with
+    * Catalyst's native JsonToStructs under the quarantine-not-drop
+    * discipline (D8's rule, batch-side): every id%7==3 line is
+    * truncated mid-object and must land flagged in the
+    * `__quarantined` group — rows in, rows out. The oracle parses
+    * the SAME synthesized lines with DuckDB's own JSON engine
+    * (try_cast validity, json_extract fields), so agreement is a
+    * genuine cross-engine JSON-parse equivalence, not a synthesis
+    * replay.
+    */
+  private def q199JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val lines = fanOut(s, Tables.documents(s, dir)).select(
+      concat(
+        lit("{\"id\": "), col("doc_id").cast("string"),
+        lit(", \"lang\": \""), col("lang"),
+        lit("\", \"nc\": "), length(col("text")).cast("string"),
+        lit(", \"tags\": [\"a"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("\", \"b"), pmod(col("doc_id"), lit(3)).cast("string"),
+        when(pmod(col("doc_id"), lit(7)) === 3, lit("\"]")).otherwise(lit("\"]}"))
+      ).as("line"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("nc", LongType), StructField("tags", ArrayType(StringType))))
+    graft.sources.Jsonl.parse(lines, "line", schema)
+      .withColumn("grp",
+        when(col("parse_ok"), col("lang")).otherwise(lit("__quarantined")))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("nc")).as("sum_nc"), sum(size(col("tags"))).as("sum_tags"))
+      .transform(sorted1(_, col("grp")))
+  }
+
   /** C106 — WAVELET-HASH IMAGE NEAR-DUP (ImageNearDup.wPairs, NEW
     * r14d): the imagehash-style wHash next to q171's aHash — the
     * same Haar LL band (power-of-two cell sums), thresholded at the
@@ -5592,7 +5626,8 @@ object SparkEntry {
     "q195_salted_join" -> (q195SaltedJoin _),
     "q196_embed_quantize" -> (q196EmbedQuantize _),
     "q197_distinct_ngrams" -> (q197DistinctNgrams _),
-    "q198_whash_neardup" -> (q198WhashNeardup _))
+    "q198_whash_neardup" -> (q198WhashNeardup _),
+    "q199_jsonl_ingest" -> (q199JsonlIngest _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their
