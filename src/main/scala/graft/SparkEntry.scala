@@ -1070,12 +1070,14 @@ object SparkEntry {
       k = 48, minSpan = 20)
       .transform(sorted1(_, col("doc_id")))
 
-  /** q188 without the eager chain — the operator tree for DumpPlans
-    * and PlanShapeSpec (the executed form shows only the checkpoint
-    * scan).
+  /** q188 without the final checkpoint — the operator tree for
+    * DumpPlans and PlanShapeSpec (the executed form shows only the
+    * checkpoint scan). Building it caches the suffix order and runs
+    * the boundary-collect job; callers must not rely on the cache
+    * being freed.
     */
   private[graft] def q188LazyPlan(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.SuffixSpans.buildPlan(q188Aug(s, dir), "doc_id", "text", 48, 20)._3
+    graft.dedup.SuffixSpans.buildPlan(q188Aug(s, dir), "doc_id", "text", 48, 20)._2
 
   /** B54 — ROBUST OUTLIERS: exact per-group MEDIAN/MAD flagging
     * (functions.Stats.madOutliers, NEW r14c) — the robust companion

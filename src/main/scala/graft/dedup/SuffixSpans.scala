@@ -27,15 +27,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: positions explode map-side (one row per character,
   * fixed-width key — at 100 TB this is the method's published cost
-  * and strides/sampling bound it); the global suffix ORDER is a
-  * distributed range sort + zipWithIndex (per-partition counts to
-  * the driver, never rows — the q108 rank technique); neighbor LCPs
-  * come from ONE rank-keyed self-join (each LCP computed once,
-  * reused for both sides via a rank-shift join); the LCP itself is a
-  * codegen'd in-row fold over ≤ k character compares, capped by both
-  * key lengths so equal SHORT suffixes do not overcount. No window
-  * over the global order (a bare ORDER BY window would funnel the
-  * corpus through one task).
+  * and strides/sampling bound it); the global suffix ORDER is ONE
+  * distributed range sort, and neighbor LCPs are computed
+  * PARTITION-LOCALLY in a single sliding pass over the sorted
+  * partitions — after the sort, every neighbor pair except the
+  * numPartitions partition boundaries is already adjacent in one
+  * task, and the boundary rows travel as a numPartitions-sized
+  * driver collect folded back in as broadcast carries (r14d; this
+  * replaced zipWithIndex + two rank-keyed self-joins, which paid
+  * two extra positions-scale exchanges to rediscover adjacency the
+  * sort had already established). The LCP itself is a
+  * short-circuiting JVM char loop capped by both key lengths, so
+  * equal SHORT suffixes do not overcount. No window over the global
+  * order (a bare ORDER BY window would funnel the corpus through
+  * one task).
   */
 object SuffixSpans {
 
@@ -47,19 +52,31 @@ object SuffixSpans {
     */
   def docStats(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 48, minSpan: Int = 20): DataFrame = {
-    val (ranked, withPrev, result) = buildPlan(docs, idCol, textCol, k, minSpan)
-    // ranked is withPrev's ancestor: one chain materialization fills
-    // both caches (withCachedChain contract); the doc-scale result is
-    // checkpointed once and every positions-scale cache released.
-    graft.Exec.withCachedChain(Seq(ranked, withPrev))(result)
+    val (sorted, result) = buildPlan(docs, idCol, textCol, k, minSpan)
+    // the doc-scale result is checkpointed once, then the cached
+    // positions-scale suffix order is released
+    try result.localCheckpoint(true)
+    finally { sorted.unpersist(blocking = false); () }
   }
 
-  /** The operator tree without the eager chain materialization —
-    * (ranked, withPrev, result); `result` is what DumpPlans explains
-    * (docStats's executed form shows only the checkpoint scan).
+  /** The operator tree: the cached suffix-ordered position RDD and
+    * the doc-stats aggregate reading it. Neighbor LCPs are computed
+    * PARTITION-LOCALLY in one sliding pass (r14d — this replaced the
+    * original zipWithIndex + two rank-keyed self-joins: the global
+    * rank existed only to find neighbors, but after the range sort
+    * every neighbor pair except the numPartitions partition
+    * boundaries is already adjacent in one task; the boundary rows
+    * travel to the driver as a numPartitions-sized collect and come
+    * back as broadcast carries — the contamination() offsets
+    * technique). The LCP itself is the short-circuiting JVM kernel,
+    * not a Column fold (a fold evaluates all k steps with a substring
+    * allocation each; random suffix pairs mismatch within a few
+    * chars). Cuts the positions-scale exchanges from three (rank
+    * assignment + two joins) to one (the range sort itself).
     */
   private[graft] def buildPlan(docs: DataFrame, idCol: String, textCol: String,
-                               k: Int, minSpan: Int): (DataFrame, DataFrame, DataFrame) = {
+                               k: Int, minSpan: Int)
+  : (org.apache.spark.rdd.RDD[(Long, Int, String)], DataFrame) = {
     require(k >= 1 && minSpan >= 1 && minSpan <= k,
       s"need 1 <= minSpan <= k, got k=$k minSpan=$minSpan")
     val spark = docs.sparkSession
@@ -69,42 +86,70 @@ object SuffixSpans {
       .filter(length(col("t")) >= 1) // sequence(1,0) would DESCEND, not empty
       .select(col("id"), explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
       .select(col("id"), col("p"), expr(s"substring(t, p, $k)").as("key"))
-    val ranked = pos
+    val sorted = pos
       .repartitionByRange(col("key"), col("id"), col("p"))
       .sortWithinPartitions(col("key"), col("id"), col("p"))
-      .as[(Long, Int, String)].rdd.zipWithIndex()
-      .map { case ((id, p, key), r) => (id, p, key, r) }
-      .toDF("id", "p", "key", "rank")
+      .as[(Long, Int, String)].rdd
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // LCP of two truncated keys: sequential fold over char compares
-    // (acc advances only while every prefix char matched), capped by
-    // both lengths — two equal short keys have LCP = their length,
-    // not k ('' == '' beyond both ends would otherwise overcount).
-    def lcp(a: Column, b: Column): Column =
-      when(b.isNull, lit(0)).otherwise(least(
-        aggregate(sequence(lit(1), lit(k)), lit(0), (acc, i) =>
-          when(acc === i - 1 && a.substr(i, lit(1)) === b.substr(i, lit(1)), i)
-            .otherwise(acc)),
-        length(a), length(b)))
+    // per-partition FIRST and LAST (id, key) — numPartitions rows to
+    // the driver, never data
+    val bounds = sorted.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val f = it.next(); var l = f
+        while (it.hasNext) l = it.next()
+        Iterator((pid, (f._1, f._3), (l._1, l._3)))
+      }
+    }.collect().sortBy(_._1)
+    val nParts = sorted.getNumPartitions
+    // carry(prevOf)(pid) = last row of the nearest earlier non-empty
+    // partition; nextOf symmetric (RangePartitioner can leave holes)
+    val prevOf = new Array[(Long, String)](nParts)
+    val nextOf = new Array[(Long, String)](nParts)
+    var acc: (Long, String) = (-1L, null)
+    var bi = 0
+    for (pid <- 0 until nParts) {
+      prevOf(pid) = acc
+      if (bi < bounds.length && bounds(bi)._1 == pid) { acc = bounds(bi)._3; bi += 1 }
+    }
+    acc = (-1L, null); bi = bounds.length - 1
+    for (pid <- (nParts - 1) to 0 by -1) {
+      nextOf(pid) = acc
+      if (bi >= 0 && bounds(bi)._1 == pid) { acc = bounds(bi)._2; bi -= 1 }
+    }
+    val bcPrev = spark.sparkContext.broadcast(prevOf)
+    val bcNext = spark.sparkContext.broadcast(nextOf)
 
-    val prevSide = ranked.select((col("rank") + 1).as("rank"),
-      col("key").as("key_prev"), col("id").as("id_prev"))
-    val withPrev = ranked.join(prevSide, Seq("rank"), "left")
-      .select(col("rank"), col("id"), col("p"),
-        coalesce(col("id_prev"), lit(-1L)).as("id_prev"),
-        lcp(col("key"), col("key_prev")).as("lcp_prev"))
-    // lcp_next(r) = lcp_prev(r+1): computed once, shifted back by a
-    // second rank-keyed join instead of re-folding
-    val nextSide = withPrev.select((col("rank") - 1).as("rank"),
-      col("lcp_prev").as("lcp_next"), col("id").as("id_next"))
-    val full = withPrev.join(nextSide, Seq("rank"), "left")
-      .select(col("id"), col("p"),
-        col("lcp_prev"), col("id_prev"),
-        coalesce(col("lcp_next"), lit(0)).as("lcp_next"),
-        coalesce(col("id_next"), lit(-1L)).as("id_next"))
+    val perPos = sorted.mapPartitionsWithIndex { (pid, it) =>
+      // capped by both lengths — two equal short keys have LCP =
+      // their length, not k
+      def lcp(a: String, b: String): Int =
+        if (b == null) 0
+        else {
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+          i
+        }
+      val buf = it.buffered
+      var prev = bcPrev.value(pid)
+      val carryNext = bcNext.value(pid)
+      new Iterator[(Long, Int, Long, Int, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Int, Long, Int, Long) = {
+          val (id, _, key) = buf.next()
+          val nxt = if (buf.hasNext) { val h = buf.head; (h._1, h._3) } else carryNext
+          val out = (id, lcp(key, prev._2), prev._1, lcp(key, nxt._2), nxt._1)
+          prev = (id, key)
+          out
+        }
+      }
+    }.toDF("id", "lcp_prev", "id_prev", "lcp_next", "id_next")
+
     val crossPrev = when(col("id_prev") =!= col("id"), col("lcp_prev")).otherwise(0)
     val crossNext = when(col("id_next") =!= col("id"), col("lcp_next")).otherwise(0)
-    val result = full.groupBy(col("id").as("doc_id"))
+    val result = perPos.groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_positions"),
         sum(when(col("lcp_prev") >= minSpan || col("lcp_next") >= minSpan, 1L)
           .otherwise(0L)).as("n_dup_pos"),
@@ -112,7 +157,7 @@ object SuffixSpans {
           .otherwise(0L)).as("n_dup_cross"),
         max(greatest(col("lcp_prev"), col("lcp_next"))).cast("long").as("max_lcp"),
         max(greatest(crossPrev, crossNext)).cast("long").as("max_lcp_cross"))
-    (ranked, withPrev, result)
+    (sorted, result)
   }
 
   /** EXACT CROSS-CORPUS SUBSTRING CONTAMINATION — the decontamination
@@ -154,81 +199,90 @@ object SuffixSpans {
       .select(col("id"), col("tr"),
         explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
       .select(col("id"), col("tr"), col("p"), expr(s"substring(t, p, $k)").as("key"))
-    // zipWithIndex assigns CONTIGUOUS ranks per partition in partition
-    // order, so the partition index IS a valid range-bucket id — no
-    // second rank exchange needed (3M-row shuffle saved)
-    val ranked = pos
+    // Nearest-train lookup WITHOUT a rank, a window, or any second
+    // exchange (r14d — the q188 sliding-pass shape): after the range
+    // sort, the nearest train suffix above/below every eval position
+    // lives in the SAME task except across the numPartitions
+    // partition boundaries, whose first/last train keys travel to the
+    // driver as a numPartitions-sized collect and come back as
+    // broadcast carries. One forward scan (running last-train-key)
+    // and one backward scan over the buffered partition replace the
+    // two window sorts the previous shape paid, and the _pid exchange
+    // disappears entirely.
+    val sorted = pos
       .repartitionByRange(col("key"), col("id"), col("p"))
       .sortWithinPartitions(col("key"), col("id"), col("p"))
-      .as[(Long, Boolean, Int, String)].rdd.zipWithIndex()
-      .mapPartitionsWithIndex { (pid, it) =>
-        it.map { case ((id, tr, p, key), r) => (id, tr, p, key, r, pid) }
-      }
-      .toDF("id", "tr", "p", "key", "rank", "_pid")
-
-    graft.Exec.withCached(ranked) { rk =>
+      .as[(Long, Boolean, Int, String)].rdd
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       // per-partition first/last TRAIN key — numPartitions rows to the
       // driver, never data
-      val parts = rk.groupBy(col("_pid"))
-        .agg(min_by(col("key"), when(col("tr"), col("rank"))).as("firstK"),
-          max_by(col("key"), when(col("tr"), col("rank"))).as("lastK"))
-        .collect().map(r => (r.getInt(0), Option(r.getString(1)), Option(r.getString(2))))
-        .sortBy(_._1)
-      // carry(before)(pid) = last train key of any EARLIER partition
-      val before = parts.scanLeft(Option.empty[String]) {
-        (acc, p) => p._3.orElse(acc)
-      }.init
-      val after = parts.scanRight(Option.empty[String]) {
-        (p, acc) => p._2.orElse(acc)
-      }.tail
-      def carryCol(m: Seq[(Int, Option[String])]): Column =
-        m.foldLeft(lit(null).cast("string")) { case (acc, (pid, kOpt)) =>
-          kOpt.map(s => when(col("_pid") === pid, lit(s)).otherwise(acc)).getOrElse(acc)
+      val bounds = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var first: String = null
+        var last: String = null
+        while (it.hasNext) {
+          val r = it.next()
+          if (r._2) { if (first == null) first = r._4; last = r._4 }
         }
-      val beforeCol = carryCol(parts.map(_._1).zip(before))
-      val afterCol = carryCol(parts.map(_._1).zip(after))
-      // BOTH lookups as RUNNING (unboundedPreceding → current) frames
-      // — Spark evaluates running frames incrementally in O(n), where
-      // an unbounded-FOLLOWING frame recomputes its aggregate per row
-      // (O(n²) per partition: a hang at corpus scale). "Nearest train
-      // after" = a running last() over the rank DESCENDING order.
-      val wB = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_pid")).orderBy(col("rank"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val wA = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_pid")).orderBy(col("rank").desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val withNearest = rk
-        .withColumn("_kb", coalesce(
-          last(when(col("tr"), col("key")), ignoreNulls = true).over(wB), beforeCol))
-        .withColumn("_ka", coalesce(
-          last(when(col("tr"), col("key")), ignoreNulls = true).over(wA), afterCol))
-      // LCP as a short-circuiting JVM kernel, not a Column fold: the
-      // fold evaluates all k steps with a substring allocation each
-      // (no short-circuit inside higher-order functions) — at 1.5M
-      // eval positions × 2 neighbors × 48 steps it dominated the
-      // query (~3× total runtime); random suffix pairs mismatch
-      // within a few chars, so the loop is ~20× cheaper. The ORACLE
+        if (first == null) Iterator.empty else Iterator((pid, first, last))
+      }.collect().sortBy(_._1)
+      val nParts = sorted.getNumPartitions
+      val before = new Array[String](nParts)
+      val after = new Array[String](nParts)
+      var acc: String = null
+      var bi = 0
+      for (pid <- 0 until nParts) {
+        before(pid) = acc
+        if (bi < bounds.length && bounds(bi)._1 == pid) { acc = bounds(bi)._3; bi += 1 }
+      }
+      acc = null; bi = bounds.length - 1
+      for (pid <- (nParts - 1) to 0 by -1) {
+        after(pid) = acc
+        if (bi >= 0 && bounds(bi)._1 == pid) { acc = bounds(bi)._2; bi -= 1 }
+      }
+      val bcBefore = spark.sparkContext.broadcast(before)
+      val bcAfter = spark.sparkContext.broadcast(after)
+
+      // LCP as a short-circuiting JVM kernel, not a Column fold (a
+      // fold evaluates all k steps with a substring allocation each;
+      // random suffix pairs mismatch within a few chars). The ORACLE
       // keeps its list_reduce form — same VALUES, different engine.
-      val evalRows = withNearest.filter(!col("tr"))
-        .select(col("id"), col("key"), col("_kb"), col("_ka"))
-        .as[(Long, String, String, String)]
-        .mapPartitions(_.map { case (id, key, kb, ka) =>
-          def l(b: String): Int = {
-            if (b == null) 0
-            else {
-              val n = math.min(key.length, b.length)
-              var i = 0
-              while (i < n && key.charAt(i) == b.charAt(i)) i += 1
-              i
-            }
+      val evalRows = sorted.mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.toArray
+        def lcp(a: String, b: String): Int =
+          if (b == null) 0
+          else {
+            val n = math.min(a.length, b.length)
+            var i = 0
+            while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+            i
           }
-          (id, math.max(l(kb), l(ka)))
-        }).toDF("id", "_l")
-      evalRows.groupBy(col("id").as("doc_id"))
+        // backward pass first: nearest train key at or after each row
+        val ka = new Array[String](rows.length)
+        var cur = bcAfter.value(pid)
+        var i = rows.length - 1
+        while (i >= 0) {
+          if (rows(i)._2) cur = rows(i)._4
+          ka(i) = cur
+          i -= 1
+        }
+        // forward pass emits: running last-train-key + the score
+        var kb = bcBefore.value(pid)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)](rows.length)
+        i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          if (r._2) kb = r._4
+          else out += ((r._1, math.max(lcp(r._4, kb), lcp(r._4, ka(i)))))
+          i += 1
+        }
+        out.iterator
+      }.toDF("id", "_l")
+      val result = evalRows.groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_positions"),
           sum(when(col("_l") >= minSpan, 1L).otherwise(0L)).as("n_contaminated"),
           max(col("_l")).cast("long").as("max_train_lcp"))
-    }
+      result.localCheckpoint(true)
+    } finally { sorted.unpersist(blocking = false); () }
   }
 }

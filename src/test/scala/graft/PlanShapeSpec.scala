@@ -304,14 +304,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!lp.contains("CartesianProduct"))
   }
 
-  test("q188: suffix dedup has no global-order window; rank joins are keyed") {
+  test("q188: suffix dedup is one sliding pass over the suffix order, no joins") {
     val p = SparkEntry.q188LazyPlan(spark, sf("sf0.001")).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Window"), s"q188: the global suffix order must come from the " +
-      s"range-sort + zipWithIndex rank, never a window:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"q188: neighbor LCPs must be keyed rank joins:\n$p")
-    assert(p.contains("MapPartitionsRDD"), s"q188: expected the zipWithIndex rank scan:\n$p")
+      s"range sort + partition-local sliding pass, never a window:\n$p")
+    assert(!p.contains("Join"), s"q188: neighbor LCPs are partition-local with " +
+      s"boundary carries — no join of any kind:\n$p")
+    assert(p.contains("MapPartitionsRDD"),
+      s"q188: expected the sliding-pass RDD scan:\n$p")
+    // exactly one exchange survives: the doc-id aggregate (the range
+    // sort lives inside the cached RDD lineage, not this plan)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"q188: expected only the doc-agg exchange(s):\n$p")
   }
 
   test("q189: percentile rank is window-free; the mapping joins at values scale") {
