@@ -2499,6 +2499,25 @@ object OracleSql {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Symmetric int8 ANN: codes re-derived from the q196 chain, then
+    // integer dot products and an exact (score desc, id) re-rank.
+    "q200_int8_ann" ->
+      """WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |sc AS (SELECT dim, max(abs(x)) AS scale FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, e.dim,
+        |    CASE WHEN sc.scale = 0.0 THEN 0
+        |         ELSE CAST(floor(x * 127.0 / sc.scale) AS BIGINT) END AS code
+        |  FROM e JOIN sc USING (dim)),
+        |qs AS (SELECT vec_id AS query_id, dim, code AS qc FROM q WHERE vec_id < 8),
+        |p AS (SELECT qs.query_id, q.vec_id, CAST(sum(qs.qc * q.code) AS BIGINT) AS score
+        |  FROM q JOIN qs USING (dim) GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS BIGINT) AS rk
+        |  FROM p)
+        |SELECT query_id, rk, vec_id, score FROM r WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+
     // JSONL quarantine ingest: DuckDB parses the SAME lines with its
     // own JSON engine — a genuine cross-engine parse equivalence.
     "q199_jsonl_ingest" ->

@@ -851,6 +851,22 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C108 — SYMMETRIC INT8 ANN SERVING (Quantize.int8TopK, NEW
+    * r14d): the q196 quantization composed into the serving tier —
+    * top-k by the INTEGER dot product over int8 codes, the arithmetic
+    * production ANN kernels actually run (SIMD int8), and the one ANN
+    * scoring discipline a cross-engine oracle can replay EXACTLY
+    * (every score is an integer sum; ties break on ascending id; the
+    * oracle re-derives codes from the q196 CTEs and re-ranks). Query
+    * codes broadcast; the corpus pass is map-only scoring into the
+    * q32 heap reduction — never a per-query window funnel.
+    */
+  private def q200Int8Ann(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Quantize.int8TopK(
+      fanOut(s, Tables.embeddings(s, dir)), "vec_id", "embedding",
+      col("id") < 8, k = 10)
+      .transform(sorted1(_, col("query_id"), col("rk")))
+
   /** C107 — JSONL QUARANTINE INGESTION (sources.Jsonl, NEW r14d):
     * the record format dataset releases actually ship, parsed with
     * Catalyst's native JsonToStructs under the quarantine-not-drop
@@ -5629,7 +5645,8 @@ object SparkEntry {
     "q196_embed_quantize" -> (q196EmbedQuantize _),
     "q197_distinct_ngrams" -> (q197DistinctNgrams _),
     "q198_whash_neardup" -> (q198WhashNeardup _),
-    "q199_jsonl_ingest" -> (q199JsonlIngest _))
+    "q199_jsonl_ingest" -> (q199JsonlIngest _),
+    "q200_int8_ann" -> (q200Int8Ann _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q25, q29, q33, q97, q114) are intentionally absent: their

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Symmetric per-dimension INT8 quantization of an embedding corpus —
@@ -48,4 +48,44 @@ object Quantize {
         min(col("code")).as("min_code"),
         max(col("code")).as("max_code"),
         sum(col("code") * (col("id") + 1L)).as("sum_code_weighted"))
+
+  /** (id, c) int8 code VECTORS in dim order — the dense serving
+    * artifact (sort_array over (dim, code) structs, so the layout is
+    * deterministic regardless of aggregation order).
+    */
+  def int8Vectors(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    int8Codes(df, idCol, embCol)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("code")))),
+        x => x("code")).as("c"))
+
+  /** SYMMETRIC INT8 ANN: top-k by the INTEGER dot product in code
+    * space — the production serving arithmetic (SIMD int8 kernels)
+    * and, unlike any float scoring, exactly replayable by a
+    * cross-engine oracle: every score is Σ_d q_d·x_d over int8 codes,
+    * ties broken by ascending id. The query codes ride a broadcast
+    * (k query rows), the corpus side is MAP-ONLY scoring + the
+    * per-query top-k — no corpus-scale shuffle beyond the final
+    * k·|queries| rows.
+    */
+  def int8TopK(df: DataFrame, idCol: String, embCol: String,
+               queryPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val vecs = int8Vectors(df, idCol, embCol)
+    val queries = vecs.filter(queryPred)
+      .select(col("id").as("query_id"), col("c").as("qc"))
+    val scored = vecs.crossJoin(broadcast(queries))
+      .withColumn("score",
+        aggregate(zip_with(col("qc"), col("c"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+    // corpus-wide reduction through the heap operator (never a
+    // per-query window funnel); the trailing window only re-ranks the
+    // <= k·|queries| survivors to attach rk
+    val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("score").desc, col("id")), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rk"), col("id").as("vec_id"), col("score"))
+  }
 }

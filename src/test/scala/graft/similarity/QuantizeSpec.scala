@@ -42,6 +42,40 @@ class QuantizeSpec extends SparkSpec {
     assert(codes((1L, 2L)) === 0L && codes((2L, 2L)) === 0L)
   }
 
+  test("int8 top-k equals the brute-force integer ranking") {
+    val n = 40
+    val data = (0L until n).map { i =>
+      (i, Array.tabulate(6)(d => ((i * 7 + d * 13) % 19).toFloat - 9f))
+    }
+    val df = spark.createDataFrame(data).toDF("vec_id", "embedding")
+    val out = Quantize.int8TopK(df, "vec_id", "embedding", org.apache.spark.sql.functions.col("id") < 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute replay: same scales (max-abs per dim), same floor codes
+    val scales = (0 until 6).map(d => data.map(v => math.abs(v._2(d).toDouble)).max)
+    def codes(v: Array[Float]): Array[Long] =
+      v.zipWithIndex.map { case (x, d) =>
+        if (scales(d) == 0.0) 0L else math.floor(x.toDouble * 127.0 / scales(d)).toLong
+      }
+    val cs = data.map { case (id, v) => id -> codes(v) }.toMap
+    for (qid <- 0L until 3L) {
+      val ranked = data.map(_._1)
+        .map(id => (id, cs(qid).zip(cs(id)).map { case (a, b) => a * b }.sum))
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      ranked.zipWithIndex.foreach { case ((id, s), i) =>
+        assert(out((qid, i + 1L)) === ((id, s)), s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("code vectors have deterministic dim order regardless of partitioning") {
+    val a = Quantize.int8Vectors(vecs.repartition(1), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Quantize.int8Vectors(vecs.repartition(5), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a(2L)(1) === 127L)
+  }
+
   test("the quantization matrix is partition-invariant") {
     val a = Quantize.int8Stats(vecs.repartition(1), "vec_id", "embedding")
       .collect().map(_.toSeq).toSet
