@@ -186,7 +186,14 @@ object OracleSql {
        |$rounds""".stripMargin
   }
 
-  private def minhashPrsCtes(docsRel: String = "documents"): String =
+  /** wordMode (r14d): bases are md5-fold(word-3-gram) % P — the
+    * portable word-shingle hash `MinHashLsh.signatures` uses — in
+    * place of char-shingle FNV; everything from `sigv` down (incl.
+    * the per-(id, i) min merge, the identity on unique ids and the
+    * signature-union merge on grouped relations) is shared.
+    */
+  private def minhashPrsCtes(docsRel: String = "documents",
+                             wordMode: Boolean = false): String =
     """WITH co0 AS (SELECT unnest(range(0, 64)) AS j),
         |c1 AS (SELECT j, (CAST(42 AS HUGEINT) + (j + 1) * CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM co0),
         |c2 AS (SELECT j, ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(484763065 AS HUGEINT) + ((((xor(CAST((z) // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) * CAST(4294967296 AS HUGEINT) + xor(CAST((z) % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)))) * CAST(3210233709 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS z FROM c1),
@@ -196,12 +203,12 @@ object OracleSql {
         |    CAST(((a.s % 1000000006) + 1000000006) % 1000000006 + 1 AS BIGINT) AS a,
         |    CAST(((b.s % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS b
         |  FROM c4 a JOIN c4 b ON b.j = a.j + 1 WHERE a.j % 2 = 0),
-        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM GRAFT_DOCS_REL),
-        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> CAST(((CAST(CASE WHEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) >= CAST(1 AS HUGEINT) << 63 THEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT) ELSE list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) END AS BIGINT) % 1000000007) + 1000000007) % 1000000007 AS BIGINT))) AS sh FROM n),
+        |GRAFT_NG_CTES,
         |sigv AS (SELECT g.doc_id, coeff.i,
         |    coalesce(list_min(list_transform(g.sh, x -> (coeff.a * x + coeff.b) % 1000000007)), 1000000007) AS h
         |  FROM g CROSS JOIN coeff),
-        |sig AS (SELECT doc_id, array_agg(h ORDER BY i) AS s FROM sigv GROUP BY doc_id),
+        |sig AS (SELECT doc_id, array_agg(h ORDER BY i) AS s
+        |  FROM (SELECT doc_id, i, min(h) AS h FROM sigv GROUP BY 1, 2) GROUP BY doc_id),
         |bands AS (SELECT doc_id, unnest(range(0, 4)) AS band_idx, s FROM sig),
         |bh AS (SELECT doc_id, band_idx,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substring(md5(CAST(band_idx AS VARCHAR) || ':' || array_to_string(list_transform(s[band_idx*8+1 : band_idx*8+8], x -> CAST(x AS VARCHAR)), ':')), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, v) -> a * 16 + v) AS band_hash
@@ -210,7 +217,23 @@ object OracleSql {
         |    count(*) OVER (PARTITION BY band_idx, band_hash) AS bn FROM bh),
         |ok AS (SELECT * FROM sized WHERE bn <= 200),
         |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),""".stripMargin.replace("GRAFT_DOCS_REL", docsRel)
+        |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),""".stripMargin
+      .replace("GRAFT_NG_CTES,", if (wordMode) wordNg else charNg)
+      .replace("GRAFT_DOCS_REL", docsRel)
+
+  /** Char-shingle n/g pair (FNV-1a mod P over 3-char shingles). */
+  private val charNg: String =
+    """n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM GRAFT_DOCS_REL),
+GRAFT_CHAR_G""".replace("GRAFT_CHAR_G", """g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t) - 1, 1)), i -> CAST(((CAST(CASE WHEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) >= CAST(1 AS HUGEINT) << 63 THEN list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT) ELSE list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(substring(t, CAST(i AS BIGINT), 3), ''), c -> CAST(ascii(c) AS HUGEINT))), (acc, b) -> (((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) END AS BIGINT) % 1000000007) + 1000000007) % 1000000007 AS BIGINT))) AS sh FROM n),""")
+
+  /** Word-3-gram n/g pair (md5-fold mod P — MinHashLsh's portable
+    * word-shingle hash).
+    */
+  private val wordNg: String =
+    ("""n AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tk FROM GRAFT_DOCS_REL),
+g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1), i -> """
+      + md5fold("array_to_string(list_slice(tk, i, i + 2), ' ')", 15)
+      + """ % 1000000007)) AS sh FROM n),""")
 
   val all: Map[String, String] = Map(
 
@@ -2498,6 +2521,29 @@ object OracleSql {
          |FROM (SELECT a AS id FROM e8 UNION ALL SELECT b FROM e8)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // Host-level near-dup: the shared minhash chain over the host-doc
+    // relation (its per-(id, i) min merge IS the signature union),
+    // host shingle sets as flattened distinct unions, exact jaccard
+    // on candidates — every stage mirrored, banding included.
+    "q201_host_neardup" ->
+      (minhashPrsCtes(
+        """(SELECT CAST(doc_id % 40 AS BIGINT) AS doc_id, text FROM documents
+          | UNION ALL SELECT 40, text FROM documents WHERE doc_id % 40 = 7 AND doc_id % 11 <> 0
+          | UNION ALL SELECT 41, text FROM documents WHERE doc_id % 40 = 13) hd""".stripMargin,
+        wordMode = true) + "\n" +
+      """|hb AS (SELECT doc_id, list_distinct(flatten(array_agg(sh))) AS sh FROM g GROUP BY 1),
+        |jj AS (SELECT p.id_a, p.id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM prs p JOIN hb a ON a.doc_id = p.id_a JOIN hb b ON b.doc_id = p.id_b),
+        |jf AS (SELECT id_a, id_b, ni, na, nb,
+        |    CASE WHEN na + nb - ni = 0 THEN 0.0
+        |         ELSE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) END AS jaccard
+        |  FROM jj)
+        |SELECT id_a AS grp_a, id_b AS grp_b, CAST(ni AS BIGINT) AS n_inter,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, jaccard
+        |FROM jf WHERE jaccard >= CAST(0.5 AS DOUBLE)
+        |ORDER BY grp_a, grp_b""".stripMargin),
 
     // Symmetric int8 ANN: codes re-derived from the q196 chain, then
     // integer dot products and an exact (score desc, id) re-rank.

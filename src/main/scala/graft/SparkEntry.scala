@@ -851,6 +851,39 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C109 — HOST-LEVEL NEAR-DUP / MIRROR DETECTION
+    * (MinHashLsh.groupNearDuplicates, NEW r14d): are two HOSTS
+    * serving near-identical content? The minhash MERGEABILITY
+    * property does the work — sig(∪ docs) = elementwise min of
+    * member signatures, so host signatures aggregate from the
+    * per-doc signature table and the host's corpus-scale shingle
+    * set is never collected; banding runs at host cardinality and
+    * exact verification joins (host, shingle-hash) rows. Fixture
+    * plants one FULL mirror (host 41 re-serves host 13's docs,
+    * J = 1 — every band must match) and one PARTIAL mirror (host 40
+    * serves host 7's docs minus the id%11 slice, J ≈ 0.9); the
+    * oracle replays the whole chain — the shared q25 CTEs gained a
+    * per-(host, i) min merge that is the identity on unique ids —
+    * so candidates, bucket caps and verification all mirror.
+    */
+  private def q201HostNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    val primary = d.select(pmod(col("doc_id"), lit(40)).as("host"), col("text"))
+    val partial = d
+      .filter(pmod(col("doc_id"), lit(40)) === 7 && pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(lit(40L).as("host"), col("text"))
+    val full = d.filter(pmod(col("doc_id"), lit(40)) === 13)
+      .select(lit(41L).as("host"), col("text"))
+    // WORD shingles: a host unions its members' shingle sets, and
+    // char-3-gram unions saturate at host scale (every host pair
+    // looked alike); word 3-grams keep hosts discriminative, so the
+    // planted mirrors are the signal, not the background
+    graft.dedup.MinHashLsh.groupNearDuplicates(
+      primary.unionByName(partial).unionByName(full), "host", "text", threshold = 0.5,
+      cfg = graft.dedup.MinHashLsh.Config(wordShingles = true))
+      .transform(sorted1(_, col("grp_a"), col("grp_b")))
+  }
+
   /** C108 — SYMMETRIC INT8 ANN SERVING (Quantize.int8TopK, NEW
     * r14d): the q196 quantization composed into the serving tier —
     * top-k by the INTEGER dot product over int8 codes, the arithmetic
@@ -5646,14 +5679,15 @@ object SparkEntry {
     "q197_distinct_ngrams" -> (q197DistinctNgrams _),
     "q198_whash_neardup" -> (q198WhashNeardup _),
     "q199_jsonl_ingest" -> (q199JsonlIngest _),
-    "q200_int8_ann" -> (q200Int8Ann _))
+    "q200_int8_ann" -> (q200Int8Ann _),
+    "q201_host_neardup" -> (q201HostNeardup _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
-    * (q25, q29, q33, q97, q114) are intentionally absent: their
-    * outputs depend on hash/sketch internals no portable SQL
-    * reproduces (LSH candidate sets, IVF probe routing, deflate
-    * bytes, PQ centroid training); each has a ScalaTest spec
-    * bounding its semantics instead.
+    * (q29, q97, q114 — the set EntryContractSpec pins) are
+    * intentionally absent: their outputs depend on internals no
+    * portable SQL reproduces (IVF/PQ centroid training's
+    * partition-order double averages, deflate bytes); each has a
+    * ScalaTest spec bounding its semantics instead.
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

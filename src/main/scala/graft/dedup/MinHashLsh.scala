@@ -94,8 +94,13 @@ object MinHashLsh {
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
     if (cfg.wordShingles)
+      // md5-fold, not xxhash64 (r14d): word-shingle bases must be
+      // engine-reproducible like the char-shingle FNV bases — a
+      // persisted word-mode index has to be auditable by any engine,
+      // and the q201 oracle replays this exact hash
       shingled(docs, idCol, textCol, cfg)
-        .withColumn("_bases", array_sort(array_distinct(transform(col("_sh"), s => pmod(xxhash64(s), lit(P))))))
+        .withColumn("_bases", array_sort(array_distinct(transform(col("_sh"), s =>
+          pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))))))
         .select(col(idCol), col("_bases"))
         .withColumn("sig", signatureOfBases(col("_bases"), cfg))
     else {
@@ -213,6 +218,52 @@ object MinHashLsh {
       verifyPairs(pairs, sigs.select(col(idCol), col("_bases")), idCol)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+  }
+
+  /** GROUP-LEVEL near-duplicates — mirror/aggregator detection: are
+    * two HOSTS (domains, feeds, shards) serving near-identical
+    * content? The minhash property that makes this scale is
+    * MERGEABILITY: sig(∪ docs) = elementwise min of the member docs'
+    * signatures, so a host's signature aggregates from the per-doc
+    * signature table the doc-level tier already materializes — the
+    * host's shingle set (corpus-scale) is never collected anywhere.
+    * Banding/bucketing run at GROUP cardinality; exact verification
+    * joins (group, shingle-hash) ROWS, so intersections are keyed
+    * shuffles (never a set-per-group array). Jaccard is here the
+    * CONTENT OVERLAP of the two hosts — the CCNet/CommonCrawl
+    * host-dedup criterion.
+    */
+  def groupNearDuplicates(docs: DataFrame, groupCol: String, textCol: String,
+                          threshold: Double, cfg: Config = Config()): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    val perDoc = signatures(
+      docs.select(col(groupCol).as("_grp"), col(textCol).as("_t")), "_grp", "_t", cfg)
+    graft.Exec.withCached(perDoc) { pd =>
+      val merged = pd.select(col("_grp"), posexplode(col("sig")).as(Seq("_i", "_h")))
+        .groupBy(col("_grp"), col("_i")).agg(min(col("_h")).as("_h"))
+        .groupBy(col("_grp"))
+        .agg(transform(array_sort(collect_list(struct(col("_i"), col("_h")))),
+          x => x("_h")).as("sig"))
+      val pairs = candidatePairsFromSignatures(merged, "_grp", cfg)
+      val baseRows = pd.select(col("_grp"), explode(col("_bases")).as("_b")).distinct()
+      val sizes = baseRows.groupBy("_grp").agg(count(lit(1)).as("_n"))
+      val inter = baseRows.toDF("id_a", "_b")
+        .join(pairs, Seq("id_a"))
+        .join(baseRows.toDF("id_b", "_b"), Seq("id_b", "_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+      pairs.join(inter, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("_inter"))
+        .join(sizes.toDF("id_a", "_na"), Seq("id_a"))
+        .join(sizes.toDF("id_b", "_nb"), Seq("id_b"))
+        .withColumn("jaccard",
+          when(col("_na") + col("_nb") - col("_inter") === 0L, lit(0.0))
+            .otherwise(col("_inter").cast("double") /
+              (col("_na") + col("_nb") - col("_inter")).cast("double")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a").as("grp_a"), col("id_b").as("grp_b"),
+          col("_inter").as("n_inter"), col("_na").as("n_a"),
+          col("_nb").as("n_b"), col("jaccard"))
     }
   }
 }

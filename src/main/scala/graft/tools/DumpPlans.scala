@@ -247,13 +247,31 @@ object DumpPlans {
     "q187_mad_outliers" ->
       "MAD outliers: ONE corpus-scale HashAggregate pair collapses to (group, value, count) — the only exchange that sees row volume; both median passes and the flag fold are windows and joins over the bounded distinct-value table (weighted cumulative ranks, the q168 discipline), so a 100 TB group costs its distinct cents values, not its rows. All arithmetic integer; Exec.withCached pins the value table across the three consumers.",
     "q188_suffix_dedup" ->
-      "Suffix-span dedup: positions explode map-side to fixed-width (id, p, 48-char key) rows; the global suffix order is a RANGE exchange + partition sort + zipWithIndex (driver sees per-partition counts, never rows — no bare global window); neighbor LCPs are ONE rank-keyed self-join whose codegen'd fold runs once per boundary and a rank-shift join reuses it for the other side; the per-doc aggregate is a HashAggregate pair. Exec.withCachedChain pins the ranked and LCP tables across the two joins with one materialization.",
+      "Suffix-span dedup (r14d shape): positions explode map-side to fixed-width (id, p, 48-char key) rows; the global suffix order is ONE range exchange + partition sort, cached; neighbor LCPs are a PARTITION-LOCAL sliding pass (boundary rows = a numPartitions-sized driver collect returned as broadcast carries; the LCP is a short-circuiting JVM char loop) — no rank, no self-joins, no window; the plan below is the sliding-pass RDD scan into the per-doc HashAggregate pair, the only exchange this side of the sort.",
     "q189_percentile_norm" ->
       "Percentile normalization: the margin is q72's codegen'd in-row fold (no exchange); ranks are a RANGE exchange + zipWithIndex; the distinct-value percentile table aggregates to values-scale and joins back on the score key with the one-row count riding a broadcast cross join — one corpus scan, one range exchange, one values-scale join, zero global windows.",
     "q190_kll_certify" ->
       "KLL certification: the sketch side is an ObjectHashAggregate pair (fixed O(k log n) buffers merge map-side — the corpus never shuffles for the sketch); the exact side reuses the q187 value-level cumulative machinery; the certificate join touches 15 probe rows against the bounded value table. Two corpus scans total (one per tier), no corpus-scale sort for the sketch — that is the point.",
     "q191_decontaminate" ->
-      "Exact decontamination: positions explode map-side over both corpora; the suffix order is the q188 range sort + zipWithIndex; nearest-train lookups are PARTITION-LOCAL running ignore-null windows in both directions (ascending + descending running frames — an unbounded-FOLLOWING frame would recompute per row, O(n²) per partition) with numPartitions-sized boundary carries collected once; the LCP folds and per-eval-doc aggregate ride above. Executed form is withCached-materialized (the ranked table feeds the parts collect and the window pass), so the returned plan is the doc-scale scan.")
+      "Exact decontamination (r14d shape): positions explode map-side over both corpora into ONE range sort, cached; nearest-train lookups are one buffered-partition forward scan (running last-train-key) + one backward scan with numPartitions-sized boundary carries — no rank, no _pid exchange, no window sorts; the JVM LCP kernel scores eval positions in the same pass. Executed form is checkpoint-materialized, so the returned plan is the doc-scale scan.",
+    "q192_kcore" ->
+      "k-core: the peel loop is degree HashAggregate pairs + two left-anti joins per round over the localCheckpointed edge set (the CC/q117 iterative contract — retired round frames freed on exit); at 100 TB each round is two keyed shuffles of the surviving edges, shrinking monotonically; driver touch = one emptiness probe per round.",
+    "q193_txlog_schema_evolution" ->
+      "Additive schema evolution: the blended read unions old files (nulls synthesized AT SCAN from the snapshot schema — no rewrite ever happened, pinned by in-query requires on the add-set) with post-evolution files; the only exchange is the per-flag aggregate's.",
+    "q194_bucketed_join" ->
+      "Bucketed join: both scans read bucketed tables (no Exchange below the SortMergeJoin — the property the query itself re-counts into its join_exchanges output column); the only exchange in the plan is the aggregate's.",
+    "q195_salted_join" ->
+      "Salted skew join: the hot-key slice joins on (key, salt) — 16 reducers share the hot key's rows — while the cold tail joins on the key alone; both legs are keyed exchanges, unioned above; the oracle equality proves the layout change lost nothing.",
+    "q196_embed_quantize" ->
+      "Int8 quantization: one posexplode pass (map-side), a dim-keyed HashAggregate pair for the 64 scales (partial combine — the shuffle carries dim rows per task), a BroadcastHashJoin of the 64-row scale table back onto the exploded corpus, and the dim-keyed audit aggregate. The corpus-scale data never shuffles.",
+    "q197_distinct_ngrams" ->
+      "Distinct-n diversity: two two-stage aggregates ((slice, gram) partial counts → per-slice totals) — the (slice, gram) exchange is the only corpus-scale shuffle and carries partial combines; no slice vocabulary ever sits in one task.",
+    "q198_whash_neardup" ->
+      "Wavelet-hash near-dup: decode+hash map-only; band explode (4 rows/image); the band-bucket self-join is the only corpus-scale exchange, keyed on (band, value); Hamming verify is a popcount projection on matched rows.",
+    "q199_jsonl_ingest" ->
+      "JSONL quarantine ingest: synthesis + JsonToStructs parse are one codegen'd map stage; the only exchange is the per-group aggregate's HashAggregate pair.",
+    "q200_int8_ann" ->
+      "Int8 ANN: the code-vector build is the q196 shape plus a per-id sort_array aggregate; query codes ride a BroadcastExchange into a map-only scoring projection (integer zip_with fold); the TopKPerKey exec reduces corpus-wide before the trailing k-rows re-rank window.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the

@@ -36,6 +36,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("group near-dup: mergeability — a full mirror host scores J=1, disjoint hosts never pair") {
+    // host A serves docs {base, distinctDoc}; host B mirrors A exactly;
+    // host C serves unrelated content
+    val hosted = Seq(
+      ("a", base), ("a", distinctDoc),
+      ("b", base), ("b", distinctDoc),
+      ("c", "totally unrelated words about streaming watermarks and state stores tonight"),
+      ("c", "another page on checkpoint recovery and exactly once semantics for sinks")
+    ).toDF("host", "text")
+    val out = MinHashLsh.groupNearDuplicates(hosted, "host", "text", threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet === Set(("a", "b")), s"only the mirror pair: ${out.keySet}")
+    val (ni, na, nb, j) = out(("a", "b"))
+    assert(j === 1.0 && ni === na && na === nb, "full mirror: identical shingle unions")
+  }
+
+  test("group near-dup: elementwise-min merge equals the signature of the UNION set") {
+    // the mergeability theorem the operator rests on, checked against
+    // signatureOfBases over the actual unioned shingle-hash set
+    val cfg = MinHashLsh.Config()
+    val perDoc = MinHashLsh.signatures(
+      Seq(("h", base), ("h", distinctDoc)).toDF("host", "text")
+        .select(col("host").as("_grp"), col("text").as("_t")), "_grp", "_t", cfg)
+    val sigs = perDoc.select(col("sig")).collect().toSeq.map(_.getSeq[Long](0))
+    val mergedByMin = sigs.transpose.map(_.min)
+    val unionSig = perDoc.groupBy(col("_grp"))
+      .agg(array_distinct(flatten(collect_list(col("_bases")))).as("_u"))
+      .select(MinHashLsh.signatureOfBases(col("_u"), cfg).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(mergedByMin === unionSig)
+  }
+
   test("minhash signature is deterministic and k-wide") {
     val cfg = MinHashLsh.Config()
     val sig1 = MinHashLsh.bandedSignatures(docs, "doc_id", "text", cfg)
