@@ -2522,6 +2522,26 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Restore: five closed-form version states — v3 must equal v1
+    // exactly (the roll-forward undo), v4 builds on the restored
+    // state, never the deleted one.
+    "q202_txlog_restore" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 3 = 0),
+        |v1 AS (SELECT * FROM o WHERE k % 3 IN (0, 1)),
+        |v2 AS (SELECT * FROM v1 WHERE st <> 'F'),
+        |v4 AS (SELECT * FROM v1 UNION ALL SELECT * FROM o WHERE k % 3 = 2),
+        |agg AS (
+        |  SELECT 0 AS version, count(*) AS n, sum(pc) AS sc, max(k) AS mk FROM v0
+        |  UNION ALL SELECT 1, count(*), sum(pc), max(k) FROM v1
+        |  UNION ALL SELECT 2, count(*), sum(pc), max(k) FROM v2
+        |  UNION ALL SELECT 3, count(*), sum(pc), max(k) FROM v1
+        |  UNION ALL SELECT 4, count(*), sum(pc), max(k) FROM v4)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sc AS BIGINT) AS sum_cents,
+        |  CAST(mk AS BIGINT) AS max_key, CAST(version AS BIGINT) AS version
+        |FROM agg ORDER BY version""".stripMargin,
+
     // Host-level near-dup: the shared minhash chain over the host-doc
     // relation (its per-(id, i) min merge IS the signature union),
     // host shingle sets as flattened distinct unions, exact jaccard

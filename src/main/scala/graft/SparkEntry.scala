@@ -851,6 +851,36 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** B59 — RESTORE (roll-forward undo), oracled (TxLog.restore,
+    * spec-only until now, GRADUATED r14d): restoring to version 1
+    * COMMITS A NEW VERSION whose state equals v1 — history is
+    * append-only, the bad delete stays inspectable, and the
+    * time-travel reads of every version (0..4: create, append,
+    * delete, restore, post-restore append) land in one output so
+    * the hash certifies that v3 ≡ v1 exactly and that the
+    * post-restore append builds on the restored state, not the
+    * deleted one.
+    */
+  private def q202TxlogRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = java.nio.file.Files.createTempDirectory("graft_q202").toString
+    TxLog.create(s, orders.filter(col("o_orderkey") % 3 === 0).repartition(2), t) // v0
+    TxLog.append(s, orders.filter(col("o_orderkey") % 3 === 1).repartition(2), t) // v1
+    TxLog.deleteWhere(s, t, col("o_orderstatus") === "F") // v2: the "bad" delete
+    TxLog.restore(s, t, 1L) // v3 ≡ v1
+    TxLog.append(s, orders.filter(col("o_orderkey") % 3 === 2).repartition(2), t) // v4
+    (0L to 4L).map { v =>
+      TxLog.read(s, t, Some(v)).agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"),
+        max("o_orderkey").as("max_key"))
+        .withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+      .transform(sorted1(_, col("version")))
+  }
+
   /** C109 — HOST-LEVEL NEAR-DUP / MIRROR DETECTION
     * (MinHashLsh.groupNearDuplicates, NEW r14d): are two HOSTS
     * serving near-identical content? The minhash MERGEABILITY
@@ -5680,7 +5710,8 @@ object SparkEntry {
     "q198_whash_neardup" -> (q198WhashNeardup _),
     "q199_jsonl_ingest" -> (q199JsonlIngest _),
     "q200_int8_ann" -> (q200Int8Ann _),
-    "q201_host_neardup" -> (q201HostNeardup _))
+    "q201_host_neardup" -> (q201HostNeardup _),
+    "q202_txlog_restore" -> (q202TxlogRestore _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
