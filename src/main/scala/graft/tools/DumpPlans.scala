@@ -271,7 +271,9 @@ object DumpPlans {
     "q199_jsonl_ingest" ->
       "JSONL quarantine ingest: synthesis + JsonToStructs parse are one codegen'd map stage; the only exchange is the per-group aggregate's HashAggregate pair.",
     "q200_int8_ann" ->
-      "Int8 ANN: the code-vector build is the q196 shape plus a per-id sort_array aggregate; query codes ride a BroadcastExchange into a map-only scoring projection (integer zip_with fold); the TopKPerKey exec reduces corpus-wide before the trailing k-rows re-rank window.")
+      "Int8 ANN: the code-vector build is the q196 shape plus a per-id sort_array aggregate; query codes ride a BroadcastExchange into a map-only scoring projection (integer zip_with fold); the TopKPerKey exec reduces corpus-wide before the trailing k-rows re-rank window.",
+    "q201_host_neardup" ->
+      "Host near-dup: per-doc signatures are one codegen'd map pass; the signature merge is a (host, i)-keyed HashAggregate pair (64 rows per host on the wire); banding + the bucket self-join run at HOST cardinality; exact verification joins (host, shingle-hash) ROWS — intersections are keyed shuffles, a host's shingle set never materializes as a value.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
