@@ -2522,6 +2522,25 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Data card: the release-statement table — integer totals,
+    // language inventory, exact-dup count on the q19 fingerprint.
+    "q203_data_card" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS tok,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |tot AS (
+        |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM b
+        |  UNION ALL SELECT 'n_tokens', CAST(sum(tok) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'n_chars', CAST(sum(chars) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'n_exact_dups',
+        |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'docs_lang_' || lang, CAST(count(*) AS BIGINT)
+        |    FROM b GROUP BY lang)
+        |SELECT metric, value FROM tot ORDER BY metric""".stripMargin,
+
     // Restore: five closed-form version states — v3 must equal v1
     // exactly (the roll-forward undo), v4 builds on the restored
     // state, never the deleted one.

@@ -851,6 +851,36 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C110 — DATA CARD (NEW r14d): the release-statement table every
+    * dataset ships (Datasheets for Datasets / data-statement
+    * practice) — corpus totals (docs, whitespace tokens, chars),
+    * language inventory and per-language doc counts, and the exact
+    * duplicate count (q19's normalized-md5 fingerprint), one
+    * (metric, value) row each, all integers. Composes the already-
+    * oracled primitives into the single table a data release quotes;
+    * every aggregate is a partial-combined corpus pass.
+    */
+  private def q203DataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    val base = d.select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("_tok"),
+      length(col("text")).cast("long").as("_chars"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("_fp"))
+    val tot = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_tok")).as("n_tokens"),
+      sum(col("_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - countDistinct(col("_fp"))).as("n_exact_dups"))
+      .select(expr("stack(5, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        "'n_chars', n_chars, 'n_langs', n_langs, 'n_exact_dups', n_exact_dups) " +
+        "AS (metric, value)"))
+    val perLang = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("value"))
+    tot.unionByName(perLang).transform(sorted1(_, col("metric")))
+  }
+
   /** B59 — RESTORE (roll-forward undo), oracled (TxLog.restore,
     * spec-only until now, GRADUATED r14d): restoring to version 1
     * COMMITS A NEW VERSION whose state equals v1 — history is
@@ -5711,7 +5741,8 @@ object SparkEntry {
     "q199_jsonl_ingest" -> (q199JsonlIngest _),
     "q200_int8_ann" -> (q200Int8Ann _),
     "q201_host_neardup" -> (q201HostNeardup _),
-    "q202_txlog_restore" -> (q202TxlogRestore _))
+    "q202_txlog_restore" -> (q202TxlogRestore _),
+    "q203_data_card" -> (q203DataCard _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
