@@ -2522,6 +2522,35 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Span corruption: the mask decision, span structure, sentinel
+    // numbering and both streams replayed with SQL windows over the
+    // same (doc, pos) order; the md5-fold mask mirrors bit-for-bit.
+    "q204_span_corruption" ->
+      (s"""WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS tks
+        |  FROM documents),
+        |tp AS (SELECT doc_id, unnest(tks) AS tok,
+        |    CAST(unnest(range(1, len(tks) + 1)) AS BIGINT) AS pos FROM tk),
+        |ms AS (SELECT doc_id, pos, tok,
+        |    GRAFT_MASK % 5 = 0 AS masked FROM tp),
+        |st AS (SELECT doc_id, pos, tok, masked,
+        |    masked AND NOT coalesce(lag(masked) OVER w, false) AS span_start
+        |  FROM ms WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |mk AS (SELECT doc_id, pos, tok, masked, span_start,
+        |    sum(CASE WHEN span_start THEN 1 ELSE 0 END) OVER w - 1 AS k
+        |  FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |pieces AS (
+        |  SELECT doc_id, 'input' AS stream, pos * 2 AS ord, tok AS piece
+        |    FROM mk WHERE NOT masked
+        |  UNION ALL SELECT doc_id, 'input', pos * 2 - 1,
+        |    '<extra_id_' || k || '>' FROM mk WHERE span_start
+        |  UNION ALL SELECT doc_id, 'target', pos * 2 - 1,
+        |    '<extra_id_' || k || '>' FROM mk WHERE span_start
+        |  UNION ALL SELECT doc_id, 'target', pos * 2, tok FROM mk WHERE masked)
+        |SELECT doc_id, stream, CAST(ord AS BIGINT) AS ord, piece
+        |FROM pieces ORDER BY doc_id, stream, ord""".stripMargin
+        .replace("GRAFT_MASK", md5fold("doc_id || ':' || pos", 15))),
+
     // Data card: the release-statement table — integer totals,
     // language inventory, exact-dup count on the q19 fingerprint.
     "q203_data_card" ->

@@ -851,6 +851,22 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C111 — T5-STYLE SPAN CORRUPTION (functions.Corruption, NEW
+    * r14d; Raffel et al. JMLR 2020 §3.1.4): the denoising objective's
+    * data transform — mask 1-in-5 token positions by the house
+    * md5-fold (reproducible across runs/engines/partitionings, so
+    * the same corpus always yields the same training pairs),
+    * collapse runs into spans, numbered sentinels in the input
+    * stream, sentinel+span pairs in the target stream. Output is
+    * RELATIONAL (one row per emitted piece, ordered by `ord`) — a
+    * document never funnels through a string accumulator; both
+    * windows are per-document, bounded by doc length.
+    */
+  private def q204SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Corruption.spanCorrupt(
+      fanOut(s, Tables.documents(s, dir)), "doc_id", "text", rate = 5)
+      .transform(sorted1(_, col("doc_id"), col("stream"), col("ord")))
+
   /** C110 — DATA CARD (NEW r14d): the release-statement table every
     * dataset ships (Datasheets for Datasets / data-statement
     * practice) — corpus totals (docs, whitespace tokens, chars),
@@ -5742,7 +5758,8 @@ object SparkEntry {
     "q200_int8_ann" -> (q200Int8Ann _),
     "q201_host_neardup" -> (q201HostNeardup _),
     "q202_txlog_restore" -> (q202TxlogRestore _),
-    "q203_data_card" -> (q203DataCard _))
+    "q203_data_card" -> (q203DataCard _),
+    "q204_span_corruption" -> (q204SpanCorruption _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
