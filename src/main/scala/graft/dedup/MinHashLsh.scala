@@ -93,17 +93,20 @@ object MinHashLsh {
     * shingles fall back to the HOF composition.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
-    if (cfg.wordShingles)
-      // md5-fold, not xxhash64 (r14d): word-shingle bases must be
-      // engine-reproducible like the char-shingle FNV bases — a
-      // persisted word-mode index has to be auditable by any engine,
-      // and the q201 oracle replays this exact hash
-      shingled(docs, idCol, textCol, cfg)
-        .withColumn("_bases", array_sort(array_distinct(transform(col("_sh"), s =>
-          pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))))))
-        .select(col(idCol), col("_bases"))
-        .withColumn("sig", signatureOfBases(col("_bases"), cfg))
-    else {
+    if (cfg.wordShingles) {
+      // NATIVE word path (r14d): one compiled loop per row for the
+      // md5-fold bases and one for the k signature mins — the HOF
+      // composition evaluated its lambdas interpreted per element
+      // (and CollapseProject re-inlined the bases chain into each
+      // consumer), which made q201 ~10 s; md5-fold (not xxhash64)
+      // keeps the hash engine-reproducible for the oracle
+      graft.functions.ShingleFunctions.register(docs.sparkSession)
+      docs.select(col(idCol),
+        graft.functions.ShingleFunctions.wordBases(col(textCol), cfg.shingleSize).as("_bases"))
+        .select(col(idCol), col("_bases"),
+          graft.functions.ShingleFunctions.sigOfBases(
+            col("_bases"), cfg.numHashes, cfg.seed).as("sig"))
+    } else {
       graft.functions.ShingleFunctions.register(docs.sparkSession)
       docs.select(col(idCol), graft.functions.TextFunctions.normalized(col(textCol)).as("_norm"))
         .select(col(idCol),
@@ -237,16 +240,20 @@ object MinHashLsh {
   def groupNearDuplicates(docs: DataFrame, groupCol: String, textCol: String,
                           threshold: Double, cfg: Config = Config()): DataFrame = {
     graft.functions.ShingleFunctions.register(docs.sparkSession)
-    val perDoc = signatures(
-      docs.select(col(groupCol).as("_grp"), col(textCol).as("_t")), "_grp", "_t", cfg)
-    graft.Exec.withCached(perDoc) { pd =>
+    val sel = docs.select(col(groupCol).as("_grp"), col(textCol).as("_t"))
+    val pd = signatures(sel, "_grp", "_t", cfg)
+    // the distinct (group, base) table feeds three consumers (sizes +
+    // both intersection legs); it descends from pd, so ONE chain
+    // materialization fills both caches and the result checkpoints
+    // once (nested withCached would re-checkpoint per level)
+    val baseRows = pd.select(col("_grp"), explode(col("_bases")).as("_b")).distinct()
+    graft.Exec.withCachedChain(Seq(pd, baseRows)) {
       val merged = pd.select(col("_grp"), posexplode(col("sig")).as(Seq("_i", "_h")))
         .groupBy(col("_grp"), col("_i")).agg(min(col("_h")).as("_h"))
         .groupBy(col("_grp"))
         .agg(transform(array_sort(collect_list(struct(col("_i"), col("_h")))),
           x => x("_h")).as("sig"))
       val pairs = candidatePairsFromSignatures(merged, "_grp", cfg)
-      val baseRows = pd.select(col("_grp"), explode(col("_bases")).as("_b")).distinct()
       val sizes = baseRows.groupBy("_grp").agg(count(lit(1)).as("_n"))
       val inter = baseRows.toDF("id_a", "_b")
         .join(pairs, Seq("id_a"))

@@ -94,6 +94,82 @@ object ShingleImpl {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** md5-fold(15 hex chars) mod P of the UTF-8 bytes of `s` — the
+    * portable word-shingle hash, bit-identical to
+    * `pmod(conv(substring(md5(s), 1, 15), 16, 10), P)`: the first 15
+    * hex chars are digest bytes 0..6 plus byte 7's high nibble.
+    */
+  private def md5FoldModP(s: String, md: java.security.MessageDigest): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+    v % P
+  }
+
+  /** Sorted distinct md5-fold hashes of all word n-grams — the
+    * word-shingle twin of [[hashedShingleSet]] in one compiled loop
+    * (the HOF composition evaluates its lambdas interpreted, per
+    * element: ~10× slower on the q201 host corpus). Tokenization
+    * matches TextFunctions.wordShingles: lowercase, whitespace
+    * split, empties dropped, shingles joined with one space.
+    */
+  def wordShingleBases(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+").filter(_.nonEmpty)
+    val cnt = toks.length - n + 1
+    if (cnt <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](cnt)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      hs(i) = md5FoldModP(sb.toString, md)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < cnt) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** k-wide MinHash signature over a PRE-HASHED base array — the
+    * compiled twin of the signatureOfBases HOF composition (whose
+    * k·|bases| lambda evaluations run interpreted). Empty bases →
+    * all-P sentinel, matching coalesce(array_min, P).
+    */
+  def minhashOfBases(bases: ArrayData, k: Int, seed: Long): ArrayData = {
+    val cs = sigCache.computeIfAbsent((k, seed), _ => coefficients(k, seed))
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, P)
+    val n = bases.numElements()
+    var i = 0
+    while (i < n) {
+      val x = bases.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = (cs(j)._1 * x + cs(j)._2) % P
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
   /** Jaccard of two SORTED distinct long arrays via merge — O(n+m),
     * no per-call hash table.
     */
@@ -133,6 +209,27 @@ case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+case class WordShingleBases(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleImpl.wordShingleBases(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.wordShingleBases($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleBases =
+    copy(child = newChild)
+}
+
+case class MinHashSigOfBases(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleImpl.minhashOfBases(v.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.minhashOfBases($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigOfBases =
+    copy(child = newChild)
+}
+
 case class SortedLongJaccard(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -157,6 +254,13 @@ object ShingleFunctions {
         }), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_jaccard",
       es => SortedLongJaccard(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("word_bases",
+      es => WordShingleBases(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig_of_bases",
+      es => MinHashSigOfBases(es.head, es(1).eval().asInstanceOf[Int], es(2).eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+      }), "scala_udf")
   }
 
   import org.apache.spark.sql.functions.{call_function, lit}
@@ -167,4 +271,8 @@ object ShingleFunctions {
     call_function("minhash_sig", text, lit(n), lit(k), lit(seed))
   def sortedJaccard(a: Column, b: Column): Column =
     call_function("sorted_jaccard", a, b)
+  def wordBases(text: Column, n: Int): Column =
+    call_function("word_bases", text, lit(n))
+  def sigOfBases(bases: Column, k: Int, seed: Long): Column =
+    call_function("minhash_sig_of_bases", bases, lit(k), lit(seed))
 }
