@@ -2522,6 +2522,28 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Contrastive pairs: the md5-fold draw + the order-statistics
+    // skip replayed exactly — every sampled negative mirrors.
+    "q205_contrastive_pairs" ->
+      ("""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |a AS (SELECT doc_id AS anchor_id, doc_id + 1 AS pos_id, n
+        |  FROM documents CROSS JOIN nn WHERE doc_id % 5 = 0 AND doc_id + 1 < n),
+        |pos AS (SELECT anchor_id, 'positive' AS role, CAST(0 AS BIGINT) AS rank,
+        |    pos_id AS other_id FROM a),
+        |n0 AS (SELECT anchor_id, pos_id, n, unnest(range(1, 5)) AS rank FROM a),
+        |n1 AS (SELECT anchor_id, pos_id, rank,
+        |    GRAFT_DRAW % (n - 2) AS draw FROM n0),
+        |n2 AS (SELECT anchor_id, rank,
+        |    least(anchor_id, pos_id) AS e1, greatest(anchor_id, pos_id) AS e2, draw FROM n1),
+        |n3 AS (SELECT anchor_id, rank, e2,
+        |    CASE WHEN draw >= e1 THEN draw + 1 ELSE draw END AS s1 FROM n2),
+        |neg AS (SELECT anchor_id, 'negative' AS role, CAST(rank AS BIGINT) AS rank,
+        |    CASE WHEN s1 >= e2 THEN s1 + 1 ELSE s1 END AS other_id FROM n3)
+        |SELECT anchor_id, role, rank, CAST(other_id AS BIGINT) AS other_id FROM pos
+        |UNION ALL SELECT anchor_id, role, rank, CAST(other_id AS BIGINT) FROM neg
+        |ORDER BY anchor_id, rank""".stripMargin
+        .replace("GRAFT_DRAW", md5fold("anchor_id || ':' || rank", 15))),
+
     // Span corruption: the mask decision, span structure, sentinel
     // numbering and both streams replayed with SQL windows over the
     // same (doc, pos) order; the md5-fold mask mirrors bit-for-bit.

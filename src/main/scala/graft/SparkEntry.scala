@@ -851,6 +851,25 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C112 — CONTRASTIVE PAIR CONSTRUCTION (functions.Contrastive,
+    * NEW r14d): the embedding-model training-data assembly step —
+    * each %5==0 anchor gets its labeled positive (anchor+1, the
+    * upstream-dedup convention) and 4 deterministic negatives via
+    * md5-fold draws mapped by the ORDER-STATISTICS SKIP past the two
+    * excluded ids (exact, rejection-free, engine-replayable — the
+    * same corpus always yields the same pairs). Map-only over
+    * anchors; the corpus contributes one scalar (its count).
+    */
+  private def q205ContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nRow = docs.agg(count(lit(1)).as("_nn"))
+    graft.functions.Contrastive.pairs(
+      fanOut(s, docs).crossJoin(broadcast(nRow)), "doc_id",
+      pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") + 1 < col("_nn"),
+      a => a + 1L, k = 4)
+      .transform(sorted1(_, col("anchor_id"), col("rank")))
+  }
+
   /** C111 — T5-STYLE SPAN CORRUPTION (functions.Corruption, NEW
     * r14d; Raffel et al. JMLR 2020 §3.1.4): the denoising objective's
     * data transform — mask 1-in-5 token positions by the house
@@ -5759,7 +5778,8 @@ object SparkEntry {
     "q201_host_neardup" -> (q201HostNeardup _),
     "q202_txlog_restore" -> (q202TxlogRestore _),
     "q203_data_card" -> (q203DataCard _),
-    "q204_span_corruption" -> (q204SpanCorruption _))
+    "q204_span_corruption" -> (q204SpanCorruption _),
+    "q205_contrastive_pairs" -> (q205ContrastivePairs _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
