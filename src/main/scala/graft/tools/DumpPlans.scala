@@ -273,7 +273,11 @@ object DumpPlans {
     "q200_int8_ann" ->
       "Int8 ANN: the code-vector build is the q196 shape plus a per-id sort_array aggregate; query codes ride a BroadcastExchange into a map-only scoring projection (integer zip_with fold); the TopKPerKey exec reduces corpus-wide before the trailing k-rows re-rank window.",
     "q201_host_neardup" ->
-      "Host near-dup: per-doc signatures are one codegen'd map pass; the signature merge is a (host, i)-keyed HashAggregate pair (64 rows per host on the wire); banding + the bucket self-join run at HOST cardinality; exact verification joins (host, shingle-hash) ROWS — intersections are keyed shuffles, a host's shingle set never materializes as a value.")
+      "Host near-dup: per-doc signatures are one codegen'd map pass (native word-bases + sig-of-bases compiled loops); the signature merge is a (host, i)-keyed HashAggregate pair (32 rows per host on the wire); banding + the bucket self-join run at HOST cardinality; exact verification joins (host, shingle-hash) ROWS — intersections are keyed shuffles, a host's shingle set never materializes as a value.",
+    "q204_span_corruption" ->
+      "Span corruption: one explode pass; the span structure (prev-masked lag, running sentinel index) is two windows partitioned BY DOCUMENT — bounded by doc length, never corpus-scale; the four stream legs are projections over the same windowed frame, unioned; no string accumulator anywhere.",
+    "q205_contrastive_pairs" ->
+      "Contrastive pairs: the corpus contributes one broadcast scalar (its count); anchors explode k slots map-side and the draw + order-statistics skip are pure projection arithmetic — no join touches the corpus until the caller fetches features by id.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
