@@ -92,7 +92,10 @@ object OracleSql {
     * match proves the map-only inference path reproduces training's
     * greedy semantics end-to-end.
     */
-  private def bpeEncodeOracle(k: Int): String = {
+  /** Training CTEs + the per-doc `enc` CTE (doc_id, toks) — shared by
+    * the q92 encode oracle and the q207 fertility aggregate.
+    */
+  private def bpeEncCtes(k: Int): String = {
     var fold = "list_transform(range(1, length(w)+1), i -> w[i:i])"
     for (i <- 0 until k) fold =
       s"""list_reduce(list_transform($fold, x -> [x]),
@@ -103,12 +106,16 @@ object OracleSql {
     bpeTrainCtes(k) +
       s"""enc AS (SELECT doc_id,
          |    flatten(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> $fold)) AS toks
-         |  FROM documents $crossJoins)
+         |  FROM documents $crossJoins)""".stripMargin
+  }
+
+  private def bpeEncodeOracle(k: Int): String =
+    bpeEncCtes(k) +
+      s"""
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
          |  array_to_string(toks[1:12], ' ') AS head
          |FROM enc ORDER BY doc_id""".stripMargin
-  }
 
   private def md5fold(expr: String, chars: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -2521,6 +2528,29 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |FROM (SELECT a AS id FROM e8 UNION ALL SELECT b FROM e8)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // Tokenizer fertility: the q92 train+encode chain aggregated per
+    // language; integer-div basis points.
+    "q207_tokenizer_fertility" ->
+      (bpeEncCtes(6) +
+      """,
+        |w AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw
+        |  FROM documents),
+        |j AS (SELECT lang, nw, CAST(len(toks) AS BIGINT) AS nt
+        |  FROM enc JOIN w USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+        |  CASE WHEN sum(nw) = 0 THEN NULL
+        |       ELSE CAST(sum(nt) * 10000 // sum(nw) AS BIGINT) END AS fertility_bp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // k-anonymity audit: quasi-identifier group sizes + the k flag.
+    "q206_k_anonymity" ->
+      """SELECT lang, source, CAST(length(text) // 100 AS BIGINT) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS k_ok
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // Contrastive pairs: the md5-fold draw + the order-statistics
     // skip replayed exactly — every sampled negative mirrors.

@@ -851,6 +851,50 @@ object SparkEntry {
       .select(col("node").as("node_id"), col("degree"))
       .transform(sorted1(_, col("node_id")))
 
+  /** C114 — TOKENIZER FERTILITY PER LANGUAGE (NEW r14d): the
+    * multilingual tokenizer-evaluation metric — BPE tokens per word,
+    * in integer basis points, per language slice (a vocabulary
+    * trained on a skewed mix over-fragments the under-represented
+    * languages; fertility is how that shows up in training cost and
+    * context length). Composes the q91 trained merges + the q92
+    * encode kernel (map-only memoized fold) with one per-lang
+    * aggregate; the oracle replays training AND encoding through the
+    * shared q92 CTEs, aggregated by lang.
+    */
+  private def q207TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.BpeTrainer.train(docs.select(col("text")), "text", k = 6)
+    val enc = graft.operators.BpeTrainer.segmentFast(fanOut(s, docs), "doc_id", "text", merges)
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("_nt"))
+    val words = docs.select(col("doc_id"), col("lang"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long").as("_nw"))
+    enc.join(words, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nw")).as("n_words"),
+        sum(col("_nt")).as("n_bpe_tokens"))
+      .withColumn("fertility_bp",
+        expr("CASE WHEN n_words = 0 THEN NULL ELSE n_bpe_tokens * 10000 div n_words END"))
+      .transform(sorted1(_, col("lang")))
+  }
+
+  /** C113 — k-ANONYMITY RELEASE AUDIT (NEW r14d; Sweeney 2002): the
+    * privacy gate a dataset release runs over its QUASI-IDENTIFIER
+    * combinations — here (lang, source, length-centile bucket): any
+    * combination carried by fewer than k=5 documents is a
+    * re-identification risk (join the release against any side
+    * table on those columns and the small groups pin individuals).
+    * One partial-combined group-by at bounded-bucket cardinality;
+    * the flag is a long comparison. The q203 data card says what the
+    * corpus IS; this says what it LEAKS.
+    */
+  private def q206KAnonymity(s: SparkSession, dir: String): DataFrame =
+    fanOut(s, Tables.documents(s, dir))
+      .groupBy(col("lang"), col("source"),
+        expr("CAST(length(text) AS BIGINT) div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_ok", col("n") >= 5L)
+      .transform(sorted1(_, col("lang"), col("source"), col("len_bucket")))
+
   /** C112 — CONTRASTIVE PAIR CONSTRUCTION (functions.Contrastive,
     * NEW r14d): the embedding-model training-data assembly step —
     * each %5==0 anchor gets its labeled positive (anchor+1, the
@@ -5779,7 +5823,9 @@ object SparkEntry {
     "q202_txlog_restore" -> (q202TxlogRestore _),
     "q203_data_card" -> (q203DataCard _),
     "q204_span_corruption" -> (q204SpanCorruption _),
-    "q205_contrastive_pairs" -> (q205ContrastivePairs _))
+    "q205_contrastive_pairs" -> (q205ContrastivePairs _),
+    "q206_k_anonymity" -> (q206KAnonymity _),
+    "q207_tokenizer_fertility" -> (q207TokenizerFertility _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
