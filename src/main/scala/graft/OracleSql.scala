@@ -2529,6 +2529,29 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Packing eval: the q68 chain cross-joined with the length set,
+    // aggregated per (seq_len, writer) — tail waste and crossers.
+    "q208_packing_eval" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         |w AS (SELECT doc_id, n_tokens, ${md5fold("CAST(doc_id AS VARCHAR)", 8)} % 8 AS writer,
+         |  md5(CAST(doc_id AS VARCHAR)) AS h FROM t),
+         |c AS (SELECT doc_id, writer, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY writer ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM w),
+         |ls AS (SELECT CAST(unnest([512, 2048]) AS BIGINT) AS L),
+         |e AS (SELECT L, writer, n_tokens,
+         |    greatest(cum_before, cum_before + n_tokens - 1) // L AS end_seq,
+         |    greatest(cum_before, cum_before + n_tokens - 1) // L > cum_before // L AS crossed
+         |  FROM c CROSS JOIN ls)
+         |SELECT L AS seq_len, CAST(writer AS BIGINT) AS writer,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(max(end_seq) + 1 AS BIGINT) AS n_seqs,
+         |  CAST(sum(CASE WHEN crossed THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers,
+         |  CAST((max(end_seq) + 1) * L - sum(n_tokens) AS BIGINT) AS tail_waste,
+         |  CAST(((max(end_seq) + 1) * L - sum(n_tokens)) * 10000 // ((max(end_seq) + 1) * L) AS BIGINT) AS waste_bp
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Tokenizer fertility: the q92 train+encode chain aggregated per
     // language; integer-div basis points.
     "q207_tokenizer_fertility" ->

@@ -877,6 +877,36 @@ object SparkEntry {
       .transform(sorted1(_, col("lang")))
   }
 
+  /** C115 — PACKING EFFICIENCY EVALUATION (NEW r14d): the eval tier
+    * over C37's packer — per (seq_len, writer): documents, token
+    * mass, sequence count, BOUNDARY CROSSERS (the attention-masking
+    * overhead of packed pre-training) and TAIL WASTE (the final
+    * partial sequence's padding) in integer basis points, at both
+    * 512 and 2048 so the knob's tradeoff is IN the hashed output
+    * (shorter sequences: more crossers, proportionally less tail
+    * waste). Pure composition over the q68 arithmetic — the oracle
+    * replays the same chain cross-joined with the length set.
+    */
+  private def q208PackingEval(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tokens"))
+    Seq(512L, 2048L).map { l =>
+      graft.functions.Packing.packSequences(d, "doc_id", "n_tokens",
+        seqLen = l, writers = 8)
+        .groupBy(col("writer"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          (max(col("end_seq")) + 1L).as("n_seqs"),
+          sum(when(col("crosses_boundary"), 1L).otherwise(0L)).as("n_crossers"))
+        .withColumn("seq_len", lit(l))
+        .withColumn("tail_waste", col("n_seqs") * lit(l) - col("total_tokens"))
+        .withColumn("waste_bp", expr("tail_waste * 10000 div (n_seqs * seq_len)"))
+    }.reduce(_.unionByName(_))
+      .select(col("seq_len"), col("writer"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("n_crossers"), col("tail_waste"), col("waste_bp"))
+      .transform(sorted1(_, col("seq_len"), col("writer")))
+  }
+
   /** C113 — k-ANONYMITY RELEASE AUDIT (NEW r14d; Sweeney 2002): the
     * privacy gate a dataset release runs over its QUASI-IDENTIFIER
     * combinations — here (lang, source, length-centile bucket): any
@@ -5825,7 +5855,8 @@ object SparkEntry {
     "q204_span_corruption" -> (q204SpanCorruption _),
     "q205_contrastive_pairs" -> (q205ContrastivePairs _),
     "q206_k_anonymity" -> (q206KAnonymity _),
-    "q207_tokenizer_fertility" -> (q207TokenizerFertility _))
+    "q207_tokenizer_fertility" -> (q207TokenizerFertility _),
+    "q208_packing_eval" -> (q208PackingEval _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
