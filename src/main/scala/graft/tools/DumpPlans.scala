@@ -277,7 +277,11 @@ object DumpPlans {
     "q204_span_corruption" ->
       "Span corruption: one explode pass; the span structure (prev-masked lag, running sentinel index) is two windows partitioned BY DOCUMENT — bounded by doc length, never corpus-scale; the four stream legs are projections over the same windowed frame, unioned; no string accumulator anywhere.",
     "q205_contrastive_pairs" ->
-      "Contrastive pairs: the corpus contributes one broadcast scalar (its count); anchors explode k slots map-side and the draw + order-statistics skip are pure projection arithmetic — no join touches the corpus until the caller fetches features by id.")
+      "Contrastive pairs: the corpus contributes one broadcast scalar (its count); anchors explode k slots map-side and the draw + order-statistics skip are pure projection arithmetic — no join touches the corpus until the caller fetches features by id.",
+    "q206_k_anonymity" ->
+      "k-anonymity audit: ONE partial-combined HashAggregate pair at quasi-identifier-bucket cardinality; the flag is a projection above it.",
+    "q208_packing_eval" ->
+      "Packing eval: the q68 writer-partitioned running window computes stream offsets once per seq_len; everything after is a writer-cardinality aggregate — no global funnel, the union is two independent branches.")
 
   /** Queries whose executed form is eager (Exec.withCached): dump a
     * lazy equivalent so the plan shows the operator tree, not the
