@@ -44,10 +44,15 @@ object Contrastive {
     val negatives = anchors
       .select(col("anchor_id"), col("pos_id"), col("_n"),
         explode(sequence(lit(1), lit(k))).as("rank"))
-      // draw ∈ [0, n-2), then shift past the two sorted excluded ids
+      // draw ∈ [0, n-2), then shift past the two sorted excluded ids;
+      // fail LOUDLY on a sub-3-document corpus — pmod by a
+      // non-positive modulus would otherwise yield silent nulls
       .withColumn("_draw",
-        pmod(conv(substring(md5(concat_ws(":", col("anchor_id"), col("rank"))), 1, 15),
-          16, 10).cast("long"), col("_n") - 2))
+        when(col("_n") < 3L,
+          raise_error(lit("contrastive: need >= 3 documents to draw negatives")))
+          .otherwise(pmod(
+            conv(substring(md5(concat_ws(":", col("anchor_id"), col("rank"))), 1, 15),
+              16, 10).cast("long"), col("_n") - 2)))
       .withColumn("_e1", least(col("anchor_id"), col("pos_id")))
       .withColumn("_e2", greatest(col("anchor_id"), col("pos_id")))
       .withColumn("_s1", when(col("_draw") >= col("_e1"), col("_draw") + 1)

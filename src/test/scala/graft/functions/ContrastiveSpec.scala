@@ -53,6 +53,15 @@ class ContrastiveSpec extends SparkSpec {
     }
   }
 
+  test("a sub-3-document corpus fails loudly, never silent nulls") {
+    val tiny = Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Contrastive.pairs(tiny, "doc_id", col("doc_id") === 0L, a => a + 1L, 2)
+        .collect())
+    assert(e.getMessage.contains("need >= 3 documents") ||
+      Option(e.getCause).exists(_.getMessage.contains("need >= 3 documents")))
+  }
+
   test("pair construction is partition-invariant") {
     val a = Contrastive.pairs(docs.repartition(1), "doc_id",
       col("doc_id") % 5 === 0 && col("doc_id") < 49L, x => x + 1L, 3)
