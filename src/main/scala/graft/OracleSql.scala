@@ -2529,6 +2529,26 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Release diff: full-outer on the id, the q19 fingerprint
+    // decides changed-vs-unchanged, per-(lang, status) counts.
+    "q209_release_diff" ->
+      """WITH o AS (SELECT doc_id, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fo
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |n AS (SELECT doc_id, lang AS ln,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END)),
+        |      '\s+', ' ', 'g')) AS fn
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |j AS (SELECT coalesce(lang, ln) AS lang,
+        |    CASE WHEN fo IS NULL THEN 'added'
+        |         WHEN fn IS NULL THEN 'removed'
+        |         WHEN fo = fn THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT lang, status, CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Packing eval: the q68 chain cross-joined with the length set,
     // aggregated per (seq_len, writer) — tail waste and crossers.
     "q208_packing_eval" ->

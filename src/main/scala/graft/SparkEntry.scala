@@ -877,6 +877,36 @@ object SparkEntry {
       .transform(sorted1(_, col("lang")))
   }
 
+  /** C116 — RELEASE DIFF (NEW r14d): the version-drift report
+    * between two dataset releases — per (lang, status) counts of
+    * added / removed / changed / unchanged documents, with CHANGED
+    * decided by the q19 normalized-md5 content fingerprint (not
+    * byte identity: whitespace/case-only edits read as unchanged,
+    * the release-engineering convention). One full-outer join on
+    * the id, fingerprints computed map-side — the diff never
+    * shuffles text. Fixture: the old release drops the id%10==9
+    * slice, the new release drops id%10==0 and edits id%7==3.
+    */
+  private def q209ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    def fp(c: Column): Column = md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val oldRel = d.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("doc_id"), col("lang"), fp(col("text")).as("_fo"))
+    val newRel = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"), col("lang").as("_ln"),
+        fp(when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))).as("_fn"))
+    oldRel.join(newRel, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang"), col("_ln")).as("lang"),
+        when(col("_fo").isNull, lit("added"))
+          .when(col("_fn").isNull, lit("removed"))
+          .when(col("_fo") === col("_fn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .transform(sorted1(_, col("lang"), col("status")))
+  }
+
   /** C115 — PACKING EFFICIENCY EVALUATION (NEW r14d): the eval tier
     * over C37's packer — per (seq_len, writer): documents, token
     * mass, sequence count, BOUNDARY CROSSERS (the attention-masking
@@ -5856,7 +5886,8 @@ object SparkEntry {
     "q205_contrastive_pairs" -> (q205ContrastivePairs _),
     "q206_k_anonymity" -> (q206KAnonymity _),
     "q207_tokenizer_fertility" -> (q207TokenizerFertility _),
-    "q208_packing_eval" -> (q208PackingEval _))
+    "q208_packing_eval" -> (q208PackingEval _),
+    "q209_release_diff" -> (q209ReleaseDiff _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
