@@ -277,9 +277,20 @@ object Bench {
       if (digits.nonEmpty) digits else name
     }
     val useShort = results.map(r => shortKey(r._1)).distinct.size == results.size
-    val qs = results.map { case (k, med, _, _, _, _, _, _, _) =>
+    // The harness parses the JSON line out of the LAST ~2000 chars of
+    // captured output. At 208 queries the full per-query map alone is
+    // ~2100 chars — r14's line overflowed the window head-first and
+    // the driver recorded parsed:null (r15, verdict task 6). Budget:
+    // keep the stdout map to the SLOWEST `stdoutCap` queries (where
+    // all the signal is; sub-second queries are noise at 2 decimals)
+    // and count the rest in "qs_omitted"; the full map always lives in
+    // bench_result.json.
+    val stdoutCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_STDOUT_QS", "120").toInt
+    val kept = results.sortBy(-_._2).take(stdoutCap).sortBy(_._1)
+    val qs = kept.map { case (k, med, _, _, _, _, _, _, _) =>
       "\"" + (if (useShort) shortKey(k) else k) + "\":" + r2t(med)
     }.mkString("{", ",", "}")
+    val omitted = results.size - kept.size
     val total = results.map(_._2).sum
     // "spin":[pre_ms,post_ms] is the suite-level load sentinel;
     // "reruns" counts queries that tripped either per-query trigger.
@@ -298,7 +309,8 @@ object Bench {
     val sentinelFull = s""""spin":[${r1(spinPre)},${r1(spinPost)}],""" +
       s""""load":[${r1(loadPre)},${r1(loadPost)}],"ext_cores_max":${r2(extMax)},""" +
       s""""reruns":${results.count(_._5)},"unsettled":$unsettledCount,$gateJson"""
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$sentinel,"sf":"$sfName"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""qs_omitted":$omitted,$sentinel,"sf":"$sfName"}"""
     val qsFull = results.map { case (k, med, _, _, _, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx, rerun, qSpin, ext, nb, uns) =>

@@ -750,6 +750,44 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |FROM documents d LEFT JOIN e ON d.doc_id = e.id_b
          |ORDER BY d.doc_id""".stripMargin,
 
+    // IVF ANN with the TRAINING ROUND replayed (r15; rows-only before):
+    // floor(x*2^10) quantization, pmod seeding, integer sum//count
+    // means, one Lloyd round on exact integer SSE with cid tie-break,
+    // then the corpus assignment, 3-probe routing and q40's cosine
+    // scoring tier — the whole chain hash-checked end to end.
+    "q29_ann_ivf" ->
+      s"""WITH xq AS (SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |d0 AS (SELECT vec_id % 8 AS cid, t.j, sum(q[t.j]) AS s, count(*) AS n
+         |  FROM xq CROSS JOIN range(1, 65) t(j) GROUP BY 1, 2),
+         |c0 AS (SELECT cid, j, s // n AS cv FROM d0),
+         |e1 AS (SELECT x.vec_id, c0.cid, sum((x.q[c0.j] - c0.cv) * (x.q[c0.j] - c0.cv)) AS d
+         |  FROM xq x CROSS JOIN c0 GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e1)
+         |  WHERE rr = 1),
+         |d1 AS (SELECT a1.cid, t.j, sum(x.q[t.j]) AS s, count(*) AS n
+         |  FROM a1 JOIN xq x USING (vec_id) CROSS JOIN range(1, 65) t(j) GROUP BY 1, 2),
+         |c1 AS (SELECT cid, j, s // n AS cv FROM d1),
+         |e2 AS (SELECT x.vec_id, c1.cid, sum((x.q[c1.j] - c1.cv) * (x.q[c1.j] - c1.cv)) AS d
+         |  FROM xq x CROSS JOIN c1 GROUP BY 1, 2),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e2)
+         |  WHERE rr = 1),
+         |pr AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+         |    FROM e2 WHERE vec_id < 8)
+         |  WHERE rr <= 3),
+         |p AS (SELECT pr.query_id, a.vec_id, qe.embedding AS ea, xe.embedding AS eb
+         |  FROM pr JOIN a2 a USING (cid)
+         |    JOIN embeddings qe ON qe.vec_id = pr.query_id
+         |    JOIN embeddings xe ON xe.vec_id = a.vec_id),
+         |${cosineCte("p")},
+         |r AS (SELECT query_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM c)
+         |SELECT query_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
     // The IVF scoring tier on deterministic probe routing (bucket =
     // vec_id % 8, probes = qid..qid+2 mod 8): bucket join + cosine
     // ranking mirrored with the same left-fold dot product as q28.
@@ -2796,9 +2834,9 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
         |    CAST(count(DISTINCT w1 || ' ' || w2) AS BIGINT) AS distinct_2 FROM big GROUP BY 1)
         |SELECT u.grp, total_1, distinct_1,
         |  CAST(distinct_1 * 10000 // total_1 AS BIGINT) AS d1_bp,
-        |  total_2, distinct_2,
+        |  coalesce(total_2, 0) AS total_2, coalesce(distinct_2, 0) AS distinct_2,
         |  CAST(distinct_2 * 10000 // total_2 AS BIGINT) AS d2_bp
-        |FROM u JOIN b USING (grp) ORDER BY 1""".stripMargin,
+        |FROM u LEFT JOIN b USING (grp) ORDER BY 1""".stripMargin,
 
     // Int8 quantization: the whole matrix replayed — order-free
     // max-abs scales, per-element floor codes (identical double

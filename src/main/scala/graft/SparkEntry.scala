@@ -688,8 +688,25 @@ object SparkEntry {
     * and centrality: domain clusters, near-dup families, topical
     * neighborhoods for the q82 sampling tier.
     */
+  /** The 4-round LPA label frame, computed ONCE per sf-dir and shared
+    * by q183 (reporting) and q184 (modularity scoring) — r15, verdict
+    * task 3: q184 used to re-run the whole 4-round propagation q183
+    * had already paid, doubling the suite's LPA cost. propagate()
+    * returns a localCheckpointed frame (distributed blocks, not
+    * driver memory), so reuse is safe and node-scale. The ORACLES
+    * stay independent — each re-derives the labels from the raw
+    * tables in DuckDB, so correctness coverage is not narrowed by the
+    * engine-side sharing (the ivfModels precedent). Keyed by session
+    * identity + dir: a frame must not outlive its session.
+    */
+  private val lpaLabelFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def communityLabels(s: SparkSession, dir: String): DataFrame =
+    lpaLabelFrames.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      graft.operators.LabelPropagation.propagate(communityEdges(s, dir), iters = 4))
+
   private def q183LabelProp(s: SparkSession, dir: String): DataFrame =
-    graft.operators.LabelPropagation.propagate(communityEdges(s, dir), iters = 4)
+    communityLabels(s, dir)
       .select(col("id").as("node_id"), col("label"))
       .transform(sorted1(_, col("node_id")))
 
@@ -1320,12 +1337,19 @@ object SparkEntry {
 
   /** q188 without the final checkpoint — the operator tree for
     * DumpPlans and PlanShapeSpec (the executed form shows only the
-    * checkpoint scan). Building it caches the suffix order and runs
-    * the boundary-collect job; callers must not rely on the cache
-    * being freed.
+    * checkpoint scan). Building it runs the boundary-collect job
+    * (inherent: the carries are plan constants), but the suffix-order
+    * cache is RELEASED before returning (r15, ADVICE: repeated
+    * DumpPlans/PlanShapeSpec calls each leaked a MEMORY_AND_DISK
+    * cache) — executing the returned plan recomputes the sort, which
+    * explain-only callers never do.
     */
-  private[graft] def q188LazyPlan(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.SuffixSpans.buildPlan(q188Aug(s, dir), "doc_id", "text", 48, 20)._2
+  private[graft] def q188LazyPlan(s: SparkSession, dir: String): DataFrame = {
+    val (sorted, result) =
+      graft.dedup.SuffixSpans.buildPlan(q188Aug(s, dir), "doc_id", "text", 48, 20)
+    sorted.unpersist(blocking = false)
+    result
+  }
 
   /** B54 — ROBUST OUTLIERS: exact per-group MEDIAN/MAD flagging
     * (functions.Stats.madOutliers, NEW r14c) — the robust companion
@@ -1421,8 +1445,9 @@ object SparkEntry {
     */
   private def q184Modularity(s: SparkSession, dir: String): DataFrame = {
     val edges = communityEdges(s, dir)
-    val labels = graft.operators.LabelPropagation.propagate(edges, iters = 4)
-    graft.operators.LabelPropagation.modularity(edges, labels)
+    // labels come from the SHARED q183 frame (r15): the propagation
+    // runs once per session; this query pays only the scoring joins
+    graft.operators.LabelPropagation.modularity(edges, communityLabels(s, dir))
       .transform(sorted1(_, col("label")))
   }
 
@@ -2238,27 +2263,35 @@ object SparkEntry {
     * round 2 conflated the two and train dominated the "query" time.
     */
   private val ivfModels =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
-  private def ivfModel(s: SparkSession, dir: String): IvfIndex.Model =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.QuantModel]()
+  private def ivfModel(s: SparkSession, dir: String): IvfIndex.QuantModel =
     ivfModels.computeIfAbsent(dir, d =>
-      IvfIndex.trainCentroids(Tables.embeddings(s, d), dim = 64, nCentroids = 8,
-        refinements = 1))
+      IvfIndex.trainCentroidsQuantized(Tables.embeddings(s, d), dim = 64,
+        nCentroids = 8, scaleBits = 10, refinements = 1))
 
-  /** C10 — IVF ANN: probe nprobe buckets of the pre-trained coarse
-    * quantizer (rows-only; recall vs brute force asserted in the
-    * spec; the model-independent scoring tier is oracle-checked by
-    * q40_ivf_scoring).
+  /** C10 — IVF ANN, FULLY ORACLED incl. TRAINING (r15; previously
+    * rows-only): the coarse quantizer is the integer-moments k-means
+    * (IvfIndex.trainCentroidsQuantized — floor(x·2^10) coordinate
+    * quantization, integer sum-div-count means, exact integer SSE
+    * assignment with cid tie-break), so the seed round, the Lloyd
+    * refinement, the corpus bucket assignment AND the probe routing
+    * all replay bit-exactly in DuckDB; the bucket join + cosine
+    * ranking is q40's proven scoring tier. Model memoized per sf-dir
+    * so q29 times the SEARCH path, not training (r2 lesson).
     */
   private def q29AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = fanOut(s, Tables.embeddings(s, dir))
     val model = ivfModel(s, dir)
-    val assigned = IvfIndex.assign(e, model)
-    val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    IvfIndex.search(assigned, model, q, k = 5, nprobe = 3)
+    val xq = IvfIndex.quantizeExpr(col("embedding"), model.scaleBits)
+    val assigned = e.withColumn("cid", model.assignExpr(xq))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("_qvec"))
+      .withColumn("cid", explode(
+        model.probeExpr(IvfIndex.quantizeExpr(col("_qvec"), model.scaleBits), 3)))
+    IvfIndex.searchProbed(assigned, probes, k = 5)
       .withColumn("rk", col("rank").cast("long")).drop("rank")
       .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
-      .orderBy("query_id", "rk")
+      .transform(sorted1(_, col("query_id"), col("rk")))
   }
 
   /** C10b — the IVF SCORING tier on a DETERMINISTIC probe routing

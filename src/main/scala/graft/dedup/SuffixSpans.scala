@@ -187,7 +187,8 @@ object SuffixSpans {
     * max_train_lcp).
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
-                    trainCol: String, k: Int = 48, minSpan: Int = 20): DataFrame = {
+                    trainCol: String, k: Int = 48, minSpan: Int = 20,
+                    gapBufferRows: Int = 1 << 18): DataFrame = {
     require(k >= 1 && minSpan >= 1 && minSpan <= k,
       s"need 1 <= minSpan <= k, got k=$k minSpan=$minSpan")
     val spark = docs.sparkSession
@@ -247,8 +248,21 @@ object SuffixSpans {
       // fold evaluates all k steps with a substring allocation each;
       // random suffix pairs mismatch within a few chars). The ORACLE
       // keeps its list_reduce form — same VALUES, different engine.
+      //
+      // MEMORY-BOUNDED single pass (r15, ADVICE: the r14d shape
+      // buffered the whole sorted partition on-heap for the backward
+      // nearest-train-after scan — an OOM at real suffix-partition
+      // sizes). Key structural fact: between two consecutive TRAIN
+      // suffixes, every eval row shares the same nearest-train-after
+      // (the train key that CLOSES the gap) and the same
+      // nearest-train-before (the key that opened it, already known
+      // when the row streams past). So only the CURRENT GAP's eval
+      // rows need retaining — each with its before-side LCP already
+      // folded in — and a gap that outgrows `gapBufferRows` spills to
+      // local disk (executor scratch, the shuffle-spill discipline),
+      // never the heap. Worst case (a partition with no train rows)
+      // degrades to one sequential spill file, not an OOM.
       val evalRows = sorted.mapPartitionsWithIndex { (pid, it) =>
-        val rows = it.toArray
         def lcp(a: String, b: String): Int =
           if (b == null) 0
           else {
@@ -257,26 +271,8 @@ object SuffixSpans {
             while (i < n && a.charAt(i) == b.charAt(i)) i += 1
             i
           }
-        // backward pass first: nearest train key at or after each row
-        val ka = new Array[String](rows.length)
-        var cur = bcAfter.value(pid)
-        var i = rows.length - 1
-        while (i >= 0) {
-          if (rows(i)._2) cur = rows(i)._4
-          ka(i) = cur
-          i -= 1
-        }
-        // forward pass emits: running last-train-key + the score
-        var kb = bcBefore.value(pid)
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)](rows.length)
-        i = 0
-        while (i < rows.length) {
-          val r = rows(i)
-          if (r._2) kb = r._4
-          else out += ((r._1, math.max(lcp(r._4, kb), lcp(r._4, ka(i)))))
-          i += 1
-        }
-        out.iterator
+        new GapScanIterator(it, bcBefore.value(pid), bcAfter.value(pid),
+          gapBufferRows, lcp)
       }.toDF("id", "_l")
       val result = evalRows.groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_positions"),
@@ -285,4 +281,90 @@ object SuffixSpans {
       result.localCheckpoint(true)
     } finally { sorted.unpersist(blocking = false); () }
   }
+}
+
+/** Streaming nearest-train scan over ONE sorted suffix partition
+  * (rows: (id, isTrain, pos, key)) with bounded memory: eval rows
+  * accumulate per train-free gap — before-side LCP pre-folded, since
+  * the gap-opening train key is already known — and resolve against
+  * the train key that closes the gap (or the partition's after-carry
+  * at exhaustion). Gaps past `capRows` spill to a local temp file in
+  * (id, lcpBefore, key) records; drain streams the spill back before
+  * the in-memory tail. Emits (eval id, max(lcpBefore, lcpAfter)).
+  */
+private[dedup] final class GapScanIterator(
+    rows: Iterator[(Long, Boolean, Int, String)],
+    beforeCarry: String, afterCarry: String,
+    capRows: Int, lcp: (String, String) => Int)
+  extends Iterator[(Long, Int)] {
+
+  private var kb = beforeCarry
+  private var done = false
+  private var cur: Iterator[(Long, Int)] = Iterator.empty
+
+  // ---- gap buffer: in-memory up to capRows, then a local spill file
+  private val memIds = new scala.collection.mutable.ArrayBuffer[Long]()
+  private val memLb = new scala.collection.mutable.ArrayBuffer[Int]()
+  private val memKeys = new scala.collection.mutable.ArrayBuffer[String]()
+  private var spillFile: java.io.File = null
+  private var spillOut: java.io.DataOutputStream = null
+  private var spilled = 0L
+
+  private def add(id: Long, key: String): Unit = {
+    val lb = lcp(key, kb)
+    if (memIds.length >= capRows) {
+      if (spillOut == null) {
+        spillFile = java.io.File.createTempFile("graft-suffix-gap", ".bin")
+        spillFile.deleteOnExit()
+        spillOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(spillFile), 1 << 16))
+      }
+      spillOut.writeLong(id); spillOut.writeInt(lb); spillOut.writeUTF(key)
+      spilled += 1
+    } else { memIds += id; memLb += lb; memKeys += key }
+  }
+
+  /** Resolve the open gap against the train key that closed it (null
+    * = no train suffix follows in this partition or any later one).
+    */
+  private def drain(nextTrain: String): Iterator[(Long, Int)] = {
+    val fromSpill: Iterator[(Long, Int)] =
+      if (spillOut == null) Iterator.empty
+      else {
+        spillOut.close(); spillOut = null
+        val f = spillFile; spillFile = null
+        val n = spilled; spilled = 0L
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f), 1 << 16))
+        new Iterator[(Long, Int)] {
+          private var i = 0L
+          def hasNext: Boolean = i < n
+          def next(): (Long, Int) = {
+            val id = in.readLong(); val lb = in.readInt(); val key = in.readUTF()
+            i += 1
+            if (i == n) { in.close(); f.delete(); () }
+            (id, math.max(lb, lcp(key, nextTrain)))
+          }
+        }
+      }
+    val ids = memIds.toArray; val lbs = memLb.toArray; val keys = memKeys.toArray
+    memIds.clear(); memLb.clear(); memKeys.clear()
+    fromSpill ++ ids.indices.iterator.map { i =>
+      (ids(i), math.max(lbs(i), lcp(keys(i), nextTrain)))
+    }
+  }
+
+  private def advance(): Unit = {
+    while (!cur.hasNext && !done) {
+      if (!rows.hasNext) { cur = drain(afterCarry); done = true }
+      else {
+        val r = rows.next()
+        if (r._2) { cur = drain(r._4); kb = r._4 }
+        else add(r._1, r._4)
+      }
+    }
+  }
+
+  override def hasNext: Boolean = { advance(); cur.hasNext }
+  override def next(): (Long, Int) = { advance(); cur.next() }
 }

@@ -43,11 +43,16 @@ object Diversity {
       .groupBy("grp").agg(sum(col("c")).as("total_2"), count(lit(1)).as("distinct_2"))
     // `div`, not `/`: Spark's Divide is double division, whose
     // rounded quotient can truncate to the wrong integer near a
-    // boundary — integer div is exact in both engines
-    uni.join(bi, Seq("grp"))
+    // boundary — integer div is exact in both engines.
+    // LEFT join (r15, ADVICE): a slice where every document has fewer
+    // than 2 tokens has no bigram row — it must surface with
+    // total_2 = distinct_2 = 0 and a NULL d2_bp, not vanish from the
+    // diversity report without signal.
+    uni.join(bi, Seq("grp"), "left")
       .select(col("grp"), col("total_1"), col("distinct_1"),
         expr("distinct_1 * 10000 div total_1").as("d1_bp"),
-        col("total_2"), col("distinct_2"),
+        coalesce(col("total_2"), lit(0L)).as("total_2"),
+        coalesce(col("distinct_2"), lit(0L)).as("distinct_2"),
         expr("distinct_2 * 10000 div total_2").as("d2_bp"))
   }
 }

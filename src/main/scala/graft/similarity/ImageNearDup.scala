@@ -130,7 +130,7 @@ object ImageNearDup {
         Bmp.decodePixels(bytes).flatMap { case (w, h, rgb) =>
           wHash64(w, h, rgb).map(hsh => (id, hsh))
         }
-      }.toDF(idCol, "ahash")
+      }.toDF(idCol, "whash")
   }
 
   /** Banded near-duplicate pairs: (id_a, id_b, hamming) with
@@ -141,24 +141,31 @@ object ImageNearDup {
     */
   def pairs(df: DataFrame, idCol: String = "doc_id",
             payloadCol: String = "payload", maxHamming: Int = 10): DataFrame =
-    pairsOf(hashes(df, idCol, payloadCol), idCol, maxHamming)
+    pairsOf(hashes(df, idCol, payloadCol), idCol, "ahash", maxHamming)
 
   /** Banded wHash near-duplicate pairs (the wavelet twin of `pairs`). */
   def wPairs(df: DataFrame, idCol: String = "doc_id",
              payloadCol: String = "payload", maxHamming: Int = 10): DataFrame =
-    pairsOf(wHashes(df, idCol, payloadCol), idCol, maxHamming)
+    pairsOf(wHashes(df, idCol, payloadCol), idCol, "whash", maxHamming)
 
-  private def pairsOf(hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val banded = hashed.select(col(idCol), col("ahash"),
+  /** Banded pair recovery over any 64-bit perceptual-hash table —
+    * `hashCol` names the hash family so callers joining their own
+    * persisted hash tables (ahash, whash, …) stay explicit (r15,
+    * ADVICE: wHashes used to mislabel its output 'ahash' to reuse
+    * this join).
+    */
+  def pairsOf(hashed: DataFrame, idCol: String, hashCol: String,
+              maxHamming: Int): DataFrame = {
+    val banded = hashed.select(col(idCol), col(hashCol),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
-        shiftrightunsigned(col("ahash"), 48 - 16 * b)
+        shiftrightunsigned(col(hashCol), 48 - 16 * b)
           .bitwiseAND(lit(0xffffL)).as("bval"))): _*)).as("bb"))
-      .select(col(idCol), col("ahash"), col("bb.band"), col("bb.bval"))
+      .select(col(idCol), col(hashCol), col("bb.band"), col("bb.bval"))
     val a = banded.select(col("band"), col("bval"),
-      col(idCol).as("id_a"), col("ahash").as("_ha"))
+      col(idCol).as("id_a"), col(hashCol).as("_ha"))
     val b = banded.select(col("band"), col("bval"),
-      col(idCol).as("id_b"), col("ahash").as("_hb"))
+      col(idCol).as("id_b"), col(hashCol).as("_hb"))
     a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("_ha"), col("_hb"))

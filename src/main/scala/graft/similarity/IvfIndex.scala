@@ -83,6 +83,81 @@ object IvfIndex {
     Model(dim, rows.sortBy(_._1))
   }
 
+  /** INTEGER-QUANTIZED coarse quantizer (r15, the q127/q196 integer-
+    * moments discipline applied to k-means TRAINING): coordinates
+    * quantize once to floor(x·2^scaleBits) longs, cluster means are
+    * integer `sum div count` (truncating division — identical in
+    * Spark `div`, DuckDB `//` and JVM `/`), and assignment distance
+    * is the exact integer SSE Σ(x−c)². Every step is order-free
+    * integer arithmetic, so the WHOLE training round — seed, Lloyd
+    * reassignment, final model — replays bit-exactly in any engine:
+    * this is what moves q29 from rows-only to hash-oracled. Ranking
+    * ties break by centroid id (total order).
+    *
+    * Numeric bounds: |x|·2^scaleBits must stay ≪ 2^31 per coordinate
+    * (unit-norm embeddings at scaleBits ≤ 20 trivially do) so the
+    * per-pair squared term fits a long at any dim, and per-cluster
+    * coordinate sums fit a long up to ~2^62/(|x|·2^scaleBits) members
+    * — beyond 100 TB corpus cluster sizes at scaleBits = 10.
+    */
+  case class QuantModel(dim: Int, scaleBits: Int, centroids: Array[(Int, Array[Long])]) {
+    private def distStructs(vecQ: Column): Seq[Column] =
+      centroids.toIndexedSeq.map { case (cid, c) =>
+        struct(
+          aggregate(
+            zip_with(vecQ, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d"),
+          lit(cid).as("cid"))
+      }
+
+    /** Nearest-centroid id for a QUANTIZED vector column (map-only;
+      * ties break by cid via the struct order).
+      */
+    def assignExpr(vecQ: Column): Column =
+      array_min(array(distStructs(vecQ): _*)).getField("cid")
+
+    /** nprobe nearest centroid ids by integer distance (map-only). */
+    def probeExpr(vecQ: Column, nprobe: Int): Column =
+      transform(slice(array_sort(array(distStructs(vecQ): _*)), 1, nprobe),
+        s => s.getField("cid"))
+  }
+
+  /** floor(x·2^scaleBits) per coordinate — float→double is exact and
+    * the power-of-two product is exact, so the quantization is
+    * engine-portable (floor, not round: HALF_UP semantics differ
+    * across engines at exact .5).
+    */
+  def quantizeExpr(vec: Column, scaleBits: Int): Column =
+    transform(vec, x => floor(x.cast("double") * lit(math.pow(2.0, scaleBits))).cast("long"))
+
+  /** Integer-moments k-means: pmod(id) seeding, `refinements` Lloyd
+    * rounds, everything in quantized-long space. Same shuffle shape
+    * as [[trainCentroids]] — one map pass + one bounded-key groupBy
+    * per round, model-sized collect only.
+    */
+  def trainCentroidsQuantized(vectors: DataFrame, dim: Int, nCentroids: Int,
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              scaleBits: Int = 10, refinements: Int = 1): QuantModel = {
+    val vq = vectors.select(col(idCol).cast("long").as("_id"),
+      quantizeExpr(col(vecCol), scaleBits).as("_xq"))
+    val aggs = count(lit(1)).as("_n") +:
+      (1 to dim).map(i => sum(element_at(col("_xq"), i)).as(s"_s$i"))
+    def modelOf(assigned: DataFrame): QuantModel = {
+      val rows = assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val n = r.getLong(1)
+          (r.getInt(0), (1 to dim).map(i => r.getLong(1 + i) / n).toArray)
+        }
+      QuantModel(dim, scaleBits, rows.sortBy(_._1))
+    }
+    var model = modelOf(vq.withColumn("cid",
+      pmod(col("_id"), lit(nCentroids.toLong)).cast("int")))
+    (0 until refinements).foreach { _ =>
+      model = modelOf(vq.withColumn("cid", model.assignExpr(col("_xq"))))
+    }
+    model
+  }
+
   /** Corpus with a `cid` bucket column (map-only pass). */
   def assign(vectors: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.register(vectors.sparkSession)

@@ -13,13 +13,16 @@ class EntryContractSpec extends SparkSpec {
     // q23 left this set in r13 (fixed literal profiles + integer
     // scoring replay exactly); q33 AND q25 left in r14 (the
     // splitmix64 streams are counter-based so the oracles regenerate
-    // them closed-form; q25's band hash became md5-portable)
-    "q29_ann_ivf",
+    // them closed-form; q25's band hash became md5-portable); q29
+    // left in r15 (integer-moments k-means — training, assignment
+    // and probe routing all replay in DuckDB)
     // q97: no SQL engine exposes deflate — exactness evidence lives
     // in CompressibilitySpec (driver-side java.util.zip parity)
     "q97_compressibility",
-    // q114: PQ codebook training averages doubles (the q29 coarse-
-    // quantizer class); guarantees spec-pinned in ProductQuantizerSpec
+    // q114: PQ codebook training averages doubles; guarantees
+    // spec-pinned in ProductQuantizerSpec (the scoring tiers q119/
+    // q176 are oracled; a quantized-training PQ tier in the q29 style
+    // would need per-subspace codebooks oracled — deferred)
     "q114_ann_pq")
 
   test("every oracleSql key has a queries entry") {

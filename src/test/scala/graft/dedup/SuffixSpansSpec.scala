@@ -179,4 +179,25 @@ class SuffixSpansSpec extends SparkSpec {
     val got = contam(docs)
     assert(got(1L)._2 === 0L && got(1L)._3 === 0L)
   }
+
+  test("contamination: disk-spilled gaps are value-identical to in-memory gaps") {
+    // gapBufferRows=2 forces every gap longer than two eval suffixes
+    // through the spill file (r15 memory-bounding); values must not move
+    val rnd = (i: Long, s: Long) => ('a' + ((i * 13 + s * 5 + 1) % 19).toInt).toChar
+    val docs = (0L until 3L).map(d =>
+      (d, (0L until 40L).map(i => rnd(i, d + 2)).mkString, true)) ++
+      (0L until 6L).map { d =>
+        val t = (0L until 60L).map(i => rnd(i, d + 9)).mkString
+        val planted = if (d % 2 == 0)
+          t + (0L until 25L).map(i => rnd(i + 5, (d % 3) + 2)).mkString else t
+        (400L + d, planted, false)
+      }
+    val spilled = SuffixSpans.contamination(
+      docs.toDF("doc_id", "text", "is_train").repartition(3),
+      "doc_id", "text", "is_train", 48, 20, gapBufferRows = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(spilled === refContam(docs, 48, 20))
+    assert(spilled === contam(docs))
+  }
 }

@@ -40,4 +40,20 @@ class DiversitySpec extends SparkSpec {
     assert(m("s")._6 < 1000, "templated slice must show collapsed distinct-2")
     assert(m("d")._6 > 9000, "diverse slice must keep distinct-2 high")
   }
+
+  test("a bigram-free slice surfaces with total_2 = 0 and NULL d2_bp, not dropped") {
+    // every doc in slice "solo" has one token → no bigrams anywhere in
+    // the slice; it must still appear in the report (r15 ADVICE)
+    val rows = Diversity.distinctNgrams(
+      Seq("solo" -> "one", "solo" -> "two", "pair" -> "a b")
+        .toDF("grp", "text"), "grp", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("solo"), "bigram-free slice must not vanish")
+    val solo = rows("solo")
+    assert(solo.getLong(1) === 2L && solo.getLong(2) === 2L)
+    assert(solo.getLong(4) === 0L && solo.getLong(5) === 0L,
+      "total_2/distinct_2 report 0 for a bigram-free slice")
+    assert(solo.isNullAt(6), "d2_bp is NULL (undefined), not 0")
+    assert(rows("pair").getLong(4) === 1L)
+  }
 }

@@ -69,6 +69,55 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == brute.size)
   }
 
+  test("quantized ivf training: partition-invariant model, exact vs scalar replay, sane recall") {
+    // integer-moments training (r15): the model must be IDENTICAL
+    // whatever the partitioning — the property that makes q29
+    // oracle-replayable
+    val m1 = IvfIndex.trainCentroidsQuantized(e.repartition(1), dim = 64, nCentroids = 8)
+    val m13 = IvfIndex.trainCentroidsQuantized(e.repartition(13), dim = 64, nCentroids = 8)
+    assert(m1.centroids.length === 8)
+    m1.centroids.zip(m13.centroids).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca === cb && va.sameElements(vb),
+        "quantized centroids must not depend on partitioning")
+    }
+
+    // scalar replay of the full round (quantize → seed means → one
+    // Lloyd round) must reproduce the distributed model bit-exactly
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val xq = vecs.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1024.0).toLong).toArray)
+    }
+    def meansOf(assign: Map[Long, Int]): Map[Int, Array[Long]] =
+      xq.groupBy { case (id, _) => assign(id) }.map { case (cid, members) =>
+        val n = members.length
+        cid -> Array.tabulate(64)(d => members.map(_._2(d)).sum / n)
+      }
+    val seed = meansOf(xq.map { case (id, _) => id -> (id % 8).toInt }.toMap)
+    def nearest(q: Array[Long], cs: Map[Int, Array[Long]]): Int =
+      cs.toSeq.map { case (cid, c) =>
+        (q.indices.map(d => { val t = q(d) - c(d); t * t }).sum, cid)
+      }.min._2
+    val refined = meansOf(xq.map { case (id, q) => id -> nearest(q, seed) }.toMap)
+    m1.centroids.foreach { case (cid, v) =>
+      assert(refined(cid).sameElements(v), s"centroid $cid diverges from scalar replay")
+    }
+
+    // recall through the integer router stays useful (the q29 shape)
+    val assigned = e.withColumn("cid",
+      m1.assignExpr(IvfIndex.quantizeExpr($"embedding", m1.scaleBits)))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("_qvec"))
+      .withColumn("cid", explode(
+        m1.probeExpr(IvfIndex.quantizeExpr($"_qvec", m1.scaleBits), 3)))
+    val ivf = IvfIndex.searchProbed(assigned, probes, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val brute = CosineTopK.bruteTopK(q, e, dim = 64, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"quantized-router recall@5 = $recall")
+  }
+
   test("ivf save/load round-trips the model bit-exact and prunes probe reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val model = IvfIndex.trainCentroids(e, dim = 64, nCentroids = 8, refinements = 1)

@@ -27,16 +27,25 @@ class StreamingAnonymityGateSpec extends SparkSpec {
       s"""{"doc_id": $id, "lang": "$lang", "source": "$src", "text": "${"z" * len}"}"""
     // one en/web row (joins the size-10 group: passes), one fr/web row
     // (joins the size-1 group: 1+1 < 5, quarantines), FIVE de/web rows
-    // (unseen group, but the batch itself clears k=5: passes)
+    // (unseen group, but the batch itself clears k=5: passes), plus a
+    // POISON line: not JSON at all — it must land parse-quarantined,
+    // not as a (null, null) QI group (r15 ADVICE)
     val lines = Seq(jline(100, "en", "web", 50), jline(101, "fr", "web", 50)) ++
-      (102L until 107L).map(i => jline(i, "de", "web", 50))
+      (102L until 107L).map(i => jline(i, "de", "web", 50)) :+
+      "this line is not json {{{"
     Files.write(Paths.get(in, "a.jsonl"), String.join("\n", lines: _*).getBytes)
     StreamingAnonymityGate.start(spark, in, ref, out, cp).awaitTermination(60000)
 
-    val landed = spark.read.parquet(out)
-      .collect().map(r => r.getAs[Long]("doc_id") ->
+    val all = spark.read.parquet(out).collect()
+    assert(all.length === 8, "quarantine-not-drop: every line lands, poison included")
+    val poison = all.filter(!_.getAs[Boolean]("parse_ok"))
+    assert(poison.length === 1 && !poison(0).getAs[Boolean]("k_ok") &&
+      poison(0).getAs[String]("raw") === "this line is not json {{{",
+      "the poison line lands parse-quarantined with its raw bytes")
+    val landed = all.filter(_.getAs[Boolean]("parse_ok"))
+      .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("group_n"), r.getAs[Boolean]("k_ok"))).toMap
-    assert(landed.size === 7, "quarantine-not-drop: every row lands")
+    assert(landed.size === 7, "all seven parsed rows land")
     assert(landed(100L) === ((11L, true)), "en joins the released group")
     assert(landed(101L) === ((2L, false)), "fr stays under k and quarantines")
     (102L until 107L).foreach(i =>
@@ -49,11 +58,15 @@ class StreamingAnonymityGateSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("k_ok")).toMap
     assert(batchSide(100L) && !batchSide(101L))
 
-    // retry idempotence + second drop appends only its partition
+    // retry idempotence + second drop appends only its partition (the
+    // retry replays the stream's own line-shaped batch)
     val before = spark.read.parquet(out).count()
     StreamingAnonymityGate.ingestBatch(
-      spark.read.schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
-        .json(in), 0L, ref, out, 5L)
+      graft.sources.Jsonl.parse(
+        spark.read.text(in).select($"value".as("line")), "line",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, text STRING")),
+      0L, ref, out, 5L)
     assert(spark.read.parquet(out).count() === before)
     Files.write(Paths.get(in, "b.jsonl"), jline(200, "en", "web", 50).getBytes)
     StreamingAnonymityGate.start(spark, in, ref, out, cp).awaitTermination(60000)

@@ -18,6 +18,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
+divergence = {}
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
@@ -47,6 +48,16 @@ for name, sql in sorted(oracle.items()):
         first = next(((a, b) for a, b in zip(sr, dr) if a != b), None)
         fails.append((name, f"{bad} differing rows"))
         print(f"FAIL {name}: {bad}/{len(sr)} differing rows\n  spark: {first[0]}\n  duck : {first[1]}")
+        # divergence probe (r15): dump the first differing row per
+        # column into a machine-readable artifact next to the parquet
+        cols = sorted(spark_tbl.column_names)
+        diff_cols = [(c, a, b) for c, a, b in zip(cols, first[0], first[1]) if a != b]
+        divergence[name] = {
+            "differing_rows": bad, "total_rows": len(sr),
+            "first_spark": dict(zip(cols, first[0])),
+            "first_duck": dict(zip(cols, first[1])),
+            "differing_columns": [c for c, _, _ in diff_cols],
+        }
     else:
         print(f"PASS {name} ({spark_tbl.num_rows} rows)")
 
@@ -56,6 +67,11 @@ for name in sorted(rows_only):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     n = pq.read_table(files[0]).num_rows if files else -1
     print(f"ROWS {name}: {n}")
+
+if divergence:
+    with open(f"{out_dir}/divergence.json", "w") as f:
+        json.dump(divergence, f, indent=1, default=repr)
+    print(f"divergence detail -> {out_dir}/divergence.json")
 
 print(f"\n{'ALL PASS' if not fails else f'{len(fails)} FAILURES'} ({len(oracle)} oracle queries)")
 sys.exit(1 if fails else 0)
