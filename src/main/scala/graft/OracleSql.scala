@@ -131,6 +131,40 @@ object OracleSql {
   private def shingleHash(t: String): String =
     s"CAST(((${signed(fnv(t))} % 1000000007) + 1000000007) % 1000000007 AS BIGINT)"
 
+  /** Exact integer SSE between two quantized-long list expressions —
+    * the one distance of the q29/q210 integer-ANN family.
+    */
+  private def sse(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, v) -> acc + v)"
+
+  /** The integer-moments k-means training chain shared by q29 and
+    * q210 (IvfIndex.trainCentroidsQuantized mirrored): floor(x·2^10)
+    * quantization → pmod seed means → one Lloyd round on exact
+    * integer SSE (cid tie-break) → the per-(vector, centroid)
+    * distance table e2 (q29 takes rr = 1 for assignment + rr ≤ 3 for
+    * probes; q210 takes rr ≤ 3 for multi-probe graph membership). xq
+    * is MATERIALIZED (DuckDB re-inlines multi-referenced CTEs
+    * otherwise — measured 15-25× on q210's round-layered chain).
+    */
+  private val ivfQuantTrainCtes: String =
+    """xq AS MATERIALIZED (SELECT vec_id, embedding,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |d0 AS (SELECT vec_id % 8 AS cid, t.j, sum(q[t.j]) AS s, count(*) AS n
+      |  FROM xq CROSS JOIN range(1, 65) t(j) GROUP BY 1, 2),
+      |c0 AS (SELECT cid, j, s // n AS cv FROM d0),
+      |e1 AS (SELECT x.vec_id, c0.cid, sum((x.q[c0.j] - c0.cv) * (x.q[c0.j] - c0.cv)) AS d
+      |  FROM xq x CROSS JOIN c0 GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e1)
+      |  WHERE rr = 1),
+      |d1 AS (SELECT a1.cid, t.j, sum(x.q[t.j]) AS s, count(*) AS n
+      |  FROM a1 JOIN xq x USING (vec_id) CROSS JOIN range(1, 65) t(j) GROUP BY 1, 2),
+      |c1 AS (SELECT cid, j, s // n AS cv FROM d1),
+      |e2 AS MATERIALIZED (SELECT x.vec_id, c1.cid, sum((x.q[c1.j] - c1.cv) * (x.q[c1.j] - c1.cv)) AS d
+      |  FROM xq x CROSS JOIN c1 GROUP BY 1, 2)""".stripMargin
+
   private def cosineCte(pairsFrom: String): String =
     s"""s AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM $pairsFrom),
        |c AS (SELECT * EXCLUDE (dp, na, nb), CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM s)""".stripMargin
@@ -750,28 +784,70 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |FROM documents d LEFT JOIN e ON d.doc_id = e.id_b
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Graph-ANN (q210, r15): the full HNSW-style chain replayed —
+    // shared integer k-means training, 3-probe bucket membership
+    // (single-bucket kNN graphs disconnect across buckets and strand
+    // the beam — measured 0.15 recall), per-node top-10 kNN edges,
+    // md5-fold levels (entry tier = trailing base-4 zeros == 3), a
+    // 3-entry seed beam and FOUR beam-8 rounds unrolled as
+    // MATERIALIZED CTE layers (the PageRank unroll; without
+    // MATERIALIZED DuckDB re-inlines each doubly-referenced layer —
+    // measured 15-25×). SSE folds run as n² = |a|²+|b|²−2a·b over
+    // native list_inner_product doubles — exact for these integers
+    // (all magnitudes ≪ 2^53), cast back to BIGINT. No float reaches
+    // the output: idist is the exact integer SSE.
+    "q210_graph_ann" -> {
+      val beamRounds = (1 to 4).map { r =>
+        val prev = s"v${r - 1}"
+        s"""b$r AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rr FROM $prev)
+           |  WHERE rr <= 8),
+           |n$r AS (SELECT DISTINCT b$r.qid, ed.dst AS nid FROM b$r JOIN edges ed ON ed.src = b$r.nid),
+           |m$r AS (SELECT n$r.qid, n$r.nid,
+           |    CAST(qs.qn2 + xn.n2 - 2 * list_inner_product(qs.qqd, xn.qd) AS BIGINT) AS d
+           |  FROM n$r JOIN qs ON qs.qid = n$r.qid JOIN xqd xn ON xn.vec_id = n$r.nid),
+           |v$r AS MATERIALIZED (SELECT qid, nid, min(d) AS d FROM (
+           |    SELECT qid, nid, d FROM $prev UNION ALL SELECT qid, nid, d FROM m$r) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ivfQuantTrainCtes,
+         |xqd AS MATERIALIZED (SELECT vec_id, qd,
+         |    CAST(list_inner_product(qd, qd) AS BIGINT) AS n2
+         |  FROM (SELECT vec_id, list_transform(q, v -> CAST(v AS DOUBLE)) AS qd FROM xq)),
+         |am AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e2)
+         |  WHERE rr <= 3),
+         |nb AS (SELECT am.vec_id AS id, am.cid FROM am),
+         |cand AS (SELECT DISTINCT a.id AS src, b.id AS dst
+         |  FROM nb a JOIN nb b ON a.cid = b.cid AND a.id <> b.id),
+         |cd AS (SELECT cand.src, cand.dst,
+         |    CAST(xa.n2 + xb.n2 - 2 * list_inner_product(xa.qd, xb.qd) AS BIGINT) AS d
+         |  FROM cand JOIN xqd xa ON xa.vec_id = cand.src JOIN xqd xb ON xb.vec_id = cand.dst),
+         |edges AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rr FROM cd)
+         |  WHERE rr <= 10),
+         |ent AS (SELECT vec_id FROM (
+         |    SELECT vec_id, ${md5fold("CAST(vec_id AS VARCHAR)", 8)} AS h FROM embeddings)
+         |  WHERE h % 64 = 0),
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, n2 AS qn2 FROM xqd WHERE vec_id < 8),
+         |v0p AS (SELECT qs.qid, en.vec_id AS nid,
+         |    CAST(qs.qn2 + x.n2 - 2 * list_inner_product(qs.qqd, x.qd) AS BIGINT) AS d
+         |  FROM qs CROSS JOIN ent en JOIN xqd x ON x.vec_id = en.vec_id),
+         |v0 AS MATERIALIZED (SELECT qid, nid, d FROM (
+         |    SELECT qid, nid, d, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rr FROM v0p)
+         |  WHERE rr <= 3),
+         |$beamRounds
+         |SELECT qid AS query_id, CAST(rr AS BIGINT) AS rk, nid AS vec_id, d AS idist FROM (
+         |    SELECT qid, nid, d, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rr FROM v4)
+         |WHERE rr <= 5 ORDER BY query_id, rk""".stripMargin
+    },
+
     // IVF ANN with the TRAINING ROUND replayed (r15; rows-only before):
     // floor(x*2^10) quantization, pmod seeding, integer sum//count
     // means, one Lloyd round on exact integer SSE with cid tie-break,
     // then the corpus assignment, 3-probe routing and q40's cosine
     // scoring tier — the whole chain hash-checked end to end.
     "q29_ann_ivf" ->
-      s"""WITH xq AS (SELECT vec_id, embedding,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |d0 AS (SELECT vec_id % 8 AS cid, t.j, sum(q[t.j]) AS s, count(*) AS n
-         |  FROM xq CROSS JOIN range(1, 65) t(j) GROUP BY 1, 2),
-         |c0 AS (SELECT cid, j, s // n AS cv FROM d0),
-         |e1 AS (SELECT x.vec_id, c0.cid, sum((x.q[c0.j] - c0.cv) * (x.q[c0.j] - c0.cv)) AS d
-         |  FROM xq x CROSS JOIN c0 GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e1)
-         |  WHERE rr = 1),
-         |d1 AS (SELECT a1.cid, t.j, sum(x.q[t.j]) AS s, count(*) AS n
-         |  FROM a1 JOIN xq x USING (vec_id) CROSS JOIN range(1, 65) t(j) GROUP BY 1, 2),
-         |c1 AS (SELECT cid, j, s // n AS cv FROM d1),
-         |e2 AS (SELECT x.vec_id, c1.cid, sum((x.q[c1.j] - c1.cv) * (x.q[c1.j] - c1.cv)) AS d
-         |  FROM xq x CROSS JOIN c1 GROUP BY 1, 2),
+      s"""WITH $ivfQuantTrainCtes,
          |a2 AS (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e2)
          |  WHERE rr = 1),

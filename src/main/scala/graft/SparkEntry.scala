@@ -904,6 +904,35 @@ object SparkEntry {
     * shuffles text. Fixture: the old release drops the id%10==9
     * slice, the new release drops id%10==0 and edits id%7==3.
     */
+  /** C117 — GRAPH-ANN SERVING (similarity.GraphAnn, NEW r15): the
+    * HNSW-family tier completing the ANN suite (brute q28, IVF
+    * q29/q40, PQ q114/q119/q176, sign-LSH q33, int8 q200) with the
+    * q29 discipline making it the rare CROSS-ENGINE-ORACLED graph
+    * index: levels are trailing base-4 zeros of the portable md5
+    * fold (the geometric draw, hash-derived), neighbor lists are the
+    * bucketed kNN graph over the integer-quantized coordinates
+    * (candidates share one of each node's 3 PROBED buckets of q29's
+    * integer-moments coarse quantizer — multi-probe membership links
+    * adjacent clusters, single-bucket graphs strand the beam at 0.15
+    * recall; never all-pairs), and serving is a 4-round beam-8
+    * search on exact integer SSE with id tie-breaks. Every tier —
+    * levels, bucket assignment, edges, every beam round, the final
+    * top-k — replays bit-exactly in DuckDB (the PageRank round-unroll
+    * technique applied to beam search). Output distances are INTEGER
+    * (no float anywhere in the chain).
+    */
+  private def q210GraphAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(s, Tables.embeddings(s, dir))
+    val model = ivfModel(s, dir) // q29's memoized integer-moments quantizer
+    val edges = graft.similarity.GraphAnn.knnGraph(e, model, degree = 10, nprobe = 3)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.similarity.GraphAnn.search(e, edges, queries,
+      maxLevel = 3, scaleBits = model.scaleBits,
+      k = 5, beam = 8, rounds = 4, entryBeam = 3)
+      .transform(sorted1(_, col("query_id"), col("rk")))
+  }
+
   private def q209ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
     val d = fanOut(s, Tables.documents(s, dir))
     def fp(c: Column): Column = md5(regexp_replace(lower(trim(c)), "\\s+", " "))
@@ -5920,7 +5949,8 @@ object SparkEntry {
     "q206_k_anonymity" -> (q206KAnonymity _),
     "q207_tokenizer_fertility" -> (q207TokenizerFertility _),
     "q208_packing_eval" -> (q208PackingEval _),
-    "q209_release_diff" -> (q209ReleaseDiff _))
+    "q209_release_diff" -> (q209ReleaseDiff _),
+    "q210_graph_ann" -> (q210GraphAnn _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are

@@ -347,10 +347,23 @@ private[dedup] final class GapScanIterator(
           }
         }
       }
-    val ids = memIds.toArray; val lbs = memLb.toArray; val keys = memKeys.toArray
-    memIds.clear(); memLb.clear(); memKeys.clear()
-    fromSpill ++ ids.indices.iterator.map { i =>
-      (ids(i), math.max(lbs(i), lcp(keys(i), nextTrain)))
+    // eager resolve of the in-memory tail: one tight loop into one
+    // array (the tuples are the output either way), no buffer copies,
+    // no closure per gap — gaps are typically tiny and very frequent
+    // (every train suffix closes one), so per-gap constant cost is
+    // the hot path
+    val n = memIds.length
+    if (n == 0) fromSpill
+    else {
+      val outArr = new Array[(Long, Int)](n)
+      var i = 0
+      while (i < n) {
+        outArr(i) = (memIds(i), math.max(memLb(i), lcp(memKeys(i), nextTrain)))
+        i += 1
+      }
+      memIds.clear(); memLb.clear(); memKeys.clear()
+      if (spilled == 0L && !fromSpill.hasNext) outArr.iterator
+      else fromSpill ++ outArr.iterator
     }
   }
 

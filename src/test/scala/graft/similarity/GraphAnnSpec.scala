@@ -1,0 +1,103 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** C117 — graph-ANN (HNSW-style, integer-deterministic): level
+  * distribution, bounded degree, partition invariance of the whole
+  * chain, beam-search containment (answers come from visited nodes),
+  * and recall against exact integer-SSE brute force.
+  */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf())
+  private lazy val model =
+    IvfIndex.trainCentroidsQuantized(e, dim = 64, nCentroids = 8)
+
+  test("levels follow the capped geometric shape and are id-deterministic") {
+    val lv = e.select($"vec_id", GraphAnn.levelExpr($"vec_id", 3).as("lvl"))
+      .groupBy("lvl").count().as[(Int, Long)].collect().toMap
+    val n = lv.values.sum
+    assert(lv.keySet.subsetOf(Set(0, 1, 2, 3)))
+    assert(lv(0) > n / 2, s"level 0 must dominate: $lv")
+    assert(lv.getOrElse(3, 0L) > 0, "the entry tier must be non-empty on the fixture")
+    assert(lv.getOrElse(3, 0L) < lv(1), s"levels must thin geometrically: $lv")
+    // deterministic: identical across recomputation and partitioning
+    val lv13 = e.repartition(13)
+      .select($"vec_id", GraphAnn.levelExpr($"vec_id", 3).as("lvl"))
+      .groupBy("lvl").count().as[(Int, Long)].collect().toMap
+    assert(lv13 === lv)
+  }
+
+  test("knn graph: degree-bounded, no self loops, neighbors share a probed bucket") {
+    val edges = GraphAnn.knnGraph(e, model, degree = 10, nprobe = 3)
+    edges.persist()
+    try {
+      val deg = edges.groupBy("src").count().agg(max("count")).as[Long].head()
+      assert(deg <= 10, s"max degree $deg")
+      assert(edges.filter($"src" === $"dst").isEmpty, "no self loops")
+      // every edge's endpoints share at least one of each other's 3
+      // probed buckets (multi-probe membership — the connectivity fix)
+      val probed = e.select($"vec_id", explode(
+        model.probeExpr(IvfIndex.quantizeExpr($"embedding", model.scaleBits), 3)).as("cid"))
+      val shared = edges
+        .join(probed.toDF("src", "_ca"), Seq("src"))
+        .join(probed.toDF("dst", "_cb"), Seq("dst"))
+        .filter($"_ca" === $"_cb")
+        .select("src", "dst").distinct()
+      assert(shared.count() === edges.select("src", "dst").distinct().count(),
+        "every edge must come from a shared probed bucket")
+      // and the multi-probe graph is BETTER CONNECTED than the
+      // single-bucket one: it must contain cross-assignment edges
+      val a1 = e.select($"vec_id",
+        model.assignExpr(IvfIndex.quantizeExpr($"embedding", model.scaleBits)).as("cid"))
+      val cross = edges
+        .join(a1.toDF("src", "_ca"), Seq("src"))
+        .join(a1.toDF("dst", "_cb"), Seq("dst"))
+        .filter($"_ca" =!= $"_cb")
+      assert(cross.count() > 0, "multi-probe membership must link across buckets")
+    } finally { edges.unpersist(); () }
+  }
+
+  test("search is partition-invariant and answers have non-decreasing integer distance") {
+    val queries = e.filter($"vec_id" < 8).select($"vec_id".as("query_id"), $"embedding")
+    def run(parts: Int) = GraphAnn.search(
+      e.repartition(parts), GraphAnn.knnGraph(e.repartition(parts), model),
+      queries, maxLevel = 3, scaleBits = model.scaleBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val one = run(1)
+    assert(one.nonEmpty)
+    assert(one === run(13), "graph-ANN must not depend on partitioning")
+    one.groupBy(_._1).foreach { case (_, rows) =>
+      val ds = rows.sortBy(_._2).map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "ranked distances must be non-decreasing")
+    }
+  }
+
+  test("recall@5 vs exact integer-SSE brute force is useful") {
+    val edges = GraphAnn.knnGraph(e, model)
+    val queries = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val got = GraphAnn.search(e, edges, queries, maxLevel = 3,
+      scaleBits = model.scaleBits, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // brute: exact integer SSE over the quantized coordinates
+    val xq = e.select($"vec_id", IvfIndex.quantizeExpr($"embedding", model.scaleBits).as("q"))
+    val brute = xq.filter($"vec_id" < 10).toDF("qid", "qq")
+      .crossJoin(xq.toDF("nid", "nq"))
+      .withColumn("d", GraphAnn.intDist($"qq", $"nq"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"d", $"nid")))
+      .filter($"rk" <= 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.6, s"graph-ANN recall@5 = $recall")
+    // and the graph search must not scan the corpus: visited ≤
+    // entries + rounds·beam·degree per query ≪ n
+    val maxVisited = 3 + 4 * 8 * 10
+    assert(got.size <= 10 * 5 && maxVisited < e.count(),
+      "beam search touches a bounded frontier, not the corpus")
+  }
+}
