@@ -784,6 +784,42 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |FROM documents d LEFT JOIN e ON d.doc_id = e.id_b
          |ORDER BY d.doc_id""".stripMargin,
 
+    // PQ ANN with CODEBOOK TRAINING replayed (r15; rows-only before):
+    // the q29 integer k-means chain generalized with a subspace
+    // column — 8 subspaces of 8 dims, 16 centroids each, pmod
+    // seeding, one Lloyd round, integer argmin codes, and the exact
+    // INTEGER asymmetric distance Σ_s ||q_s − c_{s,code_s}||² ranked
+    // by (adc, id). No float anywhere.
+    "q114_ann_pq" ->
+      """WITH dm AS MATERIALIZED (SELECT vec_id, t.j, (t.j - 1) // 8 AS sub, q[t.j] AS x
+        |  FROM (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q FROM embeddings)
+        |    CROSS JOIN range(1, 65) t(j)),
+        |s0 AS (SELECT vec_id % 16 AS cid, sub, j, sum(x) AS sm, count(*) AS n
+        |  FROM dm GROUP BY 1, 2, 3),
+        |c0 AS (SELECT cid, sub, j, sm // n AS cv FROM s0),
+        |e1 AS (SELECT dm.vec_id, c0.sub, c0.cid, sum((dm.x - c0.cv) * (dm.x - c0.cv)) AS d
+        |  FROM dm JOIN c0 ON c0.sub = dm.sub AND c0.j = dm.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rr FROM e1)
+        |  WHERE rr = 1),
+        |s1 AS (SELECT a1.cid, a1.sub, dm.j, sum(dm.x) AS sm, count(*) AS n
+        |  FROM a1 JOIN dm ON dm.vec_id = a1.vec_id AND dm.sub = a1.sub GROUP BY 1, 2, 3),
+        |c1 AS MATERIALIZED (SELECT cid, sub, j, sm // n AS cv FROM s1),
+        |e2 AS (SELECT dm.vec_id, c1.sub, c1.cid, sum((dm.x - c1.cv) * (dm.x - c1.cv)) AS d
+        |  FROM dm JOIN c1 ON c1.sub = dm.sub AND c1.j = dm.j GROUP BY 1, 2, 3),
+        |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rr FROM e2)
+        |  WHERE rr = 1),
+        |adc AS (SELECT qd.vec_id AS qid, ct.vec_id AS nid, sum((qd.x - c1.cv) * (qd.x - c1.cv)) AS d
+        |  FROM codes ct JOIN c1 ON c1.sub = ct.sub AND c1.cid = ct.cid
+        |    JOIN dm qd ON qd.sub = c1.sub AND qd.j = c1.j
+        |  WHERE qd.vec_id < 3 GROUP BY 1, 2)
+        |SELECT qid AS query_id, CAST(rr AS BIGINT) AS rk, nid AS vec_id,
+        |  CAST(d AS BIGINT) AS adc_dist FROM (
+        |    SELECT qid, nid, d, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rr FROM adc)
+        |WHERE rr <= 5 ORDER BY query_id, rk""".stripMargin,
+
     // Graph-ANN (q210, r15): the full HNSW-style chain replayed —
     // shared integer k-means training, 3-probe bucket membership
     // (single-bucket kNN graphs disconnect across buckets and strand

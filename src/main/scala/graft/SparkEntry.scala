@@ -3985,14 +3985,27 @@ object SparkEntry {
     * (identical-vector code identity, partition invariance, ADC
     * self-vs-far ordering, recall@k vs exact cosine).
     */
+  /** C58 — PQ ANN, FULLY ORACLED incl. CODEBOOK TRAINING (r15;
+    * rows-only before): every subspace trains the integer-moments
+    * k-means (floor(x·2^10) slices, integer sum-div-count means,
+    * exact integer SSE with cid tie-break), codes are integer
+    * argmins, and ADC is the exact INTEGER asymmetric distance — the
+    * train → encode → ADC → rank chain replays bit-exactly in DuckDB
+    * with no float anywhere (q29's move applied per subspace; q97
+    * deflate is now the suite's only rows-only query).
+    */
   private def q114AnnPq(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.ProductQuantizer
     val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
-    val model = ProductQuantizer.train(e, dim = 64, m = 8, k = 16)
-    val encoded = graft.Exec.withCached(ProductQuantizer.encode(e, model))(identity)
+    val model = ProductQuantizer.trainQuantized(e, dim = 64, m = 8, k = 16)
+    val encoded = graft.Exec.withCached(
+      ProductQuantizer.encodeQuantized(e, model))(identity)
     val queries = e.filter(col("vec_id") < 3).select(
       col("vec_id").as("query_id"), col("embedding"))
-    ProductQuantizer.search(encoded, model, queries, k = 5)
+    ProductQuantizer.searchQuantized(encoded, model, queries, k = 5)
+      .withColumn("rk", col("rank").cast("long")).drop("rank")
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .transform(sorted1(_, col("query_id"), col("rk")))
   }
 
   /** C59 — INVERTED-INDEX build (functions.InvertedIndex): the

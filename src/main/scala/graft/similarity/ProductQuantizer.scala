@@ -104,6 +104,99 @@ object ProductQuantizer {
     }
   }
 
+  /** INTEGER-QUANTIZED PQ (r15, the q29 move applied per subspace —
+    * this is what moved q114 from rows-only to hash-oracled):
+    * coordinates quantize once to floor(x·2^scaleBits) longs, each
+    * subspace trains the integer-moments k-means
+    * ([[IvfIndex.trainCentroidsQuantized]] on the slice), codes are
+    * exact-integer-SSE argmins, and ADC itself is INTEGER — the
+    * asymmetric distance Σ_s ‖q_s − c_{s,code_s}‖² over quantized
+    * longs, so search results carry no float at all and the whole
+    * train → encode → ADC → rank chain replays in any engine.
+    */
+  case class QuantPq(dim: Int, m: Int, k: Int, scaleBits: Int,
+                     books: Array[IvfIndex.QuantModel]) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim: Int = dim / m
+
+    private def subQ(vecQ: Column, s: Int): Column = slice(vecQ, s * subDim + 1, subDim)
+
+    /** m nearest-sub-centroid codes for a QUANTIZED vector column. */
+    def encodeExpr(vecQ: Column): Column =
+      array((0 until m).map(s => books(s).assignExpr(subQ(vecQ, s))): _*)
+
+    /** Exact integer ADC: Σ_s (q_s − c_{s,code_s})² with the centroid
+      * selected from a literal cid-dense codebook (gap fillers for
+      * Lloyd-dropped clusters are inert — codes only take live cids).
+      */
+    def adcDistExpr(queryQ: Column, codeCol: Column): Column = {
+      val terms = (0 until m).map { s =>
+        val byCid = books(s).centroids.toMap
+        val maxCid = books(s).centroids.map(_._1).max
+        val cents = (0 to maxCid).map(cid =>
+          byCid.getOrElse(cid, Array.fill(subDim)(0L)).toSeq)
+        val bookLit = typedLit(cents)
+        val code = element_at(codeCol, s + 1)
+        val chosen = element_at(bookLit, code + 1)
+        val qs = subQ(queryQ, s)
+        aggregate(zip_with(qs, chosen, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      }
+      terms.reduce(_ + _)
+    }
+  }
+
+  /** Train the quantized codebooks — the [[train]] shape (cached slim
+    * projection, m concurrent subspace trainings) over integer
+    * arithmetic end to end.
+    */
+  def trainQuantized(vectors: DataFrame, dim: Int, m: Int, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     scaleBits: Int = 10, refinements: Int = 1): QuantPq = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val slim = vectors.select(col(idCol), col(vecCol)).persist()
+    try {
+      slim.count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books = Await.result(
+        Future.sequence((0 until m).map(s => Future {
+          IvfIndex.trainCentroidsQuantized(
+            slim.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
+            subDim, k, idCol, "_sub", scaleBits, refinements)
+        })), scala.concurrent.duration.Duration.Inf).toArray
+      QuantPq(dim, m, k, scaleBits, books)
+    } finally {
+      slim.unpersist()
+      ()
+    }
+  }
+
+  /** Corpus with a `pq_code` column from the quantized model
+    * (map-only pass; quantization happens inline).
+    */
+  def encodeQuantized(vectors: DataFrame, model: QuantPq,
+                      vecCol: String = "embedding"): DataFrame =
+    vectors.withColumn("pq_code",
+      model.encodeExpr(IvfIndex.quantizeExpr(col(vecCol), model.scaleBits)))
+
+  /** Compressed-domain top-k by INTEGER ADC — [[search]] with the
+    * quantized model; adc_dist is an exact long.
+    */
+  def searchQuantized(encoded: DataFrame, model: QuantPq, queries: DataFrame, k: Int,
+                      qidCol: String = "query_id", idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val rankW = Window.partitionBy(col(qidCol)).orderBy(col("adc_dist").asc, col(idCol))
+    queries.select(col(qidCol),
+      IvfIndex.quantizeExpr(col(vecCol), model.scaleBits).as("_qq"))
+      .crossJoin(encoded.select(col(idCol), col("pq_code")))
+      .withColumn("adc_dist", model.adcDistExpr(col("_qq"), col("pq_code")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("adc_dist"))
+  }
+
   /** Corpus with a `pq_code` column (map-only pass). */
   def encode(vectors: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.register(vectors.sparkSession)

@@ -14,16 +14,12 @@ class EntryContractSpec extends SparkSpec {
     // scoring replay exactly); q33 AND q25 left in r14 (the
     // splitmix64 streams are counter-based so the oracles regenerate
     // them closed-form; q25's band hash became md5-portable); q29
-    // left in r15 (integer-moments k-means — training, assignment
-    // and probe routing all replay in DuckDB)
+    // AND q114 left in r15 (integer-moments k-means — training,
+    // assignment, probe routing and the per-subspace PQ codebooks +
+    // integer ADC all replay in DuckDB).
     // q97: no SQL engine exposes deflate — exactness evidence lives
     // in CompressibilitySpec (driver-side java.util.zip parity)
-    "q97_compressibility",
-    // q114: PQ codebook training averages doubles; guarantees
-    // spec-pinned in ProductQuantizerSpec (the scoring tiers q119/
-    // q176 are oracled; a quantized-training PQ tier in the q29 style
-    // would need per-subspace codebooks oracled — deferred)
-    "q114_ann_pq")
+    "q97_compressibility")
 
   test("every oracleSql key has a queries entry") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -102,4 +102,48 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(probed.forall { case (qid, _, vid, _) =>
       Set(qid % 4, (qid + 1) % 4).contains(vid % 4) })
   }
+
+  test("quantized PQ: partition-invariant codebooks, scalar replay, integer ADC ordering") {
+    // the r15 oracle tier: integer-moments training must be identical
+    // whatever the partitioning (what makes q114 hash-oracled)
+    val qm1 = ProductQuantizer.trainQuantized(df.repartition(1), Dim, m = 4, k = 4)
+    val qm9 = ProductQuantizer.trainQuantized(df.repartition(9), Dim, m = 4, k = 4)
+    qm1.books.zip(qm9.books).foreach { case (a, b) =>
+      a.centroids.zip(b.centroids).foreach { case ((ca, va), (cb, vb)) =>
+        assert(ca === cb && va.sameElements(vb), "codebooks must not depend on partitioning")
+      }
+    }
+
+    // scalar replay of subspace 0: quantize, seed means, one Lloyd
+    // round — must match the distributed codebook bit-exactly
+    val sub0 = clustered.map { case (id, v) =>
+      (id, v.take(2).map(x => math.floor(x.toDouble * 1024.0).toLong).toArray)
+    }
+    def means(assign: Map[Long, Int]): Map[Int, Array[Long]] =
+      sub0.groupBy { case (id, _) => assign(id) }.map { case (cid, ms) =>
+        cid -> Array.tabulate(2)(d => ms.map(_._2(d)).sum / ms.length)
+      }
+    val seed = means(sub0.map { case (id, _) => id -> (id % 4).toInt }.toMap)
+    def nearest(q: Array[Long], cs: Map[Int, Array[Long]]): Int =
+      cs.toSeq.map { case (cid, c) =>
+        (q.indices.map(d => { val t = q(d) - c(d); t * t }).sum, cid)
+      }.min._2
+    val refined = means(sub0.map { case (id, q) => id -> nearest(q, seed) }.toMap)
+    qm1.books(0).centroids.foreach { case (cid, v) =>
+      assert(refined(cid).sameElements(v), s"subspace-0 centroid $cid diverges from scalar replay")
+    }
+
+    // integer ADC keeps the planted structure: top-5 stays in-cluster
+    val encoded = ProductQuantizer.encodeQuantized(df, qm1)
+    val queries = df.filter($"vec_id".isin(0L, 15L, 30L, 45L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = ProductQuantizer.searchQuantized(encoded, qm1, queries, k = 5)
+      .select("query_id", "vec_id", "adc_dist")
+      .as[(Long, Long, Long)].collect()
+    assert(top.nonEmpty)
+    top.foreach { case (qid, vid, d) =>
+      assert(qid / 15 === vid / 15, s"query $qid pulled $vid from another cluster")
+      assert(d >= 0L)
+    }
+  }
 }
