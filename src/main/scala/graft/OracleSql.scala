@@ -165,6 +165,19 @@ object OracleSql {
       |e2 AS MATERIALIZED (SELECT x.vec_id, c1.cid, sum((x.q[c1.j] - c1.cv) * (x.q[c1.j] - c1.cv)) AS d
       |  FROM xq x CROSS JOIN c1 GROUP BY 1, 2)""".stripMargin
 
+  /** Double-list + exact squared-norm view of the quantized vectors
+    * plus the 3-probe bucket membership — shared by q210/q211
+    * (integer SSE runs as n² = |a|²+|b|²−2a·b over native
+    * list_inner_product doubles, exact below 2^53).
+    */
+  private val xqdAmCtes: String =
+    """xqd AS MATERIALIZED (SELECT vec_id, qd,
+      |    CAST(list_inner_product(qd, qd) AS BIGINT) AS n2
+      |  FROM (SELECT vec_id, list_transform(q, v -> CAST(v AS DOUBLE)) AS qd FROM xq)),
+      |am AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e2)
+      |  WHERE rr <= 3)""".stripMargin
+
   private def cosineCte(pairsFrom: String): String =
     s"""s AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM $pairsFrom),
        |c AS (SELECT * EXCLUDE (dp, na, nb), CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM s)""".stripMargin
@@ -784,6 +797,36 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |FROM documents d LEFT JOIN e ON d.doc_id = e.id_b
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Bitext mining (q211, r15): shared integer k-means memberships →
+    // en×de bucket candidates → exact integer SSE → per-side k-NN
+    // pools → best pair per src with the cross-multiplied integer
+    // margin d·n·105 < S·100. No float anywhere.
+    "q211_bitext_mining" ->
+      s"""WITH $ivfQuantTrainCtes,
+         |$xqdAmCtes,
+         |mem AS (SELECT am.vec_id AS id, d.lang AS g, am.cid
+         |  FROM am JOIN documents d ON d.doc_id = am.vec_id),
+         |cand AS (SELECT DISTINCT a.id AS src_id, b.id AS tgt_id
+         |  FROM mem a JOIN mem b ON a.cid = b.cid AND a.g = 'en' AND b.g = 'de'),
+         |cd AS MATERIALIZED (SELECT src_id, tgt_id,
+         |    CAST(xa.n2 + xb.n2 - 2 * list_inner_product(xa.qd, xb.qd) AS BIGINT) AS d
+         |  FROM cand JOIN xqd xa ON xa.vec_id = src_id JOIN xqd xb ON xb.vec_id = tgt_id),
+         |sp AS (SELECT src_id, count(*) AS na, sum(d) AS sa FROM (
+         |    SELECT src_id, d, row_number() OVER (PARTITION BY src_id ORDER BY d, tgt_id) AS rr FROM cd)
+         |  WHERE rr <= 4 GROUP BY 1),
+         |tp AS (SELECT tgt_id, count(*) AS nb, sum(d) AS sb FROM (
+         |    SELECT tgt_id, d, row_number() OVER (PARTITION BY tgt_id ORDER BY d, src_id) AS rr FROM cd)
+         |  WHERE rr <= 4 GROUP BY 1),
+         |best AS (SELECT src_id, tgt_id, d FROM (
+         |    SELECT src_id, tgt_id, d, row_number() OVER (PARTITION BY src_id ORDER BY d, tgt_id) AS rr FROM cd)
+         |  WHERE rr = 1)
+         |SELECT b.src_id, b.tgt_id, b.d AS dist,
+         |  CAST(na + nb AS BIGINT) AS nn_n,
+         |  CAST(sa + sb AS BIGINT) AS nn_sum,
+         |  (b.d * (na + nb) * 105 < (sa + sb) * 100) AS selected
+         |FROM best b JOIN sp USING (src_id) JOIN tp USING (tgt_id)
+         |ORDER BY src_id""".stripMargin,
+
     // PQ ANN with CODEBOOK TRAINING replayed (r15; rows-only before):
     // the q29 integer k-means chain generalized with a subspace
     // column — 8 subspaces of 8 dims, 16 centroids each, pmod
@@ -846,12 +889,7 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
            |    SELECT qid, nid, d FROM $prev UNION ALL SELECT qid, nid, d FROM m$r) GROUP BY 1, 2)""".stripMargin
       }.mkString(",\n")
       s"""WITH $ivfQuantTrainCtes,
-         |xqd AS MATERIALIZED (SELECT vec_id, qd,
-         |    CAST(list_inner_product(qd, qd) AS BIGINT) AS n2
-         |  FROM (SELECT vec_id, list_transform(q, v -> CAST(v AS DOUBLE)) AS qd FROM xq)),
-         |am AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e2)
-         |  WHERE rr <= 3),
+         |$xqdAmCtes,
          |nb AS (SELECT am.vec_id AS id, am.cid FROM am),
          |cand AS (SELECT DISTINCT a.id AS src, b.id AS dst
          |  FROM nb a JOIN nb b ON a.cid = b.cid AND a.id <> b.id),

@@ -933,6 +933,26 @@ object SparkEntry {
       .transform(sorted1(_, col("query_id"), col("rk")))
   }
 
+  /** C118 — MARGIN-BASED BITEXT MINING (similarity.BitextMining, NEW
+    * r15; Artetxe & Schwenk ACL'19 — the CCMatrix/NLLB parallel-
+    * corpus construction method): en→de candidate translation pairs
+    * from the embedding space, scored by the RATIO MARGIN against
+    * each endpoint's k-NN pool (absolute thresholds cannot separate
+    * true translations from dense monolingual clusters). Integer
+    * end-to-end: quantized coordinates, exact integer SSE, the q210
+    * multi-probe bucket join for candidates (the FAISS-ANN role in
+    * the published pipeline), and the margin as a cross-multiplied
+    * integer comparison d·n·105 < S·100 — no division, no float,
+    * the whole chain under one oracle hash.
+    */
+  private def q211BitextMining(s: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(s, Tables.embeddings(s, dir))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    graft.similarity.BitextMining.minePairs(docs, ivfModel(s, dir), "en", "de")
+      .transform(sorted1(_, col("src_id")))
+  }
+
   private def q209ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
     val d = fanOut(s, Tables.documents(s, dir))
     def fp(c: Column): Column = md5(regexp_replace(lower(trim(c)), "\\s+", " "))
@@ -5963,7 +5983,8 @@ object SparkEntry {
     "q207_tokenizer_fertility" -> (q207TokenizerFertility _),
     "q208_packing_eval" -> (q208PackingEval _),
     "q209_release_diff" -> (q209ReleaseDiff _),
-    "q210_graph_ann" -> (q210GraphAnn _))
+    "q210_graph_ann" -> (q210GraphAnn _),
+    "q211_bitext_mining" -> (q211BitextMining _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are

@@ -107,12 +107,17 @@ object MinHashLsh {
           graft.functions.ShingleFunctions.sigOfBases(
             col("_bases"), cfg.numHashes, cfg.seed).as("sig"))
     } else {
+      // sig derives from the already-hashed DISTINCT bases (r15): the
+      // old shape ran minhashSig over the normalized text too — a
+      // second full shingle-hash pass per document for values the
+      // bases already carry (min over distinct = min over multiset)
       graft.functions.ShingleFunctions.register(docs.sparkSession)
       docs.select(col(idCol), graft.functions.TextFunctions.normalized(col(textCol)).as("_norm"))
         .select(col(idCol),
-          graft.functions.ShingleFunctions.hashedShingles(col("_norm"), cfg.shingleSize).as("_bases"),
-          graft.functions.ShingleFunctions.minhashSig(
-            col("_norm"), cfg.shingleSize, cfg.numHashes, cfg.seed).as("sig"))
+          graft.functions.ShingleFunctions.hashedShingles(col("_norm"), cfg.shingleSize).as("_bases"))
+        .select(col(idCol), col("_bases"),
+          graft.functions.ShingleFunctions.sigOfBases(
+            col("_bases"), cfg.numHashes, cfg.seed).as("sig"))
     }
 
   /** (id, band_idx, band_hash) from a precomputed `signatures()`
