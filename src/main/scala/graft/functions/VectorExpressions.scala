@@ -46,3 +46,43 @@ object VectorExpressions {
   def floatDot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("float_dot", a, b)
 }
+
+/** Exact integer SSE over two long-array columns — one primitive
+  * loop, codegen'd (r15: the q210/q211 zip_with+aggregate HOF pair
+  * evaluated its lambdas interpreted PER ELEMENT; at 4.5M candidate
+  * pairs × 64 dims that interpretation was the whole cost). Values
+  * identical to aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)),0,+) —
+  * integer arithmetic has no fold-order sensitivity.
+  */
+object LongSseImpl {
+  def sse(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+case class LongSseFold(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongSseImpl.sse(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LongSseImpl.sse($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongSseFold =
+    copy(left = l, right = r)
+}
+
+object LongSseExpressions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_sse", es => LongSseFold(es.head, es(1)), "scala_udf")
+
+  def longSse(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("long_sse", a, b)
+}

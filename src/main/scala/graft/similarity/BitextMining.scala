@@ -47,6 +47,7 @@ object BitextMining {
                 k: Int = 4, nprobe: Int = 3, marginPct: Int = 105): DataFrame = {
     require(k >= 1 && nprobe >= 1 && marginPct >= 100,
       s"need k >= 1, nprobe >= 1, marginPct >= 100; got $k/$nprobe/$marginPct")
+    graft.functions.LongSseExpressions.register(docs.sparkSession)
     val q = IvfIndex.quantizeExpr(col(vecCol), model.scaleBits)
     val m = docs.select(col(idCol).cast("long").as("_id"), col(grpCol).as("_g"), q.as("_q"))
       .withColumn("_cid", explode(model.probeExpr(col("_q"), nprobe)))
@@ -55,33 +56,37 @@ object BitextMining {
     val b = m.filter(col("_g") === tgtGrp)
       .select(col("_cid"), col("_id").as("tgt_id"), col("_q").as("_qb"))
     // bucket-bounded candidates with the exact integer distance; a
-    // pair sharing several probed buckets appears once
-    val cand = a.join(b, Seq("_cid"))
+    // pair sharing several probed buckets appears once. CACHED: three
+    // consumers (both pools + the best-pair pick) read it — lazy, the
+    // candidate join would run three times
+    val cand0 = a.join(b, Seq("_cid"))
       .dropDuplicates("src_id", "tgt_id")
       .withColumn("d", GraphAnn.intDist(col("_qa"), col("_qb")))
       .select(col("src_id"), col("tgt_id"), col("d"))
-    // k-NN pools on each side: the margin's denominator evidence
-    def pool(keyCol: String, outId: String, outN: String, outSum: String) = {
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(col("d"), col(if (keyCol == "src_id") "tgt_id" else "src_id"))
-      cand.withColumn("_r", row_number().over(w))
-        .filter(col("_r") <= k)
-        .groupBy(col(keyCol).as(outId))
-        .agg(count(lit(1)).as(outN), sum(col("d")).as(outSum))
+    graft.Exec.withCached(cand0) { cand =>
+      // k-NN pools on each side: the margin's denominator evidence
+      def pool(keyCol: String, outId: String, outN: String, outSum: String) = {
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("d"), col(if (keyCol == "src_id") "tgt_id" else "src_id"))
+        cand.withColumn("_r", row_number().over(w))
+          .filter(col("_r") <= k)
+          .groupBy(col(keyCol).as(outId))
+          .agg(count(lit(1)).as(outN), sum(col("d")).as(outSum))
+      }
+      val srcPool = pool("src_id", "src_id", "_na", "_sa")
+      val tgtPool = pool("tgt_id", "tgt_id", "_nb", "_sb")
+      // best candidate per src, margin-tested against both pools
+      val best = cand.withColumn("_r", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("d"), col("tgt_id"))))
+        .filter(col("_r") === 1)
+        .drop("_r")
+      best.join(srcPool, Seq("src_id"))
+        .join(tgtPool, Seq("tgt_id"))
+        .select(col("src_id"), col("tgt_id"), col("d").as("dist"),
+          (col("_na") + col("_nb")).as("nn_n"),
+          (col("_sa") + col("_sb")).as("nn_sum"),
+          (col("d") * (col("_na") + col("_nb")) * marginPct <
+            (col("_sa") + col("_sb")) * 100L).as("selected"))
     }
-    val srcPool = pool("src_id", "src_id", "_na", "_sa")
-    val tgtPool = pool("tgt_id", "tgt_id", "_nb", "_sb")
-    // best candidate per src, margin-tested against both pools
-    val best = cand.withColumn("_r", row_number().over(
-      Window.partitionBy(col("src_id")).orderBy(col("d"), col("tgt_id"))))
-      .filter(col("_r") === 1)
-      .drop("_r")
-    best.join(srcPool, Seq("src_id"))
-      .join(tgtPool, Seq("tgt_id"))
-      .select(col("src_id"), col("tgt_id"), col("d").as("dist"),
-        (col("_na") + col("_nb")).as("nn_n"),
-        (col("_sa") + col("_sb")).as("nn_sum"),
-        (col("d") * (col("_na") + col("_nb")) * marginPct <
-          (col("_sa") + col("_sb")) * 100L).as("selected"))
   }
 }

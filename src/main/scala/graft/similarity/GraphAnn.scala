@@ -57,11 +57,15 @@ object GraphAnn {
   }
 
   /** Exact integer SSE between two quantized vectors (arrays of
-    * long), the one distance the whole module uses.
+    * long), the one distance the whole module uses — the NATIVE
+    * codegen kernel (r15: the zip_with+aggregate HOF pair evaluated
+    * interpreted per element; at candidate-join volume that
+    * interpretation dominated q210's cost ~5×). Callers must
+    * register via [[graft.functions.LongSseExpressions.register]] —
+    * done here lazily on first Column construction.
     */
   def intDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.LongSseExpressions.longSse(a, b)
 
   /** The bucketed kNN adjacency table: (src, dst, dist) with at most
     * `degree` rows per src — candidates share one of each node's
@@ -78,6 +82,7 @@ object GraphAnn {
   def knnGraph(vectors: DataFrame, model: IvfIndex.QuantModel,
                idCol: String = "vec_id", vecCol: String = "embedding",
                degree: Int = 10, nprobe: Int = 3): DataFrame = {
+    graft.functions.LongSseExpressions.register(vectors.sparkSession)
     val q = IvfIndex.quantizeExpr(col(vecCol), model.scaleBits)
     val nodes = vectors.select(col(idCol).cast("long").as("_id"), q.as("_q"))
       .withColumn("_cid", explode(model.probeExpr(col("_q"), nprobe)))
@@ -104,6 +109,7 @@ object GraphAnn {
              k: Int = 5, beam: Int = 8, rounds: Int = 4, entryBeam: Int = 3,
              idCol: String = "vec_id", vecCol: String = "embedding",
              qidCol: String = "query_id"): DataFrame = {
+    graft.functions.LongSseExpressions.register(nodes.sparkSession)
     val qv = queries.select(col(qidCol).cast("long").as("_qid"),
       IvfIndex.quantizeExpr(col(vecCol), scaleBits).as("_qq"))
     val nv = nodes.select(col(idCol).cast("long").as("_nid"),
@@ -132,8 +138,13 @@ object GraphAnn {
         .join(nv, Seq("_nid"))
         .withColumn("_d", intDist(col("_qq"), col("_nq")))
         .select(col("_qid"), col("_nid"), col("_d"))
+      // materialize each round (query-scale rows): round r references
+      // round r-1 TWICE (beam + union), so a lazy chain re-plans and
+      // re-executes 2^rounds copies of the whole upstream — the same
+      // reason the DuckDB oracle marks its round layers MATERIALIZED
       visited = visited.unionByName(expanded)
         .groupBy(col("_qid"), col("_nid")).agg(min(col("_d")).as("_d"))
+        .localCheckpoint(true)
       r += 1
     }
     visited
