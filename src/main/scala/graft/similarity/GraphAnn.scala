@@ -124,6 +124,13 @@ object GraphAnn {
       .filter(col("_r") <= entryBeam)
       .select(col("_qid"), col("_nid"), col("_d"))
     val adj = edges.select(col("src").as("_nid"), col("dst"))
+    // free-on-exit contract (the r13 iterative-operator rule —
+    // Exec.freeCheckpoint): every per-round checkpoint is retired
+    // once the eager final result exists, else each search call
+    // leaks `rounds` block sets for the session's lifetime (the
+    // BOM-explosion aging pattern; measured: the bench's later
+    // iterations inflated 2× as leaked sets accumulated)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 0
     while (r < rounds) {
       val beamFront = visited
@@ -145,13 +152,17 @@ object GraphAnn {
       visited = visited.unionByName(expanded)
         .groupBy(col("_qid"), col("_nid")).agg(min(col("_d")).as("_d"))
         .localCheckpoint(true)
+      retired += visited
       r += 1
     }
-    visited
+    val result = visited
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("_qid")).orderBy(col("_d"), col("_nid"))))
       .filter(col("_r") <= k)
       .select(col("_qid").as(qidCol), col("_r").cast("long").as("rk"),
         col("_nid").as(idCol), col("_d").as("idist"))
+      .localCheckpoint(true) // eager, k×queries rows — then free the rounds
+    retired.foreach(graft.Exec.freeCheckpoint)
+    result
   }
 }
