@@ -4138,7 +4138,7 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |  WHERE NOT tgt GROUP BY db.doc_id),
          |rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc)
          |SELECT sc.doc_id, n_feats, sum_tgt, sum_raw,
-         |  CAST(score AS DECIMAL(38, 0)) AS score,
+         |  CAST(score AS VARCHAR) AS score,
          |  (rk.r <= 50) AS selected
          |FROM sc JOIN rk USING (doc_id) ORDER BY sc.doc_id""".stripMargin,
 

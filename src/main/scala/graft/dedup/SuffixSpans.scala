@@ -309,13 +309,48 @@ private[dedup] final class GapScanIterator(
   private var spillFile: java.io.File = null
   private var spillOut: java.io.DataOutputStream = null
   private var spilled = 0L
+  // the spill file currently being read back (at most one at a time:
+  // the outer loop never opens a new gap while a drain is in flight)
+  private var openIn: java.io.DataInputStream = null
+  private var openInFile: java.io.File = null
+
+  /** Close + delete whatever spill state is still open. Idempotent.
+    * Wired to the task completion listener so an abandoned iterator
+    * (task kill, LIMIT) releases its stream and file immediately —
+    * the old deleteOnExit path accumulated one JVM-lifetime entry per
+    * spilled gap and leaked partially-consumed reads until exit.
+    */
+  private def closeSpills(): Unit = {
+    if (spillOut != null) { try spillOut.close() catch { case _: java.io.IOException => () }; spillOut = null }
+    if (spillFile != null) { spillFile.delete(); spillFile = null }
+    if (openIn != null) { try openIn.close() catch { case _: java.io.IOException => () }; openIn = null }
+    if (openInFile != null) { openInFile.delete(); openInFile = null }
+  }
+  locally {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeSpills())
+  }
+
+  /** Spill directory: the first entry of spark.local.dir when an
+    * executor env is live (the disk Spark already sizes for shuffle
+    * scratch), else java.io.tmpdir (plain unit tests).
+    */
+  private def spillDir(): java.io.File = {
+    val base = Option(org.apache.spark.SparkEnv.get)
+      .flatMap(e => e.conf.getOption("spark.local.dir"))
+      .map(_.split(",")(0).trim)
+      .filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(base)
+    d.mkdirs()
+    d
+  }
 
   private def add(id: Long, key: String): Unit = {
     val lb = lcp(key, kb)
     if (memIds.length >= capRows) {
       if (spillOut == null) {
-        spillFile = java.io.File.createTempFile("graft-suffix-gap", ".bin")
-        spillFile.deleteOnExit()
+        spillFile = java.io.File.createTempFile("graft-suffix-gap", ".bin", spillDir())
         spillOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(spillFile), 1 << 16))
       }
@@ -336,13 +371,17 @@ private[dedup] final class GapScanIterator(
         val n = spilled; spilled = 0L
         val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
           new java.io.FileInputStream(f), 1 << 16))
+        openIn = in; openInFile = f
         new Iterator[(Long, Int)] {
           private var i = 0L
           def hasNext: Boolean = i < n
           def next(): (Long, Int) = {
             val id = in.readLong(); val lb = in.readInt(); val key = in.readUTF()
             i += 1
-            if (i == n) { in.close(); f.delete(); () }
+            if (i == n) {
+              in.close(); f.delete()
+              if (openIn eq in) { openIn = null; openInFile = null }
+            }
             (id, math.max(lb, lcp(key, nextTrain)))
           }
         }

@@ -106,6 +106,18 @@ object StreamingAnonymityGate {
       .partitionBy("batch_no").parquet(outDir)
   }
 
+  /** Read the gate's sink. SINK SCHEMA v2 (r15 added parse_ok/raw):
+    * a directory written partly by the v1 schema holds mixed-schema
+    * batch_no partitions after an upgrade replay (dynamic overwrite
+    * rewrites only replayed partitions), and a plain parquet read
+    * resolves ONE footer's schema — silently dropping the new columns
+    * or the old rows' view of them. mergeSchema unions the footers;
+    * v1 rows surface parse_ok/raw as NULL (they predate quarantining,
+    * so "unknown" is the honest value).
+    */
+  def readSink(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(outDir)
+
   /** Wire the stream: AvailableNow drains pending files and stops;
     * the checkpoint makes each file processed exactly once across
     * restarts.

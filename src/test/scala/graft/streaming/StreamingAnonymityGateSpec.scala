@@ -74,4 +74,26 @@ class StreamingAnonymityGateSpec extends SparkSpec {
     assert(l2.filter($"batch_no" === 1L).count() === 1)
     assert(l2.filter($"batch_no" === 0L).count() === before)
   }
+
+  test("readSink unions mixed v1/v2 sink schemas (r15 bump: parse_ok/raw)") {
+    val out = Files.createTempDirectory("graft_anmix").toString
+    val ref = StreamingAnonymityGate.reference(released)
+    // a v1-era partition: the pre-r15 sink schema, no parse_ok/raw
+    Seq((1L, "en", "web", 0L, 11L, true))
+      .toDF("doc_id", "lang", "source", "len_bucket", "group_n", "k_ok")
+      .withColumn("batch_no", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_no").mode("append").parquet(out)
+    // a v2 partition written by today's gate
+    StreamingAnonymityGate.ingestBatch(
+      Seq((2L, "en", "web", "z" * 50)).toDF("doc_id", "lang", "source", "text"),
+      1L, ref, out, 5L)
+    val merged = StreamingAnonymityGate.readSink(spark, out)
+    assert(Set("parse_ok", "raw").subsetOf(merged.columns.toSet),
+      "the v2 columns survive a read that also sees v1 footers")
+    val rows = merged.collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((Option(r.get(r.fieldIndex("parse_ok"))), r.getAs[Boolean]("k_ok")))).toMap
+    assert(rows(1L) === ((None, true)), "v1 rows surface parse_ok as NULL (unknown)")
+    assert(rows(2L) === ((Some(true), true)), "v2 rows keep their parse verdict")
+  }
 }
