@@ -178,6 +178,44 @@ object OracleSql {
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr FROM e2)
       |  WHERE rr <= 3)""".stripMargin
 
+  /** Batch-perceptron training unrolled (q212/q213, r16): hashed
+    * unigram+bigram features (the q170 fold at 1024 buckets), planted
+    * q165 label (≥ 50 tokens), and THREE full-batch epochs from w=0 as
+    * CTE layers — epoch 1's mistake set is every featured doc (margins
+    * under w=0 are all 0), so pw1 is simply Σ y·n per bucket; later
+    * epochs join margins under the previous weights, filter y·m ≤ 0,
+    * and fold the integer delta in. All sums are order-free integers:
+    * the whole training loop replays bit-exactly (the q29/q114
+    * k-means-unroll precedent applied to classifier training).
+    */
+  private val perceptronCtes: String = {
+    val epochs = (2 to 3).map { e =>
+      val pw = s"pw${e - 1}"
+      s"""pm$e AS (SELECT db.doc_id, db.y, sum(db.n * coalesce(w.w, 0)) AS m
+         |  FROM dbP db LEFT JOIN $pw w USING (bucket) GROUP BY 1, 2),
+         |pd$e AS (SELECT db.bucket, sum(db.y * db.n) AS d
+         |  FROM dbP db JOIN pm$e ON pm$e.doc_id = db.doc_id
+         |  WHERE pm$e.y * pm$e.m <= 0 GROUP BY 1),
+         |pw$e AS MATERIALIZED (SELECT coalesce(w.bucket, d.bucket) AS bucket,
+         |    CAST(coalesce(w.w, 0) + coalesce(d.d, 0) AS BIGINT) AS w
+         |  FROM pw${e - 1} w FULL JOIN pd$e d ON w.bucket = d.bucket)""".stripMargin
+    }.mkString(",\n")
+    s"""toksP AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS t FROM documents),
+       |gramsP AS (SELECT doc_id, len(t) >= 50 AS pos, list_concat(
+       |    list_transform(t, x -> '1:' || x),
+       |    list_transform(range(len(t) - 1), i -> '2:' || t[i + 1] || ' ' || t[i + 2])) AS gs
+       |  FROM toksP),
+       |fbP AS (SELECT doc_id, pos, ${md5fold("gram", 8)} % 1024 AS bucket
+       |  FROM (SELECT doc_id, pos, unnest(gs) AS gram FROM gramsP)),
+       |dbP AS MATERIALIZED (SELECT doc_id, CASE WHEN pos THEN 1 ELSE -1 END AS y, bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM fbP GROUP BY 1, 2, 3),
+       |pw1 AS MATERIALIZED (SELECT bucket, CAST(sum(y * n) AS BIGINT) AS w FROM dbP GROUP BY bucket),
+       |$epochs,
+       |psc AS MATERIALIZED (SELECT db.doc_id, CAST(sum(db.n * coalesce(w.w, 0)) AS BIGINT) AS margin
+       |  FROM dbP db LEFT JOIN pw3 w USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
   private def cosineCte(pairsFrom: String): String =
     s"""s AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM $pairsFrom),
        |c AS (SELECT * EXCLUDE (dp, na, nb), CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM s)""".stripMargin
@@ -769,6 +807,38 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
         |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM cz)
         |SELECT id_a, id_b, cosine FROM res WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
+    // Trained quality classifier (q212, r16): the whole batch-
+    // perceptron training loop — features, labels, three epoch weight
+    // tables — unrolled in perceptronCtes; the emitted per-doc margin
+    // under the final weights hash-certifies every epoch.
+    "q212_perceptron_train" ->
+      s"""WITH $perceptronCtes
+         |SELECT g.doc_id, CAST(coalesce(psc.margin, 0) AS BIGINT) AS margin,
+         |  coalesce(psc.margin, 0) > 0 AS predicted, g.pos AS label
+         |FROM gramsP g LEFT JOIN psc USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+
+    // Trained-classifier AUC (q213, r16): q165's exact Mann-Whitney
+    // rank machinery over the TRAINED margins — the evidence the
+    // training loop learned the planted label (stand-in hash weights
+    // sit at ~0.5; trained must sit far above).
+    "q213_perceptron_auc" ->
+      s"""WITH $perceptronCtes,
+         |lab AS (SELECT CAST(coalesce(psc.margin, 0) AS BIGINT) AS s, g.pos AS y
+         |  FROM gramsP g LEFT JOIN psc USING (doc_id)),
+         |rk AS (SELECT s, y, row_number() OVER (ORDER BY s) AS r FROM lab),
+         |gg AS (SELECT s, CAST(min(r) AS HUGEINT) AS lo, CAST(max(r) AS HUGEINT) AS hi,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS p,
+         |    CAST(count(*) AS HUGEINT) AS ng
+         |  FROM rk GROUP BY s),
+         |tt AS (SELECT sum(p * (lo + hi)) AS rs2, sum(p) AS pt, sum(ng - p) AS nt FROM gg)
+         |SELECT CAST(pt + nt AS BIGINT) AS n, CAST(pt AS BIGINT) AS n_pos,
+         |  CAST(nt AS BIGINT) AS n_neg,
+         |  CAST(rs2 - pt * (pt + 1) AS BIGINT) AS numer2,
+         |  CASE WHEN pt = 0 OR nt = 0 THEN NULL
+         |       ELSE CAST(rs2 - pt * (pt + 1) AS DOUBLE)
+         |            / (2.0 * CAST(pt AS DOUBLE) * CAST(nt AS DOUBLE)) END AS auc
+         |FROM tt""".stripMargin,
+
     "q28_ann_topk" ->
       s"""WITH p AS (SELECT q.vec_id AS query_id, e.vec_id, q.embedding AS ea, e.embedding AS eb
          |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 8),
@@ -876,11 +946,20 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
     // (all magnitudes ≪ 2^53), cast back to BIGINT. No float reaches
     // the output: idist is the exact integer SSE.
     "q210_graph_ann" -> {
-      val beamRounds = (1 to 4).map { r =>
+      // r16: knobs SCALE with the corpus, mirroring GraphAnn.scaledKnobs
+      // exactly — fl2 = ⌊log2 n⌋ via the bit length of printf('%b', n)
+      // (integer-exact; float log2 drifts at exact powers). rounds(n)
+      // is STRUCTURAL in unrolled SQL, so the chain unrolls to 8 layers
+      // (covers n < 16384 — the fixture corpora are ≤ 2000) and each
+      // round r guards its beam front with r <= rn: an inactive round's
+      // front is empty, so its layer degenerates to a pass-through copy
+      // of the previous visited set and the final top-k equals the
+      // engine's rounds(n)-round search.
+      val beamRounds = (1 to 8).map { r =>
         val prev = s"v${r - 1}"
         s"""b$r AS (SELECT qid, nid FROM (
            |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rr FROM $prev)
-           |  WHERE rr <= 8),
+           |  WHERE rr <= (SELECT beam FROM kn) AND $r <= (SELECT rn FROM kn)),
            |n$r AS (SELECT DISTINCT b$r.qid, ed.dst AS nid FROM b$r JOIN edges ed ON ed.src = b$r.nid),
            |m$r AS (SELECT n$r.qid, n$r.nid,
            |    CAST(qs.qn2 + xn.n2 - 2 * list_inner_product(qs.qqd, xn.qd) AS BIGINT) AS d
@@ -890,6 +969,12 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
       }.mkString(",\n")
       s"""WITH $ivfQuantTrainCtes,
          |$xqdAmCtes,
+         |kn AS MATERIALIZED (SELECT n, fl2,
+         |    greatest(10, fl2 + 6) AS degree,
+         |    greatest(8, fl2 + 6) AS beam,
+         |    greatest(4, (fl2 + 1) // 2 + 1) AS rn,
+         |    least(15, greatest(1, (fl2 - 4) // 2)) AS ml
+         |  FROM (SELECT count(*) AS n, length(printf('%b', count(*))) - 1 AS fl2 FROM embeddings)),
          |nb AS (SELECT am.vec_id AS id, am.cid FROM am),
          |cand AS (SELECT DISTINCT a.id AS src, b.id AS dst
          |  FROM nb a JOIN nb b ON a.cid = b.cid AND a.id <> b.id),
@@ -898,10 +983,10 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |  FROM cand JOIN xqd xa ON xa.vec_id = cand.src JOIN xqd xb ON xb.vec_id = cand.dst),
          |edges AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rr FROM cd)
-         |  WHERE rr <= 10),
+         |  WHERE rr <= (SELECT degree FROM kn)),
          |ent AS (SELECT vec_id FROM (
          |    SELECT vec_id, ${md5fold("CAST(vec_id AS VARCHAR)", 8)} AS h FROM embeddings)
-         |  WHERE h % 64 = 0),
+         |  WHERE h % (CAST(1 AS BIGINT) << (2 * (SELECT ml FROM kn))) = 0),
          |qs AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, n2 AS qn2 FROM xqd WHERE vec_id < 8),
          |v0p AS (SELECT qs.qid, en.vec_id AS nid,
          |    CAST(qs.qn2 + x.n2 - 2 * list_inner_product(qs.qqd, x.qd) AS BIGINT) AS d
@@ -911,7 +996,7 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |  WHERE rr <= 3),
          |$beamRounds
          |SELECT qid AS query_id, CAST(rr AS BIGINT) AS rk, nid AS vec_id, d AS idist FROM (
-         |    SELECT qid, nid, d, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rr FROM v4)
+         |    SELECT qid, nid, d, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rr FROM v8)
          |WHERE rr <= 5 ORDER BY query_id, rk""".stripMargin
     },
 

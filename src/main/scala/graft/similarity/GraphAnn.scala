@@ -43,6 +43,42 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** Corpus-scaled knobs (r16; the r15 verdict's recall-decay task):
+    * fixed knobs lose recall as the corpus grows (measured 0.95 →
+    * 0.75 from 500 to 2000 vectors at degree 10 / beam 8 / 4 rounds),
+    * because graph diameter and bucket occupancy grow with n while
+    * the beam's reach stays constant. These staircase formulas grow
+    * every knob with ⌊log2 n⌋ — the HNSW scaling (M ~ log n edges,
+    * ~log n greedy hops) in exact integer arithmetic both engines
+    * reproduce (JVM: numberOfLeadingZeros; DuckDB: bit length of
+    * printf('%b', n)):
+    *
+    *   fl2      = ⌊log2 n⌋
+    *   degree   = max(10, fl2 + 6)        // kNN edges per node
+    *   beam     = max(8, fl2 + 6)         // frontier width
+    *   rounds   = max(4, ⌈fl2/2⌉ + 1)     // ≈ ⌈log4 n⌉ + 1 hops
+    *   maxLevel = clamp(⌊(fl2−4)/2⌋, 1, 15) // entry set ≈ n/4^ml ∈ [16,64)
+    *   entryBeam = 3
+    *
+    * Probe-measured at these values (ProbeQ210): recall@5 = 1.000 at
+    * n = 2000 (degree 16 / beam 16 / 6 rounds) vs 0.75 at the old
+    * fixed knobs; the entry set stays a few dozen rows however large
+    * n grows, preserving broadcastability.
+    */
+  final case class Knobs(n: Long, maxLevel: Int, degree: Int, beam: Int,
+                         rounds: Int, entryBeam: Int)
+  def scaledKnobs(n: Long): Knobs = {
+    require(n > 0, s"corpus size must be positive: $n")
+    val fl2 = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    Knobs(
+      n = n,
+      maxLevel = math.min(15, math.max(1, (fl2 - 4) / 2)),
+      degree = math.max(10, fl2 + 6),
+      beam = math.max(8, fl2 + 6),
+      rounds = math.max(4, (fl2 + 1) / 2 + 1),
+      entryBeam = 3)
+  }
+
   /** Node level: trailing base-4 zeros of the md5 fold of the id,
     * capped at `maxLevel` — the geometric level draw of HNSW with the
     * randomness replaced by the engine-portable hash every sampling
@@ -89,13 +125,46 @@ object GraphAnn {
     val a = nodes.select(col("_cid"), col("_id").as("src"), col("_q").as("_qa"))
     val b = nodes.select(col("_cid"), col("_id").as("dst"), col("_q").as("_qb"))
     val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
+    // dist BEFORE the dedupe shuffle (r16): dropDuplicates used to run
+    // first, shuffling every candidate pair WITH both quantized
+    // vectors attached (~1.1 KB/row — measured ~5 GB at a 4.5M-pair
+    // toy corpus, the dominant q210 cost). Computing the SSE map-side
+    // and shuffling only (src, dst, dist) shrinks the dedupe + window
+    // shuffles ~40×; a pair seen via several shared buckets recomputes
+    // the same dist, so the dedupe keeps an identical row whichever
+    // copy survives.
     a.join(b, Seq("_cid"))
       .filter(col("src") =!= col("dst"))
-      .dropDuplicates("src", "dst") // a pair can share several buckets
       .withColumn("dist", intDist(col("_qa"), col("_qb")))
+      .select(col("src"), col("dst"), col("dist"))
+      .dropDuplicates("src", "dst") // a pair can share several buckets
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= degree)
       .select(col("src"), col("dst"), col("dist"))
+  }
+
+  /** Exact integer SSE between two quantized vectors — the JVM twin
+    * of [[intDist]], used by the RDD search core. Must stay
+    * arithmetic-identical to the codegen kernel.
+    */
+  private def sseJvm(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var s = 0L
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** JVM twin of [[levelExpr]]'s entry test: true iff the md5 fold of
+    * the id has ≥ maxLevel trailing base-4 zeros (level == maxLevel
+    * under the cap). Fold = first 8 md5 hex chars of id.toString as
+    * an unsigned 32-bit value — identical to conv(substring(md5(x),
+    * 1, 8), 16, 10).
+    */
+  private[similarity] def entryLevelHit(id: Long, maxLevel: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fold = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    fold % (1L << (2 * maxLevel)) == 0L
   }
 
   /** Beam search over a prebuilt adjacency table. `queries` carries
@@ -103,66 +172,118 @@ object GraphAnn {
     * is (query_id, rk, vec_id, idist) — the top-k of the visited set
     * after `rounds` expansions from the top-`entryBeam` entry nodes.
     * All-integer, id tie-breaks — deterministic by construction.
+    *
+    * r16: the round loop runs on CO-PARTITIONED RDDs behind the
+    * DataFrame API (the q101/q117 adjudication — a Catalyst round
+    * pays a full replan + codegen compile + AQE stage
+    * materialization of fixed driver cost; at 4-6 rounds that fixed
+    * cost dominated the whole query at toy scale, and scaled knobs
+    * grow rounds with log n). Layout: node vectors and the adjacency
+    * hash-partition ONCE by node id and persist; per-query state —
+    * the query vector plus its visited (dist, node) set, both
+    * bounded by entryBeam + rounds·beam·degree rows — partitions by
+    * query id. Each round is two query-scale shuffles (frontier to
+    * the node layout, scored candidates back to the query layout)
+    * and narrow joins against the persisted node-keyed tables; the
+    * corpus is never rescanned and nothing corpus-scale moves.
+    * Only the ENTRY SET (expected n/4^maxLevel — a few dozen rows
+    * under scaledKnobs) is collected and broadcast.
     */
   def search(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
              maxLevel: Int, scaleBits: Int,
              k: Int = 5, beam: Int = 8, rounds: Int = 4, entryBeam: Int = 3,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             qidCol: String = "query_id"): DataFrame = {
-    graft.functions.LongSseExpressions.register(nodes.sparkSession)
-    val qv = queries.select(col(qidCol).cast("long").as("_qid"),
-      IvfIndex.quantizeExpr(col(vecCol), scaleBits).as("_qq"))
-    val nv = nodes.select(col(idCol).cast("long").as("_nid"),
-      IvfIndex.quantizeExpr(col(vecCol), scaleBits).as("_nq"))
+             qidCol: String = "query_id", nHint: Long = -1L): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val qv = queries.select(col(qidCol).cast("long"),
+      IvfIndex.quantizeExpr(col(vecCol), scaleBits)).rdd
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val nv = nodes.select(col(idCol).cast("long"),
+      IvfIndex.quantizeExpr(col(vecCol), scaleBits)).rdd
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // partition count PROPORTIONAL to data volume (~60k quantized
+    // vectors ≈ 32 MB per partition), capped at the upstream layout:
+    // every beam round launches ~3 stages per shuffle tier, and a
+    // fixed-32-task stage on 8-query state paid ~150 ms of pure task
+    // overhead per stage at toy scale (measured: 6 rounds ≈ 4.6 s of
+    // which almost all was scheduling). At corpus scale the cap keeps
+    // the upstream parallelism.
+    val n = if (nHint > 0) nHint else nv.count()
+    val nParts = math.max(1, math.min(
+      math.max(nv.getNumPartitions, spark.sparkContext.defaultParallelism),
+      ((n + 59999L) / 60000L).toInt))
+    val nPart = new org.apache.spark.HashPartitioner(nParts)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    val nvP = nv.partitionBy(nPart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retired += nvP
+    val adj = edges.select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .aggregateByKey(new scala.collection.mutable.ArrayBuffer[Long], nPart)(
+        (b, d) => { b += d; b }, (a, b) => { a ++= b; a })
+      .mapValues(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retired += adj
     // entry tier: the level == maxLevel nodes (expected n/4^maxLevel —
-    // the broadcastable top of the hierarchy)
-    val entries = nv.filter(levelExpr(col("_nid"), maxLevel) === maxLevel)
-    val wq = Window.partitionBy(col("_qid")).orderBy(col("_d"), col("_nid"))
-    var visited = qv.crossJoin(broadcast(entries))
-      .withColumn("_d", intDist(col("_qq"), col("_nq")))
-      .withColumn("_r", row_number().over(wq))
-      .filter(col("_r") <= entryBeam)
-      .select(col("_qid"), col("_nid"), col("_d"))
-    val adj = edges.select(col("src").as("_nid"), col("dst"))
-    // free-on-exit contract (the r13 iterative-operator rule —
-    // Exec.freeCheckpoint): every per-round checkpoint is retired
-    // once the eager final result exists, else each search call
-    // leaks `rounds` block sets for the session's lifetime (the
-    // BOM-explosion aging pattern; measured: the bench's later
-    // iterations inflated 2× as leaked sets accumulated)
-    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the broadcastable top of the hierarchy), sorted for determinism
+    val entries = nvP.filter { case (id, _) => entryLevelHit(id, maxLevel) }
+      .collect().sortBy(_._1)
+    val entriesB = spark.sparkContext.broadcast(entries)
+    // query-side state is (entryBeam + rounds·beam·degree) rows per
+    // query — scale its layout with the corpus layout (queries are
+    // ≤ corpus by contract; a caller with a huge query set passes
+    // pre-partitioned queries and the cap keeps that parallelism)
+    val qPart = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(math.max(qv.getNumPartitions, 1), nParts)))
+    // per-query state: (query vector, visited (dist, nid) sorted asc)
+    var visited: org.apache.spark.rdd.RDD[(Long, (Array[Long], Array[(Long, Long)]))] =
+      qv.partitionBy(qPart).mapValues { qvec =>
+        val top = entriesB.value
+          .map { case (nid, nvec) => (sseJvm(qvec, nvec), nid) }
+          .sorted.take(entryBeam)
+        (qvec, top)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retired += visited
     var r = 0
     while (r < rounds) {
-      val beamFront = visited
-        .withColumn("_r", row_number().over(
-          Window.partitionBy(col("_qid")).orderBy(col("_d"), col("_nid"))))
-        .filter(col("_r") <= beam)
-        .select(col("_qid"), col("_nid"))
-      val expanded = beamFront
-        .join(adj, Seq("_nid"))
-        .select(col("_qid"), col("dst").as("_nid"))
-        .join(qv, Seq("_qid"))
-        .join(nv, Seq("_nid"))
-        .withColumn("_d", intDist(col("_qq"), col("_nq")))
-        .select(col("_qid"), col("_nid"), col("_d"))
-      // materialize each round (query-scale rows): round r references
-      // round r-1 TWICE (beam + union), so a lazy chain re-plans and
-      // re-executes 2^rounds copies of the whole upstream — the same
-      // reason the DuckDB oracle marks its round layers MATERIALIZED
-      visited = visited.unionByName(expanded)
-        .groupBy(col("_qid"), col("_nid")).agg(min(col("_d")).as("_d"))
-        .localCheckpoint(true)
-      retired += visited
+      val front = visited.flatMap { case (qid, (_, arr)) =>
+        arr.iterator.take(beam).map { case (_, nid) => (nid, qid) } }
+      val cand = front.partitionBy(nPart)
+        .join(adj) // narrow: both on nPart
+        .flatMap { case (_, (qid, dsts)) => dsts.iterator.map(d => (d, qid)) }
+        .partitionBy(nPart)
+        .mapPartitions({ it =>
+          // global (dst, qid) dedupe: keyed by dst, so equal pairs
+          // land in one partition — dedupe before the vector fetch
+          val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+          it.filter(seen.add)
+        }, preservesPartitioning = true)
+        .join(nvP) // narrow: (dst, (qid, nvec))
+        .map { case (nid, (qid, nvec)) => (qid, (nid, nvec)) }
+      val next = visited.cogroup(cand, qPart).flatMap { case (qid, (oldIt, newIt)) =>
+        oldIt.headOption.map { case (qvec, arr) =>
+          val m = scala.collection.mutable.LongMap.empty[Long] // nid -> d
+          arr.foreach { case (d, nid) => m(nid) = d }
+          newIt.foreach { case (nid, nvec) =>
+            if (!m.contains(nid)) m(nid) = sseJvm(qvec, nvec) }
+          (qid, (qvec, m.iterator.map { case (nid, d) => (d, nid) }.toArray.sorted))
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      retired += next
+      visited = next
       r += 1
     }
-    val result = visited
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col("_qid")).orderBy(col("_d"), col("_nid"))))
-      .filter(col("_r") <= k)
-      .select(col("_qid").as(qidCol), col("_r").cast("long").as("rk"),
-        col("_nid").as(idCol), col("_d").as("idist"))
-      .localCheckpoint(true) // eager, k×queries rows — then free the rounds
-    retired.foreach(graft.Exec.freeCheckpoint)
+    val out = visited.flatMap { case (qid, (_, arr)) =>
+      arr.iterator.take(k).zipWithIndex.map { case ((d, nid), i) =>
+        (qid, (i + 1).toLong, nid, d) } }
+    // eager k×queries result, then free every round's cache and the
+    // entry broadcast (the r13 free-on-exit contract)
+    val result = spark.createDataset(out)
+      .toDF(qidCol, "rk", idCol, "idist")
+      .localCheckpoint(true)
+    retired.foreach(_.unpersist(blocking = false))
+    entriesB.destroy()
     result
   }
 }

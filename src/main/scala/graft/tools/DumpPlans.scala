@@ -213,7 +213,7 @@ object DumpPlans {
     "q06_price_display" ->
       "Menu price display: the parse is (doc, line_no)-windowed header attribution over the synthesized menu lines; formatting is projection arithmetic above it.\n\nr15 drift adjudication: the r14 verdict flagged q06 as the one carried query regressing >1.5x (0.76 -> 1.15 s driver medians). Not noise and not a regression in kind: r14 commit 2d30743 (Title-Case headers with separator evidence) added reference-parity work to MenuParser.parse on q06's path — a lag window carrying the had-separator-above flag (one extra window function over the same (doc, line_no) sort the parse already pays, no extra exchange) plus the isTitleHeaderLine regex per line. The feature is oracle-load-bearing (q163's Title-Case residue arms + q42's range hint assert it), so the cost is bought, not leaked. BenchOne r15, sf0.1, 5 fresh iterations: steady ~1.7 s standalone (first-iteration 2.3 with codegen compile), consistent with the suite's post-warmup ~1.1-1.2 s. Accepted at that price; recovering separator evidence without the lag would need the raw-split array path in the window parser — a bigger change than a formatting query justifies.",
     "q210_graph_ann" ->
-      "Graph-ANN serving: the kNN-graph build is one bucket-keyed self-join over 3-probe memberships (bucket-bounded candidates — the LSH-banding discipline, never all-pairs) + one per-src top-k window; each beam round is a broadcast-sized frontier join against the node-keyed adjacency + a (query, node) min-aggregate — query-scale, not corpus-scale. At serving scale the adjacency persists bucketed by src so each round's fetch partition-prunes. Everything integer (quantized-long SSE, id tie-breaks): levels, edges, every beam round and the final top-k replay under one oracle hash; DuckDB-side the round layers are MATERIALIZED CTEs (without that DuckDB re-inlines each doubly-referenced layer — measured 15-25x on the 4-round chain), and SSE runs as |a|^2+|b|^2-2ab over native list_inner_product doubles, exact for these magnitudes (<< 2^53), cast back to BIGINT.\n\nr15 build notes (recorded so the knobs aren't cargo-culted): single-bucket kNN edges -> recall@5 0.15 (8 disconnected components; the beam cannot leave the entry's bucket); 2-probe/degree-8 -> 0.88 at sf0.01 but 0.45 at sf0.1; 3-probe/degree-10/beam-8/4-rounds -> 0.95/0.90/0.75 at sf0.01/0.001/0.1 with the oracle at 1.2 s (sf0.01). Post-bench r15 fix: the first bench showed 20.3 s — the LAZY adjacency subtree re-ran once per beam round, visited's self-doubling lineage re-planned 2^rounds copies, and the SSE ran as interpreted zip_with/aggregate lambdas; the adjacency is now cached for the search, each round localCheckpoints (the engine-side mirror of the oracle's MATERIALIZED), and SSE is the native codegen LongSseFold kernel — 20.3 -> 5.1 s fresh, outputs hash-identical at 3 SFs.",
+      "Graph-ANN serving: the kNN-graph build is one bucket-keyed self-join over 3-probe memberships (bucket-bounded candidates — the LSH-banding discipline, never all-pairs) + one per-src top-k window; each beam round is a broadcast-sized frontier join against the node-keyed adjacency + a (query, node) min-aggregate — query-scale, not corpus-scale. At serving scale the adjacency persists bucketed by src so each round's fetch partition-prunes. Everything integer (quantized-long SSE, id tie-breaks): levels, edges, every beam round and the final top-k replay under one oracle hash; DuckDB-side the round layers are MATERIALIZED CTEs (without that DuckDB re-inlines each doubly-referenced layer — measured 15-25x on the 4-round chain), and SSE runs as |a|^2+|b|^2-2ab over native list_inner_product doubles, exact for these magnitudes (<< 2^53), cast back to BIGINT.\n\nr15 build notes (recorded so the knobs aren't cargo-culted): single-bucket kNN edges -> recall@5 0.15 (8 disconnected components; the beam cannot leave the entry's bucket); 2-probe/degree-8 -> 0.88 at sf0.01 but 0.45 at sf0.1; 3-probe/degree-10/beam-8/4-rounds -> 0.95/0.90/0.75 at sf0.01/0.001/0.1 with the oracle at 1.2 s (sf0.01). Post-bench r15 fix: the first bench showed 20.3 s — the LAZY adjacency subtree re-ran once per beam round, visited's self-doubling lineage re-planned 2^rounds copies, and the SSE ran as interpreted zip_with/aggregate lambdas; the adjacency is now cached for the search, each round localCheckpoints (the engine-side mirror of the oracle's MATERIALIZED), and SSE is the native codegen LongSseFold kernel — 20.3 -> 5.1 s fresh, outputs hash-identical at 3 SFs.\n\nr16 (both r15 verdict tasks): (1) RECALL AT SCALE — knobs now scale with the corpus (GraphAnn.scaledKnobs: degree/beam = floor(log2 n)+6, rounds = ceil(log2(n)/2)+1, maxLevel sized so the entry set stays 16-64 rows; the HNSW M~log n / hops~log n scaling in exact integer staircases both engines reproduce — the oracle derives the same knobs from count(*) via printf('%b') bit length and unrolls 8 conditionally-active rounds). ProbeQ210-measured recall@5 at sf0.1: 0.75 (old fixed knobs) -> 1.000 (scaled); GraphAnnSpec pins >= 0.9 at sf0.1. (2) COST — stage attribution (ProbeQ210Cost) split the 7.6-9.0 s first cut into knnGraph ~5 s and search ~4.6 s; two causes, both fixed: the kNN-graph dedupe used to shuffle every candidate pair WITH both 64-long vectors attached (~5 GB at 4.5M pairs — dist now computes map-side first and only (src,dst,dist) shuffles, ~40x smaller), and the beam loop (ported to co-partitioned RDDs, the q101/q117/q172 contract: node vectors + adjacency hash-partitioned once by node id, per-query visited state by query id, two query-scale shuffles per round, zero Catalyst replans) sized its partitioners at the upstream 32 even for 8-query state (~150 ms/stage pure scheduling — partitions now scale with data volume, ~60k vectors per partition, capped at the upstream layout). BenchOne fresh medians at sf0.1: 4.35 s (r15, 4 rounds, recall 0.75) -> ~3.2 s (r16, 6 rounds, recall 1.000), outputs hash-identical at 3 SFs.",
     "q211_bitext_mining" ->
       "Bitext mining: candidates come from the shared integer-k-means 3-probe bucket join (bucket-bounded — the FAISS-ANN role in the published CCMatrix pipeline; never |A|x|B|); the per-side k-NN pools and the best-pair pick are keyed top-k windows at candidate scale; the margin is a cross-multiplied integer comparison (d*n*105 < S*100), so the selection replays bit-exactly cross-engine. Design note: the margin needs BOTH endpoints' pools — a shallow tgt-side pool with one far outlier inflates the denominator and admits the pair (observed while building the spec's reject fixture; the published method shares the property, which is why production miners mine from dense candidate sets).",
     "q170_dsir" ->

@@ -50,8 +50,11 @@ object ProbeQ210 {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[probe] n=$n truth pairs=${truth.size}")
 
+    val sk = graft.similarity.GraphAnn.scaledKnobs(n)
     val grid = Seq(
-      // (degree, nprobe, beam, rounds, entryBeam, maxLevel) — r15 shipped knobs first
+      // the r16 scaled knobs first, then the r15 sweep for history
+      (sk.degree, 3, sk.beam, sk.rounds, sk.entryBeam, sk.maxLevel),
+      // (degree, nprobe, beam, rounds, entryBeam, maxLevel) — r15 shipped knobs
       (10, 3, 8, 4, 3, 3),
       (10, 3, 8, 6, 3, 3),
       (10, 3, 16, 4, 3, 3),
