@@ -143,6 +143,60 @@ object GraphAnn {
       .select(col("src"), col("dst"), col("dist"))
   }
 
+  /** Persist a built graph index — the build-offline / serve-later
+    * layout (IvfIndex.save's precedent for the graph tier): the
+    * adjacency partitions by a src-derived bucket so a serving
+    * frontier fetch can prune to its buckets at listing time, node
+    * vectors partition by the same bucketing of the id, and the
+    * knobs + scale ride a one-row metadata table so the serving side
+    * needs no re-derivation (and no count).
+    */
+  def save(nodes: DataFrame, edges: DataFrame, knobs: Knobs, scaleBits: Int,
+           dir: String, srcBuckets: Int = 64,
+           idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    Seq((knobs.n, knobs.maxLevel, knobs.degree, knobs.beam, knobs.rounds,
+      knobs.entryBeam, scaleBits, srcBuckets))
+      .toDF("n", "max_level", "degree", "beam", "rounds", "entry_beam",
+        "scale_bits", "src_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    edges.withColumn("bucket", pmod(col("src"), lit(srcBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/edges")
+    nodes.select(col(idCol), col(vecCol))
+      .withColumn("bucket", pmod(col(idCol).cast("long"), lit(srcBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/nodes")
+  }
+
+  /** Restore a saved index: (nodes, edges, knobs, scaleBits) ready to
+    * hand to [[search]] — outputs are bit-identical to searching the
+    * pre-save frames.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+  : (DataFrame, DataFrame, Knobs, Int) = {
+    val m = spark.read.parquet(s"$dir/meta").collect()
+    require(m.nonEmpty, s"no graph-ANN metadata at $dir/meta")
+    val r = m.head
+    val knobs = Knobs(r.getAs[Long]("n"), r.getAs[Int]("max_level"),
+      r.getAs[Int]("degree"), r.getAs[Int]("beam"), r.getAs[Int]("rounds"),
+      r.getAs[Int]("entry_beam"))
+    (spark.read.parquet(s"$dir/nodes").drop("bucket"),
+      spark.read.parquet(s"$dir/edges").drop("bucket"),
+      knobs, r.getAs[Int]("scale_bits"))
+  }
+
+  /** Serve queries from a saved index directory — load + search with
+    * the persisted knobs.
+    */
+  def searchSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, k: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  qidCol: String = "query_id"): DataFrame = {
+    val (nodes, edges, kn, scaleBits) = load(spark, dir)
+    search(nodes, edges, queries, kn.maxLevel, scaleBits, k,
+      kn.beam, kn.rounds, kn.entryBeam, idCol, vecCol, qidCol, kn.n)
+  }
+
   /** Exact integer SSE between two quantized vectors — the JVM twin
     * of [[intDist]], used by the RDD search core. Must stay
     * arithmetic-identical to the codegen kernel.

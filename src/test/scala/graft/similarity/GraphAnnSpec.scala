@@ -146,4 +146,33 @@ class GraphAnnSpec extends SparkSpec {
     val recall = (brute intersect got).size.toDouble / brute.size
     assert(recall >= 0.9, s"scaled-knob recall@5 at sf0.1 = $recall (probe-measured 1.000)")
   }
+
+  test("save/load round-trip: searchSaved ≡ in-memory search; bucketed edge reads prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gann").toString
+    val kn = GraphAnn.scaledKnobs(e.count())
+    val edges = GraphAnn.knnGraph(e, model, degree = kn.degree, nprobe = 3).persist()
+    try {
+      GraphAnn.save(e, edges, kn, model.scaleBits, dir, srcBuckets = 8)
+      val queries = e.filter($"vec_id" < 8).select($"vec_id".as("query_id"), $"embedding")
+      val direct = GraphAnn.search(e, edges, queries, kn.maxLevel, model.scaleBits,
+        k = 5, beam = kn.beam, rounds = kn.rounds, entryBeam = kn.entryBeam, nHint = kn.n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val served = GraphAnn.searchSaved(spark, dir, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(served === direct, "a saved index must serve the exact in-memory results")
+      // the persisted adjacency prunes on the src bucket (the layout
+      // a serving frontier fetch relies on)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scan = try {
+        val q = spark.read.parquet(s"$dir/edges").where($"bucket" === 3)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+          .getOrElse(fail("no FileSourceScanExec in plan"))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(scan.partitionFilters.nonEmpty, "bucket filter must prune partitions")
+    } finally { edges.unpersist(); () }
+  }
 }
