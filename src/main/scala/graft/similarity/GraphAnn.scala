@@ -161,11 +161,16 @@ object GraphAnn {
       .toDF("n", "max_level", "degree", "beam", "rounds", "entry_beam",
         "scale_bits", "src_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // batch_no = -1 marks the build generation; D40 incremental
+    // appends land under their own batch_no leaves (bucket stays the
+    // FIRST partition level so frontier fetches prune regardless)
     edges.withColumn("bucket", pmod(col("src"), lit(srcBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/edges")
+      .withColumn("batch_no", lit(-1L))
+      .write.mode("overwrite").partitionBy("bucket", "batch_no").parquet(s"$dir/edges")
     nodes.select(col(idCol), col(vecCol))
       .withColumn("bucket", pmod(col(idCol).cast("long"), lit(srcBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/nodes")
+      .withColumn("batch_no", lit(-1L))
+      .write.mode("overwrite").partitionBy("bucket", "batch_no").parquet(s"$dir/nodes")
   }
 
   /** Restore a saved index: (nodes, edges, knobs, scaleBits) ready to
@@ -180,8 +185,8 @@ object GraphAnn {
     val knobs = Knobs(r.getAs[Long]("n"), r.getAs[Int]("max_level"),
       r.getAs[Int]("degree"), r.getAs[Int]("beam"), r.getAs[Int]("rounds"),
       r.getAs[Int]("entry_beam"))
-    (spark.read.parquet(s"$dir/nodes").drop("bucket"),
-      spark.read.parquet(s"$dir/edges").drop("bucket"),
+    (spark.read.parquet(s"$dir/nodes").drop("bucket", "batch_no"),
+      spark.read.parquet(s"$dir/edges").drop("bucket", "batch_no"),
       knobs, r.getAs[Int]("scale_bits"))
   }
 

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.similarity.GraphAnn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** D40 — STREAMING GRAPH-INDEX MAINTENANCE (r16): the D38 idea (the
+  * served index must follow the crawl) applied to the GRAPH tier,
+  * where incremental insert is genuinely harder than PQ append — a
+  * new vector is only REACHABLE if some existing node points at it.
+  * Per micro-batch, the HNSW insertion rule re-expressed for a
+  * persisted distributed index:
+  *
+  *  - each arriving vector beam-searches the CURRENT index (the
+  *    exact serving search, batch-as-queries) and its top-`degree`
+  *    visited nodes become its out-edges — the published insert
+  *    heuristic (Malkov & Yashunin §4, "select neighbors from the
+  *    candidates found by search");
+  *  - the REVERSE edges (neighbor → new node) land too: without
+  *    them the entry-set walk can never leave the old node set and
+  *    appended vectors would be unreachable (levels are hash-derived
+  *    from the id, so a new node whose level hits the cap joins the
+  *    entry tier automatically on the next search — the nodes table
+  *    is the level source);
+  *  - the maintenance read EXCLUDES generations ≥ the current
+  *    batch_no (partition-level filter), so an at-least-once retry
+  *    recomputes from exactly the pre-batch state and its dynamic
+  *    overwrite lands byte-identical leaves — CONTENT-idempotent,
+  *    not merely count-idempotent;
+  *  - reverse edges make touched neighbors' degrees grow past the
+  *    build-time cap — the monitored drift statistic. Each batch
+  *    lands a monitor row (new nodes/edges, max touched degree,
+  *    overflow fraction vs 2× the build degree) with a
+  *    `rebuild_gate` verdict: the signal to re-run the offline
+  *    kNN-graph build, the D38 retrain-gate analog. Degree probing
+  *    is bucket-pruned to the touched buckets — batch-scale, the
+  *    corpus is never rescanned.
+  */
+object StreamingGraphMaintain {
+
+  /** Streaming (vec_id, embedding) from JSONL files under `inDir`. */
+  def readVectors(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("pathGlobFilter", "*.jsonl")
+      .json(inDir)
+
+  /** One maintenance step; public for the spec. */
+  private[graft] def maintainBatch(batch: DataFrame, batchId: Long,
+                                   indexDir: String, monitorDir: String,
+                                   overflowAlarm: Double): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").collect().head
+    val kn = GraphAnn.Knobs(meta.getAs[Long]("n"), meta.getAs[Int]("max_level"),
+      meta.getAs[Int]("degree"), meta.getAs[Int]("beam"), meta.getAs[Int]("rounds"),
+      meta.getAs[Int]("entry_beam"))
+    val scaleBits = meta.getAs[Int]("scale_bits")
+    val srcBuckets = meta.getAs[Int]("src_buckets").toLong
+    // pre-batch view: generations strictly BEFORE this batch, so a
+    // retry sees exactly what the first attempt saw
+    val nodes = spark.read.parquet(s"$indexDir/nodes")
+      .where(col("batch_no") < batchId).drop("bucket", "batch_no")
+    val edges = spark.read.parquet(s"$indexDir/edges")
+      .where(col("batch_no") < batchId).drop("bucket", "batch_no")
+    val queries = batch.select(col("vec_id").as("query_id"), col("embedding"))
+    val found = GraphAnn.search(nodes, edges, queries,
+        kn.maxLevel, scaleBits, k = kn.degree,
+        kn.beam, kn.rounds, kn.entryBeam, nHint = kn.n)
+      .filter(col("query_id") =!= col("vec_id")) // no self-edges on retry overlap
+    val fwd = found.select(col("query_id").as("src"), col("vec_id").as("dst"),
+      col("idist").as("dist"))
+    val rev = found.select(col("vec_id").as("src"), col("query_id").as("dst"),
+      col("idist").as("dist"))
+    val newEdges = fwd.unionByName(rev)
+      .withColumn("bucket", pmod(col("src"), lit(srcBuckets)))
+      .withColumn("batch_no", lit(batchId))
+      .persist()
+    try {
+      newEdges.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "batch_no").parquet(s"$indexDir/edges")
+      batch.select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", pmod(col("vec_id"), lit(srcBuckets)))
+        .withColumn("batch_no", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "batch_no").parquet(s"$indexDir/nodes")
+      // drift monitor over the TOUCHED reverse-edge sources only —
+      // their buckets prune the degree probe to batch scale
+      val touched = rev.select(col("src")).distinct()
+        .withColumn("bucket", pmod(col("src"), lit(srcBuckets)))
+      val touchedBuckets = touched.select("bucket").distinct()
+        .collect().map(_.getLong(0))
+      val degrees = spark.read.parquet(s"$indexDir/edges")
+        .where(col("bucket").isin(touchedBuckets.toIndexedSeq: _*) &&
+          col("batch_no") <= batchId)
+        .join(touched.select(col("src")), Seq("src"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      val cap = 2L * kn.degree
+      degrees.agg(
+          count(lit(1)).as("n_touched"),
+          max(col("deg")).as("max_degree_touched"),
+          (sum(when(col("deg") > cap, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("overflow_frac"))
+        .withColumn("n_new_nodes", lit(batch.count()))
+        .withColumn("n_new_edges", lit(newEdges.count()))
+        .withColumn("degree_cap", lit(cap))
+        .withColumn("rebuild_gate", col("overflow_frac") > overflowAlarm)
+        .withColumn("batch_no", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_no").parquet(monitorDir)
+    } finally { newEdges.unpersist(blocking = false); () }
+  }
+
+  /** Wire the stream: AvailableNow drains pending files and stops;
+    * the checkpoint makes each file processed exactly once across
+    * restarts.
+    */
+  def start(spark: SparkSession, inDir: String, indexDir: String,
+            monitorDir: String, checkpointDir: String,
+            overflowAlarm: Double = 0.2): StreamingQuery =
+    readVectors(spark, inDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainBatch(batch, batchId, indexDir, monitorDir, overflowAlarm)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
