@@ -58,11 +58,16 @@ object BitextMining {
     // bucket-bounded candidates with the exact integer distance; a
     // pair sharing several probed buckets appears once. CACHED: three
     // consumers (both pools + the best-pair pick) read it — lazy, the
-    // candidate join would run three times
+    // candidate join would run three times. dist computes BEFORE the
+    // dedupe shuffle (r16, the q210 knnGraph fix: deduping first
+    // shuffled every candidate pair WITH both 64-long quantized
+    // vectors attached, ~40× the bytes of (src, tgt, d); a pair seen
+    // via several shared buckets recomputes the same d map-side, so
+    // the dedupe keeps an identical row whichever copy survives)
     val cand0 = a.join(b, Seq("_cid"))
-      .dropDuplicates("src_id", "tgt_id")
       .withColumn("d", GraphAnn.intDist(col("_qa"), col("_qb")))
       .select(col("src_id"), col("tgt_id"), col("d"))
+      .dropDuplicates("src_id", "tgt_id")
     graft.Exec.withCached(cand0) { cand =>
       // k-NN pools on each side: the margin's denominator evidence
       def pool(keyCol: String, outId: String, outN: String, outSum: String) = {

@@ -63,10 +63,14 @@ object StreamingBitext {
       .select(col("doc_id").cast("long").as("tgt_id"),
         IvfIndex.quantizeExpr(col("embedding"), model.scaleBits).as("_qt"))
       .withColumn("cid", explode(model.probeExpr(col("_qt"), nprobe)))
+    // dist BEFORE the dedupe shuffle (r16, the q210/q211 fix: deduping
+    // first shuffled each candidate WITH both 64-long vectors; the
+    // same pair via several shared buckets recomputes the same d, so
+    // the dedupe keeps an identical row whichever copy survives)
     val cand0 = probes.join(index, Seq("cid"))
-      .dropDuplicates("tgt_id", "src_id")
       .withColumn("d", GraphAnn.intDist(col("_qt"), col("_qs")))
       .select(col("tgt_id"), col("src_id"), col("d"))
+      .dropDuplicates("tgt_id", "src_id")
     graft.Exec.withCached(cand0) { cand =>
       def pool(keyCol: String, otherCol: String, outN: String, outSum: String) =
         cand.withColumn("_r", row_number().over(
