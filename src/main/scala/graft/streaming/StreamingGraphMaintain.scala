@@ -34,8 +34,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    overflow fraction vs 2× the build degree) with a
   *    `rebuild_gate` verdict: the signal to re-run the offline
   *    kNN-graph build, the D38 retrain-gate analog. Degree probing
-  *    is bucket-pruned to the touched buckets — batch-scale, the
-  *    corpus is never rescanned.
+  *    is bucket-pruned to the touched buckets — batch-scale.
+  *
+  * Per-tick cost, honestly: the insertion search reads the CURRENT
+  * index (nodes + adjacency) — unlike D38's append, that read is
+  * index-scale, because each batch's edges depend on every prior
+  * generation (the search must see them; caching across ticks would
+  * serve a stale graph). That is inherent to graph insert, not to
+  * this implementation — production HNSW maintainers keep the graph
+  * resident in memory for the same reason; here the re-read is the
+  * price of a restart-safe on-disk index, and batches should be
+  * sized accordingly (minutes of arrivals per tick, not seconds).
   */
 object StreamingGraphMaintain {
 
