@@ -216,6 +216,26 @@ object OracleSql {
        |  FROM dbP db LEFT JOIN pw3 w USING (bucket) GROUP BY 1)""".stripMargin
   }
 
+  /** Signed feature-hashing embedding CTEs (q214/q215, r16 —
+    * Weinberger et al.'s hashing trick, all integer): bucket = md5
+    * fold % 64, sign from fold bit 8, per-doc signed bag sums
+    * assembled into a dense 64-list with norm², zero-token docs get
+    * the zero vector.
+    */
+  private val hashedEmbCtes: String =
+    s"""heTk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS t FROM documents),
+       |heF AS (SELECT doc_id, ${md5fold("tok", 8)} AS h FROM (SELECT doc_id, unnest(t) AS tok FROM heTk)),
+       |heC AS (SELECT doc_id, h % 64 AS bucket,
+       |    CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM heF GROUP BY 1, 2),
+       |heG AS (SELECT d.doc_id, t.i, coalesce(c.v, CAST(0 AS BIGINT)) AS v
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN range(0, 64) t(i)
+       |  LEFT JOIN heC c ON c.doc_id = d.doc_id AND c.bucket = t.i),
+       |heE AS MATERIALIZED (SELECT doc_id, list(v ORDER BY i) AS embedding,
+       |    CAST(sum(v * v) AS BIGINT) AS norm2
+       |  FROM heG GROUP BY doc_id)""".stripMargin
+
   private def cosineCte(pairsFrom: String): String =
     s"""s AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM $pairsFrom),
        |c AS (SELECT * EXCLUDE (dp, na, nb), CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM s)""".stripMargin
@@ -838,6 +858,33 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |       ELSE CAST(rs2 - pt * (pt + 1) AS DOUBLE)
          |            / (2.0 * CAST(pt AS DOUBLE) * CAST(nt AS DOUBLE)) END AS auc
          |FROM tt""".stripMargin,
+
+    // Hashing-trick document embeddings (q214, r16): the whole signed
+    // projection — fold, bucket, sign, bag sum, dense assembly, norm²
+    // — replayed integer-for-integer.
+    "q214_text_embed" ->
+      s"""WITH $hashedEmbCtes
+         |SELECT doc_id, embedding, norm2 FROM heE ORDER BY doc_id""".stripMargin,
+
+    // Self-contained text retrieval (q215, r16): exact cosine top-5
+    // over the q214 self-computed embeddings — integer dot products
+    // (list_inner_product over integer-valued doubles, exact below
+    // 2^53), cosine as the one mirrored sqrt+division expression.
+    "q215_text_retrieval" ->
+      s"""WITH $hashedEmbCtes,
+         |hq AS (SELECT doc_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd, norm2 AS qn
+         |  FROM heE WHERE doc_id < 5),
+         |hx AS (SELECT doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd, norm2 FROM heE),
+         |hp AS (SELECT hq.query_id, hx.doc_id,
+         |    CAST(list_inner_product(hq.qd, hx.xd) AS BIGINT) AS dot,
+         |    CASE WHEN hq.qn = 0 OR hx.norm2 = 0 THEN 0.0
+         |         ELSE list_inner_product(hq.qd, hx.xd)
+         |              / (sqrt(CAST(hq.qn AS DOUBLE)) * sqrt(CAST(hx.norm2 AS DOUBLE))) END AS cosine
+         |  FROM hq CROSS JOIN hx)
+         |SELECT query_id, CAST(rr AS BIGINT) AS rk, doc_id, dot, cosine FROM (
+         |    SELECT query_id, doc_id, dot, cosine,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rr FROM hp)
+         |WHERE rr <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q28_ann_topk" ->
       s"""WITH p AS (SELECT q.vec_id AS query_id, e.vec_id, q.embedding AS ea, e.embedding AS eb

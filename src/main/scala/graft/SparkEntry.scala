@@ -1077,6 +1077,57 @@ object SparkEntry {
         col("numer2").cast("long").as("numer2"), col("auc"))
   }
 
+  /** C121 — HASHING-TRICK DOCUMENT EMBEDDINGS (functions.
+    * HashedEmbedding, NEW r16; Weinberger et al. ICML 2009): the
+    * reference's external embedding call (BetterVersion/
+    * azure_openai_embedder.py) closed ENGINE-SIDE — signed feature
+    * hashing over the md5 fold, all-integer and order-free, so the
+    * whole projection (bucket, sign, bag sum, norm) replays
+    * bit-exactly in DuckDB. Unlike the fixture `embeddings` table,
+    * these vectors are DERIVED from the corpus text: with q215 the
+    * text → vector → retrieval chain runs self-contained.
+    */
+  private def q214TextEmbed(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    graft.functions.HashedEmbedding.embed(d, "doc_id", "text", dim = 64)
+      .transform(sorted1(_, col("doc_id")))
+  }
+
+  /** C122 — SELF-CONTAINED TEXT RETRIEVAL (NEW r16): exact cosine
+    * top-5 over the q214 SELF-COMPUTED embeddings for 5 query docs —
+    * the reference's embed-then-search loop with no external model
+    * anywhere. Dot products and norms are exact integers; cosine is
+    * the one mirrored double expression (sqrt + division, each a
+    * single exactly-rounded IEEE op — the q28 cosine discipline).
+    * The brute pass is the evaluation baseline tier (q28's role);
+    * production serving composes these vectors with the IVF/PQ/graph
+    * indexes unchanged.
+    */
+  private def q215TextRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(s, Tables.documents(s, dir))
+    val emb = graft.functions.HashedEmbedding.embed(d, "doc_id", "text", dim = 64)
+    graft.Exec.withCached(emb) { e =>
+      val q = e.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("embedding").as("_qe"),
+          col("norm2").as("_qn"))
+      val scored = q.crossJoin(e.select(col("doc_id"), col("embedding"), col("norm2")))
+        .withColumn("dot", aggregate(
+          zip_with(col("_qe"), col("embedding"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("cosine",
+          when(col("_qn") === 0L || col("norm2") === 0L, lit(0.0))
+            .otherwise(col("dot").cast("double") /
+              (sqrt(col("_qn").cast("double")) * sqrt(col("norm2").cast("double")))))
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("doc_id"), col("dot"), col("cosine"))
+        .transform(sorted1(_, col("query_id"), col("rk")))
+    }
+  }
+
   private def q209ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
     val d = fanOut(s, Tables.documents(s, dir))
     def fp(c: Column): Column = md5(regexp_replace(lower(trim(c)), "\\s+", " "))
@@ -6123,7 +6174,9 @@ object SparkEntry {
     "q210_graph_ann" -> (q210GraphAnn _),
     "q211_bitext_mining" -> (q211BitextMining _),
     "q212_perceptron_train" -> (q212PerceptronTrain _),
-    "q213_perceptron_auc" -> (q213PerceptronAuc _))
+    "q213_perceptron_auc" -> (q213PerceptronAuc _),
+    "q214_text_embed" -> (q214TextEmbed _),
+    "q215_text_retrieval" -> (q215TextRetrieval _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
