@@ -861,10 +861,14 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
 
     // Hashing-trick document embeddings (q214, r16): the whole signed
     // projection — fold, bucket, sign, bag sum, dense assembly, norm²
-    // — replayed integer-for-integer.
+    // — replayed integer-for-integer. r17: the vector is serialized to
+    // a comma-joined digit string on BOTH sides (the driver's hasher
+    // cannot canonicalize nested payloads; q170-decimal class).
     "q214_text_embed" ->
       s"""WITH $hashedEmbCtes
-         |SELECT doc_id, embedding, norm2 FROM heE ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id,
+         |  array_to_string(list_transform(embedding, x -> CAST(x AS VARCHAR)), ',') AS embedding_csv,
+         |  norm2 FROM heE ORDER BY doc_id""".stripMargin,
 
     // Self-contained text retrieval (q215, r16): exact cosine top-5
     // over the q214 self-computed embeddings — integer dot products

@@ -1089,7 +1089,15 @@ object SparkEntry {
     */
   private def q214TextEmbed(s: SparkSession, dir: String): DataFrame = {
     val d = fanOut(s, Tables.documents(s, dir))
+    // The library API keeps the vector as array<long>; the QUERY payload
+    // serializes it to a canonical comma-joined digit string (r16 driver
+    // artifact: the driver's pandas hasher cannot sort/hash nested
+    // payloads — the q170-decimal class; EntryContractSpec pins every
+    // query output flat-atomic so a third instance can't be committed).
     graft.functions.HashedEmbedding.embed(d, "doc_id", "text", dim = 64)
+      .select(col("doc_id"),
+        concat_ws(",", col("embedding").cast("array<string>")).as("embedding_csv"),
+        col("norm2"))
       .transform(sorted1(_, col("doc_id")))
   }
 

@@ -40,6 +40,27 @@ class EntryContractSpec extends SparkSpec {
     assert(failures.isEmpty, s"unanalyzable queries:\n${failures.mkString("\n")}")
   }
 
+  test("every query output schema is flat atomic (driver-hasher class)") {
+    // The driver's pandas comparer sorts then hashes rows: DecimalType
+    // broke q170 (r14/r15) and ArrayType broke q214 (r16) even though
+    // the DuckDB compare passed. This spec closes the CLASS: no query
+    // payload may carry a nested or decimal column — serialize vectors
+    // as digit strings or explode to rows; keep rich types in library
+    // APIs only.
+    import org.apache.spark.sql.types._
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf("sf0.001")).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] ||
+                  f.dataType.isInstanceOf[DecimalType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"nested/decimal query payloads (driver hasher cannot canonicalize):\n${offenders.mkString("\n")}")
+  }
+
   test("query output column names are unique and snake_case-safe") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val cols = fn(spark, sf("sf0.001")).schema.fieldNames.toSeq
