@@ -1661,17 +1661,18 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
          |  coalesce(n_dup_windows, 0) > 0 AS has_dup_span
          |FROM tk t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
-    // Linear-classifier scoring: per-token stand-in weight = 8-hex-char
-    // md5 fold % 2001 − 1000, margin = Σ weights with multiplicity
-    // (exact integer left-fold), keep = margin ≥ 0.
+    // Trained-classifier scoring from the PERSISTED model (r17): the
+    // engine trains (q212's batch perceptron), saves the weight table,
+    // loads it back and scores; the oracle replays the training epochs
+    // (perceptronCtes) so a green row certifies the save→load→score
+    // round trip reproduces in-training margins bit-for-bit.
+    // n_tokens stays the whitespace token count; keep = margin > 0.
     "q72_quality_classifier" ->
-      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS toks FROM documents),
-         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
-         |    t -> ${md5fold("t", 8)} % 2001 - 1000)), (a, v) -> a + v) AS margin
-         | FROM tk)
-         |SELECT doc_id, n_tokens, margin, margin >= 0 AS keep
-         |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $perceptronCtes
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(psc.margin, 0) AS BIGINT) AS margin,
+         |  coalesce(psc.margin, 0) > 0 AS keep
+         |FROM toksP t LEFT JOIN psc USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // Calibration table: the q72 margin chain + the q165 label,
     // equal-depth bins by the total order (margin, doc_id), exact

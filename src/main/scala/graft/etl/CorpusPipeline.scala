@@ -53,11 +53,20 @@ object CorpusPipeline {
       allowedLangs: Seq[String] = Seq("en"),
       minTokens: Int = 10,
       /** Optional model-based gate: docs whose hashed-feature linear
-        * margin (LinearClassifier) falls below this are filtered with
-        * reason "classifier" — the fastText-style filter slot in the
-        * recipe. None disables the gate.
+        * margin falls below this are filtered with reason
+        * "classifier" — the fastText-style filter slot in the recipe.
+        * None disables the gate.
         */
       minClassifierMargin: Option[Long] = None,
+      /** Path to a persisted trained classifier (Perceptron.save
+        * layout). When set, `classifier_margin` comes from the TRAINED
+        * weights (Perceptron.load + broadcast score — AUC 0.90+ on the
+        * planted label) instead of LinearClassifier's declared
+        * stand-in hash weights (AUC ~0.5). The production recipe:
+        * train once (q212's tier), persist, and every curation run
+        * loads the model-sized weight table and scores map-side.
+        */
+      classifierModelDir: Option[String] = None,
       /** Optional unigram-LM gate: docs whose corpus-derived mean
         * −ln p(token) (UnigramLm.score) exceeds this are filtered
         * with reason "lm_perplexity" — the CCNet-style perplexity
@@ -130,13 +139,25 @@ object CorpusPipeline {
       "minDomainRank needs a domainEdges link graph")
     require(cfg.semDedupThreshold.isEmpty || embeddings.nonEmpty,
       "semDedupThreshold needs an embeddings table")
-    // 1. annotate (one map pass)
-    val annotated0 = LangId.detected(docs, textCol)
+    // 1. annotate (one map pass; the trained-classifier variant adds
+    // one broadcast join + per-doc aggregate — still nothing
+    // corpus-sized crosses an exchange)
+    val annotatedQ = LangId.detected(docs, textCol)
       .withColumn("lang", col("lang_detect.lang")).drop("lang_detect")
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .withColumn("classifier_margin",
-        graft.functions.LinearClassifier.margin(col(textCol)))
+    val annotated0 = cfg.classifierModelDir match {
+      case Some(mdir) =>
+        val model = graft.functions.Perceptron.load(docs.sparkSession, mdir)
+        val scores = graft.functions.Perceptron.score(docs, idCol, textCol, model)
+          .select(col(idCol).as("_cmid"), col("margin"))
+        annotatedQ.join(scores, col(idCol) === col("_cmid"), "left").drop("_cmid")
+          .withColumn("classifier_margin", coalesce(col("margin"), lit(0L)))
+          .drop("margin")
+      case None =>
+        annotatedQ.withColumn("classifier_margin",
+          graft.functions.LinearClassifier.margin(col(textCol)))
+    }
 
     // 1b. unigram-LM perplexity proxy (optional): corpus-derived,
     // one reused tokenize shuffle (UnigramLm's ReuseExchange shape)

@@ -103,4 +103,35 @@ object Perceptron {
       .join(broadcast(model.weightsDf(docs.sparkSession)), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("n") * coalesce(col("_w"), lit(0L))).as("margin"))
+
+  /** Persist a trained model — the train-offline / score-later layout
+    * (GraphAnn.save / IvfIndex.save precedent for the classifier
+    * tier): the dense weight table as a (bucket, weight) parquet plus
+    * a one-row metadata table, so a curation job on another cluster
+    * loads and scores with zero re-derivation. The artifact is
+    * model-sized (≤ buckets rows) however large the training corpus.
+    */
+  def save(model: Model, dir: String,
+           spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((model.buckets, model.epochs)).toDF("buckets", "epochs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    model.weights.toIndexedSeq.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }.toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+  }
+
+  /** Restore a saved model: scoring with it is bit-identical to
+    * scoring with the pre-save Model (integer weights round-trip
+    * exactly).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val m = spark.read.parquet(s"$dir/meta").collect()
+    require(m.nonEmpty, s"no perceptron metadata at $dir/meta")
+    val buckets = m.head.getAs[Int]("buckets")
+    val w = Array.fill(buckets)(0L)
+    spark.read.parquet(s"$dir/weights").collect() // model-sized: ≤ buckets rows
+      .foreach(r => w(r.getAs[Long]("bucket").toInt) = r.getAs[Long]("weight"))
+    Model(buckets, m.head.getAs[Int]("epochs"), w)
+  }
 }

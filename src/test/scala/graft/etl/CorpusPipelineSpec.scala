@@ -56,6 +56,48 @@ class CorpusPipelineSpec extends SparkSpec {
       "earlier gates still take precedence over the classifier gate")
   }
 
+  test("curation scores from the persisted TRAINED classifier; AUC beats the stand-in") {
+    import graft.functions.{Perceptron, Stats}
+    // Planted-vocabulary corpus: positives and negatives are the SAME
+    // length but draw from disjoint vocabularies, so the label is
+    // learnable from content only — the stand-in's fixed hash weights
+    // can't systematically separate equal-mass classes, while the
+    // perceptron learns the vocabulary split.
+    val corpus = (1L to 40L).map { i =>
+      val pfx = if (i % 2 == 0) "p" else "n"
+      (i, Seq.tabulate(30)(j => s"$pfx${(i * 7 + j) % 50}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val model = Perceptron.trainBatch(corpus, "doc_id", "text",
+      posLabel = col("doc_id") % 2 === 0, buckets = 256, epochs = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp_model").toString
+    Perceptron.save(model, dir, spark)
+
+    // save→load→score round trip is exact: curate's margins from the
+    // persisted model equal scoring with the in-memory model
+    val cfg = CorpusPipeline.Config(dedupJaccard = 0.6,
+      minhash = graft.dedup.MinHashLsh.Config(bands = 8),
+      classifierModelDir = Some(dir))
+    val trained = CorpusPipeline.curate(corpus, cfg).cache()
+    val direct = Perceptron.score(corpus, "doc_id", "text", model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin")).toMap
+    trained.select("doc_id", "classifier_margin").collect().foreach { r =>
+      assert(r.getAs[Long]("classifier_margin") ===
+        direct.getOrElse(r.getAs[Long]("doc_id"), 0L))
+    }
+
+    // and the trained margins separate the planted label where the
+    // stand-in hash weights sit near chance
+    val standin = CorpusPipeline.curate(corpus, cfg.copy(classifierModelDir = None))
+    def aucOf(df: org.apache.spark.sql.DataFrame): Double =
+      Stats.auc(df, col("classifier_margin"), col("doc_id") % 2 === 0)
+        .collect().head.getAs[Double]("auc")
+    val (aTrained, aStandin) = (aucOf(trained), aucOf(standin))
+    assert(aTrained >= 0.95, s"trained AUC $aTrained should separate the planted label")
+    assert(aTrained > aStandin + 0.2,
+      s"trained AUC $aTrained must beat the stand-in's $aStandin")
+    trained.unpersist()
+  }
+
   test("blocklist gate: banned phrases filter with reason, hits annotate") {
     val gated = CorpusPipeline.curate(docs, CorpusPipeline.Config(dedupJaccard = 0.6,
       minhash = graft.dedup.MinHashLsh.Config(bands = 8),
