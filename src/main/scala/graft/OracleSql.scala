@@ -1001,7 +1001,10 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
       // exactly — fl2 = ⌊log2 n⌋ via the bit length of printf('%b', n)
       // (integer-exact; float log2 drifts at exact powers). rounds(n)
       // is STRUCTURAL in unrolled SQL, so the chain unrolls to 8 layers
-      // (covers n < 16384 — the fixture corpora are ≤ 2000) and each
+      // (covers exactly n < 32768, i.e. fl2 ≤ 14 → rounds ≤ 8; the
+      // fixture corpora are ≤ 2000, and the ENGINE side asserts
+      // kn.rounds <= 8 in q210GraphAnn so a larger corpus fails loudly
+      // instead of silently under-iterating the oracle) and each
       // round r guards its beam front with r <= rn: an inactive round's
       // front is empty, so its layer degenerates to a pass-through copy
       // of the previous visited set and the final top-k equals the

@@ -990,6 +990,12 @@ object SparkEntry {
     // column-pruned scan; the oracle derives the same staircase from
     // count(*) in its knobs CTE.
     val kn = graft.similarity.GraphAnn.scaledKnobs(e.count())
+    // the q210 oracle unrolls exactly 8 conditionally-active beam
+    // rounds — sound only while rounds(n) ≤ 8 (n < 32768). Fail loudly
+    // here rather than let a bigger corpus silently under-iterate the
+    // DuckDB replay into a hash mismatch.
+    require(kn.rounds <= 8,
+      s"q210 oracle unrolls 8 beam rounds; scaledKnobs gave ${kn.rounds} (n=${kn.n}) — extend the unroll")
     val queries = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding"))
     graft.similarity.GraphAnn.search(e, graphEdges(s, dir, kn), queries,

@@ -330,6 +330,13 @@ private[dedup] final class GapScanIterator(
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeSpills())
   }
+  // With no TaskContext (driver-side / plain-iterator use, as in unit
+  // tests) there is no completion listener: fall back to a JVM-exit
+  // deleteOnExit backstop so an abandoned partially-drained iterator
+  // can't leak its spill file for the process lifetime.
+  private val exitBackstop = org.apache.spark.TaskContext.get() == null
+  private def registerBackstop(f: java.io.File): Unit =
+    if (exitBackstop) f.deleteOnExit()
 
   /** Spill directory: the first entry of spark.local.dir when an
     * executor env is live (the disk Spark already sizes for shuffle
@@ -351,6 +358,7 @@ private[dedup] final class GapScanIterator(
     if (memIds.length >= capRows) {
       if (spillOut == null) {
         spillFile = java.io.File.createTempFile("graft-suffix-gap", ".bin", spillDir())
+        registerBackstop(spillFile)
         spillOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(spillFile), 1 << 16))
       }
