@@ -236,6 +236,52 @@ object OracleSql {
        |    CAST(sum(v * v) AS BIGINT) AS norm2
        |  FROM heG GROUP BY doc_id)""".stripMargin
 
+  /** The q119 PQ/ADC rebuild-from-scratch chain: regenerate the
+    * closed-form literal codebooks (cents mirrors SparkEntry's
+    * pqLiteralModel), per-subspace nearest-centroid encode via the
+    * same (dist, cid) assignment order, the ADC term chain with the
+    * engine's sequential double folds, and (adc_dist, vec_id) ranking.
+    * Shared by q119 (scoring over a freshly encoded corpus) and q216
+    * (scoring over the D38-MAINTAINED index — the oracle's rebuild
+    * against the engine's append IS the append ≡ rebuild
+    * certification).
+    */
+  private val pqAdcScoringSql: String =
+    """WITH cents AS (
+      |  SELECT list_transform(range(0,8), s ->
+      |           list_transform(range(0,4), c ->
+      |             list_transform(range(0,8), j -> CAST((s + 2*c + 3*j) % 5 - 2 AS DOUBLE)))) AS cb),
+      |e AS (SELECT vec_id, embedding FROM embeddings),
+      |sd AS (SELECT e.vec_id, s.s AS s, c.c AS c,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1,9), j -> cb[s.s+1][c.c+1][j] * cb[s.s+1][c.c+1][j])),
+      |           (a,v) -> a + v)
+      |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1,9), j -> CAST(e.embedding[s.s*8 + j] AS DOUBLE) * cb[s.s+1][c.c+1][j])),
+      |           (a,v) -> a + v) AS d
+      |       FROM e CROSS JOIN cents CROSS JOIN range(0,8) s(s) CROSS JOIN range(0,4) c(c)),
+      |codes AS (SELECT vec_id, s, c AS code FROM
+      |            (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM sd) z
+      |          WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+      |tm AS (SELECT q.query_id, cd.vec_id, cd.s,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1,9), j -> CAST(q.qe[cd.s*8 + j] AS DOUBLE) * CAST(q.qe[cd.s*8 + j] AS DOUBLE))),
+      |           (a,v) -> a + v)
+      |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1,9), j -> CAST(q.qe[cd.s*8 + j] AS DOUBLE) * cb[cd.s+1][cd.code+1][j])),
+      |           (a,v) -> a + v)
+      |         + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1,9), j -> cb[cd.s+1][cd.code+1][j] * cb[cd.s+1][cd.code+1][j])),
+      |           (a,v) -> a + v) AS t
+      |       FROM q CROSS JOIN codes cd CROSS JOIN cents),
+      |adc AS (SELECT query_id, vec_id,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY s)), (a,v) -> a + v) AS adc_dist
+      |        FROM tm GROUP BY query_id, vec_id),
+      |r AS (SELECT query_id, vec_id, adc_dist,
+      |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rk FROM adc)
+      |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   private def cosineCte(pairsFrom: String): String =
     s"""s AS (SELECT *, ${dot("ea", "eb")} AS dp, sqrt(${dot("ea", "ea")}) AS na, sqrt(${dot("eb", "eb")}) AS nb FROM $pairsFrom),
        |c AS (SELECT * EXCLUDE (dp, na, nb), CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dp / (na * nb) END AS cosine FROM s)""".stripMargin
@@ -2615,41 +2661,15 @@ g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 2,
     // double folds the engine's FloatDotFold uses (list_reduce in
     // index order; centroid components are integer-valued doubles so
     // their norms are exact), then ranks by (adc_dist, vec_id).
-    "q119_pq_scoring" ->
-      """WITH cents AS (
-        |  SELECT list_transform(range(0,8), s ->
-        |           list_transform(range(0,4), c ->
-        |             list_transform(range(0,8), j -> CAST((s + 2*c + 3*j) % 5 - 2 AS DOUBLE)))) AS cb),
-        |e AS (SELECT vec_id, embedding FROM embeddings),
-        |sd AS (SELECT e.vec_id, s.s AS s, c.c AS c,
-        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list_transform(range(1,9), j -> cb[s.s+1][c.c+1][j] * cb[s.s+1][c.c+1][j])),
-        |           (a,v) -> a + v)
-        |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list_transform(range(1,9), j -> CAST(e.embedding[s.s*8 + j] AS DOUBLE) * cb[s.s+1][c.c+1][j])),
-        |           (a,v) -> a + v) AS d
-        |       FROM e CROSS JOIN cents CROSS JOIN range(0,8) s(s) CROSS JOIN range(0,4) c(c)),
-        |codes AS (SELECT vec_id, s, c AS code FROM
-        |            (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM sd) z
-        |          WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
-        |tm AS (SELECT q.query_id, cd.vec_id, cd.s,
-        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list_transform(range(1,9), j -> CAST(q.qe[cd.s*8 + j] AS DOUBLE) * CAST(q.qe[cd.s*8 + j] AS DOUBLE))),
-        |           (a,v) -> a + v)
-        |         - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list_transform(range(1,9), j -> CAST(q.qe[cd.s*8 + j] AS DOUBLE) * cb[cd.s+1][cd.code+1][j])),
-        |           (a,v) -> a + v)
-        |         + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list_transform(range(1,9), j -> cb[cd.s+1][cd.code+1][j] * cb[cd.s+1][cd.code+1][j])),
-        |           (a,v) -> a + v) AS t
-        |       FROM q CROSS JOIN codes cd CROSS JOIN cents),
-        |adc AS (SELECT query_id, vec_id,
-        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY s)), (a,v) -> a + v) AS adc_dist
-        |        FROM tm GROUP BY query_id, vec_id),
-        |r AS (SELECT query_id, vec_id, adc_dist,
-        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT) AS rk FROM adc)
-        |SELECT query_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q119_pq_scoring" -> pqAdcScoringSql,
+
+    // Maintained PQ index (q216, r17): the ENGINE serves from the D38
+    // appended (cid, batch_no) artifact; the ORACLE is q119's
+    // rebuild-from-scratch chain VERBATIM — encode all vectors, score,
+    // rank. Hash equality is the append ≡ rebuild certification under
+    // the driver's own gate.
+    "q216_index_maintain" -> pqAdcScoringSql,
+
 
     // IVFADC composition: the q119 ADC chain restricted to the q40
     // deterministic probe routing — codes for PROBED buckets only,

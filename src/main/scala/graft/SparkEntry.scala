@@ -1799,11 +1799,7 @@ object SparkEntry {
     */
   private def q176IvfPq(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.ProductQuantizer
-    val books = (0 until 8).map { sub =>
-      graft.similarity.IvfIndex.Model(8, (0 until 4).map(c =>
-        c -> Array.tabulate(8)(j => ((sub + 2 * c + 3 * j) % 5 - 2).toDouble)).toArray)
-    }
-    val model = ProductQuantizer.Model(dim = 64, m = 8, k = 4, books = books.toArray)
+    val model = pqLiteralModel
     val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
     val encoded = ProductQuantizer.encode(e, model)
       .withColumn("cid", pmod(col("vec_id"), lit(8)).cast("int"))
@@ -4433,17 +4429,68 @@ object SparkEntry {
     * C58's rows-only asterisk now covers training only.
     */
   private def q119PqScoring(s: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.{IvfIndex, ProductQuantizer}
-    val books = (0 until 8).map { sub =>
-      IvfIndex.Model(8, (0 until 4).map(c =>
-        c -> Array.tabulate(8)(j => ((sub + 2 * c + 3 * j) % 5 - 2).toDouble)).toArray)
-    }
-    val model = ProductQuantizer.Model(dim = 64, m = 8, k = 4, books = books.toArray)
+    import graft.similarity.ProductQuantizer
+    val model = pqLiteralModel
     val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
     val encoded = ProductQuantizer.encode(e, model)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
     ProductQuantizer.search(encoded, model, queries, k = 5)
+      .withColumn("rk", col("rank").cast("long")).drop("rank")
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .transform(sorted1(_, col("query_id"), col("rk")))
+  }
+
+  /** The closed-form literal PQ codebooks shared by q119/q176/q216:
+    * centroid[s][c][j] = (s + 2c + 3j) mod 5 − 2 — integer-valued
+    * doubles, so every norm and dot product in the ADC chain is exact
+    * and the whole codebook regenerates portably inside the oracle.
+    */
+  private def pqLiteralModel: graft.similarity.ProductQuantizer.Model = {
+    val books = (0 until 8).map { sub =>
+      graft.similarity.IvfIndex.Model(8, (0 until 4).map(c =>
+        c -> Array.tabulate(8)(j => ((sub + 2 * c + 3 * j) % 5 - 2).toDouble)).toArray)
+    }
+    graft.similarity.ProductQuantizer.Model(dim = 64, m = 8, k = 4,
+      books = books.toArray)
+  }
+
+  /** C123 — MAINTAINED PQ INDEX, BATCH-ORACLED (NEW r17; r16 verdict
+    * task 5 — the first D-section capability graduated into the
+    * driver's batch gate, the q194 precedent): the D38 maintenance
+    * step runs FOR REAL — the seed corpus (vec_id % 4 ≠ 3) lands as
+    * the build generation, then two micro-batches (vec_id % 8 = 3,
+    * then % 8 = 7) append through StreamingIndexMaintain.maintainBatch
+    * (encode under the frozen q119 codebooks, dynamic overwrite of
+    * (cid, batch_no) leaves, occupancy-drift monitor row per batch) —
+    * and the query serves ADC top-5 from the MAINTAINED parquet
+    * index. The ORACLE rebuilds from scratch (encode ALL vectors,
+    * score, rank — q119's chain verbatim), so the driver's own hash
+    * certifies append ≡ rebuild, not just the spec
+    * (StreamingIndexMaintainSpec pins it suite-side).
+    */
+  private def q216IndexMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.ProductQuantizer
+    import graft.streaming.StreamingIndexMaintain
+    val model = pqLiteralModel
+    val buckets = 8
+    val e = fanOut(s, Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding"))
+    val seed = e.filter(pmod(col("vec_id"), lit(4L)) =!= 3L)
+    val idx = java.nio.file.Files.createTempDirectory("graft_q216_idx").toString
+    val mon = java.nio.file.Files.createTempDirectory("graft_q216_mon").toString
+    StreamingIndexMaintain.initIndex(seed, model, buckets, idx)
+    val ref = StreamingIndexMaintain.seedOccupancy(seed, model, buckets)
+    StreamingIndexMaintain.maintainBatch(
+      e.filter(pmod(col("vec_id"), lit(8L)) === 3L), 0L, model, buckets, idx, mon,
+      ref, chi2Alarm = 30.0)
+    StreamingIndexMaintain.maintainBatch(
+      e.filter(pmod(col("vec_id"), lit(8L)) === 7L), 1L, model, buckets, idx, mon,
+      ref, chi2Alarm = 30.0)
+    val index = StreamingIndexMaintain.readIndex(s, idx)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    ProductQuantizer.search(index.select(col("vec_id"), col("pq_code")), model,
+        queries, k = 5)
       .withColumn("rk", col("rank").cast("long")).drop("rank")
       .select(col("query_id"), col("rk"), col("vec_id"), col("adc_dist"))
       .transform(sorted1(_, col("query_id"), col("rk")))
@@ -6215,7 +6262,8 @@ object SparkEntry {
     "q212_perceptron_train" -> (q212PerceptronTrain _),
     "q213_perceptron_auc" -> (q213PerceptronAuc _),
     "q214_text_embed" -> (q214TextEmbed _),
-    "q215_text_retrieval" -> (q215TextRetrieval _))
+    "q215_text_retrieval" -> (q215TextRetrieval _),
+    "q216_index_maintain" -> (q216IndexMaintain _))
 
   /** DuckDB oracle SQL twins — see OracleSql. Rows-only queries
     * (q29, q97, q114 — the set EntryContractSpec pins) are
