@@ -714,6 +714,22 @@ object SparkEntry {
       .computeIfAbsent(dir, _ =>
         graft.operators.LabelPropagation.propagate(communityEdges(s, dir), iters = 4))
 
+  /** The PERSISTED label table (r17, r16 verdict task 6): the lake
+    * shape — LPA runs once per corpus, LabelPropagation.save persists
+    * the bucketed (id, label) table, and every evaluation (q184)
+    * loads it instead of re-paying the rounds. Memoized per sf-dir;
+    * resetMemos drops it so the stability probe re-propagates AND
+    * re-persists.
+    */
+  private val lpaSavedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lpaSavedDir(s: SparkSession, dir: String): String =
+    lpaSavedDirs.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q183_labels").toString
+      graft.operators.LabelPropagation.save(communityLabels(s, d), out)
+      out
+    })
+
   /** Verify/testing hook: drop every per-corpus memoized model and label
     * frame so the next call retrains from scratch. The stability probe
     * calls this before its alternate-partition re-run — without it the
@@ -736,6 +752,7 @@ object SparkEntry {
     pqModels.clear()
     perceptronModels.clear()
     perceptronSavedDirs.clear()
+    lpaSavedDirs.clear()
   }
 
   private def q183LabelProp(s: SparkSession, dir: String): DataFrame =
@@ -1700,9 +1717,14 @@ object SparkEntry {
     */
   private def q184Modularity(s: SparkSession, dir: String): DataFrame = {
     val edges = communityEdges(s, dir)
-    // labels come from the SHARED q183 frame (r15): the propagation
-    // runs once per session; this query pays only the scoring joins
-    graft.operators.LabelPropagation.modularity(edges, communityLabels(s, dir))
+    // labels come from the PERSISTED q183 table (r17; r15 memoized the
+    // in-session frame): propagation runs once per corpus, the bucketed
+    // (id, label) table persists, and this evaluation pays only the
+    // load + scoring joins — the production lake shape, certified by
+    // the driver hash since the oracle re-propagates from the raw
+    // tables (LabelPropagationSpec pins loaded ≡ fresh row-for-row)
+    graft.operators.LabelPropagation.modularity(edges,
+        graft.operators.LabelPropagation.load(s, lpaSavedDir(s, dir)))
       .transform(sorted1(_, col("label")))
   }
 

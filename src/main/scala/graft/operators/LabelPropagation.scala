@@ -136,10 +136,18 @@ object LabelPropagation {
       .join(lab.select(col("_id").as("_b"), col("_l").as("_lb")), "_b")
       .filter(col("_la") === col("_lb"))
       .groupBy(col("_la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    // perComm feeds TWO consumers — the qnum broadcast subquery and
+    // the final projection. Without materialization each consumer
+    // re-runs the whole join/aggregate subtree (measured: the
+    // double evaluation was ~half of q184's cost at bench scale, and
+    // at 100 TB it would be a second full pass over the edge joins).
+    // The frame is bounded — one row per community — so an eager
+    // localCheckpoint is model-sized.
     val perComm = dc.join(ec, Seq("label"), "left")
       .select(col("label"), col("size"), col("degree_sum"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
       .crossJoin(broadcast(mRow))
+      .localCheckpoint(true)
     val qnumRow = perComm.agg(
       sum(lit(4).cast(d) * col("_m").cast(d) * col("intra_edges").cast(d) -
         col("degree_sum").cast(d) * col("degree_sum").cast(d)).as("_qnum"))
@@ -149,4 +157,29 @@ object LabelPropagation {
         col("_m").as("m_edges"),
         (col("_qnum").cast("double") / (col("_d2m") * col("_d2m"))).as("q"))
   }
+
+  /** Persist a computed label table — the build-once / evaluate-many
+    * lake shape (GraphAnn.save / Perceptron.save precedent): (id,
+    * label) partitioned by pmod(id, buckets) so an evaluation join
+    * keyed on a bucketed id can prune and co-locate, plus a one-row
+    * meta table. In production the propagation runs once per graph
+    * build; every downstream evaluation (modularity, cluster
+    * sampling, mixture balancing) READS this table instead of paying
+    * the rounds again.
+    */
+  def save(labels: DataFrame, dir: String, buckets: Int = 64): Unit = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    labels.select(col("id"), col("label"))
+      .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/labels")
+  }
+
+  /** Restore a saved label table: (id, label), row-identical to the
+    * frame that was saved (integer columns round-trip exactly).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/labels").select(col("id"), col("label"))
 }

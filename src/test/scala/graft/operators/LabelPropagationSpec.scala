@@ -86,6 +86,25 @@ class LabelPropagationSpec extends SparkSpec {
       rows.head.getLong(4), rows.head.getDouble(5))
   }
 
+  test("save/load round-trips the label table; modularity over loaded labels is identical") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L))
+    val edf = edges.toDF("src", "dst")
+    val fresh = LabelPropagation.propagate(edf, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lpa_save").toString
+    LabelPropagation.save(fresh, dir, buckets = 4)
+    val loaded = LabelPropagation.load(spark, dir)
+    assert(loaded.as[(Long, Long)].collect().toSet ===
+      fresh.as[(Long, Long)].collect().toSet,
+      "the persisted table must hold exactly the propagated labels")
+    val mFresh = LabelPropagation.modularity(edf, fresh).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Double]("q")).toMap
+    val mLoaded = LabelPropagation.modularity(edf, loaded).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Double]("q")).toMap
+    assert(mLoaded === mFresh,
+      "evaluating from the persisted table must be bit-identical to the in-memory path")
+  }
+
   test("modularity: hand case — two disjoint triangles under their own labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
     val labels = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
