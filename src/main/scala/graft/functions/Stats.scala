@@ -477,7 +477,11 @@ object Stats {
     val vc = df.select(group.cast("string").as("_g"), value.cast("long").as("_v"))
       .groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
     graft.Exec.withCached(vc) { v =>
-      val med = medianOf(v)
+      // med feeds THREE consumers (dev's join, the final join, and —
+      // through dev — the MAD median): without materialization each
+      // re-runs the group-median window pass over the full value set
+      // (the q184 perComm lesson). One row per group — model-sized.
+      val med = medianOf(v).localCheckpoint(true)
       val dev = v.join(med.select(col("_g"), col("_med")), "_g")
         .select(col("_g"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
         .groupBy("_g", "_v").agg(sum(col("_c")).as("_c"))

@@ -151,10 +151,17 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("q72: classifier margin is map-only — no join, aggregate, or window") {
+  test("q72: trained scoring is a broadcast weight join + keyed aggregate, no window") {
+    // r17: q72 scores from the PERSISTED trained model. The weight
+    // table is model-sized and must ride a broadcast (a shuffle join
+    // against a ≤1024-row dim would be wrong at any corpus size);
+    // the margin is a hash aggregate on the id key; nothing windows.
     val plan = formatted("q72_quality_classifier")
-    assert(!plan.contains("Join"), s"q72: unexpected join\n$plan")
-    assert(!plan.contains("HashAggregate"), s"q72: unexpected aggregate\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q72: the weight join must broadcast the model-sized table\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q72: unexpected non-keyed join\n$plan")
+    assert(plan.contains("HashAggregate"), s"q72: expected the per-doc margin aggregate\n$plan")
     assert(!plan.contains("Window"), s"q72: unexpected window\n$plan")
   }
 
