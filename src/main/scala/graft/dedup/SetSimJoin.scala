@@ -78,10 +78,20 @@ object SetSimJoin {
       assertMaxBucket: Option[Int] = None): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"need 0 < num/den <= 1, got $num/$den")
 
+    // Materialize the tokenized corpus ONCE (guide §2.4/§3.3): `toks`
+    // is typically an expensive derived expression (shingling), and
+    // without a materialization boundary Catalyst re-inlines it into
+    // every downstream consumer — the r17 plan audit showed the whole
+    // scan→shingle→explode→rank→regroup chain duplicated per consumer
+    // (16 scans, the shingle lambda additionally cloned into pushed
+    // filters). One eager localCheckpoint computes it once; at cluster
+    // scale the same boundary is a scratch-table write (GraftSession
+    // note), never a recompute-per-consumer.
     val sets0 = df
       .select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
+      .localCheckpoint()
 
     val tok = sets0.select(col("id"), col("n"), explode(col("toks")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -114,19 +124,18 @@ object SetSimJoin {
       .select(col("tok"), monotonically_increasing_id().as("r"))
 
     // One row per record: its tokens as sorted ranks. Feeds FOUR
-    // consumers (the two prefix sides, both verification sides) — but
-    // they all sit above the SAME (id, n) aggregation exchange, so
-    // ReusedExchange runs the corpus-scale work below it (token
-    // explode, rank join, partial aggregation) ONCE; only the
-    // post-shuffle final aggregation re-runs per consumer. r14: this
-    // replaced an explicit withCached, whose eager count() paid one
-    // extra full materialization pass and whose result checkpoint
-    // paid another job — the lazy plan is ~15% faster end-to-end at
-    // sf0.1 and leaves no blocks behind (the q86 lesson applied;
-    // PLANS.md q100).
+    // consumers (the two prefix sides, both verification sides) —
+    // materialized eagerly so the rank join + regroup run once; the
+    // lazy-plan alternative re-executed the subtree per consumer
+    // (exchange reuse does NOT fire here: each consumer prunes a
+    // different column set, so the exchanges are not canonically
+    // equal). sets0's blocks are released as soon as this frame is
+    // materialized — only one block set survives the operator.
     val sets = tok.join(rank, "tok")
       .groupBy("id", "n")
       .agg(sort_array(collect_list(col("r"))).as("rord"))
+      .localCheckpoint()
+    sets0.unpersist()
     locally {
 
     // Rarest-first order per record; τ-prefix = first n − ⌈τn⌉ + 1.

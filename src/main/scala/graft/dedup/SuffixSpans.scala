@@ -44,6 +44,28 @@ import org.apache.spark.sql.functions._
   */
 object SuffixSpans {
 
+  /** Persist the exploded positions frame before the range sort IFF
+    * its estimated size fits `spark.graft.suffix.cacheMaxBytes`
+    * (default 8 GiB): the RangePartitioner's sampling job otherwise
+    * re-executes the whole explode+substring subtree before the real
+    * shuffle map stage runs it a second time (guide §1.2 — measured
+    * −37% on q188 at sf0.1). Above the threshold the recompute is the
+    * RIGHT call — materializing a positions-scale (≈ corpus-size × k)
+    * intermediate to executor disk at 100 TB costs more than the
+    * map-only second pass — so the gate keeps the at-scale behavior
+    * while the bench-scale run takes the cached path. Returns whether
+    * it persisted (caller unpersists after the sort materializes).
+    */
+  private def maybePersistPositions(pos: DataFrame): Boolean = {
+    val maxBytes = pos.sparkSession.conf
+      .getOption("spark.graft.suffix.cacheMaxBytes").map(_.toLong)
+      .getOrElse(8L << 30)
+    val est = pos.queryExecution.optimizedPlan.stats.sizeInBytes
+    val doIt = est <= maxBytes
+    if (doIt) { pos.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); () }
+    doIt
+  }
+
   /** Per-document duplicated-span statistics: (doc_id, n_positions,
     * n_dup_pos, n_dup_cross, max_lcp, max_lcp_cross) — positions
     * whose suffix-order neighbor shares ≥ `minSpan` chars (any
@@ -86,6 +108,9 @@ object SuffixSpans {
       .filter(length(col("t")) >= 1) // sequence(1,0) would DESCEND, not empty
       .select(col("id"), explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
       .select(col("id"), col("p"), expr(s"substring(t, p, $k)").as("key"))
+    // r17: size-gated positions cache (see maybePersistPositions);
+    // released right after the sorted RDD materializes.
+    val posCached = maybePersistPositions(pos)
     val sorted = pos
       .repartitionByRange(col("key"), col("id"), col("p"))
       .sortWithinPartitions(col("key"), col("id"), col("p"))
@@ -102,6 +127,7 @@ object SuffixSpans {
         Iterator((pid, (f._1, f._3), (l._1, l._3)))
       }
     }.collect().sortBy(_._1)
+    if (posCached) { pos.unpersist(blocking = false); () }
     val nParts = sorted.getNumPartitions
     // carry(prevOf)(pid) = last row of the nearest earlier non-empty
     // partition; nextOf symmetric (RangePartitioner can leave holes)
@@ -210,6 +236,9 @@ object SuffixSpans {
     // and one backward scan over the buffered partition replace the
     // two window sorts the previous shape paid, and the _pid exchange
     // disappears entirely.
+    // r17: size-gated positions cache (see maybePersistPositions);
+    // released right after the sorted RDD materializes.
+    val posCached = maybePersistPositions(pos)
     val sorted = pos
       .repartitionByRange(col("key"), col("id"), col("p"))
       .sortWithinPartitions(col("key"), col("id"), col("p"))
@@ -227,6 +256,8 @@ object SuffixSpans {
         }
         if (first == null) Iterator.empty else Iterator((pid, first, last))
       }.collect().sortBy(_._1)
+      if (posCached) { pos.unpersist(blocking = false); () } // sorted is
+      // materialized; the pre-sort positions are never read again
       val nParts = sorted.getNumPartitions
       val before = new Array[String](nParts)
       val after = new Array[String](nParts)

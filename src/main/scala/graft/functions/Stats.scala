@@ -474,28 +474,39 @@ object Stats {
           col("_lo") * (lit(100L) - rem) + col("_hi") * rem + 50L, lit(100L))
           .as("_med"))
     }
+    // r17 (guide §1.2/§2.3): three eager jobs, not four, and no third
+    // pass over the value table. The corpus pass collapses straight
+    // into the checkpointed (group, value, count) frame; the group
+    // medians (one row per group) checkpoint next; the FINAL aggregate
+    // runs over the deviation table — which already carries every
+    // |x − med| the output needs — so the old v⋈med⋈mad re-scan and
+    // the result-checkpoint job are gone. dev stays lazy: both its
+    // consumers (the MAD median and the final agg) rebuild it from
+    // vc's checkpoint blocks, one bounded join+agg each, cheaper than
+    // a fourth eager job. One block set per frame survives for the
+    // caller's plan (the PageRank/Hits precedent).
     val vc = df.select(group.cast("string").as("_g"), value.cast("long").as("_v"))
       .groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
-    graft.Exec.withCached(vc) { v =>
-      // med feeds THREE consumers (dev's join, the final join, and —
-      // through dev — the MAD median): without materialization each
-      // re-runs the group-median window pass over the full value set
-      // (the q184 perComm lesson). One row per group — model-sized.
-      val med = medianOf(v).localCheckpoint(true)
-      val dev = v.join(med.select(col("_g"), col("_med")), "_g")
-        .select(col("_g"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
-        .groupBy("_g", "_v").agg(sum(col("_c")).as("_c"))
-      val mad = medianOf(dev).select(col("_g"), col("_med").as("_mad"))
-      v.join(med, "_g").join(mad, "_g")
-        .groupBy(col("_g"))
-        .agg(max(col("_n")).as("n"), max(col("_med")).as("median"),
-          max(col("_mad")).as("mad"),
-          sum(when(abs(col("_v") - col("_med")) > lit(k.toLong) * col("_mad"),
-            col("_c")).otherwise(0L)).as("n_outliers"),
-          max(abs(col("_v") - col("_med"))).as("max_dev"))
-        .select(col("_g").as("grp"), col("n"), col("median"), col("mad"),
-          col("n_outliers"), col("max_dev"))
-    }
+      .localCheckpoint(true)
+    // med feeds dev's join and the final output — one row per group,
+    // broadcast EXPLICITLY: a checkpoint's LogicalRDD leaf carries no
+    // size stats, so without the hint the planner falls back to
+    // sort-merge and shuffles the value table by group (guide §3.1:
+    // estimates are often wrong — hint when you know a side is small).
+    val med = medianOf(vc).localCheckpoint(true)
+    val dev = vc.join(broadcast(med.select(col("_g"), col("_med"))), "_g")
+      .select(col("_g"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
+      .groupBy("_g", "_v").agg(sum(col("_c")).as("_c"))
+    val mad = medianOf(dev).select(col("_g"), col("_med").as("_mad"))
+    dev.join(broadcast(mad), "_g")
+      .groupBy(col("_g"))
+      .agg(max(col("_mad")).as("mad"),
+        sum(when(col("_v") > lit(k.toLong) * col("_mad"), col("_c"))
+          .otherwise(0L)).as("n_outliers"),
+        max(col("_v")).as("max_dev"))
+      .join(broadcast(med), "_g")
+      .select(col("_g").as("grp"), col("_n").as("n"), col("_med").as("median"),
+        col("mad"), col("n_outliers"), col("max_dev"))
   }
 
   /** EXACT two-sample Pearson CHI-SQUARE test of homogeneity over a

@@ -401,8 +401,30 @@ object Gif {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
     img.getRaster.setDataElements(0, 0, width, height, indices)
+    // r17 (guide §4.5 applied JVM-side): `ImageIO.write(img, "gif", out)`
+    // per row paid a writer-REGISTRY SCAN plus a DISK-backed stream
+    // cache file per image. Same JDK encoder, same bytes — but the
+    // writer is constructed once per thread and the output stream is
+    // memory-backed.
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "gif", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val w = gifWriter.get()
+    w.setOutput(ios)
+    w.write(img)
+    ios.flush()
+    w.setOutput(null)
     out.toByteArray
+  }
+
+  /** One JDK GIF writer per thread — ImageWriter is not thread-safe,
+    * and executor tasks run on a fixed pool, so a ThreadLocal amortises
+    * the per-image registry lookup + instantiation across a partition.
+    */
+  private val gifWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(it.hasNext, "JDK GIF writer missing")
+      it.next()
+    }
   }
 }

@@ -52,6 +52,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // r17: javax.imageio streams default to a DISK cache file per
+  // image (create/write/delete a temp file for every payload read or
+  // written through ImageIO) — memory-backed streams decode the same
+  // bytes without the filesystem round trip. JVM-global, set once.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaMeta(
       doc_id: Long,
       byte_size: Long,

@@ -221,28 +221,44 @@ object Png {
     require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val p = (y * width + x) * 3
-        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
-        x += 1
-      }
-      y += 1
+    // r17: bulk-set the pixel array (one raster write, not w·h setRGB
+    // color-model round trips)
+    val px = new Array[Int](width * height)
+    var i = 0
+    while (i < px.length) {
+      val p = i * 3
+      px(i) = ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff)
+      i += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
+    // r17 (the Gif.encodeViaImageIO fix): same JDK encoder, same
+    // bytes, but the writer is per-thread and the stream memory-backed
+    // — ImageIO.write / createImageOutputStream default to a DISK
+    // cache file per image plus a registry scan per call.
     val out = new java.io.ByteArrayOutputStream()
-    if (!interlaced) javax.imageio.ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writer = pngWriter.get()
+    writer.setOutput(ios)
+    if (!interlaced) writer.write(img)
     else {
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       val param = writer.getDefaultWriteParam
       param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-      writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      writer.dispose()
-      ios.close()
     }
+    ios.flush()
+    writer.setOutput(null)
     out.toByteArray
+  }
+
+  /** One JDK PNG writer per thread (not thread-safe; executor task
+    * threads are a fixed pool, so this amortises registry lookup +
+    * instantiation across a partition).
+    */
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      require(it.hasNext, "JDK PNG writer missing")
+      it.next()
+    }
   }
 }

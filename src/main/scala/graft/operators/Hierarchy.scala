@@ -144,6 +144,17 @@ object Hierarchy {
     var frontier = levels
     var round = 0
     var changed = 1L
+    // r17: the fixpoint count is checked every `checkStride` rounds,
+    // not every round — each count() is a full driver job whose launch
+    // latency dominates at frontier scale (guide §1.2: round count
+    // scales with depth, so per-round fixed cost is the lever).
+    // Correctness: an empty frontier stays empty (prop of an empty
+    // frontier is empty), so improvements cannot resume after a zero —
+    // checking late never misses a change, it only runs ≤ stride-1
+    // no-op rounds past the fixpoint (narrow empty stages). Each check
+    // also materializes the batch, bounding task-side lineage depth
+    // like the old per-round count did.
+    val checkStride = 3
     while (changed > 0 && round < maxIter) {
       round += 1
       val prop = e.join(frontier)
@@ -152,14 +163,14 @@ object Hierarchy {
       val improved = trackCut(prop.leftOuterJoin(levels)
         .filter { case (_, (nl, ol)) => ol.forall(nl > _) }
         .mapValues(_._1))
-      changed = improved.count()
-      mark(s"p1 round $round changed=$changed")
-      if (changed > 0) {
-        levels = trackCut(levels.fullOuterJoin(improved).mapValues {
-          case (ol, nl) => math.max(ol.getOrElse(Long.MinValue), nl.getOrElse(Long.MinValue))
-        })
-        frontier = improved
-        if (round % eagerStride == 0) levels.count() // force the lineage cut
+      levels = trackCut(levels.fullOuterJoin(improved).mapValues {
+        case (ol, nl) => math.max(ol.getOrElse(Long.MinValue), nl.getOrElse(Long.MinValue))
+      })
+      frontier = improved
+      if (round % checkStride == 0 || round >= maxIter) {
+        changed = improved.count()
+        mark(s"p1 round $round changed=$changed")
+        if (changed > 0) levels.count() // force the lineage cut
       }
     }
     if (changed > 0) {

@@ -286,13 +286,22 @@ class PlanShapeSpec extends SparkSpec {
       s"q180: expected partial+final pairs for the category table and the fold row:\n$p")
   }
 
-  test("q187: MAD returns the withCached-materialized scan; its windows are group-partitioned") {
-    // madOutliers executes eagerly inside Exec.withCached (the value
-    // table feeds three consumers), so the returned plan is the
-    // materialized scan — assert that contract (the q168 precedent)
+  test("q187: MAD reads checkpointed value/median frames; its windows are group-partitioned") {
+    // madOutliers materializes the (group, value, count) table and the
+    // group medians eagerly (each feeds 2+ consumers); the returned
+    // plan reads those checkpoints and runs the MAD median + final
+    // aggregate over the BOUNDED deviation table — its windows must
+    // partition by the group key (never a raw-row window), and the
+    // corpus never re-scans (r17: the old shape paid a fourth eager
+    // job plus a third pass over the value table)
     val p = formatted("q187_mad_outliers")
-    assert(p.contains("Scan ExistingRDD") && !p.contains("Window"),
-      s"q187 must return the eagerly-materialized scan:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q187 must read the checkpointed value table:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"q187 must not re-scan the corpus after materialization:\n$p")
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString
+    assert(wins.isEmpty || wins.contains("_g"),
+      s"q187 windows must partition by the group key:\n$wins")
     // and pin the INNER shape on a lazy reconstruction: cumulative
     // windows over the value table partition by the group key
     import org.apache.spark.sql.functions._
